@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Spark side: deterministic fixture views (lakefs_spark/sources/relspec.py,
+dialect-portable SQL shared with the oracle) + the Python operator
+implementations (lakefs_spark/operators/*). Oracle side: independent
+relational restatement (lakefs_spark/sources/oracle.py).
 """
 
 from __future__ import annotations
@@ -12,27 +16,286 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakefs_spark.operators import dedup as D
+from lakefs_spark.operators import diff as DF_
+from lakefs_spark.operators import gc as GC
+from lakefs_spark.operators import listing as L
+from lakefs_spark.operators import merge as M
+from lakefs_spark.operators import overlay as O
+from lakefs_spark.operators import similarity as SIM
+from lakefs_spark.operators import text as TX
+from lakefs_spark.sources import oracle as ORC
+from lakefs_spark.sources.fixtures import create_fixture_views, entries_view, staged_view
+
+_FIXTURES_READY: set[tuple[int, str]] = set()
+
+
+def _fixtures(spark: SparkSession, sf_dir: str) -> None:
+    tag = (id(spark), sf_dir)
+    if tag not in _FIXTURES_READY:
+        create_fixture_views(spark, sf_dir)
+        _FIXTURES_READY.add(tag)
+
+
+def _snap(spark, sf_dir, name) -> DataFrame:
+    _fixtures(spark, sf_dir)
+    return entries_view(spark, name)
+
+
+# -- listing ---------------------------------------------------------------
+
+
+def q_snapshot_listing(spark, sf_dir):
+    return L.list_entries(_snap(spark, sf_dir, "snap_a")).select(
+        "key", "identity", "address", "size", "etag"
+    )
+
+
+def q_list_prefix_page(spark, sf_dir):
+    return L.list_entries(
+        _snap(spark, sf_dir, "snap_a"),
+        prefix=ORC.LIST_PREFIX,
+        after=ORC.LIST_AFTER,
+        limit=ORC.LIST_LIMIT,
+    ).select("key", "identity", "size", "etag")
+
+
+def q_list_delimiter_groups(spark, sf_dir):
+    out = L.list_entries(_snap(spark, sf_dir, "merge_source"), prefix="tables/", delimiter="/")
+    return out.select("key", "is_common_prefix")
+
+
+def q_list_delimiter_leaves(spark, sf_dir):
+    out = L.list_entries(_snap(spark, sf_dir, "snap_a"), prefix=ORC.LIST_PREFIX, delimiter="/")
+    return out.select("key", "is_common_prefix", "identity", "size", "etag")
+
+
+# -- overlay / staging -----------------------------------------------------
+
+
+def _staged_layers(spark, sf_dir):
+    _fixtures(spark, sf_dir)
+    return [
+        staged_view(spark, "staged_active"),
+        staged_view(spark, "staged_sealed"),
+    ]
+
+
+def q_overlay_visible(spark, sf_dir):
+    committed = O.with_layer(_snap(spark, sf_dir, "entries"), seq=2)
+    layers = _staged_layers(spark, sf_dir) + [committed]
+    return O.overlay(layers).select("key", "identity", "size", "etag")
+
+
+def q_uncommitted_diff(spark, sf_dir):
+    staged = O.overlay_raw(_staged_layers(spark, sf_dir))
+    committed = _snap(spark, sf_dir, "entries")
+    return DF_.uncommitted_diff(staged, committed).select("key", "diff_type", "identity")
+
+
+# -- diff / compare / merge ------------------------------------------------
+
+
+def q_diff_refs(spark, sf_dir):
+    return DF_.diff(_snap(spark, sf_dir, "snap_a"), _snap(spark, sf_dir, "snap_b")).select(
+        "key", "diff_type", "left_identity", "identity"
+    )
+
+
+def q_diff_summary(spark, sf_dir):
+    d = DF_.diff(_snap(spark, sf_dir, "snap_a"), _snap(spark, sf_dir, "snap_b"))
+    return DF_.diff_summary(d)
+
+
+def q_compare_refs(spark, sf_dir):
+    return DF_.compare(
+        _snap(spark, sf_dir, "merge_base"),
+        _snap(spark, sf_dir, "merge_source"),
+        _snap(spark, sf_dir, "merge_dest"),
+    ).select("key", "diff_type", "identity")
+
+
+def _merge(spark, sf_dir, strategy):
+    return M.merge(
+        _snap(spark, sf_dir, "merge_base"),
+        _snap(spark, sf_dir, "merge_source"),
+        _snap(spark, sf_dir, "merge_dest"),
+        strategy=strategy,
+    )
+
+
+def q_merge_result_src(spark, sf_dir):
+    merged, _ = _merge(spark, sf_dir, "src")
+    return merged.select("key", "identity", "size", "etag")
+
+
+def q_merge_result_dest(spark, sf_dir):
+    merged, _ = _merge(spark, sf_dir, "dest")
+    return merged.select("key", "identity", "size", "etag")
+
+
+def q_merge_conflicts(spark, sf_dir):
+    _, conflicts = _merge(spark, sf_dir, "none")
+    return conflicts.select("key", "identity")
+
+
+# -- gc --------------------------------------------------------------------
+
+
+def q_gc_mark(spark, sf_dir):
+    _fixtures(spark, sf_dir)
+    listing = spark.table("storage_listing")
+    committed = GC.committed_addresses(_snap(spark, sf_dir, "entries"))
+    uncommitted = spark.table("uncommitted_addresses")
+    return GC.gc_mark(listing, committed, uncommitted)
+
+
+def q_gc_committed_addresses(spark, sf_dir):
+    _fixtures(spark, sf_dir)
+    union = (
+        _snap(spark, sf_dir, "entries")
+        .unionByName(_snap(spark, sf_dir, "merge_source"))
+        .unionByName(_snap(spark, sf_dir, "merge_dest"))
+    )
+    return GC.committed_addresses(union)
+
+
+# -- range stats -----------------------------------------------------------
+
+
+def q_range_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    snap = _snap(spark, sf_dir, "snap_a")
+    w = Window.orderBy("key")
+    return (
+        snap.select(
+            "key",
+            "size",
+            F.floor((F.row_number().over(w) - 1) / 5000).cast("long").alias("chunk_idx"),
+        )
+        .groupBy("chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+            F.sum("size").alias("total_size"),
+        )
+    )
+
+
+# -- text / dedup ----------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    _fixtures(spark, sf_dir)
+    return spark.table("documents")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return TX.quality_features(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return D.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+# -- similarity ------------------------------------------------------------
+
+
+def _embeddings(spark, sf_dir):
+    _fixtures(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def q_cosine_pairs(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8)
+    pairs = SIM.cosine_pairs(q, emb).where(F.col("qa") < F.col("qb"))
+    return pairs.select("qa", "qb", F.round("sim", 4).alias("sim"))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8)
+    return SIM.brute_force_topk(q, emb, k=5)
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8)
+    return SIM.lsh_topk(q, emb, dim=64, k=5, n_planes=6)
+
+
+def q_minhash_candidates(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return D.minhash_candidates(docs, num_hashes=32, bands=8)
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+# -- driver contract -------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-way merge (strategy=src) over sf0.001 fixtures."""
+    return q_merge_result_src(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "snapshot_listing": q_snapshot_listing,
+        "list_prefix_page": q_list_prefix_page,
+        "list_delimiter_groups": q_list_delimiter_groups,
+        "list_delimiter_leaves": q_list_delimiter_leaves,
+        "overlay_visible": q_overlay_visible,
+        "uncommitted_diff": q_uncommitted_diff,
+        "diff_refs": q_diff_refs,
+        "diff_summary": q_diff_summary,
+        "compare_refs": q_compare_refs,
+        "merge_result_src": q_merge_result_src,
+        "merge_result_dest": q_merge_result_dest,
+        "merge_conflicts": q_merge_conflicts,
+        "gc_mark": q_gc_mark,
+        "gc_committed_addresses": q_gc_committed_addresses,
+        "range_stats": q_range_stats,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_pairs": q_cosine_pairs,
+        # Spark-only (no SQL-expressible oracle): rows-only checks
+        "ann_topk": q_ann_topk,
+        "lsh_topk": q_lsh_topk,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash": q_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return ORC.all_oracles()

@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators beyond the reference's surface
+(lakeFS deduplicates *storage* by content address — pkg/ident/ — which
+is exactly the "exact dedup" here generalized to row content).
+
+Scale notes (the whole point of these shapes):
+- exact dedup: one hash-shuffle on the digest; map-side partial agg
+  keeps it near-linear. 100 TB -> digest is 32 bytes/row, shuffle is
+  tiny relative to input.
+- MinHash LSH: candidate generation is (band_id, band_hash) equi-join —
+  a shuffle on short keys, never an O(n^2) cross join. Bucket skew
+  (stop-shingle buckets) is capped by AQE skew-join splitting; the
+  verify step re-checks exact Jaccard only on candidates.
+- SimHash: 64-bit signature from per-token hashes; near-dup = same
+  signature band; pure projection + one groupBy.
+
+All hot-path hashing uses JVM-side xxhash64/md5 — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (text_hash, rep_id, n_dups).
+
+    ``rep_id`` = min id per group — the row to keep.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative row per exact-duplicate group."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with JVM functions: split -> transform over a sequence of
+    start offsets -> slice+concat -> explode distinct.
+    """
+    toks = F.split(F.col(text_col), " ")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold: (id_a, id_b, jaccard).
+
+    Shuffle-on-shingle join; for candidate *generation* at scale use
+    :func:`minhash_bands` first and verify only candidates with this.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per doc: (id, sig array<long> of len num_hashes).
+
+    hash_i(shingle) = xxhash64(shingle, seed=i); signature element i is
+    the min over the doc's shingles — all JVM-side, one groupBy.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    hashed = sh.select(
+        F.col(id_col),
+        F.array(*[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]).alias("hs"),
+    )
+    agg = hashed.groupBy(id_col).agg(
+        F.array(*[F.min(F.col("hs")[i]) for i in range(num_hashes)]).alias("sig")
+    )
+    return agg
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: (id, band_id, band_hash). Docs sharing any band
+    bucket are near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    out = None
+    for b in range(bands):
+        band = sig.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash"),
+        )
+        out = band if out is None else out.unionByName(band)
+    return out
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs from LSH buckets: (id_a, id_b)."""
+    bandsdf = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
+    a = bandsdf.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = bandsdf.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of per-token hash bits.
+
+    (id, simhash long). Near-dups have small Hamming distance; pair
+    them by exact-matching high-order bands of the signature.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = tok.select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    # per-bit +-1 contributions, summed, then sign -> bit
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = h.groupBy(id_col).agg(*bit_cols)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return sums.select(F.col(id_col), sig.alias("simhash"))

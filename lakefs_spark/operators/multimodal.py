@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode/feature-extraction run as Arrow-batched
+``mapInPandas`` stages. The decode itself is STUBBED (image/audio libs
+are not in this container): ``decode_stub`` produces a deterministic
+fake feature vector so the Spark-side plumbing — schema, batching,
+partitioning — is real and testable; swap ``_decode_one`` for a real
+decoder (PIL/torchaudio/ffmpeg) in production.
+
+Scale notes: binary payloads dominate partition size — callers should
+set ``spark.sql.files.maxPartitionBytes`` down (or repartition by count)
+so a batch of decoded frames fits executor memory; the mapInPandas
+iterator yields per-Arrow-batch, never materializing a partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms long"
+
+FEATURE_DIM = 16
+
+
+def synth_media(df: DataFrame, id_col: str, payload_from: str, kind: str = "image") -> DataFrame:
+    """Wrap an existing column's bytes as a media column set (test aid)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col(payload_from).cast("string"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def _decode_one(payload: bytes, kind: str) -> np.ndarray:
+    """STUB decoder. Real implementation would be e.g.:
+
+        img = PIL.Image.open(io.BytesIO(payload)); arr = np.asarray(img)
+
+    Deterministic fake: hash-seeded feature vector, so tests can assert
+    stability without media libraries.
+    """
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"unknown media kind: {kind}")
+    seed = int.from_bytes(__import__("hashlib").md5(payload).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
+    return rng.random(FEATURE_DIM, dtype=np.float64)
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """media -> (media_id, kind, features array<double>) via mapInPandas.
+
+    The iterator-of-batches shape keeps peak memory to one Arrow batch;
+    decode work parallelizes per input partition.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_one(p, k).tolist()
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": feats}
+            )
+
+    return media.mapInPandas(op, schema="media_id long, kind string, features array<double>")
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled timestamp.
+
+    The *timestamps* are computed JVM-side (sequence/explode); actual
+    frame decode would plug into extract_features per sampled row.
+    """
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
+            ).alias("ts_ms"),
+        )
+    )

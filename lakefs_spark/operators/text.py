@@ -1,0 +1,100 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not present in the reference (lakeFS versions objects, it doesn't look
+inside them) — these are the §"beyond the reference" operators: token
+counting, quality scoring, language ID, and document fingerprinting
+over a ``documents(doc_id, text, ...)`` table.
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+(whole-stage codegen, no Python in the hot path); each helper returns a
+column or DataFrame so callers can fuse them into one scan projection.
+At 100 TB these are embarrassingly parallel single-pass projections —
+no shuffle at all unless the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small: the point is the *operator shape*
+# (pure-projection scoring), not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est"],
+    "es": ["el", "la", "los", "de", "que", "y", "un", "una"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (split on single space, empties counted —
+    matches the DuckDB oracle's ``length(split(text,' '))``)."""
+    return F.size(F.split(text, " "))
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrences of ``needle`` via length difference."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(len(needle))
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Count of stopword occurrences (space-delimited) for a language."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    hits = None
+    for w in STOPWORDS[lang]:
+        c = occurrence_count(padded, f" {w} ")
+        hits = c if hits is None else hits + c
+    return hits.cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language with the most stopword hits; 'unk' if none.
+
+    Deterministic tie-break: earlier language in STOPWORDS wins
+    (encoded as a priority field inside the max-struct).
+    """
+    arr = F.array(
+        *[
+            F.struct(
+                stopword_hits(text, lang).alias("s"),
+                F.lit(-i).alias("p"),
+                F.lit(lang).alias("l"),
+            )
+            for i, lang in enumerate(STOPWORDS)
+        ]
+    )
+    best = F.array_max(arr)
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unk"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: lengths, ratios, scores.
+
+    Mirrors common pre-training quality filters (length, punctuation
+    density, stopword ratio) as a single fused projection.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    alpha = F.length(F.regexp_replace(t, "[^a-z]", ""))
+    sw = stopword_hits(t, "en")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_spaces.cast("long").alias("n_spaces"),
+        alpha.cast("long").alias("n_alpha"),
+        F.round(alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
+        sw.alias("stopword_hits"),
+        F.round(sw / F.greatest(n_tokens.cast("double"), F.lit(1.0)), 4).alias("stopword_ratio"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set. Two documents with the same bag of unique
+    tokens collide — by design (shingle-free near-dup prefilter)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(text, " "))), " "))

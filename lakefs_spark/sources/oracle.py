@@ -1,0 +1,337 @@
+"""DuckDB oracle SQL for every gate query in __spark_entry__.queries().
+
+Each SQL string runs on DuckDB over the pre-registered base views
+(region nation customer ... documents embeddings) and re-states the
+operator semantics independently of the Spark implementation; the
+driver hash-compares values. Column names/aliases here MUST match the
+Spark side exactly.
+"""
+
+from __future__ import annotations
+
+from lakefs_spark.operators.text import STOPWORDS
+from lakefs_spark.sources.relspec import (
+    diff_sql,
+    merge_actions_sql,
+    merged_snapshot_sql,
+    with_views,
+)
+
+# -- listing ---------------------------------------------------------------
+
+LIST_PREFIX = "tables/orders/b3/"
+LIST_PREFIX_UPPER = "tables/orders/b30"  # upper_bound_for_prefix(LIST_PREFIX)
+LIST_AFTER = "tables/orders/b3/000000000500"
+LIST_LIMIT = 200
+
+
+def q_snapshot_listing() -> str:
+    return with_views("snap_a") + "select key, identity, address, size, etag from snap_a"
+
+
+def q_list_prefix_page() -> str:
+    return with_views("snap_a") + f"""
+    select key, identity, size, etag from snap_a
+    where key >= '{LIST_PREFIX}' and key < '{LIST_PREFIX_UPPER}' and key > '{LIST_AFTER}'
+    order by key limit {LIST_LIMIT}
+    """
+
+
+def q_list_delimiter_groups() -> str:
+    # prefix 'tables/', delimiter '/': common prefixes only
+    return with_views("merge_source") + """
+    select distinct 'tables/' || substring(sfx, 1, instr(sfx, '/')) as key,
+           true as is_common_prefix
+    from (select substring(key, 8, 1000000) as sfx from merge_source) t
+    where instr(sfx, '/') > 0
+    """
+
+
+def q_list_delimiter_leaves() -> str:
+    return with_views("snap_a") + f"""
+    select key, false as is_common_prefix, identity, size, etag from snap_a
+    where key >= '{LIST_PREFIX}' and key < '{LIST_PREFIX_UPPER}'
+      and instr(substring(key, {len(LIST_PREFIX) + 1}, 1000000), '/') = 0
+    """
+
+
+# -- overlay / staging -----------------------------------------------------
+
+_STAGED_OVERLAY = """
+    (select * from (
+        select s.*, row_number() over (partition by key order by seq) as rn
+        from staged_all s) t
+     where rn = 1)
+"""
+
+
+def q_overlay_visible() -> str:
+    return with_views("staged_all", "entries") + f"""
+    select key, identity, size, etag from (
+      select key, identity, size, etag, is_tombstone,
+             row_number() over (partition by key order by seq) as rn
+      from (
+        select seq, is_tombstone, key, identity, size, etag from staged_all
+        union all
+        select 2 as seq, false as is_tombstone, key, identity, size, etag from entries
+      ) u
+    ) v
+    where rn = 1 and is_tombstone = false
+    """
+
+
+def q_uncommitted_diff() -> str:
+    return with_views("staged_all", "entries") + f"""
+    select s.key,
+           case when s.is_tombstone then 'removed'
+                when c.identity is null then 'added'
+                else 'changed' end as diff_type,
+           coalesce(s.identity, c.identity) as identity
+    from {_STAGED_OVERLAY} s
+    left join entries c on s.key = c.key
+    where not (s.is_tombstone and c.identity is null)
+      and not (not s.is_tombstone and s.identity = c.identity)
+    """
+
+
+# -- diff / compare / merge ------------------------------------------------
+
+
+def q_diff_refs() -> str:
+    return with_views("snap_a", "snap_b") + diff_sql("snap_a", "snap_b")
+
+
+def q_diff_summary() -> str:
+    return (
+        with_views("snap_a", "snap_b")
+        + f"select diff_type, count(*) as n from ({diff_sql('snap_a', 'snap_b')}) d group by diff_type"
+    )
+
+
+def _qualified_diff(base: str, side: str) -> str:
+    return f"""
+    (select key, diff_type,
+            case when diff_type = 'removed' then cast(null as string) else identity end as qident
+     from ({diff_sql(base, side)}) qd)
+    """
+
+
+def q_compare_refs() -> str:
+    sdiff = _qualified_diff("merge_base", "merge_source")
+    ddiff = _qualified_diff("merge_base", "merge_dest")
+    return with_views("merge_base", "merge_source", "merge_dest") + f"""
+    select s.key,
+           case when d.key is not null then 'conflict' else s.diff_type end as diff_type,
+           s.qident as identity
+    from {sdiff} s
+    left join {ddiff} d on s.key = d.key
+    where d.key is null or not (s.qident is not distinct from d.qident)
+    """
+
+
+def q_merge_result_src() -> str:
+    return with_views("merge_base", "merge_source", "merge_dest") + merged_snapshot_sql(
+        "merge_base", "merge_source", "merge_dest", "src"
+    )
+
+
+def q_merge_result_dest() -> str:
+    return with_views("merge_base", "merge_source", "merge_dest") + merged_snapshot_sql(
+        "merge_base", "merge_source", "merge_dest", "dest"
+    )
+
+
+def q_merge_conflicts() -> str:
+    actions = merge_actions_sql("merge_base", "merge_source", "merge_dest", "none")
+    return with_views("merge_base", "merge_source", "merge_dest") + f"""
+    select key, identity from ({actions}) a where action = 'conflict'
+    """
+
+
+# -- gc --------------------------------------------------------------------
+
+
+def q_gc_mark() -> str:
+    return with_views("storage_listing", "entries", "uncommitted_addresses") + """
+    select l.address from storage_listing l
+    where not exists (select 1 from entries e where e.address = l.address)
+      and not exists (select 1 from uncommitted_addresses u where u.address = l.address)
+    """
+
+
+def q_gc_committed_addresses() -> str:
+    return with_views("entries", "merge_source", "merge_dest") + """
+    select distinct address from (
+      select address from entries
+      union all select address from merge_source
+      union all select address from merge_dest
+    ) t
+    """
+
+
+# -- range stats -----------------------------------------------------------
+
+
+def q_range_stats() -> str:
+    return with_views("snap_a") + """
+    select chunk_idx,
+           count(*) as n_keys,
+           min(key) as min_key,
+           max(key) as max_key,
+           sum(size) as total_size
+    from (select key, size,
+                 cast(floor((row_number() over (order by key) - 1) / 5000) as bigint) as chunk_idx
+          from snap_a) t
+    group by chunk_idx
+    """
+
+
+# -- text / dedup ----------------------------------------------------------
+
+
+def q_dedup_exact() -> str:
+    return """
+    select md5(text) as text_hash, min(doc_id) as rep_id, count(*) as n_dups
+    from documents group by md5(text)
+    """
+
+
+def q_token_counts() -> str:
+    return "select doc_id, cast(length(split(text, ' ')) as bigint) as n_tokens from documents"
+
+
+def _sw_hits_sql(text_expr: str, lang: str) -> str:
+    padded = f"(' ' || {text_expr} || ' ')"
+    terms = []
+    for w in STOPWORDS[lang]:
+        needle = f" {w} "
+        terms.append(
+            f"(length({padded}) - length(replace({padded}, '{needle}', ''))) / {len(needle)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_text_quality() -> str:
+    sw = _sw_hits_sql("text", "en")
+    return f"""
+    select doc_id,
+           length(text) as n_chars,
+           cast(length(split(text, ' ')) as bigint) as n_tokens,
+           cast(length(text) - length(replace(text, ' ', '')) as bigint) as n_spaces,
+           cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as bigint) as n_alpha,
+           round(length(regexp_replace(text, '[^a-z]', '', 'g')) / greatest(length(text), 1), 4) as alpha_ratio,
+           cast({sw} as bigint) as stopword_hits,
+           round({sw} / greatest(cast(length(split(text, ' ')) as double), 1.0), 4) as stopword_ratio
+    from documents
+    """
+
+
+def q_lang_id() -> str:
+    langs = list(STOPWORDS)
+    scores = {lg: _sw_hits_sql("text", lg) for lg in langs}
+    score_cols = ", ".join(f"{scores[lg]} as s_{lg}" for lg in langs)
+    # earlier lang wins ties: lang i needs strictly-greater vs earlier, >= vs later
+    cases = []
+    for i, lg in enumerate(langs):
+        conds = [f"s_{lg} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"s_{lg} > s_{other}")
+            elif j > i:
+                conds.append(f"s_{lg} >= s_{other}")
+        cases.append(f"when {' and '.join(conds)} then '{lg}'")
+    case_sql = "case " + " ".join(cases) + " else 'unk' end"
+    return f"""
+    select doc_id, {case_sql} as lang_pred
+    from (select doc_id, {score_cols} from documents) t
+    """
+
+
+def q_doc_fingerprints() -> str:
+    return """
+    select doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) as fp
+    from documents
+    """
+
+
+def q_ngram_jaccard() -> str:
+    # word 3-gram shingles via list slicing; doc subset for pair count
+    return """
+    with toks as (
+      select doc_id, string_split(text, ' ') as tk from documents where doc_id < 200
+    ),
+    sh as (
+      select distinct doc_id, shingle from (
+        select doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                                     i -> array_to_string(tk[i:i+2], ' '))) as shingle
+        from toks
+      ) x where shingle <> ''
+    ),
+    sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    inter as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select id_a, id_b,
+           round(n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double), 4) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = id_a
+    join sizes sb on sb.doc_id = id_b
+    where n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double) >= 0.3
+    """
+
+
+# -- similarity ------------------------------------------------------------
+
+
+def q_cosine_pairs() -> str:
+    return """
+    select qa, qb, round(s_ab / (sqrt(s_aa) * sqrt(s_bb)), 4) as sim
+    from (
+      select qa, qb, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
+      from (
+        select a.vec_id as qa, b.vec_id as qb,
+               cast(unnest(a.embedding) as double) as xa,
+               cast(unnest(b.embedding) as double) as xb
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where a.vec_id < 8
+      ) z group by qa, qb
+    ) s
+    """
+
+
+ORACLES: dict[str, str] = {}
+
+
+def all_oracles() -> dict[str, str]:
+    if not ORACLES:
+        ORACLES.update(
+            {
+                "snapshot_listing": q_snapshot_listing(),
+                "list_prefix_page": q_list_prefix_page(),
+                "list_delimiter_groups": q_list_delimiter_groups(),
+                "list_delimiter_leaves": q_list_delimiter_leaves(),
+                "overlay_visible": q_overlay_visible(),
+                "uncommitted_diff": q_uncommitted_diff(),
+                "diff_refs": q_diff_refs(),
+                "diff_summary": q_diff_summary(),
+                "compare_refs": q_compare_refs(),
+                "merge_result_src": q_merge_result_src(),
+                "merge_result_dest": q_merge_result_dest(),
+                "merge_conflicts": q_merge_conflicts(),
+                "gc_mark": q_gc_mark(),
+                "gc_committed_addresses": q_gc_committed_addresses(),
+                "range_stats": q_range_stats(),
+                "dedup_exact": q_dedup_exact(),
+                "token_counts": q_token_counts(),
+                "text_quality": q_text_quality(),
+                "lang_id": q_lang_id(),
+                "doc_fingerprints": q_doc_fingerprints(),
+                "ngram_jaccard": q_ngram_jaccard(),
+                "cosine_pairs": q_cosine_pairs(),
+            }
+        )
+    return dict(ORACLES)
