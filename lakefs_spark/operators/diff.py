@@ -97,9 +97,11 @@ def uncommitted_diff(staged: DataFrame, committed: DataFrame) -> DataFrame:
     j = s.join(c, on="key", how="left")
     return (
         j.where(
+            # null-safe: an add (absent committed identity) must not be
+            # swallowed by the equal-identity skip rule
             ~(
                 (F.col("is_tombstone") & F.col("c_identity").isNull())
-                | (~F.col("is_tombstone") & (F.col("s_identity") == F.col("c_identity")))
+                | (~F.col("is_tombstone") & F.col("s_identity").eqNullSafe(F.col("c_identity")))
             )
         )
         .select(

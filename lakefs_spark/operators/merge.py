@@ -84,6 +84,52 @@ def merge_actions(base: DataFrame, source: DataFrame, dest: DataFrame, strategy:
     )
 
 
+def merge_changes_from_diffs(
+    sdiff: DataFrame, ddiff: DataFrame, strategy: str = "none"
+) -> DataFrame:
+    """Merge decision stream from two base-anchored diffs.
+
+    Inputs are ``operators.diff.diff(base, side)`` outputs — this is
+    the storage engine's path: the diffs are computed over
+    manifest-pruned ranges only, so merge cost is O(changed ranges)
+    (the relational core of pkg/graveler/committed/merge.go:432-521).
+
+    Returns ``(key, action, identity, <payload>)``, action in
+    {'set','delete','conflict'}; identity is null for deletes.
+    """
+    if strategy not in STRATEGIES:
+        raise ValueError(f"unknown merge strategy {strategy!r}")
+    qual = lambda df, p: df.select(  # noqa: E731
+        F.col("key"),
+        F.when(F.col("diff_type") == "removed", F.lit(None))
+        .otherwise(F.col("identity"))
+        .alias(f"{p}_identity"),
+        F.lit(True).alias(f"{p}_present"),
+        *([F.col(c).alias(f"{p}_{c}") for c in _PAYLOAD] if p == "s" else []),
+    )
+    j = qual(sdiff, "s").join(qual(ddiff, "d"), on="key", how="full_outer")
+    s_id, d_id = F.col("s_identity"), F.col("d_identity")
+    s_act = F.when(s_id.isNull(), F.lit("delete")).otherwise(F.lit("set"))
+    action = (
+        F.when(F.col("s_present").isNull(), F.lit(None))  # dest-only change
+        .when(F.col("d_present").isNull(), s_act)  # source-only change
+        .when(s_id.eqNullSafe(d_id), F.lit(None))  # same result
+        .when(F.lit(strategy == "src"), s_act)
+        .when(F.lit(strategy == "dest"), F.lit(None))
+        .otherwise(F.lit("conflict"))
+    )
+    return (
+        j.withColumn("action", action)
+        .where(F.col("action").isNotNull())
+        .select(
+            F.col("key"),
+            F.col("action"),
+            F.col("s_identity").alias("identity"),
+            *[F.col(f"s_{c}").alias(c) for c in _PAYLOAD],
+        )
+    )
+
+
 def merge(
     base: DataFrame, source: DataFrame, dest: DataFrame, strategy: str = "none"
 ) -> tuple[DataFrame, DataFrame]:

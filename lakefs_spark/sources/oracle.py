@@ -90,7 +90,7 @@ def q_uncommitted_diff() -> str:
     from {_STAGED_OVERLAY} s
     left join entries c on s.key = c.key
     where not (s.is_tombstone and c.identity is null)
-      and not (not s.is_tombstone and s.identity = c.identity)
+      and not (not s.is_tombstone and s.identity is not distinct from c.identity)
     """
 
 

@@ -1,0 +1,150 @@
+"""Commit-apply: base metarange + change stream -> new metarange (COW).
+
+Reference: pkg/graveler/committed/commit.go:116-239 — a sorted merge of
+the base snapshot with the (deduped) change stream, where base ranges
+untouched by any change are copied into the new metarange *without
+being opened* (applyBaseRange), tombstones drop records, and the whole
+thing is O(changed ranges), not O(repo).
+
+Spark-native COW equivalent:
+1. Assign every change key to a base range by binary search on the
+   manifest's max_key list (driver-side; manifests are tiny even at
+   100 TB — 1e9 objects / 50k per range = 20k rows).
+2. Expand the touched set: deleting a range's max_key removes a chunk
+   boundary (chunker.py's rule is pure key-hash), so the *following*
+   range merges in and must be rewritten too.
+3. Group contiguous touched ranges; rows = touched base ranges
+   (file-pruned read) + all changes; overlay (changes win), drop
+   tombstones; re-chunk with the global boundary rule, keyed by
+   (group, boundary-bucket) so rebuilt ranges never span an untouched
+   range's interval.
+4. New manifest = untouched rows + rebuilt rows. Ranges whose content
+   is unchanged re-derive the same content address -> same file.
+
+Boundary drift note: a rebuilt group's tail (keys after its last
+in-group boundary) stays its own range instead of merging into the
+following untouched range — the same drift the reference accepts when
+it wholesale-copies base ranges (commit.go:116-137). Equal content can
+therefore yield different manifests across edit histories; diff
+correctness is unaffected (row-diff of the drifted ranges is empty),
+only some pruning sharpness is lost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakefs_spark.operators.overlay import overlay, with_layer
+from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS
+from lakefs_spark.schema import ENTRY_COLS
+from lakefs_spark.storage import ranges as R
+
+
+class NoChangesError(Exception):
+    pass
+
+
+def _assign_positions(keys: pd.Series | np.ndarray, max_keys: list[str]) -> np.ndarray:
+    """Base-range index for each key; keys past the last max_key extend
+    the last range (side='left': key == max_key stays in that range)."""
+    pos = np.searchsorted(np.array(max_keys, dtype=object), keys, side="left")
+    return np.minimum(pos, len(max_keys) - 1)
+
+
+def apply_changes(
+    spark: SparkSession,
+    root: str,
+    base_manifest: pd.DataFrame | None,
+    changes: DataFrame,
+    raggedness: int = DEFAULT_RAGGEDNESS,
+) -> pd.DataFrame:
+    """Apply a deduped change stream (is_tombstone + entry cols, one row
+    per key) onto a base snapshot. Returns the new manifest."""
+    if base_manifest is None or base_manifest.empty:
+        entries = changes.where(~F.col("is_tombstone")).select(*ENTRY_COLS)
+        return R.write_ranges(entries, root, raggedness)
+
+    mf = base_manifest.sort_values("min_key").reset_index(drop=True)
+    max_keys = mf["max_key"].tolist()
+
+    # 1. driver-side: which ranges does the change stream touch?
+    # (key list size == staged-change count — bounded by a commit's
+    # change volume, not repo size; for truly huge imports use
+    # import_entries which plans by prefix instead.)
+    ck = changes.select("key", "is_tombstone").toPandas()
+    pos = _assign_positions(ck["key"].to_numpy(dtype=object), max_keys)
+    touched = set(int(p) for p in np.unique(pos))
+
+    # 2. deleted-boundary expansion: tombstone on range i's max_key
+    # dissolves the boundary -> range i+1 rewrites too.
+    max_key_set = {mk: i for i, mk in enumerate(max_keys)}
+    for k, tomb in zip(ck["key"], ck["is_tombstone"]):
+        if tomb and k in max_key_set:
+            nxt = max_key_set[k] + 1
+            if nxt < len(max_keys):
+                touched.add(nxt)
+
+    # 3. contiguous touched groups
+    group_of: dict[int, int] = {}
+    gid = -1
+    prev = None
+    for p in sorted(touched):
+        if prev is None or p != prev + 1:
+            gid += 1
+        group_of[p] = gid
+        prev = p
+    n_groups = gid + 1
+
+    touched_ids = mf.iloc[sorted(touched)]["range_id"].tolist()
+    base_rows = R.read_ranges(spark, root, touched_ids)
+
+    # tag group ids: broadcast searchsorted on max_keys -> group
+    bc_max = spark.sparkContext.broadcast(max_keys)
+    bc_groups = spark.sparkContext.broadcast(group_of)
+
+    @F.pandas_udf("int")
+    def _group_of_key(keys: pd.Series) -> pd.Series:
+        p = _assign_positions(keys.to_numpy(dtype=object), bc_max.value)
+        g = bc_groups.value
+        return pd.Series([g[int(x)] for x in p]).astype("int32")
+
+    merged = overlay(
+        [
+            with_layer(changes.select("is_tombstone", *ENTRY_COLS), 0, is_tombstone_col="is_tombstone"),
+            with_layer(base_rows, 1),
+        ]
+    ).withColumn("grp", _group_of_key(F.col("key")))
+
+    new_rows = _write_grouped_ranges(merged, root, raggedness)
+
+    untouched = mf[~mf.index.isin(touched)]
+    out = pd.concat([untouched[R.MANIFEST_COLS], new_rows], ignore_index=True)
+    out = out.sort_values("min_key").reset_index(drop=True)
+    _assert_sorted_disjoint(out)
+    return out
+
+
+def _write_grouped_ranges(merged: DataFrame, root: str, raggedness: int) -> pd.DataFrame:
+    """Chunk rows by (group, global-boundary bucket) and write ranges."""
+    from lakefs_spark.plans.chunker import assign_chunks
+
+    chunked = assign_chunks(merged, "key", raggedness)
+    big = 1 << 32
+    chunked = chunked.withColumn(
+        "chunk_idx", (F.col("grp").cast("long") * big + F.col("chunk_idx")).cast("long")
+    ).drop("grp")
+    return R.write_ranges_prechunked(chunked, root)
+
+
+def _assert_sorted_disjoint(mf: pd.DataFrame) -> None:
+    prev_max = None
+    for _, row in mf.iterrows():
+        assert row["min_key"] <= row["max_key"], "range min>max"
+        if prev_max is not None:
+            assert row["min_key"] > prev_max, (
+                f"overlapping manifest ranges at {row['min_key']!r} (prev max {prev_max!r})"
+            )
+        prev_max = row["max_key"]

@@ -1,0 +1,281 @@
+"""Commit DAG, refs, ref-expression resolution, log, merge-base.
+
+Driver-side algorithms over the (small) commit graph — the reference
+does the same: its commit iterators and merge-base finder run in the
+server process, not in a distributed engine
+(pkg/graveler/ref/commit_iterator.go, merge_base_finder.go). A data
+repo has 1e3..1e6 commits — driver-sized at any data scale; the 100 TB
+concern lives in the *snapshot* operators, not here.
+
+Implements:
+- Commit model: content-addressed id over typed-marshaled fields
+  (pkg/graveler/graveler.go:499-527), generation = max(parent)+1
+  (graveler.go:3194-3198).
+- Ref grammar ``base[~N][^N][@|$]`` with precedence commit-id >
+  branch > tag > commit-prefix (pkg/graveler/ref/parse_ref.go:11-68,
+  resolve_ref.go:32-133).
+- Log: BFS by (creation_date desc, commit_id) priority queue, with
+  first_parent / since options (pkg/graveler/ref/commit_iterator.go:75-189).
+- Merge-base: two-sided ancestor walk ordered by generation
+  (pkg/graveler/ref/merge_base_finder.go:23-76).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+import re
+import time
+from dataclasses import dataclass, field
+
+from lakefs_spark.functions.ident import typed_hash_hex
+
+
+@dataclass
+class Commit:
+    commit_id: str
+    parents: list[str]
+    metarange_id: str
+    message: str
+    committer: str
+    creation_date: float  # epoch seconds; backdatable (GC tests)
+    metadata: dict[str, str] = field(default_factory=dict)
+    generation: int = 1
+    version: int = 1
+
+    def to_json(self) -> dict:
+        return {
+            "commit_id": self.commit_id,
+            "parents": self.parents,
+            "metarange_id": self.metarange_id,
+            "message": self.message,
+            "committer": self.committer,
+            "creation_date": self.creation_date,
+            "metadata": self.metadata,
+            "generation": self.generation,
+            "version": self.version,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Commit":
+        return Commit(**d)
+
+
+def commit_id_of(
+    parents: list[str],
+    metarange_id: str,
+    message: str,
+    committer: str,
+    creation_date: float,
+    metadata: dict[str, str],
+) -> str:
+    """Content-addressed commit id (typed, order-stable framing)."""
+    parts = [
+        "commit",
+        metarange_id,
+        message,
+        committer,
+        repr(creation_date),
+        *parents,
+        *[f"{k}={v}" for k, v in sorted(metadata.items())],
+    ]
+    return typed_hash_hex(parts)
+
+
+class CommitStore:
+    """JSON-file-per-commit store under <root>/commits/."""
+
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, "commits")
+        os.makedirs(self.dir, exist_ok=True)
+        self._cache: dict[str, Commit] = {}
+
+    def get(self, commit_id: str) -> Commit:
+        if commit_id not in self._cache:
+            with open(os.path.join(self.dir, f"{commit_id}.json")) as f:
+                self._cache[commit_id] = Commit.from_json(json.load(f))
+        return self._cache[commit_id]
+
+    def exists(self, commit_id: str) -> bool:
+        return commit_id in self._cache or os.path.exists(
+            os.path.join(self.dir, f"{commit_id}.json")
+        )
+
+    def put(self, c: Commit) -> None:
+        path = os.path.join(self.dir, f"{c.commit_id}.json")
+        if not os.path.exists(path):  # content-addressed => idempotent
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(c.to_json(), f)
+            os.replace(tmp, path)
+        self._cache[c.commit_id] = c
+
+    def all_ids(self) -> list[str]:
+        return sorted(p[:-5] for p in os.listdir(self.dir) if p.endswith(".json"))
+
+    def create(
+        self,
+        parents: list[str],
+        metarange_id: str,
+        message: str,
+        committer: str = "lakefs_spark",
+        metadata: dict[str, str] | None = None,
+        creation_date: float | None = None,
+    ) -> Commit:
+        metadata = metadata or {}
+        creation_date = time.time() if creation_date is None else creation_date
+        gen = 1 + max((self.get(p).generation for p in parents), default=0)
+        cid = commit_id_of(parents, metarange_id, message, committer, creation_date, metadata)
+        c = Commit(
+            commit_id=cid,
+            parents=list(parents),
+            metarange_id=metarange_id,
+            message=message,
+            committer=committer,
+            creation_date=creation_date,
+            metadata=metadata,
+            generation=gen,
+        )
+        self.put(c)
+        return c
+
+
+# -- ref expressions -------------------------------------------------------
+
+_REF_RE = re.compile(r"^(?P<base>[^~^@$]+)(?P<mods>([~^]\d*)*)(?P<suffix>[@$]?)$")
+
+
+class RefError(ValueError):
+    pass
+
+
+@dataclass
+class ResolvedRef:
+    commit_id: str | None  # None for an empty branch head
+    branch: str | None  # set iff base resolved to a branch
+    staging: bool  # True => include staged changes ($ or bare branch)
+
+
+def parse_mods(mods: str) -> list[tuple[str, int]]:
+    out = []
+    for m in re.finditer(r"([~^])(\d*)", mods):
+        op, n = m.group(1), m.group(2)
+        out.append((op, int(n) if n else 1))
+    return out
+
+
+def resolve_ref(ref: str, branches: dict[str, str | None], tags: dict[str, str], commits: CommitStore) -> ResolvedRef:
+    """Resolve a ref expression to a commit (reference precedence).
+
+    ``branches`` maps branch -> head commit id (None = no commits yet).
+    Modifiers: ``~N`` = N first-parent steps; ``^N`` = N-th parent;
+    ``@`` = committed head only (no staging); ``$`` = staging included
+    (default for a bare branch name).
+    """
+    m = _REF_RE.match(ref.strip())
+    if not m:
+        raise RefError(f"invalid ref: {ref!r}")
+    base, mods, suffix = m.group("base"), m.group("mods"), m.group("suffix")
+
+    branch = None
+    if commits.exists(base):
+        cid = base
+    elif base in branches:
+        branch = base
+        cid = branches[base]
+    elif base in tags:
+        cid = tags[base]
+    else:
+        matches = [c for c in commits.all_ids() if c.startswith(base)]
+        if len(matches) == 1:
+            cid = matches[0]
+        elif len(matches) > 1:
+            raise RefError(f"ambiguous commit prefix: {base!r}")
+        else:
+            raise RefError(f"ref not found: {base!r}")
+
+    for op, n in parse_mods(mods):
+        if cid is None:
+            raise RefError(f"cannot apply {op}{n} to empty branch")
+        if op == "~":
+            for _ in range(n):
+                parents = commits.get(cid).parents
+                if not parents:
+                    raise RefError(f"{ref}: ran past root")
+                cid = parents[0]
+        else:  # ^N = N-th parent (^0 = self)
+            if n == 0:
+                continue
+            parents = commits.get(cid).parents
+            if len(parents) < n:
+                raise RefError(f"{ref}: commit has {len(parents)} parents, wanted ^{n}")
+            cid = parents[n - 1]
+
+    staging = branch is not None and suffix != "@" and not mods
+    if suffix == "$" and branch is None:
+        raise RefError("$ only applies to branches")
+    return ResolvedRef(commit_id=cid, branch=branch, staging=staging)
+
+
+# -- log / merge-base ------------------------------------------------------
+
+
+def log_commits(
+    commits: CommitStore,
+    head: str,
+    first_parent: bool = False,
+    since: float | None = None,
+    limit: int | None = None,
+) -> list[Commit]:
+    """History from head, newest first: priority queue on
+    (creation_date desc, commit_id) like the reference's iterator."""
+    out: list[Commit] = []
+    seen = {head}
+    heap: list[tuple[float, str]] = []
+    c0 = commits.get(head)
+    heapq.heappush(heap, (-c0.creation_date, c0.commit_id))
+    while heap:
+        _, cid = heapq.heappop(heap)
+        c = commits.get(cid)
+        if since is not None and c.creation_date < since:
+            continue
+        out.append(c)
+        if limit is not None and len(out) >= limit:
+            break
+        parents = c.parents[:1] if first_parent else c.parents
+        for p in parents:
+            if p not in seen:
+                seen.add(p)
+                pc = commits.get(p)
+                heapq.heappush(heap, (-pc.creation_date, pc.commit_id))
+    return out
+
+
+def merge_base(commits: CommitStore, a: str, b: str) -> str | None:
+    """Best common ancestor via two-sided walk ordered by generation
+    (mirrors pkg/graveler/ref/merge_base_finder.go:23-76)."""
+    FLAG_A, FLAG_B = 1, 2
+    flags: dict[str, int] = {}
+    heap: list[tuple[int, str]] = []  # (-generation, id)
+
+    def push(cid: str, flag: int) -> None:
+        flags[cid] = flags.get(cid, 0) | flag
+        ca = commits.get(cid)
+        heapq.heappush(heap, (-ca.generation, cid))
+
+    push(a, FLAG_A)
+    push(b, FLAG_B)
+    while heap:
+        _, cid = heapq.heappop(heap)
+        f = flags[cid]
+        if f == FLAG_A | FLAG_B:
+            return cid
+        for p in commits.get(cid).parents:
+            nf = flags.get(p, 0) | f
+            if flags.get(p) == nf:
+                continue
+            flags[p] = nf
+            pc = commits.get(p)
+            heapq.heappush(heap, (-pc.generation, p))
+    return None

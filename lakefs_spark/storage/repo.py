@@ -1,0 +1,739 @@
+"""The versioned repository: branches, staging, commits, merge, GC.
+
+Embedded-engine equivalent of the reference's Graveler orchestration
+(pkg/graveler/graveler.go — VersionController + KeyValueStore), minus
+server concerns (HTTP/auth/S3 gateway are non-goals, see README).
+
+Storage layout under ``root``::
+
+    repo.json                     {default_branch, ...}
+    ranges/<range_id>.parquet     content-addressed sorted entry runs
+    manifests/<metarange_id>.parquet
+    commits/<commit_id>.json      content-addressed commit records
+    refs/branches/<name>.json     {head, staging_seq}   (pointer file)
+    refs/tags/<name>.json         {commit_id}
+    staging/<branch>/<seq>/       parquet change batches (tombstones incl.)
+
+Concurrency model: branch pointers are updated by atomic file replace
+after an optimistic re-read — the local-FS stand-in for the KV CAS the
+reference relies on (pkg/graveler/graveler.go:2422-2475 retry loop; on
+object storage this maps to conditional PUT, e.g. S3 If-None-Match).
+Single-writer-per-branch is assumed for staging appends, like the
+reference's staging tokens.
+
+Hooks: pre/post callbacks around commit and merge; a pre-hook raising
+``HookAbortError`` aborts the operation (pkg/actions/event.go:16-32,
+abort wiring pkg/graveler/graveler.go:2272-2287).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakefs_spark.functions.prefix import upper_bound_for_prefix
+from lakefs_spark.operators import diff as diff_ops
+from lakefs_spark.operators import merge as merge_ops
+from lakefs_spark.operators.listing import list_entries as _list_entries
+from lakefs_spark.operators.overlay import overlay, overlay_raw, with_layer
+from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS
+from lakefs_spark.schema import ENTRY_COLS, STAGED_SCHEMA
+from lakefs_spark.storage import ranges as R
+from lakefs_spark.storage.commit_apply import NoChangesError, apply_changes
+from lakefs_spark.storage.refs import (
+    Commit,
+    CommitStore,
+    RefError,
+    log_commits,
+    merge_base,
+    resolve_ref,
+)
+
+
+class ConflictError(Exception):
+    """Merge found conflicting changes (ErrConflictFound)."""
+
+    def __init__(self, conflicts: DataFrame):
+        super().__init__("merge conflicts found")
+        self.conflicts = conflicts
+
+
+class DirtyBranchError(Exception):
+    """Destination branch has uncommitted changes (ErrDirtyBranch)."""
+
+
+class HookAbortError(Exception):
+    """Raised by a pre-hook to abort the operation."""
+
+
+class Repository:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.commits = CommitStore(root)
+        self.hooks: dict[str, list] = {}
+        self.raggedness = DEFAULT_RAGGEDNESS
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @staticmethod
+    def create(spark: SparkSession, root: str, default_branch: str = "main") -> "Repository":
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "repo.json"), "w") as f:
+            json.dump({"default_branch": default_branch, "created_at": time.time()}, f)
+        for sub in ("ranges", "manifests", "commits", "refs/branches", "refs/tags", "staging"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+        repo = Repository(spark, root)
+        repo._write_branch(default_branch, {"head": None, "staging_seq": 0})
+        return repo
+
+    @staticmethod
+    def open(spark: SparkSession, root: str) -> "Repository":
+        if not os.path.exists(os.path.join(root, "repo.json")):
+            raise FileNotFoundError(f"not a repository: {root}")
+        return Repository(spark, root)
+
+    @property
+    def default_branch(self) -> str:
+        with open(os.path.join(self.root, "repo.json")) as f:
+            return json.load(f)["default_branch"]
+
+    # -- hooks -------------------------------------------------------------
+
+    def on(self, event: str, fn) -> None:
+        """Register a hook: pre-commit, post-commit, pre-merge, post-merge,
+        pre-create-branch, post-create-branch, pre-create-tag, ..."""
+        self.hooks.setdefault(event, []).append(fn)
+
+    def _fire(self, event: str, **ctx) -> None:
+        for fn in self.hooks.get(event, []):
+            fn(self, event, ctx)  # pre-hooks raise HookAbortError to abort
+
+    # -- branch / tag pointers ---------------------------------------------
+
+    def _branch_path(self, name: str) -> str:
+        return os.path.join(self.root, "refs", "branches", f"{name}.json")
+
+    def _read_branch(self, name: str) -> dict:
+        try:
+            with open(self._branch_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise RefError(f"branch not found: {name!r}") from None
+
+    def _write_branch(self, name: str, state: dict) -> None:
+        path = self._branch_path(name)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)  # atomic pointer swap (CAS stand-in)
+
+    def branches(self) -> dict[str, str | None]:
+        d = os.path.join(self.root, "refs", "branches")
+        return {
+            p[:-5]: json.load(open(os.path.join(d, p)))["head"]
+            for p in sorted(os.listdir(d))
+            if p.endswith(".json")
+        }
+
+    def tags(self) -> dict[str, str]:
+        d = os.path.join(self.root, "refs", "tags")
+        return {
+            p[:-5]: json.load(open(os.path.join(d, p)))["commit_id"]
+            for p in sorted(os.listdir(d))
+            if p.endswith(".json")
+        }
+
+    def create_branch(self, name: str, source_ref: str) -> None:
+        if os.path.exists(self._branch_path(name)):
+            raise RefError(f"branch exists: {name!r}")
+        self._fire("pre-create-branch", branch=name, source=source_ref)
+        head = self.resolve(source_ref).commit_id
+        self._write_branch(name, {"head": head, "staging_seq": 0})
+        self._fire("post-create-branch", branch=name, head=head)
+
+    def delete_branch(self, name: str) -> None:
+        self._fire("pre-delete-branch", branch=name)
+        os.remove(self._branch_path(name))
+        shutil.rmtree(os.path.join(self.root, "staging", name), ignore_errors=True)
+        self._fire("post-delete-branch", branch=name)
+
+    def create_tag(self, name: str, ref: str) -> None:
+        path = os.path.join(self.root, "refs", "tags", f"{name}.json")
+        if os.path.exists(path):
+            raise RefError(f"tag exists: {name!r}")
+        self._fire("pre-create-tag", tag=name, ref=ref)
+        cid = self.resolve(ref).commit_id
+        if cid is None:
+            raise RefError("cannot tag an empty branch")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"commit_id": cid}, f)
+        os.replace(tmp, path)
+        self._fire("post-create-tag", tag=name, commit_id=cid)
+
+    def delete_tag(self, name: str) -> None:
+        self._fire("pre-delete-tag", tag=name)
+        os.remove(os.path.join(self.root, "refs", "tags", f"{name}.json"))
+        self._fire("post-delete-tag", tag=name)
+
+    # -- ref resolution ----------------------------------------------------
+
+    def resolve(self, ref: str):
+        return resolve_ref(ref, self.branches(), self.tags(), self.commits)
+
+    def _metarange_of(self, commit_id: str | None) -> str:
+        if commit_id is None:
+            return R.EMPTY_METARANGE
+        return self.commits.get(commit_id).metarange_id
+
+    # -- staging -----------------------------------------------------------
+
+    def _staging_dir(self, branch: str) -> str:
+        return os.path.join(self.root, "staging", branch)
+
+    def _next_seq(self, branch: str) -> int:
+        st = self._read_branch(branch)
+        seq = st["staging_seq"] + 1
+        st["staging_seq"] = seq
+        self._write_branch(branch, st)
+        return seq
+
+    def stage_entries(self, branch: str, entries: DataFrame) -> None:
+        """Stage upserts (entry-schema rows) onto a branch."""
+        seq = self._next_seq(branch)
+        out = entries.select(*ENTRY_COLS).withColumn("is_tombstone", F.lit(False))
+        # seq lives in the partition dir name (discovered on read)
+        out.select("is_tombstone", *ENTRY_COLS).write.mode("overwrite").parquet(
+            os.path.join(self._staging_dir(branch), f"seq={seq}")
+        )
+
+    def stage_deletes(self, branch: str, keys: DataFrame | list[str]) -> None:
+        """Stage tombstones for the given keys."""
+        if isinstance(keys, list):
+            keys = self.spark.createDataFrame([(k,) for k in keys], "key string")
+        seq = self._next_seq(branch)
+        out = keys.select(
+            F.lit(True).alias("is_tombstone"),
+            F.col("key"),
+            F.lit(None).cast("string").alias("identity"),
+            F.lit(None).cast("string").alias("address"),
+            F.lit(None).cast("string").alias("address_type"),
+            F.lit(None).cast("long").alias("size"),
+            F.lit(None).cast("string").alias("etag"),
+            F.lit(None).cast("timestamp").alias("last_modified"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+            F.lit(None).cast("string").alias("content_type"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(self._staging_dir(branch), f"seq={seq}")
+        )
+
+    def _staged_raw(self, branch: str) -> DataFrame | None:
+        d = self._staging_dir(branch)
+        if not os.path.isdir(d) or not any(
+            p.startswith("seq=") for p in os.listdir(d)
+        ):
+            return None
+        df = self.spark.read.parquet(d)  # partition discovery finds seq=N
+        # newest batch wins: overlay orders seq ascending, so negate
+        return df.withColumn("seq", -F.col("seq").cast("long")).select(
+            "seq", "is_tombstone", *ENTRY_COLS
+        )
+
+    def staged_changes(self, branch: str) -> DataFrame | None:
+        """One row per staged key (latest write wins), tombstones kept."""
+        raw = self._staged_raw(branch)
+        if raw is None:
+            return None
+        return overlay_raw([raw])
+
+    def has_staged(self, branch: str) -> bool:
+        s = self.staged_changes(branch)
+        return s is not None and not s.isEmpty()
+
+    def reset_branch(self, branch: str, prefix: str | None = None, key: str | None = None) -> None:
+        """Drop staged changes: all, one key, or a prefix
+        (Reset/ResetKey/ResetPrefix — graveler.go:2576-2828)."""
+        d = self._staging_dir(branch)
+        if prefix is None and key is None:
+            shutil.rmtree(d, ignore_errors=True)
+            return
+        raw = self._staged_raw(branch)
+        if raw is None:
+            return
+        if key is not None:
+            kept = raw.where(F.col("key") != key)
+        else:
+            kept = raw.where(~F.col("key").startswith(prefix))
+        kept = kept.withColumn("seq", -F.col("seq"))  # undo negation
+        tmp = d + ".rewrite"
+        kept.write.mode("overwrite").partitionBy("seq").parquet(tmp)
+        # one barrier: the rewrite must materialize before the swap
+        shutil.rmtree(d, ignore_errors=True)
+        os.replace(tmp, d)
+
+    # -- reads -------------------------------------------------------------
+
+    def snapshot(self, ref: str, key_lower: str | None = None, key_upper: str | None = None) -> DataFrame:
+        """Entries visible at a ref. Bare branch names include staging."""
+        r = self.resolve(ref)
+        committed = R.read_snapshot(
+            self.spark, self.root, self._metarange_of(r.commit_id), key_lower, key_upper
+        )
+        if not r.staging:
+            return committed
+        staged = self._staged_raw(r.branch)
+        if staged is None:
+            return committed
+        if key_lower is not None:
+            staged = staged.where(F.col("key") >= key_lower)
+        if key_upper is not None:
+            staged = staged.where(F.col("key") < key_upper)
+        return overlay([staged, with_layer(committed, 1 << 60)])
+
+    def list_entries(
+        self,
+        ref: str,
+        prefix: str = "",
+        after: str = "",
+        delimiter: str = "",
+        limit: int | None = None,
+    ) -> DataFrame:
+        upper = upper_bound_for_prefix(prefix) if prefix else None
+        snap = self.snapshot(ref, key_lower=prefix or None, key_upper=upper)
+        return _list_entries(snap, prefix=prefix, after=after, delimiter=delimiter, limit=limit)
+
+    def get(self, ref: str, key: str):
+        """Point lookup: manifest-pruned single-range read."""
+        upper = key + "\x00"
+        rows = self.snapshot(ref, key_lower=key, key_upper=upper).where(
+            F.col("key") == key
+        ).collect()
+        return rows[0] if rows else None
+
+    # -- diff --------------------------------------------------------------
+
+    def _pruned_sides(self, left_mid: str, right_mid: str) -> tuple[DataFrame, DataFrame]:
+        """Rows of only the ranges that differ between two manifests —
+        the whole-range fast path of diff.go:151,238-247."""
+        lm = (
+            R.read_manifest(self.root, left_mid)
+            if left_mid != R.EMPTY_METARANGE
+            else pd.DataFrame(columns=R.MANIFEST_COLS)
+        )
+        rm = (
+            R.read_manifest(self.root, right_mid)
+            if right_mid != R.EMPTY_METARANGE
+            else pd.DataFrame(columns=R.MANIFEST_COLS)
+        )
+        lids, rids = set(lm["range_id"]), set(rm["range_id"])
+        left_rows = R.read_ranges(self.spark, self.root, sorted(lids - rids))
+        right_rows = R.read_ranges(self.spark, self.root, sorted(rids - lids))
+        return left_rows, right_rows
+
+    def diff(self, left_ref: str, right_ref: str) -> DataFrame:
+        """2-way diff between two refs (committed snapshots), scanning
+        only ranges whose content differs."""
+        lmid = self._metarange_of(self.resolve(left_ref).commit_id)
+        rmid = self._metarange_of(self.resolve(right_ref).commit_id)
+        if lmid == rmid:
+            return diff_ops.diff(R.empty_entries(self.spark), R.empty_entries(self.spark))
+        left_rows, right_rows = self._pruned_sides(lmid, rmid)
+        return diff_ops.diff(left_rows, right_rows)
+
+    def uncommitted(self, branch: str) -> DataFrame:
+        """Diff of staged changes vs the branch's committed head."""
+        staged = self.staged_changes(branch)
+        if staged is None:
+            return diff_ops.diff(R.empty_entries(self.spark), R.empty_entries(self.spark))
+        head_mid = self._metarange_of(self._read_branch(branch)["head"])
+        committed = R.read_snapshot(self.spark, self.root, head_mid)
+        return diff_ops.uncommitted_diff(staged, committed)
+
+    # -- commit ------------------------------------------------------------
+
+    def commit(
+        self,
+        branch: str,
+        message: str,
+        committer: str = "lakefs_spark",
+        metadata: dict[str, str] | None = None,
+        allow_empty: bool = False,
+        date: float | None = None,
+    ) -> Commit:
+        """Commit staged changes (copy-on-write apply; graveler.go:2239-2406)."""
+        self._fire("pre-commit", branch=branch, message=message)
+        st = self._read_branch(branch)
+        changes = self.staged_changes(branch)
+        base_mid = self._metarange_of(st["head"])
+        if changes is None:
+            if not allow_empty:
+                raise NoChangesError(f"no staged changes on {branch!r}")
+            new_manifest = (
+                R.read_manifest(self.root, base_mid)
+                if base_mid != R.EMPTY_METARANGE
+                else pd.DataFrame(columns=R.MANIFEST_COLS)
+            )
+        else:
+            base_manifest = (
+                R.read_manifest(self.root, base_mid)
+                if base_mid != R.EMPTY_METARANGE
+                else None
+            )
+            new_manifest = apply_changes(
+                self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
+            )
+        new_mid = (
+            R.write_manifest(new_manifest, self.root)
+            if len(new_manifest)
+            else R.EMPTY_METARANGE
+        )
+        if new_mid == base_mid and not allow_empty:
+            raise NoChangesError(f"staged changes are a no-op on {branch!r}")
+        commit = self.commits.create(
+            parents=[st["head"]] if st["head"] else [],
+            metarange_id=new_mid,
+            message=message,
+            committer=committer,
+            metadata=metadata,
+            creation_date=date,
+        )
+        # pointer CAS: re-read, verify expected head, swap
+        cur = self._read_branch(branch)
+        if cur["head"] != st["head"]:
+            raise RuntimeError(f"concurrent update on branch {branch!r}")
+        self._write_branch(branch, {**cur, "head": commit.commit_id})
+        self.reset_branch(branch)
+        self._fire("post-commit", branch=branch, commit=commit)
+        return commit
+
+    # -- merge family ------------------------------------------------------
+
+    def _three_way_changes(
+        self, base_cid: str | None, source_cid: str | None, dest_cid: str | None, strategy: str
+    ) -> DataFrame:
+        base_mid = self._metarange_of(base_cid)
+        sdiff_l, sdiff_r = self._pruned_sides(base_mid, self._metarange_of(source_cid))
+        ddiff_l, ddiff_r = self._pruned_sides(base_mid, self._metarange_of(dest_cid))
+        sdiff = diff_ops.diff(sdiff_l, sdiff_r)
+        ddiff = diff_ops.diff(ddiff_l, ddiff_r)
+        return merge_ops.merge_changes_from_diffs(sdiff, ddiff, strategy)
+
+    def _apply_actions_commit(
+        self,
+        branch: str,
+        actions: DataFrame,
+        parents: list[str],
+        message: str,
+        committer: str,
+        metadata: dict[str, str] | None,
+        expected_head: str | None,
+        allow_empty: bool = False,
+        date: float | None = None,
+    ) -> Commit:
+        conflicts = actions.where(F.col("action") == "conflict")
+        if not conflicts.isEmpty():
+            raise ConflictError(conflicts)
+        changes = actions.where(F.col("action") != "conflict").select(
+            (F.col("action") == "delete").alias("is_tombstone"),
+            F.col("key"),
+            F.col("identity"),
+            *[F.col(c) for c in ENTRY_COLS if c not in ("key", "identity")],
+        )
+        if changes.isEmpty() and not allow_empty:
+            raise NoChangesError("merge produced no changes")
+        dest_mid = self._metarange_of(expected_head)
+        base_manifest = (
+            R.read_manifest(self.root, dest_mid) if dest_mid != R.EMPTY_METARANGE else None
+        )
+        new_manifest = apply_changes(self.spark, self.root, base_manifest, changes, self.raggedness)
+        new_mid = (
+            R.write_manifest(new_manifest, self.root)
+            if len(new_manifest)
+            else R.EMPTY_METARANGE
+        )
+        commit = self.commits.create(
+            parents=parents,
+            metarange_id=new_mid,
+            message=message,
+            committer=committer,
+            metadata=metadata,
+            creation_date=date,
+        )
+        cur = self._read_branch(branch)
+        if cur["head"] != expected_head:
+            raise RuntimeError(f"concurrent update on branch {branch!r}")
+        self._write_branch(branch, {**cur, "head": commit.commit_id})
+        return commit
+
+    def merge(
+        self,
+        source_ref: str,
+        dest_branch: str,
+        strategy: str = "none",
+        squash: bool = False,
+        message: str | None = None,
+        committer: str = "lakefs_spark",
+        metadata: dict[str, str] | None = None,
+        date: float | None = None,
+    ) -> Commit:
+        """3-way merge source into dest (graveler.go:3115-3257).
+
+        Dest must be clean (ErrDirtyBranch); conflicts raise unless
+        resolved by strategy; result commit has parents [dest, source]
+        (dest first — graveler.go:3192), or [dest] when squashed.
+        """
+        if self.has_staged(dest_branch):
+            raise DirtyBranchError(f"destination branch {dest_branch!r} has uncommitted changes")
+        self._fire("pre-merge", source=source_ref, dest=dest_branch)
+        source_cid = self.resolve(source_ref).commit_id
+        dest_cid = self._read_branch(dest_branch)["head"]
+        if source_cid is None:
+            raise RefError("source has no commits")
+        base_cid = merge_base(self.commits, source_cid, dest_cid) if dest_cid else None
+        actions = self._three_way_changes(base_cid, source_cid, dest_cid, strategy)
+        parents = [dest_cid] if squash else [dest_cid, source_cid]
+        parents = [p for p in parents if p]
+        commit = self._apply_actions_commit(
+            dest_branch,
+            actions,
+            parents,
+            message or f"merge {source_ref} into {dest_branch}",
+            committer,
+            metadata,
+            expected_head=dest_cid,
+            date=date,
+        )
+        self._fire("post-merge", source=source_ref, dest=dest_branch, commit=commit)
+        return commit
+
+    def revert(
+        self,
+        branch: str,
+        ref: str,
+        parent_number: int = 1,
+        committer: str = "lakefs_spark",
+        date: float | None = None,
+    ) -> Commit:
+        """Apply the inverse of a commit: 3-way with base=commit,
+        source=commit's parent (graveler.go:2829-2960)."""
+        if self.has_staged(branch):
+            raise DirtyBranchError(f"branch {branch!r} has uncommitted changes")
+        cid = self.resolve(ref).commit_id
+        c = self.commits.get(cid)
+        parent = c.parents[parent_number - 1] if c.parents else None
+        head = self._read_branch(branch)["head"]
+        actions = self._three_way_changes(cid, parent, head, "none")
+        return self._apply_actions_commit(
+            branch,
+            actions,
+            [head],
+            f"revert {cid[:12]}",
+            committer,
+            None,
+            expected_head=head,
+            date=date,
+        )
+
+    def cherry_pick(
+        self,
+        branch: str,
+        ref: str,
+        parent_number: int = 1,
+        committer: str = "lakefs_spark",
+        date: float | None = None,
+    ) -> Commit:
+        """Apply one commit's change onto branch: base=picked parent,
+        source=picked commit (graveler.go:2961-3114)."""
+        if self.has_staged(branch):
+            raise DirtyBranchError(f"branch {branch!r} has uncommitted changes")
+        cid = self.resolve(ref).commit_id
+        c = self.commits.get(cid)
+        parent = c.parents[parent_number - 1] if c.parents else None
+        head = self._read_branch(branch)["head"]
+        actions = self._three_way_changes(parent, cid, head, "none")
+        return self._apply_actions_commit(
+            branch,
+            actions,
+            [head],
+            f"cherry-pick {cid[:12]}",
+            committer,
+            None,
+            expected_head=head,
+            date=date,
+        )
+
+    # -- import ------------------------------------------------------------
+
+    def import_entries(
+        self,
+        branch: str,
+        entries: DataFrame,
+        replace_prefixes: list[str] | None = None,
+        message: str = "import",
+        committer: str = "lakefs_spark",
+        date: float | None = None,
+    ) -> Commit:
+        """Bulk import: union of dest (minus replaced prefixes) and the
+        imported entries (SkipPrefix semantics —
+        pkg/graveler/committed/manager.go:215-236, skip_prefix_iterator.go).
+        """
+        head = self._read_branch(branch)["head"]
+        head_mid = self._metarange_of(head)
+        dest = R.read_snapshot(self.spark, self.root, head_mid)
+        if replace_prefixes:
+            keep = ~F.col("key").startswith(replace_prefixes[0])
+            for p in replace_prefixes[1:]:
+                keep = keep & ~F.col("key").startswith(p)
+            dest = dest.where(keep)
+        combined = overlay(
+            [with_layer(entries.select(*ENTRY_COLS), 0), with_layer(dest, 1)]
+        )
+        new_manifest = R.write_ranges(combined, self.root, self.raggedness)
+        new_mid = R.write_manifest(new_manifest, self.root)
+        commit = self.commits.create(
+            parents=[head] if head else [],
+            metarange_id=new_mid,
+            message=message,
+            committer=committer,
+            creation_date=date,
+        )
+        cur = self._read_branch(branch)
+        if cur["head"] != head:
+            raise RuntimeError(f"concurrent update on branch {branch!r}")
+        self._write_branch(branch, {**cur, "head": commit.commit_id})
+        return commit
+
+    # -- log / gc ----------------------------------------------------------
+
+    def log(self, ref: str, first_parent: bool = False, since: float | None = None, limit: int | None = None) -> list[Commit]:
+        cid = self.resolve(ref).commit_id
+        if cid is None:
+            return []
+        return log_commits(self.commits, cid, first_parent, since, limit)
+
+    def log_with_paths(self, ref: str, paths: list[str], limit: int | None = None) -> list[Commit]:
+        """History filtered to commits that changed any of the paths —
+        pruned by comparing manifest range_ids covering each path before
+        reading any rows (pkg/catalog/catalog.go:1772-1800 analog)."""
+        out: list[Commit] = []
+        for c in self.log(ref):
+            parent_mid = (
+                self.commits.get(c.parents[0]).metarange_id if c.parents else R.EMPTY_METARANGE
+            )
+            if self._paths_changed(c.metarange_id, parent_mid, paths):
+                out.append(c)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+    def _paths_changed(self, mid_a: str, mid_b: str, paths: list[str]) -> bool:
+        if mid_a == mid_b:
+            return False
+        ma = (
+            R.read_manifest(self.root, mid_a)
+            if mid_a != R.EMPTY_METARANGE
+            else pd.DataFrame(columns=R.MANIFEST_COLS)
+        )
+        mb = (
+            R.read_manifest(self.root, mid_b)
+            if mid_b != R.EMPTY_METARANGE
+            else pd.DataFrame(columns=R.MANIFEST_COLS)
+        )
+
+        def covering(mf: pd.DataFrame, path: str) -> list[str]:
+            hit = mf[(mf["max_key"] >= path) & (mf["min_key"] <= path)]
+            return hit["range_id"].tolist()
+
+        for p in paths:
+            ra, rb = covering(ma, p), covering(mb, p)
+            if ra != rb:
+                # range-level difference — confirm at row level
+                ids = sorted(set(ra) ^ set(rb))
+                rows = R.read_ranges(self.spark, self.root, sorted(set(ra))).where(F.col("key") == p)
+                rows_b = R.read_ranges(self.spark, self.root, sorted(set(rb))).where(F.col("key") == p)
+                d = diff_ops.diff(rows_b, rows)
+                if not d.isEmpty():
+                    return True
+        return False
+
+    def active_commits(
+        self,
+        retention_days_default: float,
+        per_branch: dict[str, float] | None = None,
+        now: float | None = None,
+    ) -> set[str]:
+        """GC active-commit set: from every branch head walk ancestry;
+        keep commits newer than the branch's retention cutoff plus the
+        first commit beyond it (pkg/graveler/retention/active_commits.go)."""
+        per_branch = per_branch or {}
+        now = time.time() if now is None else now
+        active: set[str] = set()
+        for branch, head in self.branches().items():
+            if head is None:
+                continue
+            cutoff = now - 86400.0 * per_branch.get(branch, retention_days_default)
+            frontier = [head]
+            seen = set()
+            active.add(head)
+            while frontier:
+                cid = frontier.pop()
+                if cid in seen:
+                    continue
+                seen.add(cid)
+                c = self.commits.get(cid)
+                if c.creation_date >= cutoff:
+                    active.add(cid)
+                    frontier.extend(c.parents)
+                else:
+                    active.add(cid)  # first commit beyond the cutoff survives
+        for tag_cid in self.tags().values():
+            active.add(tag_cid)
+        return active
+
+    def reachable_addresses(self, commit_ids: set[str]) -> DataFrame:
+        """Distinct physical addresses referenced by the given commits'
+        snapshots (CommittedAddressLister.scala:15-57 analog)."""
+        range_ids: set[str] = set()
+        for cid in commit_ids:
+            mid = self.commits.get(cid).metarange_id
+            if mid == R.EMPTY_METARANGE:
+                continue
+            range_ids.update(R.read_manifest(self.root, mid)["range_id"])
+        rows = R.read_ranges(self.spark, self.root, sorted(range_ids))
+        return rows.select("address").where(F.col("address").isNotNull()).distinct()
+
+    def uncommitted_addresses(self) -> DataFrame:
+        dfs = []
+        for branch in self.branches():
+            raw = self._staged_raw(branch)
+            if raw is not None:
+                dfs.append(raw.where(~F.col("is_tombstone")).select("address"))
+        if not dfs:
+            return self.spark.createDataFrame([], "address string")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.distinct()
+
+    def gc_mark(
+        self,
+        listing: DataFrame,
+        retention_days_default: float,
+        per_branch: dict[str, float] | None = None,
+        now: float | None = None,
+        cutoff=None,
+    ) -> DataFrame:
+        from lakefs_spark.operators.gc import gc_mark as _mark
+
+        active = self.active_commits(retention_days_default, per_branch, now)
+        committed = self.reachable_addresses(active)
+        uncommitted = self.uncommitted_addresses()
+        return _mark(listing, committed, uncommitted, cutoff)

@@ -1,0 +1,303 @@
+"""End-to-end storage engine tests: the lifecycle the reference's esti
+suite covers (upload -> commit -> branch -> merge -> list), plus COW
+range-reuse assertions and GC with backdated commits."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakefs_spark.sources.fixtures import create_fixture_views, entries_view
+from lakefs_spark.storage import ranges as R
+from lakefs_spark.storage.commit_apply import NoChangesError
+from lakefs_spark.storage.refs import RefError, merge_base
+from lakefs_spark.storage.repo import ConflictError, DirtyBranchError, HookAbortError, Repository
+from tests.conftest import SF_SMOKE
+
+RAGGEDNESS = 97  # small so sf0.001 produces many ranges
+
+
+@pytest.fixture()
+def repo(spark, tmp_path):
+    create_fixture_views(spark, SF_SMOKE)
+    r = Repository.create(spark, str(tmp_path / "repo"))
+    r.raggedness = RAGGEDNESS
+    return r
+
+
+def _entries(spark, where=None):
+    df = entries_view(spark, "entries")
+    return df.where(where) if where is not None else df
+
+
+def test_import_commit_list(repo, spark):
+    ents = _entries(spark)
+    c = repo.import_entries("main", ents, message="initial import")
+    assert repo.branches()["main"] == c.commit_id
+    snap = repo.snapshot("main")
+    assert snap.count() == ents.count()
+    mf = R.read_manifest(repo.root, c.metarange_id)
+    assert len(mf) > 3  # chunked into multiple ranges
+    # sorted, disjoint manifest
+    assert (mf["min_key"] <= mf["max_key"]).all()
+    assert (mf["min_key"].iloc[1:].values > mf["max_key"].iloc[:-1].values).all()
+    # listing with prefix + delimiter
+    groups = repo.list_entries("main", prefix="tables/orders/", delimiter="/").collect()
+    names = sorted(r["key"] for r in groups)
+    assert names == [f"tables/orders/b{i}/" for i in range(7)]
+    # pagination
+    page = repo.list_entries("main", prefix="tables/orders/b3/", limit=10).collect()
+    assert len(page) == 10
+    assert page == sorted(page, key=lambda r: r["key"])
+
+
+def test_stage_commit_cow_reuse(repo, spark):
+    ents = _entries(spark)
+    c1 = repo.import_entries("main", ents, message="base")
+    mf1 = R.read_manifest(repo.root, c1.metarange_id)
+
+    # stage: 3 updates + 2 deletes + 1 add
+    upd = ents.limit(3).withColumn("identity", F.concat(F.col("identity"), F.lit("v2")))
+    repo.stage_entries("main", upd)
+    del_keys = [r["key"] for r in ents.orderBy("key").limit(20).collect()][10:12]
+    repo.stage_deletes("main", del_keys)
+    add = ents.limit(1).withColumn("key", F.lit("tables/zzz/new-object"))
+    repo.stage_entries("main", add)
+
+    ud = repo.uncommitted("main")
+    by_type = {r["diff_type"]: r["n"] for r in ud.groupBy("diff_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type == {"changed": 3, "removed": 2, "added": 1}
+
+    c2 = repo.commit("main", "edits")
+    mf2 = R.read_manifest(repo.root, c2.metarange_id)
+    shared = set(mf1["range_id"]) & set(mf2["range_id"])
+    # COW: the overwhelming majority of ranges are reused untouched
+    assert len(shared) >= len(mf1) - 6
+    # staging cleared
+    assert repo.staged_changes("main") is None
+
+    # state equals expected overlay
+    snap = repo.snapshot("main")
+    assert snap.count() == ents.count() - 2 + 1
+    assert snap.where(F.col("key") == "tables/zzz/new-object").count() == 1
+    assert snap.where(F.col("key").isin(del_keys)).count() == 0
+
+    # diff between the two commits scans only changed ranges
+    d = repo.diff(c1.commit_id, c2.commit_id)
+    got = {r["diff_type"]: 1 for r in d.collect()}
+    assert d.count() == 6
+
+
+def test_commit_no_changes(repo, spark):
+    repo.import_entries("main", _entries(spark), message="base")
+    with pytest.raises(NoChangesError):
+        repo.commit("main", "empty")
+    # identity upsert is a no-op commit
+    repo.stage_entries("main", _entries(spark).limit(5))
+    with pytest.raises(NoChangesError):
+        repo.commit("main", "noop")
+
+
+def test_branch_merge_clean(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    repo.create_branch("feat", "main")
+
+    upd = ents.limit(4).withColumn("identity", F.concat(F.col("identity"), F.lit("feat")))
+    repo.stage_entries("feat", upd)
+    cf = repo.commit("feat", "feat edits")
+
+    main_head = repo.branches()["main"]
+    mc = repo.merge("feat", "main")
+    assert mc.parents == [main_head, cf.commit_id]  # dest first
+    # main now sees feat's identities
+    keys = [r["key"] for r in upd.select("key").collect()]
+    got = repo.snapshot("main").where(F.col("key").isin(keys)).select("identity").collect()
+    assert all(r["identity"].endswith("feat") for r in got)
+
+
+def test_merge_conflicts_and_strategies(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    repo.create_branch("feat", "main")
+    key = ents.orderBy("key").limit(1).collect()[0]["key"]
+
+    for branch, salt in (("feat", "S"), ("main", "D")):
+        upd = ents.where(F.col("key") == key).withColumn(
+            "identity", F.concat(F.col("identity"), F.lit(salt))
+        )
+        repo.stage_entries(branch, upd)
+        repo.commit(branch, f"{branch} edit")
+
+    with pytest.raises(ConflictError):
+        repo.merge("feat", "main")
+
+    # strategy=src takes the source's identity
+    repo.merge("feat", "main", strategy="src")
+    got = repo.snapshot("main").where(F.col("key") == key).collect()[0]["identity"]
+    assert got.endswith("S")
+
+
+def test_merge_dirty_dest(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    repo.create_branch("feat", "main")
+    repo.stage_entries("feat", ents.limit(1))
+    repo.stage_entries("main", ents.limit(1).withColumn("identity", F.lit("x")))
+    with pytest.raises(DirtyBranchError):
+        repo.merge("feat", "main")
+
+
+def test_revert_cherry_pick(repo, spark):
+    ents = _entries(spark)
+    c1 = repo.import_entries("main", ents, message="base")
+    key = ents.orderBy("key").limit(1).collect()[0]["key"]
+    upd = ents.where(F.col("key") == key).withColumn("identity", F.lit("deadbeef"))
+    repo.stage_entries("main", upd)
+    c2 = repo.commit("main", "edit")
+
+    repo.revert("main", c2.commit_id)
+    got = repo.snapshot("main").where(F.col("key") == key).collect()[0]["identity"]
+    assert got != "deadbeef"
+
+    # cherry-pick c2 onto a branch cut from c1
+    repo.create_branch("pick", c1.commit_id)
+    repo.cherry_pick("pick", c2.commit_id)
+    got = repo.snapshot("pick").where(F.col("key") == key).collect()[0]["identity"]
+    assert got == "deadbeef"
+
+
+def test_ref_expressions_and_log(repo, spark):
+    ents = _entries(spark)
+    c1 = repo.import_entries("main", ents.limit(10), message="c1", date=1000.0)
+    repo.stage_entries("main", ents.limit(20))
+    c2 = repo.commit("main", "c2", date=2000.0)
+    repo.stage_entries("main", ents.limit(30))
+    c3 = repo.commit("main", "c3", date=3000.0)
+
+    assert repo.resolve("main").commit_id == c3.commit_id
+    assert repo.resolve("main~1").commit_id == c2.commit_id
+    assert repo.resolve("main~2").commit_id == c1.commit_id
+    assert repo.resolve(f"{c3.commit_id}^1").commit_id == c2.commit_id
+    assert repo.resolve("main@").commit_id == c3.commit_id
+    repo.create_tag("v1", "main~1")
+    assert repo.resolve("v1").commit_id == c2.commit_id
+    with pytest.raises(RefError):
+        repo.resolve("nope")
+    with pytest.raises(RefError):
+        repo.resolve("main~99")
+
+    log = repo.log("main")
+    assert [c.commit_id for c in log] == [c3.commit_id, c2.commit_id, c1.commit_id]
+    assert [c.commit_id for c in repo.log("main", since=1500.0)] == [
+        c3.commit_id,
+        c2.commit_id,
+    ]
+
+
+def test_merge_base_criss_cross(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(5), message="root", date=100.0)
+    root = repo.branches()["main"]
+    repo.create_branch("a", "main")
+    repo.create_branch("b", "main")
+    prefix = "tables/x/"
+    for br, n in (("a", 1), ("b", 2)):
+        add = ents.limit(1).withColumn("key", F.lit(f"{prefix}{br}"))
+        repo.stage_entries(br, add)
+        repo.commit(br, f"{br} edit", date=200.0 + n)
+    ca, cb = repo.branches()["a"], repo.branches()["b"]
+    mb = merge_base(repo.commits, ca, cb)
+    assert mb == root
+    # merge a->b then base of (a, b') is a's head
+    repo.merge("a", "b", date=300.0)
+    assert merge_base(repo.commits, ca, repo.branches()["b"]) == ca
+
+
+def test_log_with_paths(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base", date=100.0)
+    key = ents.orderBy("key").limit(1).collect()[0]["key"]
+    other = ents.orderBy(F.col("key").desc()).limit(1).collect()[0]["key"]
+    repo.stage_entries(
+        "main", ents.where(F.col("key") == key).withColumn("identity", F.lit("p1"))
+    )
+    c2 = repo.commit("main", "touch key", date=200.0)
+    repo.stage_entries(
+        "main", ents.where(F.col("key") == other).withColumn("identity", F.lit("p2"))
+    )
+    c3 = repo.commit("main", "touch other", date=300.0)
+
+    hits = repo.log_with_paths("main", [key])
+    ids = [c.commit_id for c in hits]
+    assert c2.commit_id in ids
+    assert c3.commit_id not in ids
+
+
+def test_gc_mark_backdated(repo, spark):
+    ents = _entries(spark)
+    now = 1_000_000_000.0
+    day = 86400.0
+    repo.import_entries("main", ents.limit(50), message="old", date=now - 30 * day)
+    old_head = repo.branches()["main"]
+    repo.stage_entries(
+        "main", ents.limit(50).withColumn("identity", F.concat("identity", F.lit("x")))
+        .withColumn("address", F.concat("address", F.lit("-new")))
+    )
+    repo.commit("main", "new", date=now - 1 * day)
+
+    # listing = all addresses ever written + an orphan
+    old_addrs = {r["address"] for r in repo.reachable_addresses({old_head}).collect()}
+    new_addrs = {
+        r["address"]
+        for r in repo.reachable_addresses({repo.branches()["main"]}).collect()
+    }
+    listing = spark.createDataFrame(
+        [(a,) for a in old_addrs | new_addrs | {"data/orphan/1"}], "address string"
+    )
+
+    # 7-day retention: old commit inactive BUT it is the "first beyond
+    # cutoff" on the walk -> still active; orphan is marked
+    marked = {r["address"] for r in repo.gc_mark(listing, 7.0, now=now).collect()}
+    assert marked == {"data/orphan/1"}
+
+    active = repo.active_commits(7.0, now=now)
+    assert repo.branches()["main"] in active
+
+
+def test_hooks_abort(repo, spark):
+    ents = _entries(spark)
+
+    def deny(repo_, event, ctx):
+        raise HookAbortError("nope")
+
+    repo.import_entries("main", ents.limit(5), message="base")
+    repo.on("pre-commit", deny)
+    repo.stage_entries("main", ents.limit(1).withColumn("identity", F.lit("x")))
+    with pytest.raises(HookAbortError):
+        repo.commit("main", "blocked")
+    # staging intact after abort
+    assert repo.has_staged("main")
+
+
+def test_import_prefix_replace(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    n0 = repo.snapshot("main").count()
+    replacement = (
+        ents.where(F.col("key").startswith("tables/orders/b3/"))
+        .limit(10)
+        .withColumn("identity", F.concat("identity", F.lit("-imported")))
+    )
+    repo.import_entries(
+        "main", replacement, replace_prefixes=["tables/orders/b3/"], message="re-import b3"
+    )
+    snap = repo.snapshot("main")
+    b3 = snap.where(F.col("key").startswith("tables/orders/b3/"))
+    assert b3.count() == 10
+    assert all(r["identity"].endswith("-imported") for r in b3.collect())
+    assert snap.where(~F.col("key").startswith("tables/orders/b3/")).count() == n0 - _entries(
+        spark, F.col("key").startswith("tables/orders/b3/")
+    ).count()
