@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""BENCH: headline engine operations at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Benchmarks follow BASELINE.md's B1-B7 definitions (derived from the
+reference's design constants — ~50k entries/range, diff/merge cost
+proportional to changed ranges, GC as set difference):
+
+  b1_import_commit  ingest ~600k lineitem-derived entries -> ranges+manifest+commit
+  b2_list           full prefix+delimiter listing of the committed ref
+  b3_diff_small     diff two refs differing in ~1% of keys (changed-range scan only)
+  b4_merge          3-way merge, disjoint ~1% change sets, 0 conflicts
+  b5_conflicts      3-way merge with forced conflicts: exact conflict count + strategy=src merge
+  b6_log_path       history filtered by 10 paths over dozens of commits (manifest-pruned)
+  b7_gc_mark        mark over all addresses with ~10% orphans
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def derived_entries(spark):
+    """~600k entries derived from lineitem (BASELINE B1 scale point)."""
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView("bench_lineitem")
+    return spark.sql(
+        """
+        select 'tables/lineitem/b' || (l_orderkey % 8) || '/'
+               || lpad(cast(l_orderkey as string), 12, '0') || '-'
+               || cast(l_linenumber as string) as key,
+               md5('li|' || l_orderkey || '|' || l_linenumber || '|' || l_returnflag) as identity,
+               'data/g1/' || md5('a|' || l_orderkey || '-' || l_linenumber) as address,
+               'RELATIVE' as address_type,
+               (l_orderkey % 997) * 100 + l_linenumber as size,
+               md5('e|' || l_orderkey || '-' || l_linenumber) as etag,
+               cast(null as timestamp) as last_modified,
+               cast(null as map<string,string>) as metadata,
+               'application/octet-stream' as content_type
+        from bench_lineitem
+        """
+    )
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.session import get_spark
+    from lakefs_spark.storage.repo import ConflictError, Repository
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    root = tempfile.mkdtemp(prefix="lakebench_")
+    try:
+        ents = derived_entries(spark)
+        mod = F.col("key").substr(F.lit(31), F.lit(2)).cast("int")  # last 2 digits of orderkey
+
+        # B1: import + commit 600k entries
+        repo = Repository.create(spark, root)
+        with timed("b1_import_commit"):
+            repo.import_entries("main", ents, message="bench import")
+
+        # B2: full listing, delimiter fold + a paged prefix listing
+        with timed("b2_list"):
+            n_groups = repo.list_entries("main", prefix="tables/lineitem/", delimiter="/").count()
+            n_page = repo.list_entries("main", prefix="tables/lineitem/b3/", limit=1000).count()
+        assert n_groups == 8 and n_page == 1000, (n_groups, n_page)
+
+        # setup for diff/merge: two branches with ~1% disjoint changes
+        def salted(cond, salt):
+            return (
+                ents.where(cond)
+                .withColumn("identity", F.md5(F.concat(F.col("identity"), F.lit(salt))))
+            )
+
+        key_mod = F.abs(F.xxhash64("key")) % 100
+        repo.create_branch("left", "main")
+        repo.stage_entries("left", salted(key_mod == 1, "L"))
+        repo.commit("left", "left 1%")
+        repo.create_branch("right", "main")
+        repo.stage_entries("right", salted(key_mod == 2, "R"))
+        repo.commit("right", "right 1%")
+
+        # B3: diff main vs left (1% of keys differ)
+        with timed("b3_diff_small"):
+            n_diff = repo.diff("main", "left").count()
+        assert n_diff > 0
+
+        # B4: clean 3-way merge left -> right (disjoint changes)
+        with timed("b4_merge"):
+            repo.merge("left", "right")
+
+        # B5: forced conflicts — both sides change key_mod==5 differently
+        repo.create_branch("cleft", "main")
+        repo.stage_entries("cleft", salted(key_mod == 5, "CL"))
+        repo.commit("cleft", "conflict left")
+        repo.create_branch("cright", "main")
+        repo.stage_entries("cright", salted(key_mod == 5, "CR"))
+        repo.commit("cright", "conflict right")
+        with timed("b5_conflicts"):
+            try:
+                repo.merge("cleft", "cright")
+                raise AssertionError("expected conflicts")
+            except ConflictError as e:
+                n_conf = e.conflicts.count()
+            repo.merge("cleft", "cright", strategy="src")
+        assert n_conf > 0
+
+        # B6: path-filtered log over a series of commits
+        paths = [r["key"] for r in ents.orderBy("key").limit(10).collect()]
+        for i in range(12):
+            repo.stage_entries(
+                "main",
+                ents.where(F.col("key") == paths[i % 10]).withColumn(
+                    "identity", F.md5(F.concat(F.col("identity"), F.lit(f"h{i}")))
+                ),
+            )
+            repo.commit("main", f"history {i}")
+        with timed("b6_log_path"):
+            hits = repo.log_with_paths("main", paths[:10])
+        assert len(hits) > 0
+
+        # B7: GC mark, ~10% orphans
+        heads = {h for h in repo.branches().values() if h}
+        reachable = repo.reachable_addresses(repo.active_commits(7.0))
+        orphans = ents.where(key_mod < 10).select(
+            F.concat(F.lit("data/orphan/"), F.md5("key")).alias("address")
+        )
+        listing = reachable.unionByName(orphans)
+        with timed("b7_gc_mark"):
+            n_marked = repo.gc_mark(listing, 7.0).count()
+        assert n_marked == orphans.count(), (n_marked,)
+
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "lakefs_spark headline ops (B1-B7)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,22 @@ def apply_changes(
         entries = changes.where(~F.col("is_tombstone")).select(*ENTRY_COLS)
         return R.write_ranges(entries, root, raggedness)
 
+    # the change stream is read twice (driver key-assignment + overlay);
+    # cache it so an expensive upstream plan (e.g. merge diffs) runs once
+    changes = changes.persist()
+    try:
+        return _apply_cow(spark, root, base_manifest, changes, raggedness)
+    finally:
+        changes.unpersist()
+
+
+def _apply_cow(
+    spark: SparkSession,
+    root: str,
+    base_manifest: pd.DataFrame,
+    changes: DataFrame,
+    raggedness: int,
+) -> pd.DataFrame:
     mf = base_manifest.sort_values("min_key").reset_index(drop=True)
     max_keys = mf["max_key"].tolist()
 

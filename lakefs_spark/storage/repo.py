@@ -438,6 +438,9 @@ class Repository:
         allow_empty: bool = False,
         date: float | None = None,
     ) -> Commit:
+        # the action stream is an expensive double-diff join evaluated by
+        # the conflict check, the no-op check, and the apply — cache it
+        actions = actions.persist()
         conflicts = actions.where(F.col("action") == "conflict")
         if not conflicts.isEmpty():
             raise ConflictError(conflicts)
@@ -453,7 +456,12 @@ class Repository:
         base_manifest = (
             R.read_manifest(self.root, dest_mid) if dest_mid != R.EMPTY_METARANGE else None
         )
-        new_manifest = apply_changes(self.spark, self.root, base_manifest, changes, self.raggedness)
+        try:
+            new_manifest = apply_changes(
+                self.spark, self.root, base_manifest, changes, self.raggedness
+            )
+        finally:
+            actions.unpersist()
         new_mid = (
             R.write_manifest(new_manifest, self.root)
             if len(new_manifest)
@@ -635,6 +643,14 @@ class Repository:
         return out
 
     def _paths_changed(self, mid_a: str, mid_b: str, paths: list[str]) -> bool:
+        """Did any path change between two metaranges?
+
+        Two-phase like the reference's GetRangeIDByKey pruning
+        (pkg/catalog/catalog.go:1772-1800): (1) driver-side manifest
+        compare — a path whose covering range_ids are identical cannot
+        have changed, no rows read; (2) one batched row-level probe for
+        all surviving candidate paths (2 small pruned scans total,
+        regardless of path count)."""
         if mid_a == mid_b:
             return False
         ma = (
@@ -652,17 +668,31 @@ class Repository:
             hit = mf[(mf["max_key"] >= path) & (mf["min_key"] <= path)]
             return hit["range_id"].tolist()
 
+        cand: list[str] = []
+        ids_a: set[str] = set()
+        ids_b: set[str] = set()
         for p in paths:
             ra, rb = covering(ma, p), covering(mb, p)
             if ra != rb:
-                # range-level difference — confirm at row level
-                ids = sorted(set(ra) ^ set(rb))
-                rows = R.read_ranges(self.spark, self.root, sorted(set(ra))).where(F.col("key") == p)
-                rows_b = R.read_ranges(self.spark, self.root, sorted(set(rb))).where(F.col("key") == p)
-                d = diff_ops.diff(rows_b, rows)
-                if not d.isEmpty():
-                    return True
-        return False
+                cand.append(p)
+                ids_a.update(ra)
+                ids_b.update(rb)
+        if not cand:
+            return False
+
+        def identities(range_ids: set[str]) -> dict[str, str]:
+            if not range_ids:
+                return {}
+            rows = (
+                R.read_ranges(self.spark, self.root, sorted(range_ids))
+                .where(F.col("key").isin(cand))
+                .select("key", "identity")
+                .collect()
+            )
+            return {r["key"]: r["identity"] for r in rows}
+
+        da, db = identities(ids_a), identities(ids_b)
+        return any(da.get(p) != db.get(p) for p in cand)
 
     def active_commits(
         self,
