@@ -257,6 +257,63 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_near_dup_embeddings(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    pairs = SIM.cosine_pairs(emb, emb).where(F.col("qa") < F.col("qb"))
+    return pairs.where(F.col("sim") >= 0.35).select("qa", "qb")
+
+
+# -- import / export / multimodal ------------------------------------------
+
+
+def q_import_prefix_replace(spark, sf_dir):
+    from lakefs_spark.operators.importer import prefix_replace
+    from lakefs_spark.functions.prefix import prefix_predicate
+
+    p = ORC.IMPORT_PREFIX
+    dest = _snap(spark, sf_dir, "entries")
+    source = _snap(spark, sf_dir, "snap_b").where(prefix_predicate(F.col("key"), p))
+    return prefix_replace(dest, source, [p]).select("key", "identity", "address", "size", "etag")
+
+
+def q_symlink_manifest(spark, sf_dir):
+    from lakefs_spark.operators.export import symlink_manifest
+
+    return symlink_manifest(_snap(spark, sf_dir, "entries"))
+
+
+def _media(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.lit(1000) + (F.col("n_chars") % 5) * 500).cast("long").alias("duration_ms"),
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from lakefs_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_media(spark, sf_dir), every_ms=500).select(
+        "media_id", F.col("ts_ms").cast("long").alias("ts_ms")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from lakefs_spark.operators.multimodal import extract_features
+
+    return extract_features(_media(spark, sf_dir))
+
+
+def q_gc_key_match(spark, sf_dir):
+    _fixtures(spark, sf_dir)
+    return staged_view(spark, "staged_active").where(F.col("key").rlike("b[13]/")).select("key")
+
+
 # -- driver contract -------------------------------------------------------
 
 
@@ -289,11 +346,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "import_prefix_replace": q_import_prefix_replace,
+        "symlink_manifest": q_symlink_manifest,
+        "media_frame_sample": q_media_frame_sample,
+        "gc_key_match": q_gc_key_match,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "media_features": q_media_features,
     }
 
 

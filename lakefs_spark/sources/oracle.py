@@ -303,6 +303,70 @@ def q_cosine_pairs() -> str:
     """
 
 
+def q_near_dup_embeddings() -> str:
+    # embedding-cosine near-duplicate pairs over the full table;
+    # qa/qb only (sim values are float-rounding-sensitive cross-engine)
+    return """
+    select qa, qb
+    from (
+      select qa, qb, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
+      from (
+        select a.vec_id as qa, b.vec_id as qb,
+               cast(unnest(a.embedding) as double) as xa,
+               cast(unnest(b.embedding) as double) as xb
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+      ) z group by qa, qb
+    ) s
+    where s_ab / (sqrt(s_aa) * sqrt(s_bb)) >= 0.35
+    """
+
+
+# -- import / export / misc -------------------------------------------------
+
+
+IMPORT_PREFIX = "tables/orders/b3/"
+IMPORT_PREFIX_UPPER = "tables/orders/b30"  # upper_bound_for_prefix
+
+
+def q_import_prefix_replace() -> str:
+    p, pu = IMPORT_PREFIX, IMPORT_PREFIX_UPPER
+    return with_views("entries", "snap_b") + f"""
+    select key, identity, address, size, etag from entries
+    where not (key >= '{p}' and key < '{pu}')
+    union all
+    select key, identity, address, size, etag from snap_b
+    where key >= '{p}' and key < '{pu}'
+    """
+
+
+def q_symlink_manifest() -> str:
+    return with_views("entries") + """
+    select regexp_replace(key, '/[^/]*$', '') as dir,
+           count(*) as n_objects,
+           string_agg(address, chr(10) order by address) as content
+    from entries
+    group by regexp_replace(key, '/[^/]*$', '')
+    """
+
+
+def q_media_frame_sample() -> str:
+    # videos = every 3rd document; duration derived from n_chars;
+    # sample timestamps every 500 ms, inclusive of 0 and duration
+    return """
+    select media_id, cast(ts_ms as bigint) as ts_ms from (
+      select doc_id as media_id,
+             unnest(generate_series(0, 1000 + (n_chars % 5) * 500, 500)) as ts_ms
+      from documents where doc_id % 3 = 0
+    ) t
+    """
+
+
+def q_gc_key_match() -> str:
+    return with_views("staged_active") + """
+    select key from staged_active where regexp_matches(key, 'b[13]/')
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -332,6 +396,11 @@ def all_oracles() -> dict[str, str]:
                 "doc_fingerprints": q_doc_fingerprints(),
                 "ngram_jaccard": q_ngram_jaccard(),
                 "cosine_pairs": q_cosine_pairs(),
+                "near_dup_embeddings": q_near_dup_embeddings(),
+                "import_prefix_replace": q_import_prefix_replace(),
+                "symlink_manifest": q_symlink_manifest(),
+                "media_frame_sample": q_media_frame_sample(),
+                "gc_key_match": q_gc_key_match(),
             }
         )
     return dict(ORACLES)

@@ -127,14 +127,18 @@ def _apply_cow(
         g = bc_groups.value
         return pd.Series([g[int(x)] for x in p]).astype("int32")
 
+    # persist the overlay: it is evaluated twice downstream (boundary-key
+    # collect + the range write), and its plan embeds a window + union
     merged = overlay(
         [
             with_layer(changes.select("is_tombstone", *ENTRY_COLS), 0, is_tombstone_col="is_tombstone"),
             with_layer(base_rows, 1),
         ]
-    ).withColumn("grp", _group_of_key(F.col("key")))
-
-    new_rows = _write_grouped_ranges(merged, root, raggedness)
+    ).withColumn("grp", _group_of_key(F.col("key"))).persist()
+    try:
+        new_rows = _write_grouped_ranges(merged, root, raggedness)
+    finally:
+        merged.unpersist()
 
     untouched = mf[~mf.index.isin(touched)]
     out = pd.concat([untouched[R.MANIFEST_COLS], new_rows], ignore_index=True)

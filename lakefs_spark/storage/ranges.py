@@ -87,8 +87,14 @@ def write_ranges(
     Returns the manifest as a pandas DataFrame (MANIFEST_COLS), sorted
     by min_key. Entries must have unique keys (caller overlays first).
     """
-    chunked = assign_chunks(entries.select(*ENTRY_COLS), "key", raggedness)
-    return write_ranges_prechunked(chunked, root)
+    # persist: the entry stream (often an expensive upstream plan) is
+    # evaluated twice — boundary-key collect, then the grouped write
+    entries = entries.select(*ENTRY_COLS).persist()
+    try:
+        chunked = assign_chunks(entries, "key", raggedness)
+        return write_ranges_prechunked(chunked, root)
+    finally:
+        entries.unpersist()
 
 
 def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:

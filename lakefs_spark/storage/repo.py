@@ -72,6 +72,10 @@ class HookAbortError(Exception):
     """Raised by a pre-hook to abort the operation."""
 
 
+class ProtectedBranchError(Exception):
+    """Operation blocked by a branch-protection rule."""
+
+
 class Repository:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -114,6 +118,37 @@ class Repository:
     def _fire(self, event: str, **ctx) -> None:
         for fn in self.hooks.get(event, []):
             fn(self, event, ctx)  # pre-hooks raise HookAbortError to abort
+
+    # -- branch protection ---------------------------------------------------
+
+    def protection_rules(self) -> list[dict]:
+        path = os.path.join(self.root, "protected_branches.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return json.load(f)
+
+    def protect_branch(self, pattern: str, blocked: tuple[str, ...] = ("staging_write", "commit")) -> None:
+        """Add a protection rule: fnmatch ``pattern`` over branch names,
+        blocking the given ops (pkg/graveler/branch/protection_manager.go).
+        Merges into a protected branch stay allowed — that is the rule's
+        point (changes land via merge, not direct commit)."""
+        rules = self.protection_rules()
+        rules.append({"pattern": pattern, "blocked": list(blocked)})
+        path = os.path.join(self.root, "protected_branches.json")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(rules, f)
+        os.replace(tmp, path)
+
+    def _check_protected(self, branch: str, op: str) -> None:
+        from fnmatch import fnmatch
+
+        for rule in self.protection_rules():
+            if fnmatch(branch, rule["pattern"]) and op in rule["blocked"]:
+                raise ProtectedBranchError(
+                    f"{op} blocked on protected branch {branch!r} (rule {rule['pattern']!r})"
+                )
 
     # -- branch / tag pointers ---------------------------------------------
 
@@ -207,6 +242,7 @@ class Repository:
 
     def stage_entries(self, branch: str, entries: DataFrame) -> None:
         """Stage upserts (entry-schema rows) onto a branch."""
+        self._check_protected(branch, "staging_write")
         seq = self._next_seq(branch)
         out = entries.select(*ENTRY_COLS).withColumn("is_tombstone", F.lit(False))
         # seq lives in the partition dir name (discovered on read)
@@ -216,6 +252,7 @@ class Repository:
 
     def stage_deletes(self, branch: str, keys: DataFrame | list[str]) -> None:
         """Stage tombstones for the given keys."""
+        self._check_protected(branch, "staging_write")
         if isinstance(keys, list):
             keys = self.spark.createDataFrame([(k,) for k in keys], "key string")
         seq = self._next_seq(branch)
@@ -369,6 +406,7 @@ class Repository:
         date: float | None = None,
     ) -> Commit:
         """Commit staged changes (copy-on-write apply; graveler.go:2239-2406)."""
+        self._check_protected(branch, "commit")
         self._fire("pre-commit", branch=branch, message=message)
         st = self._read_branch(branch)
         changes = self.staged_changes(branch)
@@ -440,17 +478,22 @@ class Repository:
     ) -> Commit:
         # the action stream is an expensive double-diff join evaluated by
         # the conflict check, the no-op check, and the apply — cache it
+        # and gate with ONE aggregation job instead of two isEmpty probes
         actions = actions.persist()
-        conflicts = actions.where(F.col("action") == "conflict")
-        if not conflicts.isEmpty():
-            raise ConflictError(conflicts)
+        counts = {
+            r["action"]: r["n"]
+            for r in actions.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if counts.get("conflict"):
+            raise ConflictError(actions.where(F.col("action") == "conflict"))
         changes = actions.where(F.col("action") != "conflict").select(
             (F.col("action") == "delete").alias("is_tombstone"),
             F.col("key"),
             F.col("identity"),
             *[F.col(c) for c in ENTRY_COLS if c not in ("key", "identity")],
         )
-        if changes.isEmpty() and not allow_empty:
+        if not counts and not allow_empty:
+            actions.unpersist()
             raise NoChangesError("merge produced no changes")
         dest_mid = self._metarange_of(expected_head)
         base_manifest = (
@@ -767,3 +810,74 @@ class Repository:
         committed = self.reachable_addresses(active)
         uncommitted = self.uncommitted_addresses()
         return _mark(listing, committed, uncommitted, cutoff)
+
+    # -- misc write-path operators -----------------------------------------
+
+    def copy_entry(self, src_ref: str, src_key: str, dest_branch: str, dest_key: str) -> None:
+        """Shallow same-repo copy: stage a new entry at ``dest_key``
+        pointing at the *same physical address* (no byte copy) —
+        pkg/catalog/catalog.go:3064-3176 CopyEntry."""
+        row = self.get(src_ref, src_key)
+        if row is None:
+            raise KeyError(f"{src_key!r} not found at {src_ref!r}")
+        src = self.snapshot(src_ref, key_lower=src_key, key_upper=src_key + "\x00").where(
+            F.col("key") == src_key
+        )
+        self.stage_entries(dest_branch, src.withColumn("key", F.lit(dest_key)))
+
+    def reset_hard(self, branch: str, ref: str) -> None:
+        """Move the branch head to ``ref`` and drop staging (ResetHard —
+        graveler.go:2576-2828)."""
+        self._check_protected(branch, "commit")
+        cid = self.resolve(ref).commit_id
+        st = self._read_branch(branch)
+        self._write_branch(branch, {**st, "head": cid})
+        self.reset_branch(branch)
+
+    # -- dump / restore refs -------------------------------------------------
+
+    def dump_refs(self, out_dir: str) -> None:
+        """Serialize the commit DAG + branch/tag pointers for backup
+        (graveler.go:3668-3727 DumpCommits/DumpBranches/DumpTags).
+        Commits go to Parquet (the DAG can reach 1e6 rows); pointers,
+        which are tiny, to JSON."""
+        os.makedirs(out_dir, exist_ok=True)
+        rows = []
+        for cid in self.commits.all_ids():
+            rec = self.commits.get(cid).to_json()
+            rec["metadata"] = json.dumps(rec["metadata"], sort_keys=True)
+            rows.append(rec)
+        pd.DataFrame(
+            rows,
+            columns=["commit_id", "parents", "metarange_id", "message", "committer",
+                     "creation_date", "metadata", "generation", "version"],
+        ).to_parquet(os.path.join(out_dir, "commits.parquet"), index=False)
+        with open(os.path.join(out_dir, "refs.json"), "w") as f:
+            json.dump({"branches": self.branches(), "tags": self.tags(),
+                       "default_branch": self.default_branch}, f)
+
+    def restore_refs(self, in_dir: str) -> None:
+        """Restore a dump into this repository (graveler.go:3552-3659).
+        Range/manifest files are content-addressed and assumed present
+        (or restored by file copy); this reinstates the DAG + pointers."""
+        commits_pdf = pd.read_parquet(os.path.join(in_dir, "commits.parquet"))
+        for rec in commits_pdf.to_dict("records"):
+            rec["parents"] = list(rec["parents"])
+            rec["metadata"] = json.loads(rec["metadata"]) if rec["metadata"] else {}
+            rec["generation"] = int(rec["generation"])
+            rec["version"] = int(rec["version"])
+            self.commits.put(Commit.from_json(rec))
+        with open(os.path.join(in_dir, "refs.json")) as f:
+            refs = json.load(f)
+        for name, head in refs["branches"].items():
+            if not os.path.exists(self._branch_path(name)):
+                self._write_branch(name, {"head": head, "staging_seq": 0})
+            else:
+                st = self._read_branch(name)
+                self._write_branch(name, {**st, "head": head})
+        for name, cid in refs["tags"].items():
+            path = os.path.join(self.root, "refs", "tags", f"{name}.json")
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"commit_id": cid}, f)
+            os.replace(tmp, path)

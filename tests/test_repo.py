@@ -301,3 +301,91 @@ def test_import_prefix_replace(repo, spark):
     assert snap.where(~F.col("key").startswith("tables/orders/b3/")).count() == n0 - _entries(
         spark, F.col("key").startswith("tables/orders/b3/")
     ).count()
+
+
+def test_branch_protection(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(20), message="base")
+    repo.protect_branch("main")
+    from lakefs_spark.storage.repo import ProtectedBranchError
+
+    with pytest.raises(ProtectedBranchError):
+        repo.stage_entries("main", ents.limit(1))
+    with pytest.raises(ProtectedBranchError):
+        repo.stage_deletes("main", ["tables/x"])
+    # merge into a protected branch stays allowed (the PR workflow)
+    repo.create_branch("feature", "main")
+    repo.stage_entries("feature", ents.limit(1).withColumn("identity", F.lit("f1")))
+    repo.commit("feature", "change on feature")
+    c = repo.merge("feature", "main")
+    assert repo.branches()["main"] == c.commit_id
+    # unprotected branches unaffected
+    repo.stage_entries("feature", ents.limit(1).withColumn("identity", F.lit("f2")))
+    repo.commit("feature", "still fine")
+
+
+def test_copy_entry_shallow(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(20), message="base")
+    src_key = ents.limit(20).orderBy("key").collect()[0]["key"]
+    repo.copy_entry("main", src_key, "main", "copies/dest-key")
+    repo.commit("main", "copy")
+    src = repo.get("main", src_key)
+    dst = repo.get("main", "copies/dest-key")
+    assert dst is not None
+    assert dst["address"] == src["address"]  # shallow: same physical address
+    assert dst["identity"] == src["identity"]
+
+
+def test_reset_hard(repo, spark):
+    ents = _entries(spark)
+    c1 = repo.import_entries("main", ents.limit(10), message="v1")
+    repo.stage_entries("main", ents.limit(3).withColumn("identity", F.lit("x")))
+    repo.commit("main", "v2")
+    repo.stage_entries("main", ents.limit(1).withColumn("identity", F.lit("y")))
+    assert repo.has_staged("main")
+    repo.reset_hard("main", c1.commit_id)
+    assert repo.branches()["main"] == c1.commit_id
+    assert not repo.has_staged("main")
+
+
+def test_dump_restore_refs(repo, spark, tmp_path):
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(30), message="base")
+    repo.create_branch("dev", "main")
+    repo.stage_entries("dev", ents.limit(5).withColumn("identity", F.lit("d")))
+    repo.commit("dev", "dev change", metadata={"k": "v"})
+    repo.create_tag("v1.0", "main")
+    dump_dir = str(tmp_path / "dump")
+    repo.dump_refs(dump_dir)
+
+    fresh = Repository.create(spark, str(tmp_path / "repo2"))
+    # content-addressed files restored by copy; refs by restore_refs
+    import shutil as _sh
+
+    for sub in ("ranges", "manifests"):
+        _sh.copytree(
+            os.path.join(repo.root, sub), os.path.join(fresh.root, sub), dirs_exist_ok=True
+        )
+    fresh.restore_refs(dump_dir)
+    assert fresh.branches() == repo.branches()
+    assert fresh.tags() == repo.tags()
+    c = fresh.commits.get(fresh.branches()["dev"])
+    assert c.metadata == {"k": "v"}
+    assert fresh.snapshot("dev").count() == repo.snapshot("dev").count()
+
+
+def test_symlink_export(repo, spark, tmp_path):
+    from lakefs_spark.operators.export import write_symlinks
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    out = str(tmp_path / "symlinks")
+    n = write_symlinks(repo.snapshot("main"), out)
+    assert n > 0
+    one = repo.snapshot("main").orderBy("key").limit(1).collect()[0]
+    d = one["key"].rsplit("/", 1)[0]
+    with open(os.path.join(out, d, "symlink.txt")) as f:
+        content = f.read().strip().split("\n")
+    assert one["address"] in content
+    assert content == sorted(content)
