@@ -314,6 +314,20 @@ def q_gc_key_match(spark, sf_dir):
     return staged_view(spark, "staged_active").where(F.col("key").rlike("b[13]/")).select("key")
 
 
+def q_windowed_event_counts(spark, sf_dir):
+    from lakefs_spark.streaming.ingest import windowed_event_counts
+
+    _fixtures(spark, sf_dir)
+    out = windowed_event_counts(spark.table("events"))
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        F.col("window_end").cast("long").alias("window_end_s"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 # -- driver contract -------------------------------------------------------
 
 
@@ -351,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symlink_manifest": q_symlink_manifest,
         "media_frame_sample": q_media_frame_sample,
         "gc_key_match": q_gc_key_match,
+        "windowed_event_counts": q_windowed_event_counts,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,

@@ -367,6 +367,19 @@ def q_gc_key_match() -> str:
     """
 
 
+def q_windowed_event_counts() -> str:
+    # 10-minute tumbling windows, epoch-aligned like Spark's window()
+    return """
+    select cast(floor(epoch(ts) / 600) * 600 as bigint) as window_start_s,
+           cast(floor(epoch(ts) / 600) * 600 + 600 as bigint) as window_end_s,
+           event_type,
+           count(*) as n_events,
+           round(sum(value), 4) as total_value
+    from events
+    group by 1, 2, 3
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -401,6 +414,7 @@ def all_oracles() -> dict[str, str]:
                 "symlink_manifest": q_symlink_manifest(),
                 "media_frame_sample": q_media_frame_sample(),
                 "gc_key_match": q_gc_key_match(),
+                "windowed_event_counts": q_windowed_event_counts(),
             }
         )
     return dict(ORACLES)

@@ -271,6 +271,7 @@ class Repository:
         out.write.mode("overwrite").parquet(
             os.path.join(self._staging_dir(branch), f"seq={seq}")
         )
+        self._maybe_fire_delete_sensor(branch)
 
     def _staged_raw(self, branch: str) -> DataFrame | None:
         d = self._staging_dir(branch)
@@ -292,15 +293,75 @@ class Repository:
         return overlay_raw([raw])
 
     def has_staged(self, branch: str) -> bool:
+        if self._read_branch(branch).get("compacted_mid"):
+            return True  # compacted-but-uncommitted state is dirty
         s = self.staged_changes(branch)
         return s is not None and not s.isEmpty()
 
+    def staged_tombstone_count(self, branch: str) -> int:
+        s = self.staged_changes(branch)
+        if s is None:
+            return 0
+        return s.where(F.col("is_tombstone")).count()
+
+    def set_delete_sensor(self, threshold: int) -> None:
+        """Fire a ``delete-threshold`` hook once a branch accumulates
+        that many staged tombstones (pkg/graveler/delete_sensor.go:48-125
+        — trigger only; the callback typically calls :meth:`compact`)."""
+        self._delete_threshold = threshold
+
+    def _maybe_fire_delete_sensor(self, branch: str) -> None:
+        thr = getattr(self, "_delete_threshold", None)
+        if thr is not None:
+            n = self.staged_tombstone_count(branch)
+            if n >= thr:
+                self._fire("delete-threshold", branch=branch, tombstones=n)
+
+    def compact(self, branch: str) -> str:
+        """Fold staging into a compacted base metarange
+        (CompactedBaseMetaRangeID — graveler.go:541-542,2213).
+
+        Reads and subsequent commits use the compacted snapshot; the
+        branch head commit is unchanged, so the state stays uncommitted
+        (and the branch dirty) until the next commit.
+        """
+        changes = self.staged_changes(branch)
+        if changes is None:
+            raise NoChangesError(f"nothing to compact on {branch!r}")
+        st = self._read_branch(branch)
+        base_mid = st.get("compacted_mid") or self._metarange_of(st["head"])
+        base_manifest = (
+            R.read_manifest(self.root, base_mid) if base_mid != R.EMPTY_METARANGE else None
+        )
+        new_manifest = apply_changes(
+            self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
+        )
+        mid = (
+            R.write_manifest(new_manifest, self.root)
+            if len(new_manifest)
+            else R.EMPTY_METARANGE
+        )
+        cur = self._read_branch(branch)
+        if cur["head"] != st["head"]:
+            raise RuntimeError(f"concurrent update on branch {branch!r}")
+        self._write_branch(branch, {**cur, "compacted_mid": mid})
+        self._clear_staging(branch)
+        return mid
+
+    def _clear_staging(self, branch: str) -> None:
+        shutil.rmtree(self._staging_dir(branch), ignore_errors=True)
+
     def reset_branch(self, branch: str, prefix: str | None = None, key: str | None = None) -> None:
         """Drop staged changes: all, one key, or a prefix
-        (Reset/ResetKey/ResetPrefix — graveler.go:2576-2828)."""
+        (Reset/ResetKey/ResetPrefix — graveler.go:2576-2828). A full
+        reset also discards a pending compacted base."""
         d = self._staging_dir(branch)
         if prefix is None and key is None:
-            shutil.rmtree(d, ignore_errors=True)
+            self._clear_staging(branch)
+            st = self._read_branch(branch)
+            if st.get("compacted_mid"):
+                st.pop("compacted_mid", None)
+                self._write_branch(branch, st)
             return
         raw = self._staged_raw(branch)
         if raw is None:
@@ -321,9 +382,12 @@ class Repository:
     def snapshot(self, ref: str, key_lower: str | None = None, key_upper: str | None = None) -> DataFrame:
         """Entries visible at a ref. Bare branch names include staging."""
         r = self.resolve(ref)
-        committed = R.read_snapshot(
-            self.spark, self.root, self._metarange_of(r.commit_id), key_lower, key_upper
-        )
+        base_mid = self._metarange_of(r.commit_id)
+        if r.staging:
+            cmid = self._read_branch(r.branch).get("compacted_mid")
+            if cmid:
+                base_mid = cmid
+        committed = R.read_snapshot(self.spark, self.root, base_mid, key_lower, key_upper)
         if not r.staging:
             return committed
         staged = self._staged_raw(r.branch)
@@ -386,13 +450,46 @@ class Repository:
         return diff_ops.diff(left_rows, right_rows)
 
     def uncommitted(self, branch: str) -> DataFrame:
-        """Diff of staged changes vs the branch's committed head."""
+        """Diff of uncommitted state (staging + pending compaction) vs
+        the branch's committed head."""
+        st = self._read_branch(branch)
         staged = self.staged_changes(branch)
+        cmid = st.get("compacted_mid")
+        head_mid = self._metarange_of(st["head"])
+        if cmid is None:
+            if staged is None:
+                return diff_ops.diff(R.empty_entries(self.spark), R.empty_entries(self.spark))
+            committed = R.read_snapshot(self.spark, self.root, head_mid)
+            return diff_ops.uncommitted_diff(staged, committed)
+        # compacted branch: 2-way diff head -> overlay(staged, compacted),
+        # pruned to (a) ranges whose id differs between the two manifests
+        # and (b) ranges covering any staged key (sound: a range selected
+        # on one side has its key-overlapping counterpart selected too)
+        lm = (
+            R.read_manifest(self.root, head_mid)
+            if head_mid != R.EMPTY_METARANGE
+            else pd.DataFrame(columns=R.MANIFEST_COLS)
+        )
+        rm = (
+            R.read_manifest(self.root, cmid)
+            if cmid != R.EMPTY_METARANGE
+            else pd.DataFrame(columns=R.MANIFEST_COLS)
+        )
+        lsel = set(lm["range_id"]) - set(rm["range_id"])
+        rsel = set(rm["range_id"]) - set(lm["range_id"])
+        if staged is not None:
+            keys = [r["key"] for r in staged.select("key").collect()]
+            for mf, sel in ((lm, lsel), (rm, rsel)):
+                for k in keys:
+                    hit = mf[(mf["min_key"] <= k) & (mf["max_key"] >= k)]
+                    sel.update(hit["range_id"])
+        left_rows = R.read_ranges(self.spark, self.root, sorted(lsel))
+        compacted_rows = R.read_ranges(self.spark, self.root, sorted(rsel))
         if staged is None:
-            return diff_ops.diff(R.empty_entries(self.spark), R.empty_entries(self.spark))
-        head_mid = self._metarange_of(self._read_branch(branch)["head"])
-        committed = R.read_snapshot(self.spark, self.root, head_mid)
-        return diff_ops.uncommitted_diff(staged, committed)
+            effective = compacted_rows
+        else:
+            effective = overlay([staged, with_layer(compacted_rows, 1 << 60)])
+        return diff_ops.diff(left_rows, effective)
 
     # -- commit ------------------------------------------------------------
 
@@ -410,9 +507,12 @@ class Repository:
         self._fire("pre-commit", branch=branch, message=message)
         st = self._read_branch(branch)
         changes = self.staged_changes(branch)
-        base_mid = self._metarange_of(st["head"])
+        head_mid = self._metarange_of(st["head"])
+        # commits apply on top of a pending compacted base when present
+        # (CompactedBaseMetaRangeID — graveler.go:541-542)
+        base_mid = st.get("compacted_mid") or head_mid
         if changes is None:
-            if not allow_empty:
+            if base_mid == head_mid and not allow_empty:
                 raise NoChangesError(f"no staged changes on {branch!r}")
             new_manifest = (
                 R.read_manifest(self.root, base_mid)
@@ -433,7 +533,7 @@ class Repository:
             if len(new_manifest)
             else R.EMPTY_METARANGE
         )
-        if new_mid == base_mid and not allow_empty:
+        if new_mid == head_mid and not allow_empty:
             raise NoChangesError(f"staged changes are a no-op on {branch!r}")
         commit = self.commits.create(
             parents=[st["head"]] if st["head"] else [],

@@ -1,0 +1,145 @@
+"""Structured-Streaming ingestion: one repository commit per microbatch.
+
+The reference has no stream processing — its event-driven surface is
+the hooks/actions system (SURVEY.md §2.10). This module is the
+Spark-native extension the reference's architecture points at:
+``readStream → foreachBatch → stage + commit``, so every microbatch
+becomes an atomic, versioned, diffable commit on a branch
+(the "commit-per-batch" shape; cf. Delta Lake's streaming sink
+transaction log in PAPERS.md).
+
+Exactly-once: Spark replays a microbatch after failure with the SAME
+``batch_id``. We record the last applied batch id in the branch
+pointer and skip replays — the pointer swap is the same CAS that
+guards regular commits, so the epoch check and head update are one
+atomic file replace. That is precisely the Delta/lakeFS idempotent-
+sink pattern (txn version per application).
+
+Scale: each microbatch's stage+commit is a bounded COW apply
+(O(changed ranges)); the stream's long-run cost is a function of churn,
+not snapshot size. Watermarked windowed aggregation (below) keeps
+state bounded for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakefs_spark.storage.repo import Repository
+
+
+def last_applied_batch(repo: Repository, branch: str, query_name: str) -> int:
+    st = repo._read_branch(branch)
+    return int(st.get("stream_epochs", {}).get(query_name, -1))
+
+
+def commit_batch(
+    repo: Repository,
+    branch: str,
+    entries: DataFrame,
+    batch_id: int,
+    query_name: str = "stream",
+    committer: str = "stream",
+) -> bool:
+    """Stage + commit one microbatch; returns False on replay skip.
+
+    ``entries`` must be entry-schema rows (use ``entries_from_events``
+    or similar to map domain rows to objects).
+    """
+    from lakefs_spark.storage.commit_apply import NoChangesError
+
+    if batch_id <= last_applied_batch(repo, branch, query_name):
+        return False  # replayed microbatch — already committed
+    repo.stage_entries(branch, entries)
+    try:
+        repo.commit(
+            branch,
+            f"{query_name} batch {batch_id}",
+            committer=committer,
+            metadata={"stream.query": query_name, "stream.batch": str(batch_id)},
+        )
+    except NoChangesError:
+        # batch re-ingested already-committed content: advance the epoch
+        repo.reset_branch(branch)
+    # record epoch after the head swap: a crash between the two repeats
+    # the batch, and the content-addressed commit dedups to a no-op
+    st = repo._read_branch(branch)
+    epochs = st.get("stream_epochs", {})
+    epochs[query_name] = batch_id
+    repo._write_branch(branch, {**st, "stream_epochs": epochs})
+    return True
+
+
+def foreach_batch_committer(
+    repo: Repository,
+    branch: str,
+    to_entries,
+    query_name: str = "stream",
+):
+    """``foreachBatch`` callback: ``writeStream.foreachBatch(this)``.
+
+    ``to_entries(df) -> DataFrame`` maps the microbatch to entry rows.
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        entries = to_entries(batch_df)
+        commit_batch(repo, branch, entries, batch_id, query_name=query_name)
+
+    return _fn
+
+
+def entries_from_events(events: DataFrame, prefix: str = "events/") -> DataFrame:
+    """Map event rows to entry-schema objects (one object per event).
+
+    Key layout ``<prefix>date=<d>/<event_id>`` keeps the keyspace
+    sorted by ingest day — commits touch a bounded set of trailing
+    ranges instead of rewriting history (the append-mostly pattern).
+    """
+    ident = F.md5(F.concat_ws("|", "event_id", "event_type", F.col("value").cast("string")))
+    return events.select(
+        F.concat(
+            F.lit(prefix),
+            F.lit("date="), F.date_format("ts", "yyyy-MM-dd"), F.lit("/"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("key"),
+        ident.alias("identity"),
+        F.concat(F.lit("data/events/"), F.md5(F.col("event_id").cast("string"))).alias("address"),
+        F.lit("RELATIVE").alias("address_type"),
+        F.octet_length(F.coalesce(F.col("props"), F.lit(""))).cast("long").alias("size"),
+        F.md5(F.concat_ws("|", "event_id", "props")).alias("etag"),
+        F.col("ts").alias("last_modified"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit("application/json").alias("content_type"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window per-type counts with a late-data watermark.
+
+    Works on both a streaming DataFrame (state is dropped once the
+    watermark passes a window) and a static one (watermark is a no-op)
+    — the standard Structured Streaming windowed-agg shape.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -389,3 +389,68 @@ def test_symlink_export(repo, spark, tmp_path):
         content = f.read().strip().split("\n")
     assert one["address"] in content
     assert content == sorted(content)
+
+
+def test_compaction_and_delete_sensor(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    head_before = repo.branches()["main"]
+    n0 = repo.snapshot("main").count()
+
+    # stage changes + deletes, then compact
+    changed = ents.limit(5).withColumn("identity", F.concat("identity", F.lit("-c")))
+    del_keys = [r["key"] for r in ents.orderBy(F.desc("key")).limit(3).collect()]
+    repo.stage_entries("main", changed)
+    repo.stage_deletes("main", del_keys)
+    visible_before = {r["key"]: r["identity"] for r in repo.snapshot("main").collect()}
+
+    mid = repo.compact("main")
+    assert repo.branches()["main"] == head_before  # head unchanged
+    assert not os.path.isdir(repo._staging_dir("main")) or not os.listdir(
+        repo._staging_dir("main")
+    )
+    # visible state identical after compaction
+    visible_after = {r["key"]: r["identity"] for r in repo.snapshot("main").collect()}
+    assert visible_after == visible_before
+    assert len(visible_after) == n0 - 3
+    # branch is dirty until committed; uncommitted diff reflects the changes
+    assert repo.has_staged("main")
+    unc = {(r["key"], r["diff_type"]) for r in repo.uncommitted("main").collect()}
+    assert {(k, "removed") for k in del_keys} <= unc
+    assert len([1 for _, t in unc if t == "changed"]) == 5
+
+    # staging on top of the compacted base overlays correctly
+    more = ents.limit(1).withColumn("identity", F.lit("post-compact"))
+    repo.stage_entries("main", more)
+    k_more = more.collect()[0]["key"]
+    assert repo.get("main", k_more)["identity"] == "post-compact"
+    unc2 = {(r["key"], r["diff_type"]) for r in repo.uncommitted("main").collect()}
+    assert (k_more, "changed") in unc2
+
+    # commit folds compacted base + staging into one commit
+    c = repo.commit("main", "post-compaction commit")
+    assert repo.branches()["main"] == c.commit_id
+    assert repo._read_branch("main").get("compacted_mid") is None
+    assert not repo.has_staged("main")
+    assert repo.get(c.commit_id, k_more)["identity"] == "post-compact"
+    assert repo.snapshot("main").count() == n0 - 3
+
+    # delete sensor fires past the tombstone threshold
+    fired = []
+    repo.on("delete-threshold", lambda r, e, ctx: fired.append(ctx["tombstones"]))
+    repo.set_delete_sensor(3)
+    repo.stage_deletes("main", [r["key"] for r in ents.limit(4).collect()])
+    assert fired and fired[0] >= 3
+    repo.reset_branch("main")
+
+
+def test_reset_discards_compaction(repo, spark):
+    ents = _entries(spark)
+    c1 = repo.import_entries("main", ents.limit(50), message="base")
+    repo.stage_deletes("main", [r["key"] for r in ents.limit(2).collect()])
+    repo.compact("main")
+    assert repo.has_staged("main")
+    repo.reset_branch("main")
+    assert not repo.has_staged("main")
+    assert repo.snapshot("main").count() == 50
+    assert repo.branches()["main"] == c1.commit_id

@@ -1,0 +1,104 @@
+"""Structured-Streaming ingestion: commit-per-microbatch, exactly-once
+replay skip, watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakefs_spark.storage.repo import Repository
+from lakefs_spark.streaming.ingest import (
+    entries_from_events,
+    foreach_batch_committer,
+    last_applied_batch,
+    windowed_event_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def repo(spark, tmp_path):
+    r = Repository.create(spark, str(tmp_path / "repo"))
+    r.raggedness = 97
+    return r
+
+
+def _events(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _run_stream(spark, repo, src_dir, ckpt, schema):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_committer(repo, "main", entries_from_events, query_name="ingest")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_stream_commit_per_batch(repo, spark, tmp_path):
+    events = _events(spark).where(F.col("event_id") < 300)
+    src = str(tmp_path / "stream_src")
+    # three files -> three microbatches (maxFilesPerTrigger=1)
+    for i in range(3):
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    schema = events.schema
+
+    ckpt = str(tmp_path / "ckpt")
+    _run_stream(spark, repo, src, ckpt, schema)
+
+    assert last_applied_batch(repo, "main", "ingest") >= 2
+    log = repo.log("main")
+    assert len(log) == 3
+    assert all(c.metadata.get("stream.query") == "ingest" for c in log)
+    snap = repo.snapshot("main")
+    assert snap.count() == events.count()
+    # keys are date-partitioned and globally sorted in the snapshot
+    assert snap.where(~F.col("key").startswith("events/date=")).count() == 0
+
+    # replay: same checkpoint, no new input -> no new commits
+    _run_stream(spark, repo, src, ckpt, schema)
+    assert len(repo.log("main")) == 3
+
+    # fresh checkpoint replays batches 0..2 -> epoch guard skips them all
+    _run_stream(spark, repo, src, str(tmp_path / "ckpt2"), schema)
+    assert len(repo.log("main")) == 3
+
+
+def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
+    events = _events(spark).where(F.col("event_id") < 500)
+    src = str(tmp_path / "wsrc")
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+
+    static = windowed_event_counts(events).orderBy("window_start", "event_type")
+    expected = [tuple(r) for r in static.collect()]
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [
+        tuple(r)
+        for r in spark.table("win_counts").orderBy("window_start", "event_type").collect()
+    ]
+    assert got == expected
