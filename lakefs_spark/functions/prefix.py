@@ -17,15 +17,27 @@ from pyspark.sql import functions as F
 def upper_bound_for_prefix(prefix: str) -> str | None:
     """Smallest string greater than every string with this prefix.
 
-    Returns None when no upper bound exists (prefix is all 0xff/empty).
+    The reference increments the last non-0xFF *byte*
+    (pkg/graveler/prefix.go:9-21), which can yield invalid UTF-8. We
+    increment the last incrementable *codepoint* instead (skipping the
+    surrogate range): the bound stays valid Unicode, and because UTF-8
+    byte order equals codepoint order for valid strings, the predicate
+    is correct under BOTH comparators in play — Spark/Parquet/DuckDB
+    binary comparison and driver-side (pandas manifest pruning) Python
+    string comparison.
+
+    Returns None when no upper bound exists (all chars are U+10FFFF,
+    or the prefix is empty).
     """
     if not prefix:
         return None
-    buf = bytearray(prefix.encode("utf-8"))
-    for i in range(len(buf) - 1, -1, -1):
-        if buf[i] != 0xFF:
-            buf[i] += 1
-            return buf[: i + 1].decode("utf-8", errors="surrogateescape")
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            ncp = cp + 1
+            if 0xD800 <= ncp <= 0xDFFF:  # never emit lone surrogates
+                ncp = 0xE000
+            return prefix[:i] + chr(ncp)
     return None
 
 

@@ -1,19 +1,23 @@
-"""Catalog exporters: symlink (Athena-style) manifests.
+"""Catalog exporters: symlink (Athena-style) manifests + Delta log.
 
 Reference: the Lua catalog exporters
-(pkg/actions/lua/lakefs/catalogexport/symlink_exporter.lua) group a
-table prefix's objects by directory and write one ``symlink.txt`` per
-directory listing the physical addresses — the layout Athena/Hive
-SymlinkTextInputFormat consumes.
+(pkg/actions/lua/lakefs/catalogexport/{symlink_exporter,delta_exporter}.lua)
+publish a committed table prefix to external engines — symlink.txt
+directories for Hive/Athena SymlinkTextInputFormat, and a Delta Lake
+transaction log (JSON actions) for Delta readers.
 
 Spark shape: one ``groupBy(dir)`` with a sorted ``collect_list`` —
 map-side partial aggregation keeps the shuffle to one row per
 directory; file writes fan out per-partition on executors (the analog
-of the reference's per-directory PUTs).
+of the reference's per-directory PUTs). The Delta log is a single
+driver-written JSON file: its size is one line per data file, metadata-
+scale, not data-scale.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame
@@ -59,3 +63,70 @@ def write_symlinks(entries: DataFrame, out_dir: str) -> int:
         return manifest.count()
     finally:
         manifest.unpersist()
+
+
+def delta_log_export(
+    entries: DataFrame,
+    out_dir: str,
+    schema_json: str | None = None,
+    table_name: str = "exported",
+    version: int = 0,
+) -> str:
+    """Write a Delta Lake transaction-log version file for a snapshot.
+
+    One ``add`` action per object (path = physical address, size,
+    modificationTime), plus ``protocol`` and ``metaData`` — the minimal
+    action set Delta readers require (delta_exporter.lua analog; Delta
+    log format per the Delta Lake VLDB'20 paper, PAPERS.md). The table
+    id is content-derived so re-exporting the same snapshot is
+    idempotent. Returns the log file path.
+    """
+    rows = (
+        entries.select("key", "address", "size", "last_modified")
+        .orderBy("key")
+        .collect()
+    )
+    table_id = hashlib.sha256(
+        ("|".join(f"{r['address']}:{r['size']}" for r in rows)).encode()
+    ).hexdigest()
+    log_dir = os.path.join(out_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    schema = schema_json or json.dumps(
+        {"type": "struct", "fields": []}, separators=(",", ":")
+    )
+    with open(path, "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": table_id,
+                        "name": table_name,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+            + "\n"
+        )
+        for r in rows:
+            ts = int(r["last_modified"].timestamp() * 1000) if r["last_modified"] else 0
+            f.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": r["address"],
+                            "size": int(r["size"] or 0),
+                            "partitionValues": {},
+                            "modificationTime": ts,
+                            "dataChange": True,
+                        }
+                    },
+                    separators=(",", ":"),
+                )
+                + "\n"
+            )
+    return path

@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the pure-python engine core:
+chunk-boundary determinism, prefix upper-bound correctness, typed-hash
+framing injectivity, ref-expression parsing. No SparkSession needed —
+these run in milliseconds and pin the invariants the distributed paths
+rely on."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakefs_spark.functions.ident import _frame, fnv64a, typed_hash_hex
+from lakefs_spark.functions.prefix import upper_bound_for_prefix
+from lakefs_spark.plans.chunker import chunk_of_key
+from lakefs_spark.storage.refs import parse_mods
+
+keys = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), min_size=0, max_size=60
+)
+
+
+@given(st.lists(keys, min_size=1, max_size=40), keys)
+@settings(max_examples=200, deadline=None)
+def test_chunk_of_key_monotone_and_stable(boundaries, k):
+    bs = sorted(set(boundaries))
+    c = chunk_of_key(k, bs)
+    assert 0 <= c <= len(bs)
+    # chunk i covers (b[i-1], b[i]]: the assignment is the unique sorted
+    # position, so it is monotone in the key
+    if c > 0:
+        assert k > bs[c - 1]
+    if c < len(bs):
+        assert k <= bs[c]
+
+
+@given(st.lists(keys, min_size=1, max_size=30), st.lists(keys, min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_chunk_assignment_partition_invariant(part_a, part_b):
+    """The same key gets the same chunk regardless of which 'partition'
+    presents it — the invariant that makes distributed re-chunking
+    deterministic (range IDs stable across commits)."""
+    bs = sorted(set(part_a + part_b))
+    for k in part_a + part_b:
+        assert chunk_of_key(k, bs) == chunk_of_key(k, sorted(set(bs)))
+
+
+all_text = st.text(min_size=0, max_size=60)  # full unicode, incl. astral
+
+
+@given(all_text.filter(lambda s: s != ""))
+@settings(max_examples=300, deadline=None)
+def test_upper_bound_bounds_every_extension(p):
+    ub = upper_bound_for_prefix(p)
+    if ub is None:
+        return
+    assert p < ub
+    for suffix in ("\x00", "a", "￿", p, "\U0010ffff"):
+        # codepoint order (here) and UTF-8 byte order (Spark) agree for
+        # valid unicode, so one assertion covers both comparators
+        assert (p + suffix) < ub
+    assert ub.encode("utf-8")  # bound is always valid unicode
+
+
+@given(all_text.filter(lambda s: s != ""), all_text)
+@settings(max_examples=300, deadline=None)
+def test_upper_bound_excludes_non_prefixed(p, other):
+    """Keys >= upper bound never carry the prefix."""
+    ub = upper_bound_for_prefix(p)
+    if ub is not None and other >= ub:
+        assert not other.startswith(p)
+
+
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=6),
+       st.lists(st.text(max_size=20), min_size=1, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_typed_hash_framing_injective(a, b):
+    """len-tagged framing: different part lists never collide at the
+    framing layer (('ab','c') vs ('a','bc'))."""
+    if a != b:
+        assert _frame(a) != _frame(b) or typed_hash_hex(a) != typed_hash_hex(b)
+        # framing itself must differ for distinct lists
+        assert _frame(a) != _frame(b)
+    else:
+        assert typed_hash_hex(a) == typed_hash_hex(b)
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_fnv64a_matches_reference_vectors(data):
+    h = fnv64a(data)
+    assert 0 <= h < (1 << 64)
+
+
+def test_fnv64a_known_vectors():
+    # published FNV-1a 64 test vectors
+    assert fnv64a(b"") == 0xCBF29CE484222325
+    assert fnv64a(b"a") == 0xAF63DC4C8601EC8C
+    assert fnv64a(b"foobar") == 0x85944171F73967E8
+
+
+@given(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9))
+@settings(max_examples=50, deadline=None)
+def test_parse_mods_roundtrip(n1, n2):
+    mods = f"~{n1}^{n2}"
+    assert parse_mods(mods) == [("~", n1), ("^", n2)]
+
+
+def test_parse_mods_defaults():
+    assert parse_mods("~") == [("~", 1)]
+    assert parse_mods("^2~") == [("^", 2), ("~", 1)]

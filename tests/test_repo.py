@@ -454,3 +454,22 @@ def test_reset_discards_compaction(repo, spark):
     assert not repo.has_staged("main")
     assert repo.snapshot("main").count() == 50
     assert repo.branches()["main"] == c1.commit_id
+
+
+def test_delta_log_export(repo, spark, tmp_path):
+    from lakefs_spark.operators.export import delta_log_export
+    import json as _json
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(40), message="base")
+    out = str(tmp_path / "delta")
+    p = delta_log_export(repo.snapshot("main"), out, table_name="t")
+    lines = [_json.loads(line) for line in open(p)]
+    assert "protocol" in lines[0] and "metaData" in lines[1]
+    adds = [ln["add"] for ln in lines[2:]]
+    assert len(adds) == 40
+    addrs = {r["address"] for r in repo.snapshot("main").collect()}
+    assert {a["path"] for a in adds} == addrs
+    # idempotent table id
+    p2 = delta_log_export(repo.snapshot("main"), str(tmp_path / "delta2"))
+    assert _json.loads(open(p2).readlines()[1])["metaData"]["id"] == lines[1]["metaData"]["id"]
