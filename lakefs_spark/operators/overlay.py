@@ -32,18 +32,40 @@ def with_layer(df: DataFrame, seq: int, is_tombstone_col: str | None = None) -> 
     return out.select("seq", "is_tombstone", *ENTRY_COLS)
 
 
+def _tiebreak():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        F.desc_nulls_last("identity"),
+        F.desc_nulls_last("etag"),
+        F.desc_nulls_last("address"),
+    ]
+
+
 def overlay_raw(layers: list[DataFrame]) -> DataFrame:
     """Highest-priority row per key, tombstones retained.
 
     ``layers[0]`` wins over ``layers[1]`` etc. Layers must already carry
-    ``seq`` + ``is_tombstone`` (use :func:`with_layer`).
+    ``seq`` + ``is_tombstone`` (use :func:`with_layer`). Duplicate keys
+    *within* a layer are resolved by a deterministic tiebreak so the
+    pick is stable across plan re-evaluations.
     """
     unioned = layers[0]
     for layer in layers[1:]:
         unioned = unioned.unionByName(layer)
-    w = Window.partitionBy("key").orderBy(F.col("seq").asc())
+    w = Window.partitionBy("key").orderBy(F.col("seq").asc(), *_tiebreak())
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_entries(entries: DataFrame) -> DataFrame:
+    """One row per key, deterministic winner (no priority semantics —
+    for bulk inputs that may carry duplicate keys)."""
+    w = Window.partitionBy("key").orderBy(*_tiebreak())
+    return (
+        entries.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )

@@ -147,6 +147,105 @@ def _apply_cow(
     return out
 
 
+def import_apply(
+    spark: SparkSession,
+    root: str,
+    base_manifest: pd.DataFrame | None,
+    source: DataFrame,
+    replace_prefixes: list[str],
+    raggedness: int = DEFAULT_RAGGEDNESS,
+) -> pd.DataFrame:
+    """Prefix-replacing import as range-granular COW.
+
+    The reference's Import merges the source tree into dest where the
+    dest iterator skips the imported prefixes — and, like all committed
+    operators, moves *whole ranges* without opening them
+    (pkg/graveler/committed/manager.go:215-236, skip_prefix_iterator.go).
+    Same here, manifest-side:
+
+    - dest ranges fully inside a replaced interval: dropped (no read)
+    - dest ranges disjoint from every interval: kept (no read)
+    - boundary-straddling ranges (≤2 per prefix): read, filtered,
+      rewritten
+    - source rows and boundary remainders are chunked per keyspace
+      segment so no rebuilt range spans a kept range's interval
+
+    Cost is O(import size + boundary ranges), independent of repo size.
+    """
+    from lakefs_spark.functions.prefix import upper_bound_for_prefix
+    from lakefs_spark.operators.importer import skip_prefix_predicate
+
+    source = source.select(*ENTRY_COLS)
+    if base_manifest is None or base_manifest.empty:
+        return R.write_ranges(source, root, raggedness)
+
+    intervals: list[tuple[str, str | None]] = []
+    for p in sorted(replace_prefixes):
+        ub = upper_bound_for_prefix(p)
+        if intervals and (intervals[-1][1] is None or p <= intervals[-1][1]):
+            lo, hi = intervals[-1]
+            intervals[-1] = (lo, None if (hi is None or ub is None) else max(hi, ub))
+        else:
+            intervals.append((p, ub))
+
+    mf = base_manifest.sort_values("min_key").reset_index(drop=True)
+    keep_rows, boundary_ids = [], []
+    for _, row in mf.iterrows():
+        mn, mx = row["min_key"], row["max_key"]
+        if any(p <= mn and (ub is None or mx < ub) for p, ub in intervals):
+            continue  # fully replaced — dropped without reading
+        if all(mx < p or (ub is not None and mn >= ub) for p, ub in intervals):
+            keep_rows.append(row)  # untouched — kept without reading
+        else:
+            boundary_ids.append(row["range_id"])
+
+    pieces = [
+        pd.DataFrame(keep_rows)[R.MANIFEST_COLS]
+        if keep_rows
+        else pd.DataFrame(columns=R.MANIFEST_COLS)
+    ]
+    skip_pred = skip_prefix_predicate(F.col("key"), list(replace_prefixes))
+    if boundary_ids:
+        brows = R.read_ranges(spark, root, sorted(boundary_ids)).where(skip_pred)
+        pieces.append(_write_segmented(brows, intervals, root, raggedness))
+    pieces.append(_write_segmented(source.where(~skip_pred), intervals, root, raggedness))
+
+    out = pd.concat(pieces, ignore_index=True).sort_values("min_key").reset_index(drop=True)
+    # source rows outside every replaced prefix (rare): plain COW upsert
+    extra = source.where(skip_pred)
+    if not extra.isEmpty():
+        changes = extra.select(F.lit(False).alias("is_tombstone"), *ENTRY_COLS)
+        out = apply_changes(spark, root, out, changes, raggedness)
+    _assert_sorted_disjoint(out)
+    return out
+
+
+def _write_segmented(
+    rows: DataFrame, intervals: list[tuple[str, str | None]], root: str, raggedness: int
+) -> pd.DataFrame:
+    """Chunk + write rows, grouped by keyspace segment so a chunk never
+    crosses an interval boundary (and hence never overlaps a kept
+    range's interval)."""
+    flat: list[str] = []
+    for p, ub in intervals:
+        flat.append(p)
+        if ub is not None:
+            flat.append(ub)
+    bc = rows.sparkSession.sparkContext.broadcast(np.array(flat, dtype=object))
+
+    @F.pandas_udf("int")
+    def _segment(keys: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.searchsorted(bc.value, keys.to_numpy(dtype=object), side="right").astype("int32")
+        )
+
+    rows = rows.withColumn("grp", _segment(F.col("key"))).persist()
+    try:
+        return _write_grouped_ranges(rows, root, raggedness)
+    finally:
+        rows.unpersist()
+
+
 def _write_grouped_ranges(merged: DataFrame, root: str, raggedness: int) -> pd.DataFrame:
     """Chunk rows by (group, global-boundary bucket) and write ranges."""
     from lakefs_spark.plans.chunker import assign_chunks

@@ -732,22 +732,31 @@ class Repository:
         committer: str = "lakefs_spark",
         date: float | None = None,
     ) -> Commit:
-        """Bulk import: union of dest (minus replaced prefixes) and the
-        imported entries (SkipPrefix semantics —
-        pkg/graveler/committed/manager.go:215-236, skip_prefix_iterator.go).
-        """
+        """Bulk import with SkipPrefix semantics, range-granular COW
+        (pkg/graveler/committed/manager.go:215-236, skip_prefix_iterator.go):
+        dest ranges fully inside/outside the replaced prefixes are
+        dropped/kept without being read; without prefixes the import is
+        a COW upsert. Cost O(import + boundary ranges), not O(repo)."""
+        from lakefs_spark.operators.overlay import dedup_entries
+        from lakefs_spark.storage.commit_apply import import_apply
+
         head = self._read_branch(branch)["head"]
         head_mid = self._metarange_of(head)
-        dest = R.read_snapshot(self.spark, self.root, head_mid)
-        if replace_prefixes:
-            keep = ~F.col("key").startswith(replace_prefixes[0])
-            for p in replace_prefixes[1:]:
-                keep = keep & ~F.col("key").startswith(p)
-            dest = dest.where(keep)
-        combined = overlay(
-            [with_layer(entries.select(*ENTRY_COLS), 0), with_layer(dest, 1)]
+        base_manifest = (
+            R.read_manifest(self.root, head_mid) if head_mid != R.EMPTY_METARANGE else None
         )
-        new_manifest = R.write_ranges(combined, self.root, self.raggedness)
+        entries = dedup_entries(entries.select(*ENTRY_COLS))
+        if replace_prefixes:
+            new_manifest = import_apply(
+                self.spark, self.root, base_manifest, entries, replace_prefixes, self.raggedness
+            )
+        else:
+            changes = entries.select(
+                F.lit(False).alias("is_tombstone"), *[F.col(c) for c in ENTRY_COLS]
+            )
+            new_manifest = apply_changes(
+                self.spark, self.root, base_manifest, changes, self.raggedness
+            )
         new_mid = R.write_manifest(new_manifest, self.root)
         commit = self.commits.create(
             parents=[head] if head else [],

@@ -473,3 +473,60 @@ def test_delta_log_export(repo, spark, tmp_path):
     # idempotent table id
     p2 = delta_log_export(repo.snapshot("main"), str(tmp_path / "delta2"))
     assert _json.loads(open(p2).readlines()[1])["metaData"]["id"] == lines[1]["metaData"]["id"]
+
+
+def test_import_cow_range_reuse(repo, spark):
+    """Prefix-replacing import must not rewrite untouched ranges."""
+    ents = _entries(spark)
+    c1 = repo.import_entries("main", ents, message="base")
+    mf1 = set(R.read_manifest(repo.root, c1.metarange_id)["range_id"])
+    replacement = (
+        ents.where(F.col("key").startswith("tables/orders/b3/"))
+        .withColumn("identity", F.concat("identity", F.lit("-v2")))
+    )
+    c2 = repo.import_entries(
+        "main", replacement, replace_prefixes=["tables/orders/b3/"], message="replace b3"
+    )
+    mf2 = set(R.read_manifest(repo.root, c2.metarange_id)["range_id"])
+    # most ranges shared; only b3-interval + boundary ranges rewritten
+    shared = mf1 & mf2
+    assert len(shared) > len(mf1) * 0.5, (len(shared), len(mf1), len(mf2))
+    # snapshot correctness
+    snap = repo.snapshot("main")
+    b3 = snap.where(F.col("key").startswith("tables/orders/b3/"))
+    assert b3.count() == replacement.count()
+    assert snap.count() == _entries(spark).count()
+    assert all(r["identity"].endswith("-v2") for r in b3.collect())
+
+
+def test_import_multi_prefix_and_outside(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    n0 = repo.snapshot("main").count()
+    inside = ents.where(
+        F.col("key").startswith("tables/orders/b1/") | F.col("key").startswith("tables/orders/b5/")
+    ).limit(20).withColumn("identity", F.concat("identity", F.lit("-i")))
+    outside = ents.where(F.col("key").startswith("tables/orders/b6/")).limit(3).withColumn(
+        "identity", F.concat("identity", F.lit("-o"))
+    )
+    repo.import_entries(
+        "main",
+        inside.unionByName(outside),
+        replace_prefixes=["tables/orders/b1/", "tables/orders/b5/"],
+        message="multi",
+    )
+    snap = repo.snapshot("main")
+    assert (
+        snap.where(
+            F.col("key").startswith("tables/orders/b1/")
+            | F.col("key").startswith("tables/orders/b5/")
+        ).count()
+        == 20
+    )
+    # outside-prefix source rows upserted in place
+    assert snap.where(F.col("identity").endswith("-o")).count() == 3
+    n_b15 = _entries(
+        spark,
+        F.col("key").startswith("tables/orders/b1/") | F.col("key").startswith("tables/orders/b5/"),
+    ).count()
+    assert snap.count() == n0 - n_b15 + 20
