@@ -227,20 +227,28 @@ def log_commits(
     first_parent: bool = False,
     since: float | None = None,
     limit: int | None = None,
+    after: str | None = None,
 ) -> list[Commit]:
     """History from head, newest first: priority queue on
-    (creation_date desc, commit_id) like the reference's iterator."""
+    (creation_date desc, commit_id) like the reference's iterator.
+    ``after``: emit only commits past that id in iteration order — the
+    SeekGE pagination of pkg/graveler/ref/commit_iterator.go:75-189."""
     out: list[Commit] = []
     seen = {head}
     heap: list[tuple[float, str]] = []
     c0 = commits.get(head)
     heapq.heappush(heap, (-c0.creation_date, c0.commit_id))
+    skipping = after is not None
     while heap:
         _, cid = heapq.heappop(heap)
         c = commits.get(cid)
         if since is not None and c.creation_date < since:
             continue
-        out.append(c)
+        if skipping:
+            if cid == after:
+                skipping = False
+        else:
+            out.append(c)
         if limit is not None and len(out) >= limit:
             break
         parents = c.parents[:1] if first_parent else c.parents

@@ -411,6 +411,21 @@ class Repository:
         snap = self.snapshot(ref, key_lower=prefix or None, key_upper=upper)
         return _list_entries(snap, prefix=prefix, after=after, delimiter=delimiter, limit=limit)
 
+    def list_page(
+        self,
+        ref: str,
+        prefix: str = "",
+        after: str = "",
+        delimiter: str = "",
+        amount: int = 1000,
+    ) -> tuple[list, bool]:
+        """One listing page + ``has_more``, via the reference's
+        ``amount+1`` probe (pkg/catalog/catalog.go:1270-1325)."""
+        rows = self.list_entries(
+            ref, prefix=prefix, after=after, delimiter=delimiter, limit=amount + 1
+        ).collect()
+        return rows[:amount], len(rows) > amount
+
     def get(self, ref: str, key: str):
         """Point lookup: manifest-pruned single-range read."""
         upper = key + "\x00"
@@ -773,11 +788,18 @@ class Repository:
 
     # -- log / gc ----------------------------------------------------------
 
-    def log(self, ref: str, first_parent: bool = False, since: float | None = None, limit: int | None = None) -> list[Commit]:
+    def log(
+        self,
+        ref: str,
+        first_parent: bool = False,
+        since: float | None = None,
+        limit: int | None = None,
+        after: str | None = None,
+    ) -> list[Commit]:
         cid = self.resolve(ref).commit_id
         if cid is None:
             return []
-        return log_commits(self.commits, cid, first_parent, since, limit)
+        return log_commits(self.commits, cid, first_parent, since, limit, after)
 
     def log_with_paths(self, ref: str, paths: list[str], limit: int | None = None) -> list[Commit]:
         """History filtered to commits that changed any of the paths —

@@ -530,3 +530,61 @@ def test_import_multi_prefix_and_outside(repo, spark):
         F.col("key").startswith("tables/orders/b1/") | F.col("key").startswith("tables/orders/b5/"),
     ).count()
     assert snap.count() == n0 - n_b15 + 20
+
+
+def test_walker_import_url(repo, spark, tmp_path):
+    from lakefs_spark.sources.walker import entries_from_walk, import_url, walk_files
+
+    src = tmp_path / "bucket" / "raw"
+    (src / "sub").mkdir(parents=True)
+    for i in range(5):
+        (src / f"f{i}.bin").write_bytes(b"x" * (i + 1) * 10)
+    (src / "sub" / "nested.bin").write_bytes(b"y" * 7)
+
+    url = f"file://{src}"
+    walked = walk_files(spark, url, glob="*.bin")
+    assert walked.count() == 6
+    ents = entries_from_walk(walked, f"file:{src}", key_prefix="raw/")
+    rows = {r["key"]: r for r in ents.collect()}
+    assert set(rows) == {f"raw/f{i}.bin" for i in range(5)} | {"raw/sub/nested.bin"}
+    assert rows["raw/f2.bin"]["size"] == 30
+    assert rows["raw/f2.bin"]["address_type"] == "FULL"
+    assert rows["raw/f2.bin"]["address"].endswith("f2.bin")
+
+    c = import_url(repo, "main", url, "raw/", glob="*.bin")
+    assert repo.branches()["main"] == c.commit_id
+    assert repo.snapshot("main").count() == 6
+    # re-import after modifying one file replaces the subtree
+    (src / "f0.bin").write_bytes(b"z" * 99)
+    import_url(repo, "main", url, "raw/", glob="*.bin")
+    assert repo.snapshot("main").count() == 6
+    assert repo.get("main", "raw/f0.bin")["size"] == 99
+
+
+def test_list_page_has_more(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    page1, more1 = repo.list_page("main", prefix="tables/orders/b3/", amount=10)
+    assert len(page1) == 10 and more1
+    page2, more2 = repo.list_page(
+        "main", prefix="tables/orders/b3/", after=page1[-1]["key"], amount=10**6
+    )
+    assert not more2
+    assert page1[-1]["key"] < page2[0]["key"]
+    n_b3 = ents.where(F.col("key").startswith("tables/orders/b3/")).count()
+    assert len(page1) + len(page2) == n_b3
+
+
+def test_log_after_pagination(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(10), message="c0")
+    for i in range(5):
+        repo.stage_entries(
+            "main", ents.limit(1).withColumn("identity", F.lit(f"v{i}"))
+        )
+        repo.commit("main", f"c{i+1}")
+    full = repo.log("main")
+    assert len(full) == 6
+    page1 = repo.log("main", limit=3)
+    page2 = repo.log("main", after=page1[-1].commit_id, limit=3)
+    assert [c.commit_id for c in page1 + page2] == [c.commit_id for c in full]
