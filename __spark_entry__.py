@@ -314,6 +314,23 @@ def q_gc_key_match(spark, sf_dir):
     return staged_view(spark, "staged_active").where(F.col("key").rlike("b[13]/")).select("key")
 
 
+def q_point_lookup(spark, sf_dir):
+    snap = _snap(spark, sf_dir, "snap_a")
+    return snap.where(F.col("key") == ORC.POINT_KEY).select(
+        "key", "identity", "address", "size", "etag"
+    )
+
+
+def q_uncommitted_addresses(spark, sf_dir):
+    _fixtures(spark, sf_dir)
+    staged = staged_view(spark, "staged_all")
+    return (
+        staged.where(~F.col("is_tombstone") & F.col("address").isNotNull())
+        .select("address")
+        .distinct()
+    )
+
+
 def q_windowed_event_counts(spark, sf_dir):
     from lakefs_spark.streaming.ingest import windowed_event_counts
 
@@ -366,6 +383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "gc_key_match": q_gc_key_match,
         "windowed_event_counts": q_windowed_event_counts,
+        "point_lookup": q_point_lookup,
+        "uncommitted_addresses": q_uncommitted_addresses,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,

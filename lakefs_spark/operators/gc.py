@@ -48,3 +48,42 @@ def gc_mark(
 
 def gc_summary(marked: DataFrame) -> DataFrame:
     return marked.agg(F.count(F.lit(1)).alias("num_deleted_objects"))
+
+
+def gc_sweep(marked: DataFrame, delete_fn=None, bulk_size: int = 1000) -> int:
+    """Delete marked addresses in executor-parallel chunks.
+
+    Mirrors the reference's sweep (GarbageCollection.scala:253-276 +
+    BulkRemoverFactory.scala): each partition batches addresses into
+    ``bulk_size`` chunks and calls ``delete_fn(chunk)`` — the stand-in
+    for the store's bulk-delete API (S3 DeleteObjects caps at 1000).
+    Default ``delete_fn`` unlinks local paths. Returns count deleted.
+    """
+    if delete_fn is None:
+
+        def delete_fn(chunk: list[str]) -> None:
+            import os as _os
+
+            for p in chunk:
+                try:
+                    _os.remove(p)
+                except FileNotFoundError:
+                    pass
+
+    def _sweep(rows) -> None:
+        chunk: list[str] = []
+        for row in rows:
+            chunk.append(row["address"])
+            if len(chunk) >= bulk_size:
+                delete_fn(chunk)
+                chunk = []
+        if chunk:
+            delete_fn(chunk)
+
+    marked = marked.persist()
+    try:
+        n = marked.count()
+        marked.foreachPartition(_sweep)
+        return n
+    finally:
+        marked.unpersist()

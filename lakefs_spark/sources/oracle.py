@@ -367,6 +367,22 @@ def q_gc_key_match() -> str:
     """
 
 
+POINT_KEY = "tables/orders/b3/000000000017"
+
+
+def q_point_lookup() -> str:
+    return with_views("snap_a") + f"""
+    select key, identity, address, size, etag from snap_a where key = '{POINT_KEY}'
+    """
+
+
+def q_uncommitted_addresses() -> str:
+    return with_views("staged_all") + """
+    select distinct address from staged_all
+    where is_tombstone = false and address is not null
+    """
+
+
 def q_windowed_event_counts() -> str:
     # 10-minute tumbling windows, epoch-aligned like Spark's window()
     return """
@@ -415,6 +431,8 @@ def all_oracles() -> dict[str, str]:
                 "media_frame_sample": q_media_frame_sample(),
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),
+                "point_lookup": q_point_lookup(),
+                "uncommitted_addresses": q_uncommitted_addresses(),
             }
         )
     return dict(ORACLES)

@@ -942,6 +942,54 @@ class Repository:
         uncommitted = self.uncommitted_addresses()
         return _mark(listing, committed, uncommitted, cutoff)
 
+    def gc_range_files(
+        self,
+        retention_days_default: float = float("inf"),
+        per_branch: dict[str, float] | None = None,
+        now: float | None = None,
+        dry_run: bool = False,
+    ) -> dict[str, int]:
+        """Collect the engine's own metadata garbage: range and manifest
+        files referenced by no active commit (aborted commits, expired
+        history). The metadata analog of the reference's GC mark —
+        listing ∖ reachable, driver-side because manifests are tiny.
+
+        Default retention is infinite: everything reachable from any
+        branch head or tag survives (plus pending compacted bases);
+        only orphans from aborted/abandoned commits go. A finite
+        retention also drops old commits' files — like the reference's
+        data GC, time-travel to collected commits stops working.
+        Returns counts {ranges_deleted, manifests_deleted}.
+        """
+        active = self.active_commits(retention_days_default, per_branch, now)
+        live_mids: set[str] = set()
+        for cid in active:
+            live_mids.add(self.commits.get(cid).metarange_id)
+        for branch in self.branches():
+            cmid = self._read_branch(branch).get("compacted_mid")
+            if cmid:
+                live_mids.add(cmid)
+        live_mids.discard(R.EMPTY_METARANGE)
+        live_ranges: set[str] = set()
+        for mid in live_mids:
+            live_ranges.update(R.read_manifest(self.root, mid)["range_id"])
+
+        rdir, mdir = R.ranges_dir(self.root), R.manifests_dir(self.root)
+        dead_ranges = [
+            p for p in os.listdir(rdir)
+            if p.endswith(".parquet") and p[: -len(".parquet")] not in live_ranges
+        ]
+        dead_manifests = [
+            p for p in os.listdir(mdir)
+            if p.endswith(".parquet") and p[: -len(".parquet")] not in live_mids
+        ]
+        if not dry_run:
+            for p in dead_ranges:
+                os.remove(os.path.join(rdir, p))
+            for p in dead_manifests:
+                os.remove(os.path.join(mdir, p))
+        return {"ranges_deleted": len(dead_ranges), "manifests_deleted": len(dead_manifests)}
+
     # -- misc write-path operators -----------------------------------------
 
     def copy_entry(self, src_ref: str, src_key: str, dest_branch: str, dest_key: str) -> None:

@@ -588,3 +588,41 @@ def test_log_after_pagination(repo, spark):
     page1 = repo.log("main", limit=3)
     page2 = repo.log("main", after=page1[-1].commit_id, limit=3)
     assert [c.commit_id for c in page1 + page2] == [c.commit_id for c in full]
+
+
+def test_gc_range_files_and_sweep(repo, spark, tmp_path):
+    from lakefs_spark.operators.gc import gc_sweep
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    rdir = os.path.join(repo.root, "ranges")
+    n_live = len(os.listdir(rdir))
+
+    # orphan ranges: a staged-but-abandoned compaction attempt
+    repo.create_branch("tmp", "main")
+    repo.stage_entries("tmp", ents.limit(50).withColumn("identity", F.lit("orphan")))
+    repo.commit("tmp", "will be abandoned")
+    repo.delete_branch("tmp")
+    assert len(os.listdir(rdir)) > n_live
+
+    res = repo.gc_range_files(dry_run=True)
+    assert res["ranges_deleted"] > 0
+    n_before = len(os.listdir(rdir))
+    res2 = repo.gc_range_files()
+    assert res2 == res
+    assert len(os.listdir(rdir)) == n_before - res["ranges_deleted"]
+    # live snapshot unharmed
+    assert repo.snapshot("main").count() == ents.select("key").distinct().count()
+
+    # sweep: executor-parallel chunked deletes over a marked set
+    junk = tmp_path / "junk"
+    junk.mkdir()
+    paths = []
+    for i in range(25):
+        p = junk / f"o{i}.bin"
+        p.write_bytes(b"x")
+        paths.append(str(p))
+    marked = spark.createDataFrame([(p,) for p in paths], "address string")
+    n = gc_sweep(marked, bulk_size=7)
+    assert n == 25
+    assert not any(os.path.exists(p) for p in paths)
