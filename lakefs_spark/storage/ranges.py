@@ -104,10 +104,15 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
 
     def _write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("key", kind="mergesort")
-        h = hashlib.sha256()
-        for k, ident in zip(pdf["key"], pdf["identity"]):
-            h.update(f"{len(k)}:{k}{len(ident)}:{ident}".encode())
-        range_id = h.hexdigest()
+        # vectorized length-tagged framing (a per-row python loop here
+        # costs ~10x at 50k rows per chunk)
+        ks, ids = pdf["key"], pdf["identity"]
+        framed = (
+            ks.str.len().astype(str).str.cat(ks, sep=":")
+            .str.cat(ids.str.len().astype(str), sep="")
+            .str.cat(ids, sep=":")
+        )
+        range_id = hashlib.sha256("".join(framed.tolist()).encode()).hexdigest()
         path = os.path.join(rdir, f"{range_id}.parquet")
         if not os.path.exists(path):  # content-address hit => free
             out = _to_parquet_pdf(pdf)
