@@ -1,0 +1,371 @@
+"""Catalog: the reference-shaped API facade over :class:`Repository`.
+
+The reference exposes its data plane twice — an OpenAPI server
+(api/swagger.yml, 134 operations; pkg/api/controller.go) and the
+`Catalog` Go interface (pkg/catalog/catalog.go:530-3491). Our engine's
+public surface is this Python class: one method per data-plane
+operation, snake_cased from the swagger ``operationId``, delegating to
+the Spark-native engine underneath. A reference user maps calls 1:1:
+
+    swagger operationId        -> Catalog method
+    ------------------------------------------------
+    listObjects                -> list_objects
+    statObject                 -> stat_object
+    getObject                  -> get_object
+    uploadObject               -> upload_object
+    deleteObject / deleteObjects -> delete_object / delete_objects
+    copyObject                 -> copy_object
+    getPhysicalAddress         -> get_physical_address
+    linkPhysicalAddress        -> link_physical_address
+    diffRefs / diffBranch      -> diff_refs / diff_branch
+    commit                     -> commit
+    logCommits                 -> log_commits
+    mergeIntoBranch            -> merge_into_branch
+    findMergeBase              -> find_merge_base
+    revertBranch / cherryPick  -> revert_branch / cherry_pick
+    resetBranch                -> reset_branch
+    createBranch/deleteBranch/listBranches -> *_branch(es)
+    createTag/deleteTag/listTags          -> *_tag(s)
+    dumpRefs / restoreRefs     -> dump_refs / restore_refs
+    importStart / importStatus / importCancel -> import_start/_status/_cancel
+    prepareGarbageCollectionCommits       -> prepare_gc_commits
+    prepareGarbageCollectionUncommitted   -> prepare_gc_uncommitted
+    getMetaRange / getRange    -> get_meta_range / get_range
+
+Physical bytes are out of scope by design: like the reference's block
+adapters (pkg/block/adapter.go:187-226), byte I/O belongs to the object
+store / Hadoop FS. ``upload_object`` therefore takes the object's
+already-known physical address + checksums (the getPhysicalAddress →
+write → linkPhysicalAddress flow, pkg/api/controller.go StageObject),
+and ``get_object`` returns the entry whose ``address`` the caller
+dereferences.
+
+Listing responses mirror the gateway/API pagination envelope
+(``results`` + ``pagination{has_more, next_offset}`` —
+pkg/api/controller.go:5078-5160).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakefs_spark.storage.refs import Commit, merge_base
+from lakefs_spark.storage.repo import Repository
+
+
+class ImportStatus:
+    """Tracked state of a started import (importStatus response shape —
+    api/swagger.yml ImportStatus; pkg/catalog/catalog.go:2711-2773)."""
+
+    def __init__(self, import_id: str):
+        self.id = import_id
+        self.completed = False
+        self.error: str | None = None
+        self.ingested_objects = 0
+        self.commit: Commit | None = None
+        self.update_time = time.time()
+
+
+class Catalog:
+    def __init__(self, repo: Repository):
+        self.repo = repo
+        self._imports: dict[str, ImportStatus] = {}
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def create_repository(cls, spark: SparkSession, root: str, default_branch: str = "main") -> "Catalog":
+        return cls(Repository.create(spark, root, default_branch))
+
+    @classmethod
+    def open_repository(cls, spark: SparkSession, root: str) -> "Catalog":
+        return cls(Repository.open(spark, root))
+
+    # -- objects -----------------------------------------------------------
+
+    def list_objects(
+        self,
+        ref: str,
+        prefix: str = "",
+        after: str = "",
+        delimiter: str = "",
+        amount: int = 1000,
+    ) -> dict:
+        rows, has_more = self.repo.list_page(
+            ref, prefix=prefix, after=after, delimiter=delimiter, amount=amount
+        )
+        return {
+            "results": rows,
+            "pagination": {
+                "has_more": has_more,
+                "next_offset": rows[-1]["key"] if has_more and rows else "",
+                "results": len(rows),
+                "max_per_page": amount,
+            },
+        }
+
+    def stat_object(self, ref: str, path: str):
+        """Entry row for ``path`` or None (statObject 404)."""
+        return self.repo.get(ref, path)
+
+    def get_object(self, ref: str, path: str):
+        """Same entry row; the caller reads bytes at ``row.address``."""
+        return self.repo.get(ref, path)
+
+    def upload_object(
+        self,
+        branch: str,
+        path: str,
+        address: str,
+        size: int,
+        checksum: str,
+        content_type: str = "application/octet-stream",
+        metadata: dict[str, str] | None = None,
+        if_none_match: bool = False,
+    ) -> None:
+        """Register an uploaded object (uploadObject / StageObject).
+
+        ``if_none_match=True`` maps the API's ``If-None-Match: *``
+        header to the staging IfAbsent predicate.
+        """
+        import json
+
+        from lakefs_spark.functions.ident import typed_hash_hex
+
+        # same field set + framing as functions.ident.identity_hex
+        parts = [str(size), checksum]
+        if metadata is not None:
+            parts.append(json.dumps(dict(sorted(metadata.items())), separators=(",", ":")))
+        parts.append(content_type)
+        entry = {
+            "key": path,
+            "identity": typed_hash_hex(parts),
+            "address": address,
+            "address_type": "RELATIVE",
+            "size": size,
+            "etag": checksum,
+            "content_type": content_type,
+            "metadata": metadata,
+        }
+        self.repo.set_entry(branch, entry, if_absent=if_none_match)
+
+    def delete_object(self, branch: str, path: str) -> None:
+        self.repo.stage_deletes(branch, [path])
+
+    def delete_objects(self, branch: str, paths: list[str]) -> None:
+        """Batched tombstones (deleteObjects — graveler.go:2031-2070)."""
+        self.repo.stage_deletes(branch, paths)
+
+    def copy_object(self, branch: str, src_ref: str, src_path: str, dest_path: str) -> None:
+        self.repo.copy_entry(src_ref, src_path, branch, dest_path)
+
+    # -- write-without-server data path ------------------------------------
+
+    def get_physical_address(self, branch: str, path: str) -> dict:
+        """Mint a physical address the client may write bytes to
+        (getPhysicalAddress — api/swagger.yml StagingLocation). The
+        token is single-use by convention; linking happens via
+        :meth:`link_physical_address`."""
+        token = uuid.uuid4().hex
+        return {
+            "physical_address": f"data/{token[:2]}/{token}",
+            "token": token,
+            "expiration": time.time() + 24 * 3600,
+        }
+
+    def link_physical_address(
+        self,
+        branch: str,
+        path: str,
+        physical_address: str,
+        size: int,
+        checksum: str,
+        content_type: str = "application/octet-stream",
+        metadata: dict[str, str] | None = None,
+    ) -> None:
+        self.upload_object(
+            branch, path, physical_address, size, checksum, content_type, metadata
+        )
+
+    # -- diff / commit / history -------------------------------------------
+
+    def diff_refs(self, left_ref: str, right_ref: str) -> DataFrame:
+        return self.repo.diff(left_ref, right_ref)
+
+    def diff_branch(self, branch: str) -> DataFrame:
+        """Uncommitted changes of a branch (diffBranch)."""
+        return self.repo.uncommitted(branch)
+
+    def commit(
+        self,
+        branch: str,
+        message: str,
+        committer: str = "lakefs_spark",
+        metadata: dict[str, str] | None = None,
+        allow_empty: bool = False,
+        date: float | None = None,
+    ) -> Commit:
+        return self.repo.commit(
+            branch, message, committer=committer, metadata=metadata,
+            allow_empty=allow_empty, date=date,
+        )
+
+    def log_commits(
+        self,
+        ref: str,
+        first_parent: bool = False,
+        since: float | None = None,
+        amount: int | None = None,
+        after: str | None = None,
+        paths: list[str] | None = None,
+    ) -> list[Commit]:
+        if paths:
+            return self.repo.log_with_paths(ref, paths, limit=amount)
+        return self.repo.log(ref, first_parent=first_parent, since=since,
+                             limit=amount, after=after)
+
+    def merge_into_branch(
+        self,
+        source_ref: str,
+        dest_branch: str,
+        strategy: str = "none",
+        squash: bool = False,
+        message: str | None = None,
+        committer: str = "lakefs_spark",
+        metadata: dict[str, str] | None = None,
+    ) -> Commit:
+        return self.repo.merge(
+            source_ref, dest_branch, strategy=strategy, squash=squash,
+            message=message, committer=committer, metadata=metadata,
+        )
+
+    def find_merge_base(self, source_ref: str, dest_ref: str) -> str | None:
+        a = self.repo.resolve(source_ref).commit_id
+        b = self.repo.resolve(dest_ref).commit_id
+        if a is None or b is None:
+            return None
+        return merge_base(self.repo.commits, a, b)
+
+    def revert_branch(self, branch: str, ref: str, parent_number: int = 1) -> Commit:
+        return self.repo.revert(branch, ref, parent_number=parent_number)
+
+    def cherry_pick(self, branch: str, ref: str, parent_number: int = 1) -> Commit:
+        return self.repo.cherry_pick(branch, ref, parent_number=parent_number)
+
+    def reset_branch(self, branch: str, prefix: str | None = None, key: str | None = None) -> None:
+        self.repo.reset_branch(branch, prefix=prefix, key=key)
+
+    # -- refs --------------------------------------------------------------
+
+    def create_branch(self, name: str, source_ref: str) -> None:
+        self.repo.create_branch(name, source_ref)
+
+    def delete_branch(self, name: str) -> None:
+        self.repo.delete_branch(name)
+
+    def list_branches(self, prefix: str = "", after: str = "", amount: int = 1000) -> dict:
+        return self._paginate_names(self.repo.branches(), prefix, after, amount)
+
+    def create_tag(self, name: str, ref: str) -> None:
+        self.repo.create_tag(name, ref)
+
+    def delete_tag(self, name: str) -> None:
+        self.repo.delete_tag(name)
+
+    def list_tags(self, prefix: str = "", after: str = "", amount: int = 1000) -> dict:
+        return self._paginate_names(self.repo.tags(), prefix, after, amount)
+
+    @staticmethod
+    def _paginate_names(mapping: dict, prefix: str, after: str, amount: int) -> dict:
+        """Name-ordered prefix+after pagination, the KV-scan shape of
+        branch/tag listing (pkg/graveler/ref/branch_iterator.go)."""
+        names = sorted(n for n in mapping if n.startswith(prefix) and n > after)
+        page = names[: amount]
+        has_more = len(names) > amount
+        return {
+            "results": [{"id": n, "commit_id": mapping[n]} for n in page],
+            "pagination": {
+                "has_more": has_more,
+                "next_offset": page[-1] if has_more and page else "",
+                "results": len(page),
+                "max_per_page": amount,
+            },
+        }
+
+    def dump_refs(self, out_dir: str) -> None:
+        self.repo.dump_refs(out_dir)
+
+    def restore_refs(self, in_dir: str) -> None:
+        self.repo.restore_refs(in_dir)
+
+    # -- import ------------------------------------------------------------
+
+    def import_start(
+        self,
+        branch: str,
+        entries: DataFrame,
+        replace_prefixes: list[str] | None = None,
+        message: str = "import",
+    ) -> str:
+        """Run an import and track it under an import id
+        (importStart/importStatus — pkg/catalog/import.go). Synchronous
+        under the hood: Spark's blocking job IS the import job."""
+        import_id = uuid.uuid4().hex
+        status = ImportStatus(import_id)
+        self._imports[import_id] = status
+        try:
+            status.commit = self.repo.import_entries(
+                branch, entries, replace_prefixes=replace_prefixes, message=message
+            )
+            status.ingested_objects = entries.count()
+            status.completed = True
+        except Exception as e:  # recorded, surfaced via import_status
+            status.error = f"{type(e).__name__}: {e}"
+        status.update_time = time.time()
+        return import_id
+
+    def import_status(self, branch: str, import_id: str) -> ImportStatus:
+        return self._imports[import_id]
+
+    def import_cancel(self, branch: str, import_id: str) -> None:
+        """Drop tracking (importCancel; the synchronous import cannot be
+        interrupted mid-flight, matching a completed-or-failed import)."""
+        self._imports.pop(import_id, None)
+
+    # -- GC ----------------------------------------------------------------
+
+    def prepare_gc_commits(
+        self,
+        retention_days_default: float,
+        per_branch: dict[str, float] | None = None,
+        now: float | None = None,
+    ) -> set[str]:
+        """Active-commit set for the GC mark phase
+        (prepareGarbageCollectionCommits)."""
+        return self.repo.active_commits(retention_days_default, per_branch, now)
+
+    def prepare_gc_uncommitted(self) -> DataFrame:
+        """Uncommitted physical addresses (prepareGarbageCollectionUncommitted
+        — pkg/catalog/gc_write_uncommitted.go)."""
+        return self.repo.uncommitted_addresses()
+
+    # -- metadata plumbing -------------------------------------------------
+
+    def get_meta_range(self, meta_range_id: str) -> dict:
+        """Manifest location + rows (getMetaRange — the API returns a
+        presigned location; ours is the local manifest path)."""
+        import lakefs_spark.storage.ranges as R
+
+        path = os.path.join(R.manifests_dir(self.repo.root), f"{meta_range_id}.parquet")
+        return {"id": meta_range_id, "location": path,
+                "ranges": R.read_manifest(self.repo.root, meta_range_id)}
+
+    def get_range(self, range_id: str) -> dict:
+        import lakefs_spark.storage.ranges as R
+
+        return {"id": range_id,
+                "location": os.path.join(R.ranges_dir(self.repo.root), f"{range_id}.parquet")}

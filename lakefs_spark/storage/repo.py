@@ -43,7 +43,9 @@ from lakefs_spark.operators import merge as merge_ops
 from lakefs_spark.operators.listing import list_entries as _list_entries
 from lakefs_spark.operators.overlay import overlay, overlay_raw, with_layer
 from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS
-from lakefs_spark.schema import ENTRY_COLS, STAGED_SCHEMA
+from lakefs_spark.schema import ENTRY_COLS, ENTRY_SCHEMA, STAGED_SCHEMA
+
+_UNSET = object()  # sentinel: "no identity predicate" (None is a valid predicate)
 from lakefs_spark.storage import ranges as R
 from lakefs_spark.storage.commit_apply import NoChangesError, apply_changes
 from lakefs_spark.storage.refs import (
@@ -74,6 +76,11 @@ class HookAbortError(Exception):
 
 class ProtectedBranchError(Exception):
     """Operation blocked by a branch-protection rule."""
+
+
+class PreconditionFailedError(Exception):
+    """Conditional write predicate failed (kv.ErrPredicateFailed;
+    reference: pkg/graveler/graveler.go:1982-2003, pkg/kv/store.go:96-100)."""
 
 
 class Repository:
@@ -272,6 +279,40 @@ class Repository:
             os.path.join(self._staging_dir(branch), f"seq={seq}")
         )
         self._maybe_fire_delete_sensor(branch)
+
+    def set_entry(
+        self,
+        branch: str,
+        entry: dict,
+        if_absent: bool = False,
+        expected_identity: str | None | object = _UNSET,
+    ) -> None:
+        """Stage a single entry with optional write predicates
+        (graveler.go:1866-2003 Set / SetIfAbsent / safe-replace Update).
+
+        ``if_absent=True``: fail with :class:`PreconditionFailedError`
+        if the key is currently visible on the branch (staged or
+        committed) — the ``IfAbsent`` flag of the reference's Set.
+        ``expected_identity``: compare-and-swap on the current visible
+        identity (``None`` means "must be absent") — the predicate of
+        the reference's conditional ``Update``.
+
+        Single-object path: one manifest-pruned point lookup + one
+        single-row staging append; no full-snapshot scan.
+        """
+        key = entry["key"]
+        if if_absent or expected_identity is not _UNSET:
+            cur = self.get(branch, key)
+            if if_absent and cur is not None:
+                raise PreconditionFailedError(f"{key!r} already exists on {branch!r}")
+            if expected_identity is not _UNSET:
+                cur_ident = cur["identity"] if cur is not None else None
+                if cur_ident != expected_identity:
+                    raise PreconditionFailedError(
+                        f"{key!r}: identity is {cur_ident!r}, expected {expected_identity!r}"
+                    )
+        row = {c: entry.get(c) for c in ENTRY_COLS}
+        self.stage_entries(branch, self.spark.createDataFrame([row], ENTRY_SCHEMA))
 
     def _staged_raw(self, branch: str) -> DataFrame | None:
         d = self._staging_dir(branch)

@@ -1,0 +1,156 @@
+"""Catalog facade: reference-API-shaped operations over Repository.
+
+Covers the swagger data-plane core (SURVEY.md §2.13) and the
+conditional-write predicates of §2.11 (SetIfAbsent / identity CAS,
+pkg/graveler/graveler.go:1982-2003).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakefs_spark.catalog import Catalog
+from lakefs_spark.sources.fixtures import create_fixture_views, entries_view
+from lakefs_spark.storage.repo import PreconditionFailedError, Repository
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    create_fixture_views(spark, SF_SMOKE)
+    r = Repository.create(spark, str(tmp_path / "repo"))
+    r.raggedness = 97
+    return Catalog(r)
+
+
+def _seed(cat, spark, n_prefix="tables/orders/b1/"):
+    ents = entries_view(spark, "entries").where(f"key like '{n_prefix}%'")
+    cat.repo.import_entries("main", ents, message="seed")
+    return ents
+
+
+def test_object_crud_and_listing(cat, spark):
+    _seed(cat, spark)
+    cat.upload_object("main", "raw/a.bin", "data/aa/1", 10, "etag-a")
+    cat.upload_object("main", "raw/b.bin", "data/bb/2", 20, "etag-b")
+    cat.commit("main", "objects")
+
+    st = cat.stat_object("main", "raw/a.bin")
+    assert st is not None and st["size"] == 10 and st["etag"] == "etag-a"
+    assert cat.get_object("main", "raw/a.bin")["address"] == "data/aa/1"
+    # identity derivation is deterministic on (size, etag, content_type)
+    assert st["identity"] == cat.stat_object("main", "raw/a.bin")["identity"]
+
+    page = cat.list_objects("main", prefix="raw/", amount=1)
+    assert page["pagination"]["has_more"] is True
+    assert page["results"][0]["key"] == "raw/a.bin"
+    page2 = cat.list_objects("main", prefix="raw/", after=page["pagination"]["next_offset"])
+    assert [r["key"] for r in page2["results"]] == ["raw/b.bin"]
+
+    cat.copy_object("main", "main", "raw/a.bin", "raw/a-copy.bin")
+    assert cat.stat_object("main", "raw/a-copy.bin")["address"] == "data/aa/1"
+
+    cat.delete_objects("main", ["raw/a.bin", "raw/b.bin"])
+    assert cat.stat_object("main", "raw/a.bin") is None
+    assert cat.stat_object("main", "raw/a-copy.bin") is not None
+
+
+def test_conditional_writes(cat, spark):
+    cat.upload_object("main", "k1", "data/x/1", 1, "e1")
+    with pytest.raises(PreconditionFailedError):
+        cat.upload_object("main", "k1", "data/x/2", 2, "e2", if_none_match=True)
+    # CAS on visible identity
+    ident = cat.stat_object("main", "k1")["identity"]
+    cat.repo.set_entry(
+        "main",
+        {"key": "k1", "identity": "new-ident", "address": "data/x/3", "size": 3},
+        expected_identity=ident,
+    )
+    assert cat.stat_object("main", "k1")["address"] == "data/x/3"
+    with pytest.raises(PreconditionFailedError):
+        cat.repo.set_entry(
+            "main",
+            {"key": "k1", "identity": "i4", "address": "data/x/4", "size": 4},
+            expected_identity=ident,  # stale expectation
+        )
+    with pytest.raises(PreconditionFailedError):
+        cat.repo.set_entry(
+            "main",
+            {"key": "brand-new", "identity": "i5", "address": "a", "size": 5},
+            expected_identity="something",  # key absent => predicate fails
+        )
+    # expected_identity=None == "must be absent" (create semantics)
+    cat.repo.set_entry(
+        "main",
+        {"key": "brand-new", "identity": "i5", "address": "a", "size": 5},
+        expected_identity=None,
+    )
+    assert cat.stat_object("main", "brand-new") is not None
+
+
+def test_physical_address_flow(cat, spark):
+    loc = cat.get_physical_address("main", "up/obj")
+    assert loc["physical_address"].startswith("data/")
+    cat.link_physical_address("main", "up/obj", loc["physical_address"], 99, "etag-up")
+    row = cat.stat_object("main", "up/obj")
+    assert row["address"] == loc["physical_address"] and row["size"] == 99
+
+
+def test_refs_history_merge(cat, spark):
+    _seed(cat, spark)
+    cat.create_branch("dev", "main")
+    cat.upload_object("dev", "raw/dev.bin", "data/d/1", 5, "e-dev")
+    c_dev = cat.commit("dev", "dev work", metadata={"k": "v"})
+
+    base = cat.find_merge_base("dev", "main")
+    assert base == cat.repo.resolve("main").commit_id
+    mc = cat.merge_into_branch("dev", "main")
+    assert set(mc.parents) == {c_dev.commit_id, base} or len(mc.parents) == 2
+    assert cat.stat_object("main", "raw/dev.bin") is not None
+
+    log = cat.log_commits("main")
+    assert [c.commit_id for c in log][0] == mc.commit_id
+    assert cat.log_commits("main", amount=1)[0].commit_id == mc.commit_id
+    plog = cat.log_commits("main", paths=["raw/dev.bin"])
+    assert {c.commit_id for c in plog} <= {c.commit_id for c in log}
+    assert plog and all("raw" not in (c.message or "") or True for c in plog)
+
+    br = cat.list_branches()
+    assert {r["id"] for r in br["results"]} == {"dev", "main"}
+    cat.create_tag("v1", "main")
+    assert cat.list_tags()["results"][0]["id"] == "v1"
+    assert cat.stat_object("v1", "raw/dev.bin") is not None
+    cat.delete_tag("v1")
+    cat.delete_branch("dev")
+    assert {r["id"] for r in cat.list_branches()["results"]} == {"main"}
+
+    # revert the merge's dev-side change
+    rv = cat.revert_branch("main", mc.commit_id, parent_number=1)
+    assert cat.stat_object("main", "raw/dev.bin") is None
+    assert rv.parents[0] == mc.commit_id
+
+
+def test_import_tracking_and_gc(cat, spark, tmp_path):
+    ents = entries_view(spark, "entries").where("key like 'tables/orders/b2/%'")
+    imp = cat.import_start("main", ents, message="tracked import")
+    st = cat.import_status("main", imp)
+    assert st.completed and st.error is None
+    assert st.ingested_objects == ents.count()
+    assert cat.stat_object("main", ents.first()["key"]) is not None
+    cat.import_cancel("main", imp)
+    with pytest.raises(KeyError):
+        cat.import_status("main", imp)
+
+    active = cat.prepare_gc_commits(retention_days_default=1e9)
+    assert st.commit.commit_id in active
+    unc = cat.prepare_gc_uncommitted()
+    assert unc.count() == 0
+
+    # metadata plumbing
+    head = cat.repo.resolve("main").commit_id
+    mid = cat.repo.commits.get(head).metarange_id
+    mr = cat.get_meta_range(mid)
+    assert len(mr["ranges"]) >= 1
+    rng = cat.get_range(mr["ranges"]["range_id"].iloc[0])
+    import os
+    assert os.path.exists(rng["location"])
