@@ -25,6 +25,7 @@ from lakefs_spark.operators import listing as L
 from lakefs_spark.operators import merge as M
 from lakefs_spark.operators import overlay as O
 from lakefs_spark.operators import similarity as SIM
+from lakefs_spark.operators import sync as SY
 from lakefs_spark.operators import text as TX
 from lakefs_spark.sources import oracle as ORC
 from lakefs_spark.sources.fixtures import create_fixture_views, entries_view, staged_view
@@ -102,6 +103,22 @@ def q_diff_refs(spark, sf_dir):
     return DF_.diff(_snap(spark, sf_dir, "snap_a"), _snap(spark, sf_dir, "snap_b")).select(
         "key", "diff_type", "left_identity", "identity"
     )
+
+
+def q_local_sync_diff(spark, sf_dir):
+    """lakectl-local walk-vs-listing diff (pkg/local/diff.go:268-336)."""
+    return SY.local_diff(
+        _snap(spark, sf_dir, "snap_b"), _snap(spark, sf_dir, "snap_a"), path_col="key"
+    )
+
+
+def q_sync_plan(spark, sf_dir):
+    """3-way sync plan: local/remote change lists vs the synced base
+    merged into operations (pkg/local/diff.go:109-149, sync.go)."""
+    base = _snap(spark, sf_dir, "merge_base")
+    lc = SY.local_diff(_snap(spark, sf_dir, "merge_source"), base, path_col="key")
+    rc = SY.local_diff(_snap(spark, sf_dir, "merge_dest"), base, path_col="key")
+    return SY.sync_plan(lc, rc)
 
 
 def q_diff_summary(spark, sf_dir):
@@ -362,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_visible": q_overlay_visible,
         "uncommitted_diff": q_uncommitted_diff,
         "diff_refs": q_diff_refs,
+        "local_sync_diff": q_local_sync_diff,
+        "sync_plan": q_sync_plan,
         "diff_summary": q_diff_summary,
         "compare_refs": q_compare_refs,
         "merge_result_src": q_merge_result_src,

@@ -1,0 +1,92 @@
+"""Local-sync operators: walk-vs-listing diff and the 3-way sync plan.
+
+Reference semantics (`lakectl local` — pkg/local/diff.go:268-336 DiffLocalWithHead,
+pkg/local/diff.go:109-149 Changes.MergeWith, pkg/local/sync.go apply):
+- 2-way diff of a local directory walk against a remote listing:
+  local-only path => added, remote-only => removed, present on both
+  with differing content (size/etag, the reference compares
+  mtime+size or checksum) => changed. The change list is from the
+  *local* perspective.
+- 3-way sync: the local change list (vs the last-synced base) merged
+  with the remote change list (vs the same base); a path changed on
+  both sides is a conflict, otherwise local changes become
+  upload/delete-remote operations and remote changes become
+  download/delete-local operations.
+
+Spark shape: both are single FULL OUTER joins on ``path`` + a CASE
+ladder — the same sort-merge-join plan as operators/diff.py, so a
+100 TB sync plan is one shuffle of each side keyed by path (and the
+walk side comes from sources/walker.py's distributed lister).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: operation labels of the produced plan
+UPLOAD, DOWNLOAD = "upload", "download"
+DELETE_REMOTE, DELETE_LOCAL = "delete_remote", "delete_local"
+CONFLICT = "conflict"
+
+
+def local_diff(local: DataFrame, remote: DataFrame, path_col: str = "path") -> DataFrame:
+    """2-way diff of a local walk against a remote listing.
+
+    Both inputs need ``(path_col, size, etag)``; rows compare equal when
+    both size and etag match (etag null-safe — a side that cannot
+    produce checksums still diffs on size, like the reference's
+    mtime/size fast path). Returns ``(path, change)`` with change in
+    {'added','removed','changed'}, local perspective.
+    """
+    l = local.select(F.col(path_col).alias("path"),
+                     F.col("size").alias("l_size"), F.col("etag").alias("l_etag"))
+    r = remote.select(F.col(path_col).alias("path"),
+                      F.col("size").alias("r_size"), F.col("etag").alias("r_etag"))
+    j = l.join(r, on="path", how="full_outer")
+    same = F.col("l_size").eqNullSafe(F.col("r_size")) & F.col("l_etag").eqNullSafe(F.col("r_etag"))
+    return (
+        j.where(F.col("l_size").isNull() | F.col("r_size").isNull() | ~same)
+        .select(
+            "path",
+            F.when(F.col("r_size").isNull() & F.col("r_etag").isNull(), F.lit("added"))
+            .when(F.col("l_size").isNull() & F.col("l_etag").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+    )
+
+
+def sync_plan(local_changes: DataFrame, remote_changes: DataFrame) -> DataFrame:
+    """Merge two change lists into sync operations (Changes.MergeWith).
+
+    Inputs are ``(path, change)`` frames — local changes vs the synced
+    base and remote changes vs the same base. Returns ``(path, op)``:
+
+    - both sides changed            => ``conflict``
+      (except both *removed*, which is agreement: no operation)
+    - local added/changed           => ``upload``
+    - local removed                 => ``delete_remote``
+    - remote added/changed          => ``download``
+    - remote removed                => ``delete_local``
+    """
+    l = local_changes.select("path", F.col("change").alias("l_change"))
+    r = remote_changes.select("path", F.col("change").alias("r_change"))
+    j = l.join(r, on="path", how="full_outer")
+    both = F.col("l_change").isNotNull() & F.col("r_change").isNotNull()
+    # null-safe: a one-sided row must not be dropped by three-valued logic
+    both_removed = F.col("l_change").eqNullSafe(F.lit("removed")) & F.col(
+        "r_change"
+    ).eqNullSafe(F.lit("removed"))
+    return (
+        j.where(~both_removed)
+        .select(
+            "path",
+            F.when(both, F.lit(CONFLICT))
+            .when(F.col("l_change") == "removed", F.lit(DELETE_REMOTE))
+            .when(F.col("l_change").isNotNull(), F.lit(UPLOAD))
+            .when(F.col("r_change") == "removed", F.lit(DELETE_LOCAL))
+            .otherwise(F.lit(DOWNLOAD))
+            .alias("op"),
+        )
+    )

@@ -101,6 +101,39 @@ def q_diff_refs() -> str:
     return with_views("snap_a", "snap_b") + diff_sql("snap_a", "snap_b")
 
 
+def _sync_diff_sql(local: str, remote: str) -> str:
+    """(path, change) of a local-vs-remote sync diff; rows equal when
+    size and etag both match (operators/sync.py local_diff)."""
+    return f"""
+    select coalesce(l.key, r.key) as path,
+           case when r.key is null then 'added'
+                when l.key is null then 'removed'
+                else 'changed' end as change
+    from {local} l full outer join {remote} r on l.key = r.key
+    where l.key is null or r.key is null
+       or not (l.size is not distinct from r.size and l.etag is not distinct from r.etag)
+    """
+
+
+def q_local_sync_diff() -> str:
+    return with_views("snap_a", "snap_b") + _sync_diff_sql("snap_b", "snap_a")
+
+
+def q_sync_plan() -> str:
+    lc = _sync_diff_sql("merge_source", "merge_base")
+    rc = _sync_diff_sql("merge_dest", "merge_base")
+    return with_views("merge_base", "merge_source", "merge_dest") + f"""
+    select coalesce(lc.path, rc.path) as path,
+           case when lc.path is not null and rc.path is not null then 'conflict'
+                when lc.change = 'removed' then 'delete_remote'
+                when lc.path is not null then 'upload'
+                when rc.change = 'removed' then 'delete_local'
+                else 'download' end as op
+    from ({lc}) lc full outer join ({rc}) rc on lc.path = rc.path
+    where not (coalesce(lc.change, '') = 'removed' and coalesce(rc.change, '') = 'removed')
+    """
+
+
 def q_diff_summary() -> str:
     return (
         with_views("snap_a", "snap_b")
@@ -410,6 +443,8 @@ def all_oracles() -> dict[str, str]:
                 "overlay_visible": q_overlay_visible(),
                 "uncommitted_diff": q_uncommitted_diff(),
                 "diff_refs": q_diff_refs(),
+                "local_sync_diff": q_local_sync_diff(),
+                "sync_plan": q_sync_plan(),
                 "diff_summary": q_diff_summary(),
                 "compare_refs": q_compare_refs(),
                 "merge_result_src": q_merge_result_src(),
