@@ -331,6 +331,43 @@ def q_gc_key_match(spark, sf_dir):
     return staged_view(spark, "staged_active").where(F.col("key").rlike("b[13]/")).select("key")
 
 
+def q_usage_report(spark, sf_dir):
+    """Daily usage counters (§2.4 usage report —
+    pkg/api/controller.go getUsageReportSummary): count per day per
+    operation type, one map-side-combined groupBy."""
+    _fixtures(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy(F.to_date("ts").cast("string").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_multipart_etags(spark, sf_dir):
+    """S3-convention composite ETags (§2.8 multipart checksum):
+    per-order part md5s folded into md5-of-binary-concat + '-N'.
+    Rows-only gate: DuckDB cannot md5 a BLOB; byte-level truth is
+    pinned by tests/test_checksum.py against hashlib."""
+    from lakefs_spark.functions.checksum import multipart_etag_col
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where("l_orderkey % 50 = 0")
+    parts = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber"),
+            F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("pmd5"),
+        ).alias("part"),
+    )
+    return (
+        parts.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("part")).alias("ps"))
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            multipart_etag_col(F.transform("ps", lambda s: s["pmd5"])).alias("etag"),
+        )
+    )
+
+
 def q_point_lookup(spark, sf_dir):
     snap = _snap(spark, sf_dir, "snap_a")
     return snap.where(F.col("key") == ORC.POINT_KEY).select(
@@ -402,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "gc_key_match": q_gc_key_match,
         "windowed_event_counts": q_windowed_event_counts,
+        "usage_report": q_usage_report,
         "point_lookup": q_point_lookup,
         "uncommitted_addresses": q_uncommitted_addresses,
         # Spark-only (no SQL-expressible oracle): rows-only checks
@@ -410,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "media_features": q_media_features,
+        "multipart_etags": q_multipart_etags,
     }
 
 

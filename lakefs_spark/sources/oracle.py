@@ -403,6 +403,13 @@ def q_gc_key_match() -> str:
 POINT_KEY = "tables/orders/b3/000000000017"
 
 
+def q_usage_report() -> str:
+    return """
+    select cast(cast(ts as date) as varchar) as day, event_type, count(*) as n
+    from events group by 1, 2
+    """
+
+
 def q_point_lookup() -> str:
     return with_views("snap_a") + f"""
     select key, identity, address, size, etag from snap_a where key = '{POINT_KEY}'
@@ -466,6 +473,7 @@ def all_oracles() -> dict[str, str]:
                 "media_frame_sample": q_media_frame_sample(),
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),
+                "usage_report": q_usage_report(),
                 "point_lookup": q_point_lookup(),
                 "uncommitted_addresses": q_uncommitted_addresses(),
             }
