@@ -1,0 +1,64 @@
+"""Stateful streaming sensors: cross-microbatch counters with alerts.
+
+The reference's delete sensor is a stateful counter that watches a
+branch's accumulating tombstones and fires a compaction callback when
+they cross a threshold (pkg/graveler/delete_sensor.go:48-125; the
+batch analog lives in Repository.set_delete_sensor). On a change
+*stream* the same semantics need state that survives microbatches —
+exactly what ``applyInPandasWithState`` provides: per-group (branch)
+state kept by the streaming engine in the checkpoint, updated with
+each batch's Arrow-transferred rows.
+
+Output is append-mode alert rows — one per threshold crossing — which
+a downstream ``foreachBatch`` can feed into ``Repository.compact`` (or
+any hook), mirroring the reference's callback.
+
+Scale: state is one counter per branch (bytes, not rows); the only
+shuffle is the groupBy(branch) of each microbatch's changes. Skew on a
+hot branch is bounded by microbatch size, not stream history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ALERT_SCHEMA = "branch string, tombstones long, threshold long"
+_STATE_SCHEMA = "cnt long"
+
+
+def tombstone_alerts(changes: DataFrame, threshold: int) -> DataFrame:
+    """Alert stream for a staged-change stream.
+
+    ``changes`` needs columns ``branch`` (string) and ``is_tombstone``
+    (boolean). Emits one row per branch each time its *cumulative*
+    tombstone count crosses ``threshold`` (counter keeps running, so a
+    branch alerts again after every further ``threshold`` tombstones —
+    the repeated-trigger behavior of the reference's sensor between
+    compactions).
+    """
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (branch,) = key
+        prev = state.get[0] if state.exists else 0
+        new = prev
+        for pdf in pdfs:
+            new += int(pdf["is_tombstone"].fillna(False).astype(bool).sum())
+        state.update((new,))
+        if new // threshold > prev // threshold:
+            yield pd.DataFrame(
+                {"branch": [branch], "tombstones": [new], "threshold": [threshold]}
+            )
+
+    return changes.groupBy("branch").applyInPandasWithState(
+        _update,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -102,3 +102,61 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
         for r in spark.table("win_counts").orderBy("window_start", "event_type").collect()
     ]
     assert got == expected
+
+
+def test_tombstone_alert_sensor_stateful(spark, tmp_path):
+    """applyInPandasWithState sensor: cumulative per-branch counts
+    survive microbatches; alerts fire exactly on threshold crossings."""
+    from lakefs_spark.streaming.sensors import tombstone_alerts
+
+    src = str(tmp_path / "ssrc")
+    schema = "branch string, key string, is_tombstone boolean"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: main=3 tombstones (below 5), dev=5 (crosses)
+    drop(
+        [("main", f"k{i}", True) for i in range(3)]
+        + [("main", "ka", False)]
+        + [("dev", f"d{i}", True) for i in range(5)]
+    )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    alerts = tombstone_alerts(stream, threshold=5)
+    out = str(tmp_path / "alerts_out")
+
+    def run():
+        q = (
+            alerts.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "sckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def alerts_set():
+        from lakefs_spark.streaming.sensors import ALERT_SCHEMA
+
+        df = spark.read.schema(ALERT_SCHEMA).parquet(out)
+        return {(r["branch"], r["tombstones"]) for r in df.collect()}
+
+    run()
+    assert alerts_set() == {("dev", 5)}
+
+    # batch 2: main +2 => 5, crosses; dev +3 => 8, no new crossing
+    drop(
+        [("main", f"k2{i}", True) for i in range(2)]
+        + [("dev", f"d2{i}", True) for i in range(3)]
+    )
+    run()
+    assert alerts_set() == {("dev", 5), ("main", 5)}
+
+    # batch 3: dev +2 => 10, second crossing fires again
+    drop([("dev", f"d3{i}", True) for i in range(2)])
+    run()
+    assert alerts_set() == {("dev", 5), ("main", 5), ("dev", 10)}
