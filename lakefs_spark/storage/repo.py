@@ -123,8 +123,47 @@ class Repository:
         self.hooks.setdefault(event, []).append(fn)
 
     def _fire(self, event: str, **ctx) -> None:
-        for fn in self.hooks.get(event, []):
-            fn(self, event, ctx)  # pre-hooks raise HookAbortError to abort
+        """Invoke hooks and append to the run-results log
+        (pkg/actions/kv_run_results_iterator.go analog: one JSONL row
+        per hook run; pre-hooks raise HookAbortError to abort)."""
+        fns = self.hooks.get(event, [])
+        if not fns:
+            return
+        for i, fn in enumerate(fns):
+            status, err = "completed", None
+            try:
+                fn(self, event, ctx)
+            except Exception as e:
+                status, err = "aborted", f"{type(e).__name__}: {e}"
+                raise
+            finally:
+                self._log_run(event, i, status, err, ctx)
+
+    def _log_run(self, event: str, hook_idx: int, status: str, err: str | None, ctx: dict) -> None:
+        rec = {
+            "run_id": f"{int(time.time() * 1e6):016x}-{hook_idx}",
+            "event": event,
+            "hook_index": hook_idx,
+            "status": status,
+            "error": err,
+            "context_keys": sorted(ctx),
+            "start_time": time.time(),
+        }
+        path = os.path.join(self.root, "runs.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def hook_runs(self, event: str | None = None, limit: int | None = None) -> list[dict]:
+        """Run-results listing, newest first (ListRunResults shape)."""
+        path = os.path.join(self.root, "runs.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            runs = [json.loads(line) for line in f if line.strip()]
+        runs.reverse()
+        if event is not None:
+            runs = [r for r in runs if r["event"] == event]
+        return runs[:limit] if limit is not None else runs
 
     # -- branch protection ---------------------------------------------------
 
@@ -560,6 +599,9 @@ class Repository:
     ) -> Commit:
         """Commit staged changes (copy-on-write apply; graveler.go:2239-2406)."""
         self._check_protected(branch, "commit")
+        # prepare-commit fires while staging is still writable, then the
+        # abortable pre-commit (pkg/actions/event.go:16-32 ordering)
+        self._fire("prepare-commit", branch=branch, message=message)
         self._fire("pre-commit", branch=branch, message=message)
         st = self._read_branch(branch)
         changes = self.staged_changes(branch)
@@ -737,8 +779,9 @@ class Repository:
         c = self.commits.get(cid)
         parent = c.parents[parent_number - 1] if c.parents else None
         head = self._read_branch(branch)["head"]
+        self._fire("pre-revert", branch=branch, ref=cid)
         actions = self._three_way_changes(cid, parent, head, "none")
-        return self._apply_actions_commit(
+        commit = self._apply_actions_commit(
             branch,
             actions,
             [head],
@@ -748,6 +791,8 @@ class Repository:
             expected_head=head,
             date=date,
         )
+        self._fire("post-revert", branch=branch, ref=cid, commit=commit)
+        return commit
 
     def cherry_pick(
         self,
@@ -765,8 +810,9 @@ class Repository:
         c = self.commits.get(cid)
         parent = c.parents[parent_number - 1] if c.parents else None
         head = self._read_branch(branch)["head"]
+        self._fire("pre-cherry-pick", branch=branch, ref=cid)
         actions = self._three_way_changes(parent, cid, head, "none")
-        return self._apply_actions_commit(
+        commit = self._apply_actions_commit(
             branch,
             actions,
             [head],
@@ -776,6 +822,8 @@ class Repository:
             expected_head=head,
             date=date,
         )
+        self._fire("post-cherry-pick", branch=branch, ref=cid, commit=commit)
+        return commit
 
     # -- import ------------------------------------------------------------
 

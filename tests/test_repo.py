@@ -280,6 +280,37 @@ def test_hooks_abort(repo, spark):
         repo.commit("main", "blocked")
     # staging intact after abort
     assert repo.has_staged("main")
+    # the aborted run is in the run-results log, newest first
+    runs = repo.hook_runs(event="pre-commit")
+    assert runs and runs[0]["status"] == "aborted" and "nope" in runs[0]["error"]
+
+
+def test_hook_event_coverage_and_run_log(repo, spark):
+    """prepare-commit / revert / cherry-pick events fire in order and
+    every run lands in the run-results log (kv_run_results analog)."""
+    seen = []
+    for ev in ["prepare-commit", "pre-commit", "post-commit",
+               "pre-revert", "post-revert", "pre-cherry-pick", "post-cherry-pick"]:
+        repo.on(ev, lambda repo_, event, ctx: seen.append(event))
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(20), message="base")
+    repo.stage_entries("main", ents.limit(3).withColumn("identity", F.lit("x")))
+    c = repo.commit("main", "change")
+    assert seen[:3] == ["prepare-commit", "pre-commit", "post-commit"]
+
+    repo.revert("main", c.commit_id)
+    assert seen[3:5] == ["pre-revert", "post-revert"]
+
+    repo.create_branch("cp", "main~2")
+    repo.cherry_pick("cp", c.commit_id)
+    assert seen[5:7] == ["pre-cherry-pick", "post-cherry-pick"]
+
+    runs = repo.hook_runs()
+    assert all(r["status"] == "completed" for r in runs)
+    assert {r["event"] for r in runs} >= {"prepare-commit", "post-revert", "post-cherry-pick"}
+    # newest-first + limit
+    assert repo.hook_runs(limit=1)[0]["event"] == "post-cherry-pick"
 
 
 def test_import_prefix_replace(repo, spark):
