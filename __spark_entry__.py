@@ -299,6 +299,14 @@ def q_symlink_manifest(spark, sf_dir):
     return symlink_manifest(_snap(spark, sf_dir, "entries"))
 
 
+def q_hive_partitions(spark, sf_dir):
+    """Glue/Hive catalog-exporter partition inventory
+    (catalogexport/glue_exporter.lua + table_extractor.lua)."""
+    from lakefs_spark.operators.export import hive_partitions
+
+    return hive_partitions(_snap(spark, sf_dir, "entries"), "tables/orders/")
+
+
 def _media(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
     return docs.select(
@@ -436,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": q_near_dup_embeddings,
         "import_prefix_replace": q_import_prefix_replace,
         "symlink_manifest": q_symlink_manifest,
+        "hive_partitions": q_hive_partitions,
         "media_frame_sample": q_media_frame_sample,
         "gc_key_match": q_gc_key_match,
         "windowed_event_counts": q_windowed_event_counts,

@@ -65,6 +65,65 @@ def write_symlinks(entries: DataFrame, out_dir: str) -> int:
         manifest.unpersist()
 
 
+def hive_partitions(entries: DataFrame, table_prefix: str) -> DataFrame:
+    """Partition inventory of a committed table prefix.
+
+    The Glue/Hive exporters (catalogexport/{glue_exporter,
+    table_extractor}.lua) walk a table's prefix, take the first path
+    component under it as the partition value, and register one
+    catalog partition per value with its location. This computes that
+    inventory: ``(part_value, n_objects, total_size)`` — one shuffled
+    row per partition after map-side partial aggregation.
+    """
+    sfx = F.substring(F.col("key"), len(table_prefix) + 1, 1_000_000)
+    pos = F.instr(sfx, "/")
+    return (
+        entries.where(F.col("key").startswith(table_prefix) & (pos > 0))
+        .select(sfx.substr(F.lit(1), pos - 1).alias("part_value"), "size")
+        .groupBy("part_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum(F.coalesce(F.col("size"), F.lit(0))).alias("total_size"),
+        )
+    )
+
+
+def glue_partition_input(
+    partitions: DataFrame, database: str, table: str, location_root: str
+) -> list[dict]:
+    """Glue ``BatchCreatePartition`` request entries for the inventory
+    (glue_exporter.lua analog): one PartitionInput per value, location
+    = ``location_root/<value>/``. Partition count is catalog-scale, so
+    the collect is metadata-bounded."""
+    return [
+        {
+            "DatabaseName": database,
+            "TableName": table,
+            "PartitionInput": {
+                "Values": [r["part_value"]],
+                "StorageDescriptor": {
+                    "Location": f"{location_root.rstrip('/')}/{r['part_value']}/",
+                    "InputFormat": "org.apache.hadoop.hive.ql.io.SymlinkTextInputFormat",
+                },
+            },
+        }
+        for r in partitions.orderBy("part_value").collect()
+    ]
+
+
+def hive_add_partition_ddl(
+    partitions: DataFrame, table: str, location_root: str, partition_key: str = "part"
+) -> str:
+    """``ALTER TABLE .. ADD IF NOT EXISTS PARTITION ..`` statement for
+    the inventory — the HMS-dialect twin of :func:`glue_partition_input`."""
+    clauses = [
+        f"PARTITION ({partition_key}='{r['part_value']}') "
+        f"LOCATION '{location_root.rstrip('/')}/{r['part_value']}/'"
+        for r in partitions.orderBy("part_value").collect()
+    ]
+    return f"ALTER TABLE {table} ADD IF NOT EXISTS\n" + "\n".join(clauses)
+
+
 def delta_log_export(
     entries: DataFrame,
     out_dir: str,

@@ -382,6 +382,18 @@ def q_symlink_manifest() -> str:
     """
 
 
+def q_hive_partitions() -> str:
+    return with_views("entries") + """
+    select substring(sfx, 1, instr(sfx, '/') - 1) as part_value,
+           count(*) as n_objects,
+           cast(sum(coalesce(size, 0)) as bigint) as total_size
+    from (select substring(key, 15, 1000000) as sfx, size
+          from entries where key like 'tables/orders/%') t
+    where instr(sfx, '/') > 0
+    group by 1
+    """
+
+
 def q_media_frame_sample() -> str:
     # videos = every 3rd document; duration derived from n_chars;
     # sample timestamps every 500 ms, inclusive of 0 and duration
@@ -470,6 +482,7 @@ def all_oracles() -> dict[str, str]:
                 "near_dup_embeddings": q_near_dup_embeddings(),
                 "import_prefix_replace": q_import_prefix_replace(),
                 "symlink_manifest": q_symlink_manifest(),
+                "hive_partitions": q_hive_partitions(),
                 "media_frame_sample": q_media_frame_sample(),
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),

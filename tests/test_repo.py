@@ -657,3 +657,29 @@ def test_gc_range_files_and_sweep(repo, spark, tmp_path):
     n = gc_sweep(marked, bulk_size=7)
     assert n == 25
     assert not any(os.path.exists(p) for p in paths)
+
+
+def test_glue_hive_partition_export(repo, spark):
+    """Glue/Hive exporter analog: partition inventory + registration
+    payloads (catalogexport/{glue_exporter,table_extractor}.lua)."""
+    from lakefs_spark.operators.export import (
+        glue_partition_input,
+        hive_add_partition_ddl,
+        hive_partitions,
+    )
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="seed")
+    parts = hive_partitions(repo.snapshot("main"), "tables/orders/")
+    rows = {r["part_value"]: (r["n_objects"], r["total_size"]) for r in parts.collect()}
+    assert set(rows) == {f"b{i}" for i in range(7)}  # okey % 7 buckets
+    assert sum(n for n, _ in rows.values()) == ents.where("key like 'tables/orders/%'").count()
+
+    glue = glue_partition_input(parts, "db", "orders", "s3://lake/tables/orders")
+    assert len(glue) == 7
+    assert glue[0]["PartitionInput"]["Values"] == ["b0"]
+    assert glue[0]["PartitionInput"]["StorageDescriptor"]["Location"].endswith("/b0/")
+
+    ddl = hive_add_partition_ddl(parts, "orders", "s3://lake/tables/orders")
+    assert ddl.startswith("ALTER TABLE orders ADD IF NOT EXISTS")
+    assert ddl.count("PARTITION (") == 7 and "part='b3'" in ddl
