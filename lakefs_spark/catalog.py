@@ -191,6 +191,48 @@ class Catalog:
             branch, path, physical_address, size, checksum, content_type, metadata
         )
 
+    # -- multipart upload (gateway flow) -----------------------------------
+
+    def create_multipart_upload(self, branch: str, path: str) -> dict:
+        """S3-gateway CreateMultipartUpload: mint an upload id + the
+        physical address parts are written under
+        (pkg/gateway/operations/postobject.go)."""
+        upload_id = uuid.uuid4().hex
+        self._multiparts = getattr(self, "_multiparts", {})
+        self._multiparts[upload_id] = {
+            "branch": branch,
+            "path": path,
+            "physical_address": f"data/{upload_id[:2]}/{upload_id}",
+            "parts": {},
+        }
+        return {"upload_id": upload_id,
+                "physical_address": self._multiparts[upload_id]["physical_address"]}
+
+    def upload_part(self, upload_id: str, part_number: int, part_md5: str, size: int) -> dict:
+        """Record one part's md5+size (UploadPart; bytes go straight to
+        the object store at ``physical_address``)."""
+        mp = self._multiparts[upload_id]
+        mp["parts"][part_number] = {"etag": part_md5, "size": size}
+        return {"part_number": part_number, "etag": part_md5}
+
+    def complete_multipart_upload(self, upload_id: str, content_type: str = "application/octet-stream") -> dict:
+        """CompleteMultipartUpload: composite S3 ETag over the parts in
+        part-number order, then stage the entry
+        (gateway CompleteMultipartUpload + md5-of-parts convention)."""
+        from lakefs_spark.functions.checksum import multipart_etag
+
+        mp = self._multiparts.pop(upload_id)
+        ordered = [mp["parts"][n]["etag"] for n in sorted(mp["parts"])]
+        etag = multipart_etag(ordered)
+        total = sum(p["size"] for p in mp["parts"].values())
+        self.upload_object(
+            mp["branch"], mp["path"], mp["physical_address"], total, etag, content_type
+        )
+        return {"etag": etag, "size": total, "physical_address": mp["physical_address"]}
+
+    def abort_multipart_upload(self, upload_id: str) -> None:
+        getattr(self, "_multiparts", {}).pop(upload_id, None)
+
     # -- diff / commit / history -------------------------------------------
 
     def diff_refs(self, left_ref: str, right_ref: str) -> DataFrame:

@@ -154,3 +154,32 @@ def test_import_tracking_and_gc(cat, spark, tmp_path):
     rng = cat.get_range(mr["ranges"]["range_id"].iloc[0])
     import os
     assert os.path.exists(rng["location"])
+
+
+def test_multipart_upload_flow(cat, spark):
+    """Gateway multipart: composite ETag in part order, entry staged on
+    complete (pkg/gateway multipart + md5-of-parts convention)."""
+    import hashlib
+
+    from lakefs_spark.functions.checksum import multipart_etag
+
+    up = cat.create_multipart_upload("main", "big/obj.bin")
+    p1 = hashlib.md5(b"chunk-one").hexdigest()
+    p2 = hashlib.md5(b"chunk-two").hexdigest()
+    # out-of-order part uploads must still compose in part order
+    cat.upload_part(up["upload_id"], 2, p2, 700)
+    cat.upload_part(up["upload_id"], 1, p1, 300)
+    done = cat.complete_multipart_upload(up["upload_id"])
+    assert done["etag"] == multipart_etag([p1, p2]) and done["etag"].endswith("-2")
+    assert done["size"] == 1000
+
+    row = cat.stat_object("main", "big/obj.bin")
+    assert row["etag"] == done["etag"] and row["size"] == 1000
+    assert row["address"] == up["physical_address"]
+
+    up2 = cat.create_multipart_upload("main", "gone.bin")
+    cat.abort_multipart_upload(up2["upload_id"])
+    assert cat.stat_object("main", "gone.bin") is None
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        cat.complete_multipart_upload(up2["upload_id"])
