@@ -108,3 +108,74 @@ def test_parse_mods_roundtrip(n1, n2):
 def test_parse_mods_defaults():
     assert parse_mods("~") == [("~", 1)]
     assert parse_mods("^2~") == [("^", 2), ("~", 1)]
+
+
+# -- multipart etag (functions/checksum.py) --------------------------------
+
+hex_md5 = st.text(alphabet="0123456789abcdef", min_size=32, max_size=32)
+
+
+@given(st.lists(hex_md5, min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_multipart_etag_matches_independent_recompute(parts):
+    import hashlib
+
+    from lakefs_spark.functions.checksum import multipart_etag
+
+    got = multipart_etag(parts)
+    digest, n = got.rsplit("-", 1)
+    assert int(n) == len(parts)
+    assert digest == hashlib.md5(
+        b"".join(bytes.fromhex(p) for p in parts)
+    ).hexdigest()
+
+
+@given(st.lists(hex_md5, min_size=2, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_multipart_etag_order_sensitive(parts):
+    from lakefs_spark.functions.checksum import multipart_etag
+
+    if len(set(parts)) > 1:
+        assert multipart_etag(parts) != multipart_etag(list(reversed(parts)))
+
+
+# -- sync plan (operators/sync.py) -----------------------------------------
+
+
+def _sync_plan_reference(lc: dict, rc: dict) -> dict:
+    """Pure-python restatement of sync_plan's CASE ladder."""
+    out = {}
+    for p in set(lc) | set(rc):
+        l, r = lc.get(p), rc.get(p)
+        if l == "removed" and r == "removed":
+            continue
+        if l is not None and r is not None:
+            out[p] = "conflict"
+        elif l == "removed":
+            out[p] = "delete_remote"
+        elif l is not None:
+            out[p] = "upload"
+        elif r == "removed":
+            out[p] = "delete_local"
+        else:
+            out[p] = "download"
+    return out
+
+
+change = st.sampled_from(["added", "changed", "removed"])
+paths = st.text(alphabet="abcdef/", min_size=1, max_size=8)
+
+
+@given(
+    st.dictionaries(paths, change, max_size=12),
+    st.dictionaries(paths, change, max_size=12),
+)
+@settings(max_examples=20, deadline=None)
+def test_sync_plan_matches_reference_model(spark, lc, rc):
+    from lakefs_spark.operators.sync import sync_plan
+
+    schema = "path string, change string"
+    ldf = spark.createDataFrame(list(lc.items()) or [], schema)
+    rdf = spark.createDataFrame(list(rc.items()) or [], schema)
+    got = {r["path"]: r["op"] for r in sync_plan(ldf, rdf).collect()}
+    assert got == _sync_plan_reference(lc, rc)
