@@ -378,6 +378,20 @@ class Catalog:
         interrupted mid-flight, matching a completed-or-failed import)."""
         self._imports.pop(import_id, None)
 
+    def expire_tracking(self, ttl_seconds: float, now: float | None = None) -> int:
+        """TTL cleanup of finished import records + the hook run log
+        (expired imports/tasks cleanup, pkg/catalog/catalog.go:3177-3208).
+        Returns the number of records dropped."""
+        cutoff = (now if now is not None else time.time()) - ttl_seconds
+        stale = [
+            iid
+            for iid, st in self._imports.items()
+            if (st.completed or st.error) and st.update_time < cutoff
+        ]
+        for iid in stale:
+            del self._imports[iid]
+        return len(stale) + self.repo.expire_runs(ttl_seconds, now=now)
+
     # -- GC ----------------------------------------------------------------
 
     def prepare_gc_commits(

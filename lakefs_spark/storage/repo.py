@@ -165,6 +165,26 @@ class Repository:
             runs = [r for r in runs if r["event"] == event]
         return runs[:limit] if limit is not None else runs
 
+    def expire_runs(self, ttl_seconds: float, now: float | None = None) -> int:
+        """TTL cleanup of the run-results log (the expired-tasks delete
+        of pkg/catalog/catalog.go:3177-3208). Returns rows dropped;
+        rewrite is atomic (tmp + replace, same as pointer swaps)."""
+        path = os.path.join(self.root, "runs.jsonl")
+        if not os.path.exists(path):
+            return 0
+        cutoff = (now if now is not None else time.time()) - ttl_seconds
+        with open(path) as f:
+            runs = [json.loads(line) for line in f if line.strip()]
+        kept = [r for r in runs if r["start_time"] >= cutoff]
+        if len(kept) == len(runs):
+            return 0
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            for r in kept:
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, path)
+        return len(runs) - len(kept)
+
     # -- branch protection ---------------------------------------------------
 
     def protection_rules(self) -> list[dict]:

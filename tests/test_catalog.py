@@ -183,3 +183,32 @@ def test_multipart_upload_flow(cat, spark):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         cat.complete_multipart_upload(up2["upload_id"])
+
+
+def test_expire_tracking_ttl(cat, spark):
+    """TTL cleanup of finished imports + hook run log (§2.12 expired
+    imports/tasks — pkg/catalog/catalog.go:3177-3208)."""
+    import time as _time
+
+    from lakefs_spark.sources.fixtures import entries_view
+
+    cat.repo.on("post-commit", lambda *_: None)
+    ents = entries_view(spark, "entries").where("key like 'tables/orders/b4/%'")
+    imp = cat.import_start("main", ents, message="tracked")
+    assert cat.import_status("main", imp).completed
+    cat.upload_object("main", "ttl/x", "data/t/1", 1, "e1")
+    cat.commit("main", "hooked commit")  # post-commit hook -> one run row
+    assert len(cat.repo.hook_runs()) >= 1
+
+    # nothing is old enough yet
+    assert cat.expire_tracking(ttl_seconds=3600) == 0
+    assert cat.import_status("main", imp) is not None
+
+    # with now pushed far into the future everything expires
+    future = _time.time() + 10_000
+    dropped = cat.expire_tracking(ttl_seconds=3600, now=future)
+    assert dropped >= 2  # the import record + at least one run row
+    assert cat.repo.hook_runs() == []
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        cat.import_status("main", imp)
