@@ -124,6 +124,42 @@ def hive_add_partition_ddl(
     return f"ALTER TABLE {table} ADD IF NOT EXISTS\n" + "\n".join(clauses)
 
 
+def unity_table_input(
+    entries: DataFrame,
+    catalog: str,
+    schema: str,
+    table: str,
+    location_root: str,
+    columns: list[tuple[str, str]] | None = None,
+    data_source_format: str = "DELTA",
+) -> dict:
+    """Unity-catalog external-table registration payload
+    (catalogexport/unity_exporter.lua: creates an EXTERNAL table over
+    the exported location, typically the Delta log written by
+    :func:`delta_log_export`). Returns the create-table request body;
+    the only data-dependent fields are metadata-scale aggregates."""
+    stats = entries.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("size"), F.lit(0))).alias("bytes"),
+    ).first()
+    return {
+        "name": table,
+        "catalog_name": catalog,
+        "schema_name": schema,
+        "table_type": "EXTERNAL",
+        "data_source_format": data_source_format,
+        "storage_location": location_root.rstrip("/") + "/",
+        "columns": [
+            {"name": n, "type_text": t, "position": i}
+            for i, (n, t) in enumerate(columns or [])
+        ],
+        "properties": {
+            "exported_objects": str(stats["n"]),
+            "exported_bytes": str(stats["bytes"] or 0),
+        },
+    }
+
+
 def delta_log_export(
     entries: DataFrame,
     out_dir: str,

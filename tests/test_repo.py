@@ -683,3 +683,22 @@ def test_glue_hive_partition_export(repo, spark):
     ddl = hive_add_partition_ddl(parts, "orders", "s3://lake/tables/orders")
     assert ddl.startswith("ALTER TABLE orders ADD IF NOT EXISTS")
     assert ddl.count("PARTITION (") == 7 and "part='b3'" in ddl
+
+
+def test_unity_table_export(repo, spark):
+    """Unity exporter analog: external-table registration payload over
+    an exported prefix (catalogexport/unity_exporter.lua)."""
+    from lakefs_spark.operators.export import unity_table_input
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="seed")
+    snap = repo.snapshot("main").where(F.col("key").startswith("tables/orders/"))
+    body = unity_table_input(
+        snap, "lake", "bronze", "orders", "s3://exports/orders",
+        columns=[("key", "STRING"), ("size", "BIGINT")],
+    )
+    assert body["table_type"] == "EXTERNAL"
+    assert body["storage_location"] == "s3://exports/orders/"
+    assert [c["name"] for c in body["columns"]] == ["key", "size"]
+    assert int(body["properties"]["exported_objects"]) == snap.count()
+    assert int(body["properties"]["exported_bytes"]) > 0
