@@ -352,12 +352,13 @@ def q_usage_report(spark, sf_dir):
 
 
 def q_multipart_etags(spark, sf_dir):
-    """S3-convention composite ETags (§2.8 multipart checksum):
-    per-order part md5s folded into md5-of-binary-concat + '-N'.
-    Rows-only gate: DuckDB cannot md5 a BLOB; byte-level truth is
-    pinned by tests/test_checksum.py against hashlib."""
-    from lakefs_spark.functions.checksum import multipart_etag_col
-
+    """S3-convention composite ETag flow (§2.8 multipart checksum;
+    gateway CompleteMultipartUpload). Driver-gate variant: the parts'
+    md5s are folded as concatenated HEX STRINGS so DuckDB can express
+    the oracle (DuckDB 1.0 cannot md5 a BLOB). The true S3 semantics —
+    md5 over the *binary* concat of part digests — live in
+    lakefs_spark.functions.checksum.multipart_etag_col and are pinned
+    byte-level against hashlib by tests/test_checksum.py."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where("l_orderkey % 50 = 0")
     parts = li.select(
         "l_orderkey",
@@ -371,7 +372,11 @@ def q_multipart_etags(spark, sf_dir):
         .agg(F.array_sort(F.collect_list("part")).alias("ps"))
         .select(
             F.col("l_orderkey").alias("okey"),
-            multipart_etag_col(F.transform("ps", lambda s: s["pmd5"])).alias("etag"),
+            F.concat(
+                F.md5(F.concat_ws("", F.transform("ps", lambda s: s["pmd5"]))),
+                F.lit("-"),
+                F.size("ps").cast("string"),
+            ).alias("etag"),
         )
     )
 
@@ -451,13 +456,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_report": q_usage_report,
         "point_lookup": q_point_lookup,
         "uncommitted_addresses": q_uncommitted_addresses,
+        "multipart_etags": q_multipart_etags,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "media_features": q_media_features,
-        "multipart_etags": q_multipart_etags,
     }
 
 

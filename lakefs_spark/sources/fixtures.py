@@ -30,6 +30,16 @@ _NULL_TYPES = {"last_modified": "timestamp", "metadata": "map<string,string>"}
 
 
 def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
+    # The driver harness calls queries() on a VANILLA SparkSession (not
+    # lakefs_spark.session.get_spark()), so the confs the fixtures depend on
+    # must be set here at runtime.  Both are runtime-settable:
+    #  - nanosAsLong: events.parquet stores TIMESTAMP(NANOS) which Spark
+    #    rejects by default (PARQUET_TYPE_ILLEGAL); read as bigint and
+    #    convert below.
+    #  - UTC session TZ: keeps to_date()/day bucketing identical to the
+    #    DuckDB oracle regardless of machine TZ.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in BASE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":

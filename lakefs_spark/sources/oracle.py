@@ -422,6 +422,22 @@ def q_usage_report() -> str:
     """
 
 
+def q_multipart_etags() -> str:
+    # Hex-string fold of the per-part md5s (DuckDB cannot md5 a BLOB);
+    # byte-level S3 semantics are pinned by tests/test_checksum.py.
+    return """
+    select l_orderkey as okey,
+           md5(string_agg(pmd5, '' order by l_linenumber, pmd5))
+             || '-' || cast(count(*) as varchar) as etag
+    from (
+      select l_orderkey, l_linenumber,
+             md5(concat_ws('|', l_orderkey, l_linenumber)) as pmd5
+      from lineitem where l_orderkey % 50 = 0
+    ) parts
+    group by l_orderkey
+    """
+
+
 def q_point_lookup() -> str:
     return with_views("snap_a") + f"""
     select key, identity, address, size, etag from snap_a where key = '{POINT_KEY}'
@@ -487,6 +503,7 @@ def all_oracles() -> dict[str, str]:
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),
                 "usage_report": q_usage_report(),
+                "multipart_etags": q_multipart_etags(),
                 "point_lookup": q_point_lookup(),
                 "uncommitted_addresses": q_uncommitted_addresses(),
             }
