@@ -74,6 +74,15 @@ def list_entries(
             )
         )
         out = leaves.unionByName(groups)
+        # The raw key filter above is a scan-pruning optimization only:
+        # a group whose derived prefix sorts <= ``after`` (i.e. the
+        # common-prefix the previous page ended on) is re-derived from
+        # its remaining keys, so the exclusive-start marker must also be
+        # applied to the folded output (pkg/catalog/catalog.go:1305,
+        # pkg/catalog/entry_listing_iterator.go:70-74 skip past the
+        # group after the fold).
+        if after:
+            out = out.where(F.col("key") > F.lit(after))
 
     out = out.orderBy("key")
     if limit is not None:

@@ -63,7 +63,11 @@ def entries_from_walk(
     # before the literal (non-regex) strip of the base prefix
     norm_base = re.sub(r"^[a-zA-Z0-9]+:/+", "/", base_url).rstrip("/") + "/"
     path_no_scheme = F.regexp_replace(F.col("path"), r"^[a-zA-Z0-9]+:/+", "/")
-    rel = F.replace(path_no_scheme, F.lit(norm_base), F.lit(""))
+    # anchored strip: every walked path starts with norm_base, so drop
+    # exactly that many leading chars (an unanchored replace would also
+    # corrupt keys that repeat the base substring mid-path, e.g. base
+    # /data with file /data/x/data/y)
+    rel = F.substring(path_no_scheme, len(norm_base) + 1, 1_000_000)
     # etag stand-in: hash of (path, size, mtime) — object stores provide
     # a real etag; binaryFile gives us listing metadata only
     etag = F.md5(

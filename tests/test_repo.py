@@ -702,3 +702,38 @@ def test_unity_table_export(repo, spark):
     assert [c["name"] for c in body["columns"]] == ["key", "size"]
     assert int(body["properties"]["exported_objects"]) == snap.count()
     assert int(body["properties"]["exported_bytes"]) > 0
+
+
+def test_delimiter_pagination_no_duplicate_groups(repo, spark):
+    """Page-by-page delimiter walk with amount=1 terminates and yields
+    each common prefix exactly once (pkg/catalog/catalog.go:1305 applies
+    the exclusive-start marker to the folded listing, not raw keys)."""
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    seen, after = [], ""
+    for _ in range(20):  # must terminate in 7 pages; bound the walk
+        page, more = repo.list_page(
+            "main", prefix="tables/orders/", delimiter="/", after=after, amount=1
+        )
+        if not page:
+            assert not more
+            break
+        assert len(page) == 1
+        seen.append(page[0]["key"])
+        after = page[0]["key"]
+        if not more:
+            break
+    assert seen == [f"tables/orders/b{i}/" for i in range(7)]
+
+
+def test_walker_base_strip_anchored(spark, tmp_path):
+    """A path repeating the base substring mid-path keeps its full
+    relative key (unanchored strip would yield 'x/y.bin')."""
+    from lakefs_spark.sources.walker import entries_from_walk, walk_files
+
+    base = tmp_path / "data"
+    (base / "x" / "data").mkdir(parents=True)
+    (base / "x" / "data" / "y.bin").write_bytes(b"abc")
+    walked = walk_files(spark, f"file://{base}")
+    ents = entries_from_walk(walked, f"file://{base}")
+    assert [r["key"] for r in ents.collect()] == ["x/data/y.bin"]
