@@ -176,14 +176,24 @@ def delta_log_export(
     id is content-derived so re-exporting the same snapshot is
     idempotent. Returns the log file path.
     """
-    rows = (
-        entries.select("key", "address", "size", "last_modified")
-        .orderBy("key")
-        .collect()
-    )
-    table_id = hashlib.sha256(
-        ("|".join(f"{r['address']}:{r['size']}" for r in rows)).encode()
-    ).hexdigest()
+    # content-derived table id, computed distributively (order-independent
+    # xor of per-object hashes + count): never materializes the listing
+    # on the driver, unlike a sorted-concat re-hash
+    ent = entries.select("key", "address", "size", "last_modified").persist()
+    try:
+        return _write_delta_log(ent, out_dir, version, table_name, schema_json)
+    finally:
+        # always drop the cache: CacheManager matches by plan, so a leaked
+        # entry would serve stale rows to later reads of the same source
+        ent.unpersist()
+
+
+def _write_delta_log(ent, out_dir, version, table_name, schema_json):
+    agg = ent.agg(
+        F.bit_xor(F.xxhash64(F.concat_ws(":", "address", "size"))).alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    table_id = hashlib.sha256(f"{agg['x']}:{agg['n']}".encode()).hexdigest()
     log_dir = os.path.join(out_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"{version:020d}.json")
@@ -207,21 +217,33 @@ def delta_log_export(
             )
             + "\n"
         )
-        for r in rows:
-            ts = int(r["last_modified"].timestamp() * 1000) if r["last_modified"] else 0
-            f.write(
-                json.dumps(
-                    {
-                        "add": {
-                            "path": r["address"],
-                            "size": int(r["size"] or 0),
-                            "partitionValues": {},
-                            "modificationTime": ts,
-                            "dataChange": True,
-                        }
-                    },
-                    separators=(",", ":"),
-                )
-                + "\n"
+        # add actions: JSON built executor-side (to_json), streamed to
+        # the single local log file via toLocalIterator — one partition
+        # in driver memory at a time, never the full listing (a 1e9-
+        # object snapshot would OOM a collect)
+        act_lines = (
+            ent.select(
+                "key",
+                F.to_json(
+                    F.struct(
+                        F.struct(
+                            F.col("address").alias("path"),
+                            F.coalesce(F.col("size").cast("long"), F.lit(0)).alias("size"),
+                            F.from_json(F.lit("{}"), "map<string,string>").alias(
+                                "partitionValues"
+                            ),
+                            F.coalesce(
+                                F.unix_millis(F.col("last_modified").cast("timestamp")),
+                                F.lit(0),
+                            ).alias("modificationTime"),
+                            F.lit(True).alias("dataChange"),
+                        ).alias("add")
+                    )
+                ).alias("line"),
             )
+            .orderBy("key")
+            .select("line")
+        )
+        for row in act_lines.toLocalIterator():
+            f.write(row["line"] + "\n")
     return path

@@ -54,6 +54,37 @@ def _assign_positions(keys: pd.Series | np.ndarray, max_keys: list[str]) -> np.n
     return np.minimum(pos, len(max_keys) - 1)
 
 
+def ranges_containing_keys(
+    spark: SparkSession, manifest: pd.DataFrame, keys_df: DataFrame, key_col: str = "key"
+) -> set[str]:
+    """range_ids whose [min_key, max_key] interval contains any key of
+    ``keys_df`` — computed on executors (broadcast searchsorted over the
+    manifest), with only DISTINCT matched positions collected. The
+    driver never sees the key stream, so the key count is unbounded."""
+    if manifest.empty:
+        return set()
+    mfs = manifest.sort_values("min_key").reset_index(drop=True)
+    bc_min = spark.sparkContext.broadcast(mfs["min_key"].tolist())
+    bc_max = spark.sparkContext.broadcast(mfs["max_key"].tolist())
+
+    @F.pandas_udf("int")
+    def _hit(keys: pd.Series) -> pd.Series:
+        mn, mx = bc_min.value, bc_max.value
+        arr = np.array(mx, dtype=object)
+        pos = np.searchsorted(arr, keys.to_numpy(dtype=object), side="left")
+        out = []
+        for k, p in zip(keys.to_numpy(dtype=object), pos):
+            p = int(p)
+            out.append(p if p < len(mx) and mn[p] <= k else -1)
+        return pd.Series(out, dtype="int32")
+
+    hit_pos = [
+        int(r["p"])
+        for r in keys_df.select(_hit(key_col).alias("p")).where("p >= 0").distinct().collect()
+    ]
+    return set(mfs.iloc[hit_pos]["range_id"])
+
+
 def apply_changes(
     spark: SparkSession,
     root: str,
@@ -86,22 +117,41 @@ def _apply_cow(
     mf = base_manifest.sort_values("min_key").reset_index(drop=True)
     max_keys = mf["max_key"].tolist()
 
-    # 1. driver-side: which ranges does the change stream touch?
-    # (key list size == staged-change count — bounded by a commit's
-    # change volume, not repo size; for truly huge imports use
-    # import_entries which plans by prefix instead.)
-    ck = changes.select("key", "is_tombstone").toPandas()
-    pos = _assign_positions(ck["key"].to_numpy(dtype=object), max_keys)
-    touched = set(int(p) for p in np.unique(pos))
+    # 1+2. which base ranges does the change stream touch? Computed
+    # distributively: executors broadcast-searchsort each change key
+    # into the manifest (tiny even at 100 TB — 1e9 objects / 50k per
+    # range = 20k rows) and the driver receives only the DISTINCT
+    # touched positions (<= manifest size), never the change keys —
+    # a 10^8-key merge stays off the driver
+    # (pkg/graveler/committed/commit.go:116-137 likewise plans by
+    # range, not by record). A tombstone on range i's max_key
+    # dissolves a chunk boundary (chunker's rule is pure key-hash),
+    # so position i+1 is emitted too: the following range merges in
+    # and must be rewritten.
+    bc_max = spark.sparkContext.broadcast(max_keys)
 
-    # 2. deleted-boundary expansion: tombstone on range i's max_key
-    # dissolves the boundary -> range i+1 rewrites too.
-    max_key_set = {mk: i for i, mk in enumerate(max_keys)}
-    for k, tomb in zip(ck["key"], ck["is_tombstone"]):
-        if tomb and k in max_key_set:
-            nxt = max_key_set[k] + 1
-            if nxt < len(max_keys):
-                touched.add(nxt)
+    @F.pandas_udf("array<int>")
+    def _touched_positions(keys: pd.Series, tombs: pd.Series) -> pd.Series:
+        mk = bc_max.value
+        n = len(mk)
+        pos = _assign_positions(keys.to_numpy(dtype=object), mk)
+        out = []
+        for k, t, p in zip(keys.to_numpy(dtype=object), tombs.to_numpy(), pos):
+            p = int(p)
+            if t and p + 1 < n and k == mk[p]:
+                out.append([p, p + 1])
+            else:
+                out.append([p])
+        return pd.Series(out)
+
+    touched = {
+        int(r["p"])
+        for r in changes.select(
+            F.explode(_touched_positions("key", "is_tombstone")).alias("p")
+        )
+        .distinct()
+        .collect()
+    }
 
     # 3. contiguous touched groups
     group_of: dict[int, int] = {}
@@ -118,7 +168,6 @@ def _apply_cow(
     base_rows = R.read_ranges(spark, root, touched_ids)
 
     # tag group ids: broadcast searchsorted on max_keys -> group
-    bc_max = spark.sparkContext.broadcast(max_keys)
     bc_groups = spark.sparkContext.broadcast(group_of)
 
     @F.pandas_udf("int")

@@ -47,6 +47,7 @@ from lakefs_spark.schema import ENTRY_COLS, ENTRY_SCHEMA, STAGED_SCHEMA
 
 _UNSET = object()  # sentinel: "no identity predicate" (None is a valid predicate)
 from lakefs_spark.storage import ranges as R
+from lakefs_spark.storage import commit_apply
 from lakefs_spark.storage.commit_apply import NoChangesError, apply_changes
 from lakefs_spark.storage.refs import (
     Commit,
@@ -81,6 +82,16 @@ class ProtectedBranchError(Exception):
 class PreconditionFailedError(Exception):
     """Conditional write predicate failed (kv.ErrPredicateFailed;
     reference: pkg/graveler/graveler.go:1982-2003, pkg/kv/store.go:96-100)."""
+
+
+class TooManyTriesError(Exception):
+    """Branch update kept losing the CAS race (graveler.ErrTooManyTries;
+    pkg/graveler/graveler.go:2422-2475 retryBranchUpdate)."""
+
+
+#: bounded optimistic-retry budget for branch-pointer updates
+#: (pkg/graveler/graveler.go BranchUpdateMaxTries)
+BRANCH_UPDATE_MAX_TRIES = 3
 
 
 class Repository:
@@ -593,11 +604,20 @@ class Repository:
         lsel = set(lm["range_id"]) - set(rm["range_id"])
         rsel = set(rm["range_id"]) - set(lm["range_id"])
         if staged is not None:
-            keys = [r["key"] for r in staged.select("key").collect()]
-            for mf, sel in ((lm, lsel), (rm, rsel)):
-                for k in keys:
-                    hit = mf[(mf["min_key"] <= k) & (mf["max_key"] >= k)]
-                    sel.update(hit["range_id"])
+            # executor-side interval probe: the staged key stream never
+            # reaches the driver (commit_apply.ranges_containing_keys).
+            # persist only for the two probe passes, then unpersist: Spark's
+            # CacheManager matches by logical plan, so a lingering cache of
+            # the staging-dir read would serve stale rows to any later
+            # staged_changes() over the same path.
+            staged = staged.persist()
+            try:
+                for mf, sel in ((lm, lsel), (rm, rsel)):
+                    sel.update(
+                        commit_apply.ranges_containing_keys(self.spark, mf, staged)
+                    )
+            finally:
+                staged.unpersist()
         left_rows = R.read_ranges(self.spark, self.root, sorted(lsel))
         compacted_rows = R.read_ranges(self.spark, self.root, sorted(rsel))
         if staged is None:

@@ -737,3 +737,20 @@ def test_walker_base_strip_anchored(spark, tmp_path):
     walked = walk_files(spark, f"file://{base}")
     ents = entries_from_walk(walked, f"file://{base}")
     assert [r["key"] for r in ents.collect()] == ["x/data/y.bin"]
+
+
+def test_ranges_containing_keys_distributed(repo, spark):
+    """Interval probe returns exactly the manifest ranges containing any
+    probed key, without collecting the key stream."""
+    from lakefs_spark.storage.commit_apply import ranges_containing_keys
+
+    ents = _entries(spark)
+    c = repo.import_entries("main", ents, message="base")
+    mf = R.read_manifest(repo.root, c.metarange_id)
+    some = [r["key"] for r in ents.orderBy("key").limit(3).collect()]
+    probe = spark.createDataFrame([(k,) for k in some] + [("zzzz/no-such",)], ["key"])
+    hit = ranges_containing_keys(spark, mf, probe)
+    expect = set()
+    for k in some:
+        expect.update(mf[(mf["min_key"] <= k) & (mf["max_key"] >= k)]["range_id"])
+    assert hit == expect and len(hit) >= 1
