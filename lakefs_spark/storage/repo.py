@@ -28,10 +28,12 @@ abort wiring pkg/graveler/graveler.go:2272-2287).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import time
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +89,13 @@ class PreconditionFailedError(Exception):
 class TooManyTriesError(Exception):
     """Branch update kept losing the CAS race (graveler.ErrTooManyTries;
     pkg/graveler/graveler.go:2422-2475 retryBranchUpdate)."""
+
+
+class BranchChangedError(Exception):
+    """The branch head moved between read and compare-and-swap — the
+    optimistic update lost the race (kv.ErrPredicateFailed;
+    pkg/kv/store.go:96-100 SetIf). Callers retry via
+    :meth:`Repository._retry_branch_update`."""
 
 
 #: bounded optimistic-retry budget for branch-pointer updates
@@ -244,7 +253,56 @@ class Repository:
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(state, f)
-        os.replace(tmp, path)  # atomic pointer swap (CAS stand-in)
+        os.replace(tmp, path)  # atomic file swap (not by itself a CAS)
+
+    @contextmanager
+    def _branch_lock(self, name: str):
+        """Exclusive per-branch critical section for read-compare-write on
+        the pointer file. Local-FS analog of the KV store's conditional
+        put (pkg/kv/store.go:96-100 SetIf); on an object store this maps
+        to If-Match / conditional-write on the pointer object."""
+        lock_path = self._branch_path(name) + ".lock"
+        os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+        with open(lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def _cas_update(self, name: str, expected_head, update: dict, drop: tuple = ()) -> dict:
+        """Atomically set fields on the branch state iff its head still
+        equals ``expected_head``. Merges over the CURRENT state (so a
+        concurrent staging_seq bump is preserved), removes ``drop`` keys,
+        and raises :class:`BranchChangedError` on a lost race
+        (graveler.go:2422-2475 branch-update predicate)."""
+        with self._branch_lock(name):
+            cur = self._read_branch(name)
+            if cur["head"] != expected_head:
+                raise BranchChangedError(
+                    f"branch {name!r} moved: expected head {expected_head!r}, "
+                    f"found {cur['head']!r}"
+                )
+            new = {k: v for k, v in {**cur, **update}.items() if k not in drop}
+            self._write_branch(name, new)
+            return new
+
+    def _retry_branch_update(self, branch: str, attempt):
+        """Run ``attempt()`` (which ends in a :meth:`_cas_update`) with a
+        bounded optimistic retry on lost races — the reference's
+        retryBranchUpdate loop (graveler.go:2422-2475,
+        BranchUpdateMaxTries). Each retry re-reads the head inside
+        ``attempt`` and recomputes, so the result is always applied on
+        the observed head."""
+        last: BranchChangedError | None = None
+        for _ in range(BRANCH_UPDATE_MAX_TRIES):
+            try:
+                return attempt()
+            except BranchChangedError as e:
+                last = e
+        raise TooManyTriesError(
+            f"branch {branch!r} update failed after {BRANCH_UPDATE_MAX_TRIES} tries"
+        ) from last
 
     def branches(self) -> dict[str, str | None]:
         d = os.path.join(self.root, "refs", "branches")
@@ -311,10 +369,13 @@ class Repository:
         return os.path.join(self.root, "staging", branch)
 
     def _next_seq(self, branch: str) -> int:
-        st = self._read_branch(branch)
-        seq = st["staging_seq"] + 1
-        st["staging_seq"] = seq
-        self._write_branch(branch, st)
+        # atomic fetch-and-increment: two concurrent stagers must not be
+        # handed the same seq (= same staging partition dir)
+        with self._branch_lock(branch):
+            st = self._read_branch(branch)
+            seq = st["staging_seq"] + 1
+            st["staging_seq"] = seq
+            self._write_branch(branch, st)
         return seq
 
     def stage_entries(self, branch: str, entries: DataFrame) -> None:
@@ -452,10 +513,10 @@ class Repository:
             if len(new_manifest)
             else R.EMPTY_METARANGE
         )
-        cur = self._read_branch(branch)
-        if cur["head"] != st["head"]:
-            raise RuntimeError(f"concurrent update on branch {branch!r}")
-        self._write_branch(branch, {**cur, "compacted_mid": mid})
+        # compaction is invalid if a commit landed mid-flight (it was
+        # computed on the old head); no retry here — the staged changes
+        # are untouched, the caller can re-compact
+        self._cas_update(branch, st["head"], {"compacted_mid": mid})
         self._clear_staging(branch)
         return mid
 
@@ -469,10 +530,11 @@ class Repository:
         d = self._staging_dir(branch)
         if prefix is None and key is None:
             self._clear_staging(branch)
-            st = self._read_branch(branch)
-            if st.get("compacted_mid"):
-                st.pop("compacted_mid", None)
-                self._write_branch(branch, st)
+            with self._branch_lock(branch):
+                st = self._read_branch(branch)
+                if st.get("compacted_mid"):
+                    st.pop("compacted_mid", None)
+                    self._write_branch(branch, st)
             return
         raw = self._staged_raw(branch)
         if raw is None:
@@ -636,56 +698,71 @@ class Repository:
         metadata: dict[str, str] | None = None,
         allow_empty: bool = False,
         date: float | None = None,
+        pointer_extra: dict | None = None,
     ) -> Commit:
-        """Commit staged changes (copy-on-write apply; graveler.go:2239-2406)."""
+        """Commit staged changes (copy-on-write apply; graveler.go:2239-2406).
+
+        ``pointer_extra`` fields ride the same atomic pointer CAS as the
+        head swap (used by streaming ingest to bind the microbatch epoch
+        to the commit — the Delta txn-version idempotent-sink pattern).
+        """
         self._check_protected(branch, "commit")
         # prepare-commit fires while staging is still writable, then the
         # abortable pre-commit (pkg/actions/event.go:16-32 ordering)
         self._fire("prepare-commit", branch=branch, message=message)
         self._fire("pre-commit", branch=branch, message=message)
-        st = self._read_branch(branch)
-        changes = self.staged_changes(branch)
-        head_mid = self._metarange_of(st["head"])
-        # commits apply on top of a pending compacted base when present
-        # (CompactedBaseMetaRangeID — graveler.go:541-542)
-        base_mid = st.get("compacted_mid") or head_mid
-        if changes is None:
-            if base_mid == head_mid and not allow_empty:
-                raise NoChangesError(f"no staged changes on {branch!r}")
-            new_manifest = (
-                R.read_manifest(self.root, base_mid)
-                if base_mid != R.EMPTY_METARANGE
-                else pd.DataFrame(columns=R.MANIFEST_COLS)
+
+        def attempt() -> Commit:
+            # each try re-reads the head, so a retry after a lost CAS
+            # recomputes the apply on the commit that won the race
+            st = self._read_branch(branch)
+            changes = self.staged_changes(branch)
+            head_mid = self._metarange_of(st["head"])
+            # commits apply on top of a pending compacted base when present
+            # (CompactedBaseMetaRangeID — graveler.go:541-542)
+            base_mid = st.get("compacted_mid") or head_mid
+            if changes is None:
+                if base_mid == head_mid and not allow_empty:
+                    raise NoChangesError(f"no staged changes on {branch!r}")
+                new_manifest = (
+                    R.read_manifest(self.root, base_mid)
+                    if base_mid != R.EMPTY_METARANGE
+                    else pd.DataFrame(columns=R.MANIFEST_COLS)
+                )
+            else:
+                base_manifest = (
+                    R.read_manifest(self.root, base_mid)
+                    if base_mid != R.EMPTY_METARANGE
+                    else None
+                )
+                new_manifest = apply_changes(
+                    self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
+                )
+            new_mid = (
+                R.write_manifest(new_manifest, self.root)
+                if len(new_manifest)
+                else R.EMPTY_METARANGE
             )
-        else:
-            base_manifest = (
-                R.read_manifest(self.root, base_mid)
-                if base_mid != R.EMPTY_METARANGE
-                else None
+            if new_mid == head_mid and not allow_empty:
+                raise NoChangesError(f"staged changes are a no-op on {branch!r}")
+            commit = self.commits.create(
+                parents=[st["head"]] if st["head"] else [],
+                metarange_id=new_mid,
+                message=message,
+                committer=committer,
+                metadata=metadata,
+                creation_date=date,
             )
-            new_manifest = apply_changes(
-                self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
+            # atomic pointer CAS on the head observed at the top of this
+            # attempt; a lost race raises BranchChangedError -> retry
+            # (an orphaned commit object from a lost try is unreferenced
+            # and swept by GC, matching the reference's behavior)
+            self._cas_update(
+                branch, st["head"], {"head": commit.commit_id, **(pointer_extra or {})}
             )
-        new_mid = (
-            R.write_manifest(new_manifest, self.root)
-            if len(new_manifest)
-            else R.EMPTY_METARANGE
-        )
-        if new_mid == head_mid and not allow_empty:
-            raise NoChangesError(f"staged changes are a no-op on {branch!r}")
-        commit = self.commits.create(
-            parents=[st["head"]] if st["head"] else [],
-            metarange_id=new_mid,
-            message=message,
-            committer=committer,
-            metadata=metadata,
-            creation_date=date,
-        )
-        # pointer CAS: re-read, verify expected head, swap
-        cur = self._read_branch(branch)
-        if cur["head"] != st["head"]:
-            raise RuntimeError(f"concurrent update on branch {branch!r}")
-        self._write_branch(branch, {**cur, "head": commit.commit_id})
+            return commit
+
+        commit = self._retry_branch_update(branch, attempt)
         self.reset_branch(branch)
         self._fire("post-commit", branch=branch, commit=commit)
         return commit
@@ -756,10 +833,10 @@ class Repository:
             metadata=metadata,
             creation_date=date,
         )
-        cur = self._read_branch(branch)
-        if cur["head"] != expected_head:
-            raise RuntimeError(f"concurrent update on branch {branch!r}")
-        self._write_branch(branch, {**cur, "head": commit.commit_id})
+        # atomic CAS on the head the caller computed against; a lost race
+        # surfaces BranchChangedError so the caller's retry loop can
+        # recompute the diffs on the new head (graveler.go:2422-2475)
+        self._cas_update(branch, expected_head, {"head": commit.commit_id})
         return commit
 
     def merge(
@@ -783,23 +860,29 @@ class Repository:
             raise DirtyBranchError(f"destination branch {dest_branch!r} has uncommitted changes")
         self._fire("pre-merge", source=source_ref, dest=dest_branch)
         source_cid = self.resolve(source_ref).commit_id
-        dest_cid = self._read_branch(dest_branch)["head"]
         if source_cid is None:
             raise RefError("source has no commits")
-        base_cid = merge_base(self.commits, source_cid, dest_cid) if dest_cid else None
-        actions = self._three_way_changes(base_cid, source_cid, dest_cid, strategy)
-        parents = [dest_cid] if squash else [dest_cid, source_cid]
-        parents = [p for p in parents if p]
-        commit = self._apply_actions_commit(
-            dest_branch,
-            actions,
-            parents,
-            message or f"merge {source_ref} into {dest_branch}",
-            committer,
-            metadata,
-            expected_head=dest_cid,
-            date=date,
-        )
+
+        def attempt() -> Commit:
+            # re-read dest head per try: a retry recomputes the 3-way
+            # diffs against whatever commit won the race
+            dest_cid = self._read_branch(dest_branch)["head"]
+            base_cid = merge_base(self.commits, source_cid, dest_cid) if dest_cid else None
+            actions = self._three_way_changes(base_cid, source_cid, dest_cid, strategy)
+            parents = [dest_cid] if squash else [dest_cid, source_cid]
+            parents = [p for p in parents if p]
+            return self._apply_actions_commit(
+                dest_branch,
+                actions,
+                parents,
+                message or f"merge {source_ref} into {dest_branch}",
+                committer,
+                metadata,
+                expected_head=dest_cid,
+                date=date,
+            )
+
+        commit = self._retry_branch_update(dest_branch, attempt)
         self._fire("post-merge", source=source_ref, dest=dest_branch, commit=commit)
         return commit
 
@@ -818,19 +901,23 @@ class Repository:
         cid = self.resolve(ref).commit_id
         c = self.commits.get(cid)
         parent = c.parents[parent_number - 1] if c.parents else None
-        head = self._read_branch(branch)["head"]
         self._fire("pre-revert", branch=branch, ref=cid)
-        actions = self._three_way_changes(cid, parent, head, "none")
-        commit = self._apply_actions_commit(
-            branch,
-            actions,
-            [head],
-            f"revert {cid[:12]}",
-            committer,
-            None,
-            expected_head=head,
-            date=date,
-        )
+
+        def attempt() -> Commit:
+            head = self._read_branch(branch)["head"]
+            actions = self._three_way_changes(cid, parent, head, "none")
+            return self._apply_actions_commit(
+                branch,
+                actions,
+                [head],
+                f"revert {cid[:12]}",
+                committer,
+                None,
+                expected_head=head,
+                date=date,
+            )
+
+        commit = self._retry_branch_update(branch, attempt)
         self._fire("post-revert", branch=branch, ref=cid, commit=commit)
         return commit
 
@@ -849,19 +936,23 @@ class Repository:
         cid = self.resolve(ref).commit_id
         c = self.commits.get(cid)
         parent = c.parents[parent_number - 1] if c.parents else None
-        head = self._read_branch(branch)["head"]
         self._fire("pre-cherry-pick", branch=branch, ref=cid)
-        actions = self._three_way_changes(parent, cid, head, "none")
-        commit = self._apply_actions_commit(
-            branch,
-            actions,
-            [head],
-            f"cherry-pick {cid[:12]}",
-            committer,
-            None,
-            expected_head=head,
-            date=date,
-        )
+
+        def attempt() -> Commit:
+            head = self._read_branch(branch)["head"]
+            actions = self._three_way_changes(parent, cid, head, "none")
+            return self._apply_actions_commit(
+                branch,
+                actions,
+                [head],
+                f"cherry-pick {cid[:12]}",
+                committer,
+                None,
+                expected_head=head,
+                date=date,
+            )
+
+        commit = self._retry_branch_update(branch, attempt)
         self._fire("post-cherry-pick", branch=branch, ref=cid, commit=commit)
         return commit
 
@@ -884,36 +975,37 @@ class Repository:
         from lakefs_spark.operators.overlay import dedup_entries
         from lakefs_spark.storage.commit_apply import import_apply
 
-        head = self._read_branch(branch)["head"]
-        head_mid = self._metarange_of(head)
-        base_manifest = (
-            R.read_manifest(self.root, head_mid) if head_mid != R.EMPTY_METARANGE else None
-        )
-        entries = dedup_entries(entries.select(*ENTRY_COLS))
-        if replace_prefixes:
-            new_manifest = import_apply(
-                self.spark, self.root, base_manifest, entries, replace_prefixes, self.raggedness
+        ents = dedup_entries(entries.select(*ENTRY_COLS))
+
+        def attempt() -> Commit:
+            head = self._read_branch(branch)["head"]
+            head_mid = self._metarange_of(head)
+            base_manifest = (
+                R.read_manifest(self.root, head_mid) if head_mid != R.EMPTY_METARANGE else None
             )
-        else:
-            changes = entries.select(
-                F.lit(False).alias("is_tombstone"), *[F.col(c) for c in ENTRY_COLS]
+            if replace_prefixes:
+                new_manifest = import_apply(
+                    self.spark, self.root, base_manifest, ents, replace_prefixes, self.raggedness
+                )
+            else:
+                changes = ents.select(
+                    F.lit(False).alias("is_tombstone"), *[F.col(c) for c in ENTRY_COLS]
+                )
+                new_manifest = apply_changes(
+                    self.spark, self.root, base_manifest, changes, self.raggedness
+                )
+            new_mid = R.write_manifest(new_manifest, self.root)
+            commit = self.commits.create(
+                parents=[head] if head else [],
+                metarange_id=new_mid,
+                message=message,
+                committer=committer,
+                creation_date=date,
             )
-            new_manifest = apply_changes(
-                self.spark, self.root, base_manifest, changes, self.raggedness
-            )
-        new_mid = R.write_manifest(new_manifest, self.root)
-        commit = self.commits.create(
-            parents=[head] if head else [],
-            metarange_id=new_mid,
-            message=message,
-            committer=committer,
-            creation_date=date,
-        )
-        cur = self._read_branch(branch)
-        if cur["head"] != head:
-            raise RuntimeError(f"concurrent update on branch {branch!r}")
-        self._write_branch(branch, {**cur, "head": commit.commit_id})
-        return commit
+            self._cas_update(branch, head, {"head": commit.commit_id})
+            return commit
+
+        return self._retry_branch_update(branch, attempt)
 
     # -- log / gc ----------------------------------------------------------
 

@@ -52,22 +52,30 @@ def commit_batch(
     if batch_id <= last_applied_batch(repo, branch, query_name):
         return False  # replayed microbatch — already committed
     repo.stage_entries(branch, entries)
+    epochs = {
+        **repo._read_branch(branch).get("stream_epochs", {}),
+        query_name: batch_id,
+    }
     try:
+        # the epoch rides the SAME atomic pointer CAS as the head swap
+        # (pointer_extra): no window exists where the commit landed but
+        # the epoch didn't — a crash either replays the whole batch
+        # (pointer untouched) or skips it (pointer has both)
         repo.commit(
             branch,
             f"{query_name} batch {batch_id}",
             committer=committer,
             metadata={"stream.query": query_name, "stream.batch": str(batch_id)},
+            pointer_extra={"stream_epochs": epochs},
         )
     except NoChangesError:
         # batch re-ingested already-committed content: advance the epoch
+        # alone (no commit happened; a crash before this write just
+        # replays a no-op batch, which converges the same way)
         repo.reset_branch(branch)
-    # record epoch after the head swap: a crash between the two repeats
-    # the batch, and the content-addressed commit dedups to a no-op
-    st = repo._read_branch(branch)
-    epochs = st.get("stream_epochs", {})
-    epochs[query_name] = batch_id
-    repo._write_branch(branch, {**st, "stream_epochs": epochs})
+        with repo._branch_lock(branch):
+            st = repo._read_branch(branch)
+            repo._write_branch(branch, {**st, "stream_epochs": epochs})
     return True
 
 

@@ -754,3 +754,80 @@ def test_ranges_containing_keys_distributed(repo, spark):
     for k in some:
         expect.update(mf[(mf["min_key"] <= k) & (mf["max_key"] >= k)]["range_id"])
     assert hit == expect and len(hit) >= 1
+
+
+def test_commit_cas_retry_recomputes_on_lost_race(repo, spark):
+    """A commit that loses the pointer CAS retries on the new head: the
+    final commit's parent is the interloper's commit, and both changes
+    are visible (graveler.go:2422-2475 retryBranchUpdate)."""
+    from lakefs_spark.storage.repo import BranchChangedError
+
+    ents = _entries(spark)
+    c0 = repo.import_entries("main", ents.limit(20), message="base")
+    repo.stage_entries("main", ents.limit(3).withColumn("identity", F.lit("mine")))
+
+    real_create = repo.commits.create
+    raced = []
+
+    def racing_create(**kw):
+        if not raced:
+            raced.append(1)
+            # interloper: another writer swaps the head between our
+            # read and our CAS
+            inter = real_create(
+                parents=[c0.commit_id],
+                metarange_id=c0.metarange_id,
+                message="interloper",
+                committer="other",
+            )
+            repo._cas_update("main", c0.commit_id, {"head": inter.commit_id})
+        return real_create(**kw)
+
+    repo.commits.create = racing_create
+    try:
+        c = repo.commit("main", "mine")
+    finally:
+        repo.commits.create = real_create
+
+    log = repo.log("main")
+    assert log[0].commit_id == c.commit_id
+    assert log[1].message == "interloper"
+    assert c.parents == [log[1].commit_id]
+    # a CAS against a stale head must refuse
+    with pytest.raises(BranchChangedError):
+        repo._cas_update("main", c0.commit_id, {"head": c0.commit_id})
+
+
+def test_commit_cas_exhausts_retries(repo, spark):
+    """A writer that loses every race gives up with TooManyTriesError
+    (graveler.ErrTooManyTries) instead of spinning or clobbering."""
+    from lakefs_spark.storage.repo import BRANCH_UPDATE_MAX_TRIES, TooManyTriesError
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(20), message="base")
+    repo.stage_entries("main", ents.limit(2).withColumn("identity", F.lit("mine")))
+
+    real_create = repo.commits.create
+    interlopers = []
+
+    def always_racing_create(**kw):
+        head = repo._read_branch("main")["head"]
+        inter = real_create(
+            parents=[head],
+            metarange_id=repo.commits.get(head).metarange_id,
+            message=f"interloper {len(interlopers)}",
+            committer="other",
+        )
+        repo._cas_update("main", head, {"head": inter.commit_id})
+        interlopers.append(inter.commit_id)
+        return real_create(**kw)
+
+    repo.commits.create = always_racing_create
+    try:
+        with pytest.raises(TooManyTriesError):
+            repo.commit("main", "mine")
+    finally:
+        repo.commits.create = real_create
+    assert len(interlopers) == BRANCH_UPDATE_MAX_TRIES
+    # staged changes survive the failed update for a later retry
+    assert repo.has_staged("main")
