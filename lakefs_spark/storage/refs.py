@@ -143,7 +143,7 @@ class CommitStore:
 
 # -- ref expressions -------------------------------------------------------
 
-_REF_RE = re.compile(r"^(?P<base>[^~^@$]+)(?P<mods>([~^]\d*)*)(?P<suffix>[@$]?)$")
+_HASH_RE = re.compile(r"^[a-fA-F0-9]{1,64}$")
 
 
 class RefError(ValueError):
@@ -157,26 +157,48 @@ class ResolvedRef:
     staging: bool  # True => include staged changes ($ or bare branch)
 
 
+def parse_ref(ref: str) -> tuple[str, list[tuple[str, int]]]:
+    """Split a ref expression into (base, [(op, n), ...]) with the
+    reference's strict grammar (pkg/graveler/ref/parse_ref.go:11-68):
+    ``~``/``^`` take an optional decimal count; ``@``/``$`` take none
+    (``main$2`` is invalid); any non-numeric trailer is invalid."""
+    ref = ref.strip()
+    m = re.match(r"^[^~^@$]+", ref)
+    if not m:
+        raise RefError(f"invalid ref: {ref!r}")
+    base, rest = m.group(0), ref[m.end():]
+    mods: list[tuple[str, int]] = []
+    for t in re.finditer(r"([~^@$])([^~^@$]*)", rest):
+        op, arg = t.group(1), t.group(2)
+        if op in "@$":
+            if arg:
+                raise RefError(f"invalid ref: {ref!r} ({op} takes no count)")
+            mods.append((op, 1))
+        else:
+            if arg and not arg.isdigit():
+                raise RefError(f"invalid ref: {ref!r} (bad modifier {op}{arg})")
+            mods.append((op, int(arg) if arg else 1))
+    return base, mods
+
+
 def parse_mods(mods: str) -> list[tuple[str, int]]:
-    out = []
-    for m in re.finditer(r"([~^])(\d*)", mods):
-        op, n = m.group(1), m.group(2)
-        out.append((op, int(n) if n else 1))
-    return out
+    """Parse a bare modifier string (no base) — thin wrapper kept for
+    compatibility with callers that pre-split the expression."""
+    return parse_ref(f"_{mods}")[1]
 
 
 def resolve_ref(ref: str, branches: dict[str, str | None], tags: dict[str, str], commits: CommitStore) -> ResolvedRef:
-    """Resolve a ref expression to a commit (reference precedence).
+    """Resolve a ref expression to a commit (reference precedence:
+    full commit > branch > tag > commit prefix —
+    pkg/graveler/ref/resolve_ref.go:31-46).
 
     ``branches`` maps branch -> head commit id (None = no commits yet).
-    Modifiers: ``~N`` = N first-parent steps; ``^N`` = N-th parent;
-    ``@`` = committed head only (no staging); ``$`` = staging included
-    (default for a bare branch name).
-    """
-    m = _REF_RE.match(ref.strip())
-    if not m:
-        raise RefError(f"invalid ref: {ref!r}")
-    base, mods, suffix = m.group("base"), m.group("mods"), m.group("suffix")
+    Modifiers: ``~N`` = N first-parent steps; ``^N`` = N-th parent
+    (``^0`` = self); ``@`` = committed head only (no staging); ``$`` =
+    staging included (default for a bare branch name). ``@``/``$`` must
+    be the SOLE modifier and the base must be a branch — ``main~1$`` is
+    invalid (resolve_ref.go:61-92)."""
+    base, mods = parse_ref(ref)
 
     branch = None
     if commits.exists(base):
@@ -186,7 +208,7 @@ def resolve_ref(ref: str, branches: dict[str, str | None], tags: dict[str, str],
         cid = branches[base]
     elif base in tags:
         cid = tags[base]
-    else:
+    elif _HASH_RE.match(base):
         matches = [c for c in commits.all_ids() if c.startswith(base)]
         if len(matches) == 1:
             cid = matches[0]
@@ -194,8 +216,19 @@ def resolve_ref(ref: str, branches: dict[str, str | None], tags: dict[str, str],
             raise RefError(f"ambiguous commit prefix: {base!r}")
         else:
             raise RefError(f"ref not found: {base!r}")
+    else:
+        raise RefError(f"ref not found: {base!r}")
 
-    for op, n in parse_mods(mods):
+    if any(op in "@$" for op, _ in mods):
+        # @/$ are branch-state selectors, not commit navigation: they
+        # reject combination with any other modifier (resolve_ref.go:63,77)
+        if len(mods) != 1 or branch is None:
+            raise RefError(
+                f"invalid ref: {ref!r} (@/$ must be the sole modifier on a branch)"
+            )
+        return ResolvedRef(commit_id=cid, branch=branch, staging=mods[0][0] == "$")
+
+    for op, n in mods:
         if cid is None:
             raise RefError(f"cannot apply {op}{n} to empty branch")
         if op == "~":
@@ -204,7 +237,7 @@ def resolve_ref(ref: str, branches: dict[str, str | None], tags: dict[str, str],
                 if not parents:
                     raise RefError(f"{ref}: ran past root")
                 cid = parents[0]
-        else:  # ^N = N-th parent (^0 = self)
+        else:  # ^N = N-th parent (^0 = self; resolve_ref.go:108-117)
             if n == 0:
                 continue
             parents = commits.get(cid).parents
@@ -212,9 +245,7 @@ def resolve_ref(ref: str, branches: dict[str, str | None], tags: dict[str, str],
                 raise RefError(f"{ref}: commit has {len(parents)} parents, wanted ^{n}")
             cid = parents[n - 1]
 
-    staging = branch is not None and suffix != "@" and not mods
-    if suffix == "$" and branch is None:
-        raise RefError("$ only applies to branches")
+    staging = branch is not None and not mods
     return ResolvedRef(commit_id=cid, branch=branch, staging=staging)
 
 

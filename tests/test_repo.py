@@ -185,9 +185,20 @@ def test_ref_expressions_and_log(repo, spark):
     repo.create_tag("v1", "main~1")
     assert repo.resolve("v1").commit_id == c2.commit_id
     with pytest.raises(RefError):
+        repo.resolve("v1@")  # @/$ apply to branches only
+    with pytest.raises(RefError):
         repo.resolve("nope")
     with pytest.raises(RefError):
         repo.resolve("main~99")
+    # strict grammar (pkg/graveler/ref/parse_ref.go, resolve_ref.go):
+    # @/$ must be the SOLE modifier, on a branch, with no count
+    assert repo.resolve("main$").staging is True
+    assert repo.resolve("main@").staging is False
+    assert repo.resolve("main^0").commit_id == c3.commit_id
+    for bad in ("main~1$", "main$~1", "main@1", "main$2", "main@@",
+                f"{c3.commit_id}$", "main~x", "main^1x"):
+        with pytest.raises(RefError):
+            repo.resolve(bad)
 
     log = repo.log("main")
     assert [c.commit_id for c in log] == [c3.commit_id, c2.commit_id, c1.commit_id]
@@ -831,3 +842,61 @@ def test_commit_cas_exhausts_retries(repo, spark):
     assert len(interlopers) == BRANCH_UPDATE_MAX_TRIES
     # staged changes survive the failed update for a later retry
     assert repo.has_staged("main")
+
+
+def test_webhook_hook_gates_commit(repo, spark):
+    """A pre-commit webhook aborts on non-2xx / transport error and
+    passes on 2xx (pkg/actions/webhook.go:85-133), exercised over real
+    localhost HTTP."""
+    import http.server
+    import json as _json
+    import threading
+
+    from lakefs_spark.storage.webhook import webhook_hook
+
+    seen = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            seen.append(_json.loads(body))
+            code = 500 if self.path.startswith("/deny") else 200
+            self.send_response(code)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    try:
+        ents = _entries(spark)
+        repo.import_entries("main", ents.limit(10), message="base")
+
+        repo.on("pre-commit", webhook_hook(f"http://127.0.0.1:{port}/deny",
+                                           hook_id="gate", timeout=5))
+        repo.stage_entries("main", ents.limit(2).withColumn("identity", F.lit("x")))
+        with pytest.raises(HookAbortError, match="status code: 500"):
+            repo.commit("main", "should abort")
+        assert repo.has_staged("main")  # abort left staging intact
+
+        repo.hooks["pre-commit"] = [webhook_hook(f"http://127.0.0.1:{port}/ok",
+                                                 hook_id="gate", timeout=5)]
+        c = repo.commit("main", "passes gate")
+        assert repo.branches()["main"] == c.commit_id
+        assert seen and seen[-1]["event_type"] == "pre-commit"
+        assert seen[-1]["branch_id"] == "main"
+        assert seen[-1]["commit_message"] == "passes gate"
+
+        # connection-refused transport error also aborts
+        srv.shutdown()
+        repo.hooks["pre-commit"] = [webhook_hook(f"http://127.0.0.1:{port}/ok",
+                                                 hook_id="gate", timeout=2)]
+        repo.stage_entries("main", ents.limit(1).withColumn("identity", F.lit("y")))
+        with pytest.raises(HookAbortError, match="request failed"):
+            repo.commit("main", "no listener")
+    finally:
+        srv.shutdown()
+        srv.server_close()
