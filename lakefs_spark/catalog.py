@@ -108,6 +108,56 @@ class Catalog:
             },
         }
 
+    def list_objects_v2(
+        self,
+        ref: str,
+        prefix: str = "",
+        delimiter: str = "",
+        max_keys: int = 1000,
+        start_after: str = "",
+        continuation_token: str = "",
+    ) -> dict:
+        """S3-gateway ListObjectsV2 envelope
+        (pkg/gateway/operations/listobjects.go:106-234): the resume
+        cursor is ``continuation-token`` when present, else
+        ``start-after``; the response echoes the request token and, when
+        truncated, carries ``NextContinuationToken`` = last emitted key,
+        which the next call passes back verbatim."""
+        from_str = continuation_token or start_after
+        rows, has_more = self.repo.list_page(
+            ref, prefix=prefix, after=from_str, delimiter=delimiter, amount=max_keys
+        )
+        dirs = [{"Prefix": r["key"]} for r in rows if r["is_common_prefix"]]
+        files = [
+            {
+                "Key": r["key"],
+                "Size": r["size"],
+                "ETag": r["etag"],
+                "LastModified": r["last_modified"],
+                "StorageClass": "STANDARD",
+            }
+            for r in rows
+            if not r["is_common_prefix"]
+        ]
+        resp = {
+            "Name": self.repo.root,
+            "Prefix": prefix,
+            "Delimiter": delimiter,
+            "KeyCount": len(rows),
+            "MaxKeys": max_keys,
+            "CommonPrefixes": dirs,
+            "Contents": files,
+            "IsTruncated": False,
+        }
+        if continuation_token:
+            resp["ContinuationToken"] = continuation_token
+        if start_after:
+            resp["StartAfter"] = start_after
+        if has_more and rows:
+            resp["IsTruncated"] = True
+            resp["NextContinuationToken"] = rows[-1]["key"]
+        return resp
+
     def stat_object(self, ref: str, path: str):
         """Entry row for ``path`` or None (statObject 404)."""
         return self.repo.get(ref, path)

@@ -88,26 +88,35 @@ def hive_partitions(entries: DataFrame, table_prefix: str) -> DataFrame:
     )
 
 
+GLUE_BATCH_CREATE_MAX = 100  # BatchCreatePartition hard API cap
+
+
 def glue_partition_input(
     partitions: DataFrame, database: str, table: str, location_root: str
 ) -> list[dict]:
-    """Glue ``BatchCreatePartition`` request entries for the inventory
+    """Glue ``BatchCreatePartition`` request bodies for the inventory
     (glue_exporter.lua analog): one PartitionInput per value, location
-    = ``location_root/<value>/``. Partition count is catalog-scale, so
-    the collect is metadata-bounded."""
+    = ``location_root/<value>/``, chunked into batches of at most 100
+    PartitionInputs — the Glue API's per-call cap. Partition count is
+    catalog-scale, so the collect is metadata-bounded. Returns one
+    request dict per batch."""
+    inputs = [
+        {
+            "Values": [r["part_value"]],
+            "StorageDescriptor": {
+                "Location": f"{location_root.rstrip('/')}/{r['part_value']}/",
+                "InputFormat": "org.apache.hadoop.hive.ql.io.SymlinkTextInputFormat",
+            },
+        }
+        for r in partitions.orderBy("part_value").collect()
+    ]
     return [
         {
             "DatabaseName": database,
             "TableName": table,
-            "PartitionInput": {
-                "Values": [r["part_value"]],
-                "StorageDescriptor": {
-                    "Location": f"{location_root.rstrip('/')}/{r['part_value']}/",
-                    "InputFormat": "org.apache.hadoop.hive.ql.io.SymlinkTextInputFormat",
-                },
-            },
+            "PartitionInputList": inputs[i : i + GLUE_BATCH_CREATE_MAX],
         }
-        for r in partitions.orderBy("part_value").collect()
+        for i in range(0, len(inputs), GLUE_BATCH_CREATE_MAX)
     ]
 
 

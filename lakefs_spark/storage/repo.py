@@ -111,6 +111,13 @@ class Repository:
         self.hooks: dict[str, list] = {}
         self.raggedness = DEFAULT_RAGGEDNESS
 
+    @property
+    def pulls(self):
+        """Pull-request manager (graveler.go:360-392; see storage/pulls.py)."""
+        from lakefs_spark.storage.pulls import PullRequests
+
+        return PullRequests(self)
+
     # -- lifecycle ---------------------------------------------------------
 
     @staticmethod

@@ -212,3 +212,41 @@ def test_expire_tracking_ttl(cat, spark):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         cat.import_status("main", imp)
+
+
+def test_list_objects_v2_continuation(cat, spark):
+    """ListObjectsV2 envelope: token precedence over start-after,
+    truncation marker, and a token walk that yields every key exactly
+    once (pkg/gateway/operations/listobjects.go:106-234)."""
+    ents = entries_view(spark, "entries").where("key like 'tables/orders/b1/%'")
+    cat.repo.import_entries("main", ents, message="seed")
+    all_keys = sorted(r["key"] for r in ents.select("key").collect())
+
+    # token-paged walk: no duplicates, no gaps
+    seen, token, pages = [], "", 0
+    while True:
+        resp = cat.list_objects_v2("main", prefix="tables/orders/b1/",
+                                   max_keys=7, continuation_token=token)
+        assert resp["MaxKeys"] == 7 and resp["KeyCount"] == len(resp["Contents"])
+        if token:
+            assert resp["ContinuationToken"] == token  # echoed back
+        seen += [c["Key"] for c in resp["Contents"]]
+        pages += 1
+        if not resp["IsTruncated"]:
+            assert "NextContinuationToken" not in resp
+            break
+        token = resp["NextContinuationToken"]
+        assert token == seen[-1]
+    assert seen == all_keys and pages == -(-len(all_keys) // 7)
+
+    # continuation-token takes precedence over start-after
+    resp = cat.list_objects_v2("main", prefix="tables/orders/b1/", max_keys=2,
+                               start_after=all_keys[5], continuation_token=all_keys[0])
+    assert [c["Key"] for c in resp["Contents"]] == all_keys[1:3]
+    assert resp["StartAfter"] == all_keys[5]
+
+    # delimiter fold produces CommonPrefixes, not Contents
+    resp = cat.list_objects_v2("main", prefix="tables/orders/", delimiter="/",
+                               max_keys=10)
+    assert [d["Prefix"] for d in resp["CommonPrefixes"]] == ["tables/orders/b1/"]
+    assert resp["Contents"] == [] and resp["IsTruncated"] is False

@@ -687,9 +687,23 @@ def test_glue_hive_partition_export(repo, spark):
     assert sum(n for n, _ in rows.values()) == ents.where("key like 'tables/orders/%'").count()
 
     glue = glue_partition_input(parts, "db", "orders", "s3://lake/tables/orders")
-    assert len(glue) == 7
-    assert glue[0]["PartitionInput"]["Values"] == ["b0"]
-    assert glue[0]["PartitionInput"]["StorageDescriptor"]["Location"].endswith("/b0/")
+    assert len(glue) == 1  # 7 partitions fit one BatchCreatePartition call
+    batch = glue[0]["PartitionInputList"]
+    assert len(batch) == 7
+    assert batch[0]["Values"] == ["b0"]
+    assert batch[0]["StorageDescriptor"]["Location"].endswith("/b0/")
+
+    # >100 partitions split into API-cap-sized batches
+    from lakefs_spark.operators.export import GLUE_BATCH_CREATE_MAX
+
+    many = spark.createDataFrame(
+        [(f"p{i:04d}",) for i in range(237)], ["part_value"]
+    )
+    reqs = glue_partition_input(many, "db", "orders", "s3://lake/t")
+    assert [len(r["PartitionInputList"]) for r in reqs] == [100, 100, 37]
+    assert all(len(r["PartitionInputList"]) <= GLUE_BATCH_CREATE_MAX for r in reqs)
+    flat = [p["Values"][0] for r in reqs for p in r["PartitionInputList"]]
+    assert flat == sorted(flat) and len(flat) == 237
 
     ddl = hive_add_partition_ddl(parts, "orders", "s3://lake/tables/orders")
     assert ddl.startswith("ALTER TABLE orders ADD IF NOT EXISTS")
@@ -900,3 +914,50 @@ def test_webhook_hook_gates_commit(repo, spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_pull_request_lifecycle(repo, spark):
+    """Open -> review diff -> merge; status filter and double-merge
+    refusal (graveler.go:360-392, catalog.go:3362-3420)."""
+    from lakefs_spark.storage.pulls import PullRequestError
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    repo.create_branch("feat", "main")
+    upd = ents.limit(3).withColumn("identity", F.concat("identity", F.lit("-pr")))
+    repo.stage_entries("feat", upd)
+    repo.commit("feat", "feat work")
+
+    with pytest.raises(PullRequestError):
+        repo.pulls.create("feat", "feat")  # same branch
+    with pytest.raises(PullRequestError):
+        repo.pulls.create("nope", "main")  # missing branch
+
+    pid = repo.pulls.create("feat", "main", title="my change", author="me")
+    rec = repo.pulls.get(pid)
+    assert rec["status"] == "OPEN" and rec["source"] == "feat"
+
+    # review diff shows exactly the source-side changes
+    d = repo.pulls.diff(pid)
+    assert {r["diff_type"] for r in d.collect()} == {"changed"}
+    assert d.count() == 3
+
+    # second PR stays open; status filters obey CLOSED>=MERGED rule
+    pid2 = repo.pulls.create("feat", "main", title="dup")
+    merged = repo.pulls.merge(pid)
+    assert merged["status"] == "MERGED" and merged["merged_commit_id"]
+    assert repo.branches()["main"] == merged["merged_commit_id"]
+    assert [p["id"] for p in repo.pulls.list(status="open")] == [pid2]
+    assert [p["id"] for p in repo.pulls.list(status="closed")] == [pid]
+    assert len(repo.pulls.list()) == 2
+
+    with pytest.raises(PullRequestError):
+        repo.pulls.merge(pid)  # already merged
+    closed = repo.pulls.close(pid2)
+    assert closed["status"] == "CLOSED" and closed["closed_date"]
+    assert repo.pulls.list(status="open") == []
+    # pagination walks in id order
+    page1 = repo.pulls.list(amount=1)
+    assert len(page1) == 1
+    page2 = repo.pulls.list(after=page1[0]["id"])
+    assert [p["id"] for p in page1 + page2] == sorted([pid, pid2])
