@@ -183,15 +183,17 @@ def q_gc_committed_addresses(spark, sf_dir):
 
 
 def q_range_stats(spark, sf_dir):
-    from pyspark.sql import Window
+    from lakefs_spark.functions.rownum import with_global_row_number
 
     snap = _snap(spark, sf_dir, "snap_a")
-    w = Window.orderBy("key")
+    # distributed global row number (functions/rownum.py) instead of an
+    # unpartitioned window — the latter collapses 100 TB to one task
     return (
-        snap.select(
+        with_global_row_number(snap.select("key", "size"), ["key"], out_col="rn")
+        .select(
             "key",
             "size",
-            F.floor((F.row_number().over(w) - 1) / 5000).cast("long").alias("chunk_idx"),
+            F.floor((F.col("rn") - 1) / 5000).cast("long").alias("chunk_idx"),
         )
         .groupBy("chunk_idx")
         .agg(

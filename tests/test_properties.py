@@ -179,3 +179,25 @@ def test_sync_plan_matches_reference_model(spark, lc, rc):
     rdf = spark.createDataFrame(list(rc.items()) or [], schema)
     got = {r["path"]: r["op"] for r in sync_plan(ldf, rdf).collect()}
     assert got == _sync_plan_reference(lc, rc)
+
+
+def test_global_row_number_matches_window(spark):
+    """Distributed global row number == unpartitioned-window row number,
+    including across range-partition boundaries and with skewed counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.functions.rownum import with_global_row_number
+
+    df = spark.range(0, 10007).select(
+        F.concat(F.lit("k"), F.lpad((F.col("id") * 7919 % 10007).cast("string"), 6, "0")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    got = {r["k"]: r["rn"] for r in with_global_row_number(df, ["k"], num_partitions=13).collect()}
+    want = {
+        r["k"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(Window.orderBy("k"))).collect()
+    }
+    assert got == want
+    # empty input
+    assert with_global_row_number(df.limit(0), ["k"]).count() == 0
