@@ -414,6 +414,86 @@ def q_windowed_event_counts(spark, sf_dir):
     )
 
 
+# -- commit DAG (storage.refs over the shared dagspec DAG) -----------------
+
+_DAG_STORE = None
+
+
+def _dag_store():
+    """CommitStore materialized from sources/dagspec.py (driver-sized
+    by design — see storage/refs.py docstring); built once per process."""
+    global _DAG_STORE
+    if _DAG_STORE is None:
+        import tempfile
+
+        from lakefs_spark.sources.dagspec import build_store
+
+        _DAG_STORE = build_store(tempfile.mkdtemp(prefix="lakefs_dag_"))
+    return _DAG_STORE
+
+
+_LOG_SCHEMA = "pos long, commit_id string, creation_ts long"
+
+
+def _log_df(spark, **kwargs):
+    from lakefs_spark.sources import dagspec as DG
+    from lakefs_spark.storage.refs import log_commits
+
+    store, _, _ = _dag_store()
+    rows = [
+        (i + 1, c.commit_id, int(c.creation_date))
+        for i, c in enumerate(log_commits(store, DG.cid(DG.LOG_HEAD), **kwargs))
+    ]
+    return spark.createDataFrame(rows, _LOG_SCHEMA)
+
+
+def q_commit_log(spark, sf_dir):
+    """Commit log: BFS by (creation_date desc, commit_id)
+    (pkg/graveler/ref/commit_iterator.go:75-189)."""
+    return _log_df(spark)
+
+
+def q_commit_log_since(spark, sf_dir):
+    from lakefs_spark.sources import dagspec as DG
+
+    return _log_df(spark, since=DG.date_of(DG.LOG_SINCE_IDX))
+
+
+def q_commit_log_first_parent(spark, sf_dir):
+    return _log_df(spark, first_parent=True)
+
+
+def q_merge_base(spark, sf_dir):
+    """Best-common-ancestor per ref pair, generation-ordered two-sided
+    walk (pkg/graveler/ref/merge_base_finder.go:23-76)."""
+    from lakefs_spark.sources import dagspec as DG
+    from lakefs_spark.storage.refs import merge_base
+
+    store, _, _ = _dag_store()
+    rows = [
+        (DG.cid(a), DG.cid(b), merge_base(store, DG.cid(a), DG.cid(b)))
+        for a, b in DG.MB_PAIRS
+    ]
+    return spark.createDataFrame(rows, "a string, b string, base_id string")
+
+
+def q_ref_resolve(spark, sf_dir):
+    """Ref-expression battery ``base[~N][^N][@|$]``
+    (pkg/graveler/ref/parse_ref.go:11-68, resolve_ref.go:32-133)."""
+    from lakefs_spark.sources import dagspec as DG
+    from lakefs_spark.storage.refs import resolve_ref
+
+    store, branches, tags = _dag_store()
+    rows = [
+        (e, resolve_ref(e, branches, tags, store).commit_id) for e in DG.REF_EXPRS
+    ]
+    return spark.createDataFrame(rows, "expr string, commit_id string")
+
+
+def q_gc_summary(spark, sf_dir):
+    return GC.gc_summary(q_gc_mark(spark, sf_dir))
+
+
 # -- driver contract -------------------------------------------------------
 
 
@@ -459,6 +539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "uncommitted_addresses": q_uncommitted_addresses,
         "multipart_etags": q_multipart_etags,
+        "commit_log": q_commit_log,
+        "commit_log_since": q_commit_log_since,
+        "commit_log_first_parent": q_commit_log_first_parent,
+        "merge_base": q_merge_base,
+        "ref_resolve": q_ref_resolve,
+        "gc_summary": q_gc_summary,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,

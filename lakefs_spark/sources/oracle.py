@@ -464,6 +464,174 @@ def q_windowed_event_counts() -> str:
     """
 
 
+# -- commit DAG (recursive-CTE oracles) ------------------------------------
+#
+# The commit-graph operators (SURVEY §2.9) are verified over the shared
+# deterministic DAG in sources/dagspec.py: Spark runs the real
+# storage.refs algorithms over a CommitStore; here the same DAG is
+# re-derived inside SQL and the semantics are recomputed independently
+# with recursive CTEs (the reference calls these its "recursive
+# queries" — pkg/graveler/ref/commit_iterator.go, merge_base_finder.go).
+
+
+def _dag_prefix() -> str:
+    from lakefs_spark.sources.dagspec import dag_nodes_sql
+
+    return "with recursive " + dag_nodes_sql().lstrip() + ",\n"
+
+
+def q_commit_log() -> str:
+    from lakefs_spark.sources.dagspec import LOG_HEAD
+
+    # Log = all ancestors of head, emitted by (creation_date desc,
+    # commit_id); dates are strictly increasing with the index, so that
+    # order is index-descending (dagspec docstring).
+    return _dag_prefix() + f"""
+    anc(node) as (
+      select {LOG_HEAD}
+      union
+      select e.parent from anc join edges e on e.child = anc.node
+    )
+    select row_number() over (order by d.ts desc, d.cid) as pos,
+           d.cid as commit_id,
+           cast(d.ts as bigint) as creation_ts
+    from anc join dag d on d.i = anc.node
+    """
+
+
+def q_commit_log_since() -> str:
+    from lakefs_spark.sources.dagspec import DATE0, DATE_STEP, LOG_HEAD, LOG_SINCE_IDX
+
+    # since-filter drops too-old commits but keeps walking their
+    # parents (commit_iterator.go) — on the full ancestor set that is a
+    # plain post-filter.
+    since = DATE0 + LOG_SINCE_IDX * DATE_STEP
+    return _dag_prefix() + f"""
+    anc(node) as (
+      select {LOG_HEAD}
+      union
+      select e.parent from anc join edges e on e.child = anc.node
+    )
+    select row_number() over (order by d.ts desc, d.cid) as pos,
+           d.cid as commit_id,
+           cast(d.ts as bigint) as creation_ts
+    from anc join dag d on d.i = anc.node
+    where d.ts >= {since}
+    """
+
+
+def q_commit_log_first_parent() -> str:
+    from lakefs_spark.sources.dagspec import LOG_HEAD
+
+    return _dag_prefix() + f"""
+    fpl(node) as (
+      select {LOG_HEAD}
+      union all
+      select d.parent1 from fpl join dag d on d.i = fpl.node
+      where d.parent1 is not null
+    )
+    select row_number() over (order by d.ts desc, d.cid) as pos,
+           d.cid as commit_id,
+           cast(d.ts as bigint) as creation_ts
+    from fpl join dag d on d.i = fpl.node
+    """
+
+
+def q_merge_base() -> str:
+    from lakefs_spark.sources.dagspec import MB_PAIRS
+
+    vals = ", ".join(f"({a}, {b})" for a, b in MB_PAIRS)
+    # Best common ancestor = argmax over common ancestors of
+    # (generation, then smallest id) — equivalent to the reference's
+    # generation-ordered two-sided walk (merge_base_finder.go:23-76):
+    # pops are in non-increasing generation order, so flags fully
+    # propagate before any candidate pops.  Generation = longest path
+    # from the root (graveler.go:3194-3198).
+    return _dag_prefix() + f"""
+    lp(node, depth) as (
+      select 0, 1
+      union
+      select e.child, lp.depth + 1 from lp join edges e on e.parent = lp.node
+    ),
+    gen as (select node, max(depth) as gen from lp group by node),
+    pairs(a, b) as (values {vals}),
+    starts(s) as (select a from pairs union select b from pairs),
+    anc(start, node) as (
+      select s, s from starts
+      union
+      select anc.start, e.parent from anc join edges e on e.child = anc.node
+    ),
+    common as (
+      select p.a, p.b, xa.node
+      from pairs p
+      join anc xa on xa.start = p.a
+      join anc xb on xb.start = p.b and xb.node = xa.node
+    ),
+    ranked as (
+      select c.a, c.b, c.node,
+             row_number() over (partition by c.a, c.b
+                                order by g.gen desc, c.node asc) as rn
+      from common c join gen g on g.node = c.node
+    )
+    select printf('c%04d', a) as a, printf('c%04d', b) as b,
+           printf('c%04d', node) as base_id
+    from ranked where rn = 1
+    """
+
+
+def _ref_expr_sql(expr: str) -> str:
+    """Compile one ref expression to a scalar-subquery chain — an
+    independent mini-restatement of the grammar (resolve_ref.go):
+    ``~N`` = N first-parent steps (fp table), ``^1`` = first parent,
+    ``^2`` = second parent, ``^0`` = self, ``@``/``$`` = branch-state
+    selectors (commit unchanged)."""
+    import re
+
+    from lakefs_spark.sources import dagspec as DG
+
+    m = re.match(r"^[A-Za-z0-9]+", expr)
+    base = m.group(0)
+    if base in DG.BRANCHES:
+        cur = str(DG.BRANCHES[base])
+    elif base in DG.TAGS:
+        cur = str(DG.TAGS[base])
+    else:
+        cur = str(int(base[1:]))  # 'cNNNN'
+    for op, arg in re.findall(r"([~^@$])(\d*)", expr[m.end():]):
+        if op in "@$":
+            continue
+        n = int(arg) if arg else 1
+        if op == "~":
+            cur = f"(select node from fp where start = ({cur}) and k = {n})"
+        elif n == 0:
+            pass
+        elif n == 1:
+            cur = f"(select parent1 from dag where i = ({cur}))"
+        else:
+            cur = f"(select parent2 from dag where i = ({cur}))"
+    return f"select '{expr}' as expr, printf('c%04d', ({cur})) as commit_id"
+
+
+def q_ref_resolve() -> str:
+    from lakefs_spark.sources.dagspec import REF_EXPRS
+
+    body = "\n    union all ".join(_ref_expr_sql(e) for e in REF_EXPRS)
+    return _dag_prefix() + f"""
+    fp(start, k, node) as (
+      select i, 0, i from dag
+      union
+      select fp.start, fp.k + 1, d.parent1
+      from fp join dag d on d.i = fp.node
+      where d.parent1 is not null
+    )
+    {body}
+    """
+
+
+def q_gc_summary() -> str:
+    return f"select count(*) as num_deleted_objects from ({q_gc_mark()}) t"
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -502,6 +670,12 @@ def all_oracles() -> dict[str, str]:
                 "media_frame_sample": q_media_frame_sample(),
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),
+                "commit_log": q_commit_log(),
+                "commit_log_since": q_commit_log_since(),
+                "commit_log_first_parent": q_commit_log_first_parent(),
+                "merge_base": q_merge_base(),
+                "ref_resolve": q_ref_resolve(),
+                "gc_summary": q_gc_summary(),
                 "usage_report": q_usage_report(),
                 "multipart_etags": q_multipart_etags(),
                 "point_lookup": q_point_lookup(),
