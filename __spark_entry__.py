@@ -414,6 +414,59 @@ def q_windowed_event_counts(spark, sf_dir):
     )
 
 
+# -- end-to-end storage engine (Repository on a temp root) -----------------
+
+_E2E_REPOS: dict = {}
+
+
+def _e2e_repo(spark, sf_dir):
+    """Real Repository driven end-to-end from the fixtures: import ->
+    chunker -> content-addressed ranges -> metarange -> commit-apply ->
+    revert / cherry-pick -> manifest-pruned snapshot reads. Exercises
+    the storage engine (SURVEY §2.1/§2.11) inside the driver gate; the
+    oracles restate the *final snapshots* relationally."""
+    key = (id(spark), sf_dir)
+    repo = _E2E_REPOS.get(key)
+    if repo is None:
+        import tempfile
+
+        from lakefs_spark.storage.repo import Repository
+
+        _fixtures(spark, sf_dir)
+        repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_e2e_"))
+        # c1: bulk import of the committed fixture set
+        repo.import_entries("main", _snap(spark, sf_dir, "entries"), message="base import")
+        # c2: stage the active-layer changes (upserts + tombstones), commit
+        sa = staged_view(spark, "staged_active")
+        repo.stage_entries("main", sa.where(~F.col("is_tombstone")))
+        repo.stage_deletes("main", sa.where(F.col("is_tombstone")).select("key"))
+        repo.commit("main", "apply staged_active")
+        # revert c2 on a fork -> back to the c1 snapshot
+        repo.create_branch("rev", "main")
+        repo.revert("rev", "rev")
+        # cherry-pick c2 onto a fork of c1 -> the c2 snapshot again
+        repo.create_branch("cp", "main~1")
+        repo.cherry_pick("cp", "main")
+        _E2E_REPOS[key] = repo
+    return repo
+
+
+def _e2e_snapshot(spark, sf_dir, ref):
+    return _e2e_repo(spark, sf_dir).snapshot(ref).select("key", "identity", "size", "etag")
+
+
+def q_repo_commit_snapshot(spark, sf_dir):
+    return _e2e_snapshot(spark, sf_dir, "main")
+
+
+def q_repo_revert_snapshot(spark, sf_dir):
+    return _e2e_snapshot(spark, sf_dir, "rev")
+
+
+def q_repo_cherry_pick_snapshot(spark, sf_dir):
+    return _e2e_snapshot(spark, sf_dir, "cp")
+
+
 # -- commit DAG (storage.refs over the shared dagspec DAG) -----------------
 
 _DAG_STORE = None
@@ -545,6 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_base": q_merge_base,
         "ref_resolve": q_ref_resolve,
         "gc_summary": q_gc_summary,
+        "repo_commit_snapshot": q_repo_commit_snapshot,
+        "repo_revert_snapshot": q_repo_revert_snapshot,
+        "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,

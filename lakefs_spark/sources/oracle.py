@@ -632,6 +632,37 @@ def q_gc_summary() -> str:
     return f"select count(*) as num_deleted_objects from ({q_gc_mark()}) t"
 
 
+# -- end-to-end storage engine ---------------------------------------------
+#
+# The Spark side drives a real Repository (import -> commit ->
+# revert / cherry-pick); the oracles restate the expected *final
+# snapshots* relationally: c2 = staged_active overlaid on entries
+# (tombstones dropped), c1 = entries unchanged.
+
+_ACTIVE_OVERLAY = """
+    select key, identity, size, etag from (
+      select coalesce(s.key, e.key) as key,
+             case when s.key is not null then s.identity else e.identity end as identity,
+             case when s.key is not null then s.size else e.size end as size,
+             case when s.key is not null then s.etag else e.etag end as etag,
+             coalesce(s.is_tombstone, false) as tomb
+      from entries e full outer join staged_active s on e.key = s.key
+    ) t where not tomb
+    """
+
+
+def q_repo_commit_snapshot() -> str:
+    return with_views("entries", "staged_active") + _ACTIVE_OVERLAY
+
+
+def q_repo_revert_snapshot() -> str:
+    return with_views("entries") + "select key, identity, size, etag from entries"
+
+
+def q_repo_cherry_pick_snapshot() -> str:
+    return with_views("entries", "staged_active") + _ACTIVE_OVERLAY
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -676,6 +707,9 @@ def all_oracles() -> dict[str, str]:
                 "merge_base": q_merge_base(),
                 "ref_resolve": q_ref_resolve(),
                 "gc_summary": q_gc_summary(),
+                "repo_commit_snapshot": q_repo_commit_snapshot(),
+                "repo_revert_snapshot": q_repo_revert_snapshot(),
+                "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot(),
                 "usage_report": q_usage_report(),
                 "multipart_etags": q_multipart_etags(),
                 "point_lookup": q_point_lookup(),
