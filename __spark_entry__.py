@@ -447,8 +447,70 @@ def _e2e_repo(spark, sf_dir):
         # cherry-pick c2 onto a fork of c1 -> the c2 snapshot again
         repo.create_branch("cp", "main~1")
         repo.cherry_pick("cp", "main")
+        # fork of c1 with the same staged changes, but ResetPrefix
+        # drops everything under LIST_PREFIX before committing
+        repo.create_branch("rs", "main~1")
+        repo.stage_entries("rs", sa.where(~F.col("is_tombstone")))
+        repo.stage_deletes("rs", sa.where(F.col("is_tombstone")).select("key"))
+        repo.reset_branch("rs", prefix=ORC.LIST_PREFIX)
+        repo.commit("rs", "apply staged_active outside prefix")
         _E2E_REPOS[key] = repo
     return repo
+
+
+def _restage_to(repo, branch, base_df, target_df, msg):
+    """Stage exactly the base->target diff on ``branch`` and commit, so
+    the branch's snapshot becomes ``target_df`` (any diff error here is
+    caught downstream: the merged snapshot would miss its oracle)."""
+    d = DF_.diff(base_df, target_df)
+    ups = target_df.join(
+        d.where(F.col("diff_type").isin("added", "changed")).select("key"), "key", "semi"
+    )
+    repo.stage_entries(branch, ups)
+    dels = d.where(F.col("diff_type") == "removed").select("key")
+    if dels.head(1):
+        repo.stage_deletes(branch, dels)
+    repo.commit(branch, msg)
+
+
+_E2E_MERGE: dict = {}
+
+
+def _e2e_merge_repo(spark, sf_dir):
+    """Repository whose branches hold the merge_base / merge_source /
+    merge_dest fixture states, then a real repo.merge(strategy=src) —
+    end-to-end merge orchestration (dirty check, merge-base via the
+    commit DAG, manifest-pruned 3-way diff, commit-apply)."""
+    key = (id(spark), sf_dir)
+    repo = _E2E_MERGE.get(key)
+    if repo is None:
+        import tempfile
+
+        from lakefs_spark.storage.repo import Repository
+
+        _fixtures(spark, sf_dir)
+        repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_e2e_mrg_"))
+        base = _snap(spark, sf_dir, "merge_base")
+        repo.import_entries("main", base, message="base")
+        repo.create_branch("src", "main")
+        _restage_to(repo, "src", base, _snap(spark, sf_dir, "merge_source"), "to source")
+        repo.create_branch("dst", "main")
+        _restage_to(repo, "dst", base, _snap(spark, sf_dir, "merge_dest"), "to dest")
+        repo.merge("src", "dst", strategy="src")
+        _E2E_MERGE[key] = repo
+    return repo
+
+
+def q_repo_merge_snapshot(spark, sf_dir):
+    return (
+        _e2e_merge_repo(spark, sf_dir)
+        .snapshot("dst")
+        .select("key", "identity", "size", "etag")
+    )
+
+
+def q_repo_reset_prefix_snapshot(spark, sf_dir):
+    return _e2e_snapshot(spark, sf_dir, "rs")
 
 
 def _e2e_snapshot(spark, sf_dir, ref):
@@ -601,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_commit_snapshot": q_repo_commit_snapshot,
         "repo_revert_snapshot": q_repo_revert_snapshot,
         "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot,
+        "repo_merge_snapshot": q_repo_merge_snapshot,
+        "repo_reset_prefix_snapshot": q_repo_reset_prefix_snapshot,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,

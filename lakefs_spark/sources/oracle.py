@@ -639,20 +639,23 @@ def q_gc_summary() -> str:
 # snapshots* relationally: c2 = staged_active overlaid on entries
 # (tombstones dropped), c1 = entries unchanged.
 
-_ACTIVE_OVERLAY = """
+def _active_overlay(staged_filter: str = "true") -> str:
+    return f"""
     select key, identity, size, etag from (
       select coalesce(s.key, e.key) as key,
              case when s.key is not null then s.identity else e.identity end as identity,
              case when s.key is not null then s.size else e.size end as size,
              case when s.key is not null then s.etag else e.etag end as etag,
              coalesce(s.is_tombstone, false) as tomb
-      from entries e full outer join staged_active s on e.key = s.key
+      from entries e
+      full outer join (select * from staged_active where {staged_filter}) s
+        on e.key = s.key
     ) t where not tomb
     """
 
 
 def q_repo_commit_snapshot() -> str:
-    return with_views("entries", "staged_active") + _ACTIVE_OVERLAY
+    return with_views("entries", "staged_active") + _active_overlay()
 
 
 def q_repo_revert_snapshot() -> str:
@@ -660,7 +663,20 @@ def q_repo_revert_snapshot() -> str:
 
 
 def q_repo_cherry_pick_snapshot() -> str:
-    return with_views("entries", "staged_active") + _ACTIVE_OVERLAY
+    return with_views("entries", "staged_active") + _active_overlay()
+
+
+def q_repo_merge_snapshot() -> str:
+    return with_views("merge_base", "merge_source", "merge_dest") + merged_snapshot_sql(
+        "merge_base", "merge_source", "merge_dest", "src"
+    )
+
+
+def q_repo_reset_prefix_snapshot() -> str:
+    # ResetPrefix dropped the staged changes under LIST_PREFIX
+    return with_views("entries", "staged_active") + _active_overlay(
+        f"key not like '{LIST_PREFIX}%'"
+    )
 
 
 ORACLES: dict[str, str] = {}
@@ -710,6 +726,8 @@ def all_oracles() -> dict[str, str]:
                 "repo_commit_snapshot": q_repo_commit_snapshot(),
                 "repo_revert_snapshot": q_repo_revert_snapshot(),
                 "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot(),
+                "repo_merge_snapshot": q_repo_merge_snapshot(),
+                "repo_reset_prefix_snapshot": q_repo_reset_prefix_snapshot(),
                 "usage_report": q_usage_report(),
                 "multipart_etags": q_multipart_etags(),
                 "point_lookup": q_point_lookup(),
