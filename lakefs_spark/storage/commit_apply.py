@@ -13,10 +13,10 @@ Spark-native COW equivalent:
 2. Expand the touched set: deleting a range's max_key removes a chunk
    boundary (chunker.py's rule is pure key-hash), so the *following*
    range merges in and must be rewritten too.
-3. Group contiguous touched ranges; rows = touched base ranges
-   (file-pruned read) + all changes; overlay (changes win), drop
-   tombstones; re-chunk with the global boundary rule, keyed by
-   (group, boundary-bucket) so rebuilt ranges never span an untouched
+3. Rows = touched base ranges (file-pruned read) + all changes;
+   overlay (changes win), drop tombstones; re-chunk with the global
+   boundary rule plus one injected boundary per contiguous touched
+   run (its interval edge), so rebuilt ranges never span an untouched
    range's interval.
 4. New manifest = untouched rows + rebuilt rows. Ranges whose content
    is unchanged re-derive the same content address -> same file.
@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakefs_spark.operators.overlay import overlay, with_layer
-from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS
+from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS, assign_chunks, boundary_keys
 from lakefs_spark.schema import ENTRY_COLS
 from lakefs_spark.storage import ranges as R
 
@@ -153,28 +153,9 @@ def _apply_cow(
         .collect()
     }
 
-    # 3. contiguous touched groups
-    group_of: dict[int, int] = {}
-    gid = -1
-    prev = None
-    for p in sorted(touched):
-        if prev is None or p != prev + 1:
-            gid += 1
-        group_of[p] = gid
-        prev = p
-    n_groups = gid + 1
-
-    touched_ids = mf.iloc[sorted(touched)]["range_id"].tolist()
+    touched_sorted = sorted(touched)
+    touched_ids = mf.iloc[touched_sorted]["range_id"].tolist()
     base_rows = R.read_ranges(spark, root, touched_ids)
-
-    # tag group ids: broadcast searchsorted on max_keys -> group
-    bc_groups = spark.sparkContext.broadcast(group_of)
-
-    @F.pandas_udf("int")
-    def _group_of_key(keys: pd.Series) -> pd.Series:
-        p = _assign_positions(keys.to_numpy(dtype=object), bc_max.value)
-        g = bc_groups.value
-        return pd.Series([g[int(x)] for x in p]).astype("int32")
 
     # persist the overlay: it is evaluated twice downstream (boundary-key
     # collect + the range write), and its plan embeds a window + union
@@ -183,9 +164,26 @@ def _apply_cow(
             with_layer(changes.select("is_tombstone", *ENTRY_COLS), 0, is_tombstone_col="is_tombstone"),
             with_layer(base_rows, 1),
         ]
-    ).withColumn("grp", _group_of_key(F.col("key"))).persist()
+    ).persist()
     try:
-        new_rows = _write_grouped_ranges(merged, root, raggedness)
+        # a rebuilt chunk must never span an untouched range's interval,
+        # so each contiguous touched run's interval edge (its last
+        # range's max_key) is injected as an extra chunk boundary.
+        # Chunk i covers (b[i-1], b[i]] (assign_chunks side='left'), and
+        # every row of the run satisfies key <= that max_key, so the
+        # split lands exactly at run membership — the same partition of
+        # rows the previous per-row group tagging produced, without a
+        # second pandas-UDF pass over the full payload.
+        last = len(max_keys) - 1
+        edge_keys = {
+            max_keys[p]
+            for i, p in enumerate(touched_sorted)
+            if p != last
+            and (i + 1 == len(touched_sorted) or touched_sorted[i + 1] != p + 1)
+        }
+        bks = sorted(set(boundary_keys(merged, "key", raggedness)) | edge_keys)
+        chunked = assign_chunks(merged, "key", raggedness, boundaries=bks)
+        new_rows = R.write_ranges_prechunked(chunked, root)
     finally:
         merged.unpersist()
 
