@@ -267,6 +267,14 @@ def q_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(q, emb, dim=64, k=5, n_planes=6)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse codebook, inverted-list probe,
+    exact rerank (the scale path next to lsh_topk)."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8)
+    return SIM.ivf_topk(q, emb, centroid_mod=20, nprobe=3, k=5)
+
+
 def q_minhash_candidates(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return D.minhash_candidates(docs, num_hashes=32, bands=8)
@@ -644,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
         "near_dup_embeddings": q_near_dup_embeddings,
+        "ivf_topk": q_ivf_topk,
         "import_prefix_replace": q_import_prefix_replace,
         "symlink_manifest": q_symlink_manifest,
         "hive_partitions": q_hive_partitions,

@@ -354,6 +354,61 @@ def q_near_dup_embeddings() -> str:
     """
 
 
+def q_ivf_topk() -> str:
+    # Independent IVF restatement: codebook = vec_id % 20 == 0; assign
+    # each vector to its max-cosine centroid (tie: min cid); queries
+    # probe their 3 nearest centroids; exact top-5 rerank inside the
+    # probed inverted lists. Membership set only (rank order is
+    # float-sum-order sensitive cross-engine; membership is not).
+    return """
+    with cent as (select vec_id, embedding from embeddings where vec_id % 20 = 0),
+    cent_sims as (
+      select va, cid, s_ab / (sqrt(s_aa) * sqrt(s_bb)) as sim from (
+        select va, cid, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
+        from (
+          select a.vec_id as va, c.vec_id as cid,
+                 cast(unnest(a.embedding) as double) as xa,
+                 cast(unnest(c.embedding) as double) as xb
+          from embeddings a join cent c on true
+        ) z group by va, cid
+      ) s
+    ),
+    assign as (
+      select va as qb, cid from (
+        select va, cid, row_number() over (partition by va order by sim desc, cid) as rn
+        from cent_sims
+      ) t where rn = 1
+    ),
+    probes as (
+      select va as qa, cid from (
+        select va, cid, row_number() over (partition by va order by sim desc, cid) as rn
+        from cent_sims where va < 8
+      ) t where rn <= 3
+    ),
+    cand as (
+      select distinct p.qa, a.qb from probes p join assign a on a.cid = p.cid
+      where a.qb <> p.qa
+    ),
+    cand_sims as (
+      select qa, qb, s_ab / (sqrt(s_aa) * sqrt(s_bb)) as sim from (
+        select qa, qb, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
+        from (
+          select c.qa, c.qb,
+                 cast(unnest(ea.embedding) as double) as xa,
+                 cast(unnest(eb.embedding) as double) as xb
+          from cand c
+          join embeddings ea on ea.vec_id = c.qa
+          join embeddings eb on eb.vec_id = c.qb
+        ) z group by qa, qb
+      ) s
+    )
+    select qa, qb from (
+      select qa, qb, row_number() over (partition by qa order by sim desc, qb) as rn
+      from cand_sims
+    ) t where rn <= 5
+    """
+
+
 # -- import / export / misc -------------------------------------------------
 
 
@@ -711,6 +766,7 @@ def all_oracles() -> dict[str, str]:
                 "ngram_jaccard": q_ngram_jaccard(),
                 "cosine_pairs": q_cosine_pairs(),
                 "near_dup_embeddings": q_near_dup_embeddings(),
+                "ivf_topk": q_ivf_topk(),
                 "import_prefix_replace": q_import_prefix_replace(),
                 "symlink_manifest": q_symlink_manifest(),
                 "hive_partitions": q_hive_partitions(),

@@ -201,3 +201,25 @@ def test_global_row_number_matches_window(spark):
     assert got == want
     # empty input
     assert with_global_row_number(df.limit(0), ["k"]).count() == 0
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF probe of 3/25 inverted lists keeps usable recall vs exact
+    top-k, and never returns self-matches or >k rows per query."""
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    ivf = {(r["qa"], r["qb"]) for r in ivf_topk(q, emb, centroid_mod=5, nprobe=3, k=5).collect()}
+    exact = {
+        (r["qa"], r["qb"]) for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    per_q = {}
+    for qa, qb in ivf:
+        assert qa != qb
+        per_q[qa] = per_q.get(qa, 0) + 1
+    assert all(n <= 5 for n in per_q.values())
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.3, recall
