@@ -462,6 +462,42 @@ def _e2e_repo(spark, sf_dir):
         repo.stage_deletes("rs", sa.where(F.col("is_tombstone")).select("key"))
         repo.reset_branch("rs", prefix=ORC.LIST_PREFIX)
         repo.commit("rs", "apply staged_active outside prefix")
+        # conditional writes on a fork of c1: IfAbsent + identity-CAS,
+        # with the negative cases asserted in-gate (a regression turns
+        # this query red)
+        from lakefs_spark.storage.repo import PreconditionFailedError
+
+        repo.create_branch("cw", "main~1")
+        ent = _snap(spark, sf_dir, "entries")
+        min_key = ent.agg(F.min("key")).first()[0]
+        cur = repo.get("cw", min_key)
+        try:
+            repo.set_entry("cw", {"key": min_key, "identity": "x"}, if_absent=True)
+            raise RuntimeError("IfAbsent overwrote an existing key")
+        except PreconditionFailedError:
+            pass
+        try:
+            repo.set_entry("cw", {"key": min_key, "identity": "x"}, expected_identity="wrong")
+            raise RuntimeError("identity CAS accepted a stale identity")
+        except PreconditionFailedError:
+            pass
+        repo.set_entry(
+            "cw",
+            {"key": min_key, "identity": "cond-upd", "size": 4242, "etag": "cond-upd-etag"},
+            expected_identity=cur["identity"],
+        )
+        repo.set_entry(
+            "cw",
+            {"key": "tables/zz/cond-new", "identity": "cond-new", "size": 1, "etag": "cond-new-etag"},
+            if_absent=True,
+        )
+        repo.commit("cw", "conditional writes")
+        # compaction invariance: same staged changes, folded into a
+        # compacted base — the visible snapshot must be unchanged
+        repo.create_branch("cpt", "main~1")
+        repo.stage_entries("cpt", sa.where(~F.col("is_tombstone")))
+        repo.stage_deletes("cpt", sa.where(F.col("is_tombstone")).select("key"))
+        repo.compact("cpt")
         _E2E_REPOS[key] = repo
     return repo
 
@@ -519,6 +555,14 @@ def q_repo_merge_snapshot(spark, sf_dir):
 
 def q_repo_reset_prefix_snapshot(spark, sf_dir):
     return _e2e_snapshot(spark, sf_dir, "rs")
+
+
+def q_repo_conditional_set_snapshot(spark, sf_dir):
+    return _e2e_snapshot(spark, sf_dir, "cw")
+
+
+def q_repo_compact_snapshot(spark, sf_dir):
+    return _e2e_snapshot(spark, sf_dir, "cpt")
 
 
 def _e2e_snapshot(spark, sf_dir, ref):
@@ -674,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot,
         "repo_merge_snapshot": q_repo_merge_snapshot,
         "repo_reset_prefix_snapshot": q_repo_reset_prefix_snapshot,
+        "repo_conditional_set_snapshot": q_repo_conditional_set_snapshot,
+        "repo_compact_snapshot": q_repo_compact_snapshot,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,

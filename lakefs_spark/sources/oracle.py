@@ -734,6 +734,27 @@ def q_repo_reset_prefix_snapshot() -> str:
     )
 
 
+def q_repo_conditional_set_snapshot() -> str:
+    # IfAbsent added one new key; identity-CAS replaced min(key)'s row;
+    # the rejected writes (IfAbsent on existing, stale CAS) changed nothing
+    return with_views("entries") + """
+    select key, identity, size, etag from entries
+    where key <> (select min(key) from entries)
+    union all
+    select (select min(key) from entries) as key,
+           'cond-upd' as identity, cast(4242 as bigint) as size,
+           'cond-upd-etag' as etag
+    union all
+    select 'tables/zz/cond-new' as key, 'cond-new' as identity,
+           cast(1 as bigint) as size, 'cond-new-etag' as etag
+    """
+
+
+def q_repo_compact_snapshot() -> str:
+    # compaction must not change the visible snapshot
+    return with_views("entries", "staged_active") + _active_overlay()
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -784,6 +805,8 @@ def all_oracles() -> dict[str, str]:
                 "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot(),
                 "repo_merge_snapshot": q_repo_merge_snapshot(),
                 "repo_reset_prefix_snapshot": q_repo_reset_prefix_snapshot(),
+                "repo_conditional_set_snapshot": q_repo_conditional_set_snapshot(),
+                "repo_compact_snapshot": q_repo_compact_snapshot(),
                 "usage_report": q_usage_report(),
                 "multipart_etags": q_multipart_etags(),
                 "point_lookup": q_point_lookup(),
