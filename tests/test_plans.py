@@ -1,0 +1,137 @@
+"""Physical-plan regression tests — the 100 TB discipline, pinned.
+
+These assert properties of the *optimized plans*, not results: filters
+reach the Parquet scan, small sides broadcast, candidate generation
+never degenerates into a cartesian product, and scans prune columns.
+A refactor that silently loses one of these would still pass every
+row-level test while becoming unusable at scale (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_point_filter_pushed_to_parquet_scan(spark):
+    """A key-equality filter must reach the scan (PushedFilters), and
+    the projection must prune to the selected columns (ReadSchema)."""
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .where(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan, plan
+    # column pruning: the scan schema must not include unselected cols
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_comment" not in read_schema, read_schema
+
+
+def test_snapshot_range_scan_prunes_and_pushes(spark, tmp_path):
+    """Manifest-pruned snapshot read still pushes the key bounds into
+    the surviving range files' Parquet scan."""
+    from lakefs_spark.storage.repo import Repository
+
+    ents = spark.range(0, 2000).select(
+        F.concat(F.lit("k/"), F.lpad("id", 8, "0")).alias("key"),
+        F.md5(F.col("id").cast("string")).alias("identity"),
+        F.md5(F.concat(F.lit("a"), "id")).alias("address"),
+        F.lit("RELATIVE").alias("address_type"),
+        F.col("id").alias("size"),
+        F.md5(F.concat(F.lit("e"), "id")).alias("etag"),
+        F.lit(None).cast("timestamp").alias("last_modified"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit("application/octet-stream").alias("content_type"),
+    )
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    repo.import_entries("main", ents, message="m")
+    snap = repo.snapshot("main", key_lower="k/00000100", key_upper="k/00000200")
+    plan = _plan(snap)
+    assert "GreaterThanOrEqual(key,k/00000100)" in plan, plan
+    assert "LessThan(key,k/00000200)" in plan, plan
+
+
+def test_cosine_pairs_broadcasts_query_side(spark, emb):
+    from lakefs_spark.operators.similarity import cosine_pairs
+
+    q = emb.where(F.col("vec_id") < 8)
+    plan = _plan(cosine_pairs(q, emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_lsh_topk_has_no_cartesian_product(spark, emb):
+    """The LSH bucket equi-join must plan as a hash/sort-merge join on
+    bucket — never a cartesian/broadcast-nested-loop over the corpus."""
+    from lakefs_spark.operators.similarity import lsh_topk
+
+    q = emb.where(F.col("vec_id") < 8)
+    plan = _plan(lsh_topk(q, emb, dim=64, k=5, n_planes=6))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark, emb):
+    """Corpus→centroid assignment is one projection (codebook folded
+    into the expression) — no Exchange before the assignment project."""
+    from lakefs_spark.operators.similarity import ivf_topk
+
+    # build only the assignment stage: corpus side of the operator
+    q = emb.where(F.col("vec_id") < 8)
+    df = ivf_topk(q, emb, centroid_mod=5, nprobe=2, k=3)
+    # full operator needs shuffles (windows, joins) — but no cartesian
+    assert "CartesianProduct" not in _plan(df)
+
+
+def test_minhash_candidates_no_cartesian(spark):
+    from lakefs_spark.operators.dedup import minhash_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(F.col("doc_id") < 100)
+    plan = _plan(minhash_candidates(docs, num_hashes=16, bands=4))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_diff_uses_sort_merge_join_on_key(spark):
+    from lakefs_spark.operators.diff import diff
+
+    a = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("identity"),
+        F.lit("a").alias("address"),
+        F.lit("RELATIVE").alias("address_type"),
+        F.lit(1).cast("long").alias("size"),
+        F.lit("e").alias("etag"),
+        F.lit(None).cast("timestamp").alias("last_modified"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit("t").alias("content_type"),
+    )
+    b = a.withColumn("identity", F.md5(F.concat(F.col("identity"), F.lit("x"))))
+    plan = _plan(diff(a, b))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_whole_stage_codegen_covers_text_features(spark):
+    """Text quality features stay JVM-side inside WholeStageCodegen —
+    no Python UDF (BatchEvalPython/ArrowEvalPython) in the plan."""
+    from lakefs_spark.operators.text import quality_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(quality_features(docs))
+    # codegen'd operators print with the '*(stage)' star marker
+    assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
