@@ -502,6 +502,33 @@ def _e2e_repo(spark, sf_dir):
     return repo
 
 
+def _e2e_restored_repo(spark, sf_dir):
+    """Dump the e2e repo's refs, copy its content-addressed storage to
+    a fresh root, restore — the snapshot must survive the round-trip
+    (graveler.go Dump/Restore)."""
+    key = (id(spark), sf_dir, "restored")
+    repo2 = _E2E_REPOS.get(key)
+    if repo2 is None:
+        import os
+        import shutil
+        import tempfile
+
+        from lakefs_spark.storage.repo import Repository
+
+        repo = _e2e_repo(spark, sf_dir)
+        dump_dir = tempfile.mkdtemp(prefix="lakefs_dump_")
+        repo.dump_refs(dump_dir)
+        root2 = tempfile.mkdtemp(prefix="lakefs_restored_")
+        repo2 = Repository.create(spark, root2)
+        for d in ("ranges", "manifests"):
+            shutil.copytree(
+                os.path.join(repo.root, d), os.path.join(root2, d), dirs_exist_ok=True
+            )
+        repo2.restore_refs(dump_dir)
+        _E2E_REPOS[key] = repo2
+    return repo2
+
+
 def _restage_to(repo, branch, base_df, target_df, msg):
     """Stage exactly the base->target diff on ``branch`` and commit, so
     the branch's snapshot becomes ``target_df`` (any diff error here is
@@ -563,6 +590,42 @@ def q_repo_conditional_set_snapshot(spark, sf_dir):
 
 def q_repo_compact_snapshot(spark, sf_dir):
     return _e2e_snapshot(spark, sf_dir, "cpt")
+
+
+def q_repo_restore_snapshot(spark, sf_dir):
+    return (
+        _e2e_restored_repo(spark, sf_dir)
+        .snapshot("main")
+        .select("key", "identity", "size", "etag")
+    )
+
+
+def q_repo_log_paths(spark, sf_dir):
+    """Path-filtered log, manifest-range-pruned (§2.9;
+    pkg/catalog/catalog.go:1772-1800): a row per (probe path, log
+    position). Probes: an upserted key, an untouched key, a deleted
+    key — chosen deterministically from the fixtures."""
+    repo = _e2e_repo(spark, sf_dir)
+    sa = staged_view(spark, "staged_active")
+    ent = _snap(spark, sf_dir, "entries")
+    changed = sa.where(~F.col("is_tombstone")).join(
+        ent, on=["key", "identity"], how="left_anti"
+    )
+    p_upsert = changed.agg(F.min("key")).first()[0]
+    p_untouched = (
+        ent.join(sa.select("key"), "key", "left_anti").agg(F.min("key")).first()[0]
+    )
+    p_deleted = (
+        sa.where(F.col("is_tombstone"))
+        .join(ent.select("key"), "key", "semi")
+        .agg(F.min("key"))
+        .first()[0]
+    )
+    rows = []
+    for p in (p_upsert, p_untouched, p_deleted):
+        for i, c in enumerate(repo.log_with_paths("main", [p])):
+            rows.append((p, i + 1, c.message))
+    return spark.createDataFrame(rows, "path string, pos long, message string")
 
 
 def _e2e_snapshot(spark, sf_dir, ref):
@@ -720,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_reset_prefix_snapshot": q_repo_reset_prefix_snapshot,
         "repo_conditional_set_snapshot": q_repo_conditional_set_snapshot,
         "repo_compact_snapshot": q_repo_compact_snapshot,
+        "repo_restore_snapshot": q_repo_restore_snapshot,
+        "repo_log_paths": q_repo_log_paths,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,

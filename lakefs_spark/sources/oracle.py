@@ -755,6 +755,35 @@ def q_repo_compact_snapshot() -> str:
     return with_views("entries", "staged_active") + _active_overlay()
 
 
+def q_repo_restore_snapshot() -> str:
+    # dump -> copy storage -> restore must reproduce the c2 snapshot
+    return with_views("entries", "staged_active") + _active_overlay()
+
+
+def q_repo_log_paths() -> str:
+    # which commits changed each probe path: the upserted and deleted
+    # probes see [c2, c1], the untouched probe sees only [c1]; the
+    # probes themselves are derived from the fixtures, mirroring the
+    # Spark side's choices
+    upsert = """(select min(s.key) from staged_active s
+                 where not s.is_tombstone and not exists (
+                   select 1 from entries e
+                   where e.key = s.key and e.identity = s.identity))"""
+    untouched = """(select min(e.key) from entries e
+                    where not exists (select 1 from staged_active s
+                                      where s.key = e.key))"""
+    deleted = """(select min(s.key) from staged_active s
+                  where s.is_tombstone and exists (
+                    select 1 from entries e where e.key = s.key))"""
+    return with_views("entries", "staged_active") + f"""
+    select {upsert} as path, cast(1 as bigint) as pos, 'apply staged_active' as message
+    union all select {upsert}, cast(2 as bigint), 'base import'
+    union all select {untouched}, cast(1 as bigint), 'base import'
+    union all select {deleted}, cast(1 as bigint), 'apply staged_active'
+    union all select {deleted}, cast(2 as bigint), 'base import'
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -807,6 +836,8 @@ def all_oracles() -> dict[str, str]:
                 "repo_reset_prefix_snapshot": q_repo_reset_prefix_snapshot(),
                 "repo_conditional_set_snapshot": q_repo_conditional_set_snapshot(),
                 "repo_compact_snapshot": q_repo_compact_snapshot(),
+                "repo_restore_snapshot": q_repo_restore_snapshot(),
+                "repo_log_paths": q_repo_log_paths(),
                 "usage_report": q_usage_report(),
                 "multipart_etags": q_multipart_etags(),
                 "point_lookup": q_point_lookup(),
