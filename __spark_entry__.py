@@ -414,8 +414,11 @@ def q_windowed_event_counts(spark, sf_dir):
     _fixtures(spark, sf_dir)
     out = windowed_event_counts(spark.table("events"))
     return out.select(
-        F.col("window_start").cast("long").alias("window_start_s"),
-        F.col("window_end").cast("long").alias("window_end_s"),
+        # ts may arrive as TIMESTAMP_NTZ (naive parquet micros); NTZ->long is
+        # an illegal cast, so hop through timestamp (session TZ is UTC, set in
+        # fixtures, so the epoch matches the DuckDB oracle's epoch(ts)).
+        F.col("window_start").cast("timestamp").cast("long").alias("window_start_s"),
+        F.col("window_end").cast("timestamp").cast("long").alias("window_end_s"),
         "event_type",
         "n_events",
         "total_value",
