@@ -256,15 +256,17 @@ def q_cosine_pairs(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
+    # rank dropped from the contract: row order within float-noise ties
+    # is engine-specific; (membership, sim@4dp) is not (see ivf_topk)
     emb = _embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 8)
-    return SIM.brute_force_topk(q, emb, k=5)
+    return SIM.brute_force_topk(q, emb, k=5).select("qa", "qb", "sim")
 
 
 def q_lsh_topk(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 8)
-    return SIM.lsh_topk(q, emb, dim=64, k=5, n_planes=6)
+    return SIM.lsh_topk(q, emb, dim=64, k=5, n_planes=6).select("qa", "qb", "sim")
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -412,6 +414,10 @@ def q_windowed_event_counts(spark, sf_dir):
     from lakefs_spark.streaming.ingest import windowed_event_counts
 
     _fixtures(spark, sf_dir)
+    # the NTZ->timestamp->long hop below is only epoch-correct under UTC;
+    # re-assert it here (runtime-settable) so a recycled session or later
+    # timeZone change can't silently shift the epochs
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = windowed_event_counts(spark.table("events"))
     return out.select(
         # ts may arrive as TIMESTAMP_NTZ (naive parquet micros); NTZ->long is

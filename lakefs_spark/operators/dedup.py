@@ -99,6 +99,16 @@ def ngram_jaccard_pairs(
     )
 
 
+def _base_hash(col) -> "F.Column":
+    """60-bit md5-derived base hash, reduced to 30 bits (hashfam.py —
+    one string hash per row; the k-fold family is arithmetic on it)."""
+    from lakefs_spark.functions.hashfam import X_MOD
+
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(X_MOD)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -108,13 +118,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: (id, sig array<long> of len num_hashes).
 
-    hash_i(shingle) = xxhash64(shingle, seed=i); signature element i is
-    the min over the doc's shingles — all JVM-side, one groupBy.
+    hash_i(shingle) = (a_i * base(shingle) + b_i) mod 2^31-1 over ONE
+    md5-derived base hash (functions/hashfam.py) — k multiply-adds per
+    shingle instead of k string hashes, all JVM-side, one groupBy; and
+    the family is engine-portable, so an independent SQL oracle can
+    recompute signatures exactly.
     """
+    from lakefs_spark.functions.hashfam import MERSENNE31, affine_constants
+
+    consts = affine_constants(num_hashes)
     sh = shingles(df, text_col, id_col, n)
     hashed = sh.select(
+        F.col(id_col), _base_hash(F.col("shingle")).alias("x")
+    ).select(
         F.col(id_col),
-        F.array(*[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]).alias("hs"),
+        F.array(
+            *[
+                F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MERSENNE31))
+                for a, b in consts
+            ]
+        ).alias("hs"),
     )
     agg = hashed.groupBy(id_col).agg(
         F.array(*[F.min(F.col("hs")[i]) for i in range(num_hashes)]).alias("sig")
@@ -182,15 +205,28 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).where(F.col("tok") != "")
-    h = tok.select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    # 64 bits from the md5 hex digits (4 bits per digit) — one string
+    # hash per token, engine-portable (hashfam.py rationale), so the
+    # SQL oracle reconstructs identical signatures
+    assert bits <= 64, "simhash signature is at most 64 bits (16 md5 hex digits)"
+    hx = tok.select(F.col(id_col), F.md5("tok").alias("hx"))
+    digits = hx.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(F.col("hx"), j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+            for j in range((bits + 3) // 4)
+        ],
+    )
     # per-bit +-1 contributions, summed, then sign -> bit
     bit_cols = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    sums = h.groupBy(id_col).agg(*bit_cols)
+    sums = digits.groupBy(id_col).agg(*bit_cols)
     sig = F.lit(0).cast("long")
     for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)

@@ -211,7 +211,7 @@ def q_range_stats() -> str:
            count(*) as n_keys,
            min(key) as min_key,
            max(key) as max_key,
-           sum(size) as total_size
+           cast(sum(size) as bigint) as total_size
     from (select key, size,
                  cast(floor((row_number() over (order by key) - 1) / 5000) as bigint) as chunk_idx
           from snap_a) t
@@ -317,6 +317,78 @@ def q_ngram_jaccard() -> str:
     """
 
 
+def q_minhash_candidates() -> str:
+    # independent restatement of the md5-derived affine MinHash family
+    # (functions/hashfam.py): num_hashes=32, bands=8 (4 rows/band),
+    # 3-gram shingles, docs doc_id < 200
+    from lakefs_spark.functions.hashfam import MERSENNE31, X_MOD, affine_constants
+
+    consts = affine_constants(32)
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {MERSENNE31}) as m{i}" for i, (a, b) in enumerate(consts)
+    )
+    band_rows = []
+    for band in range(8):
+        ms = ", ".join(f"m{band * 4 + r}" for r in range(4))
+        band_rows.append(
+            f"select doc_id, {band} as band_id, concat_ws(',', {ms}) as bh from sigs"
+        )
+    bands_union = "\n      union all ".join(band_rows)
+    return f"""
+    with toks as (
+      select doc_id, string_split(text, ' ') as tk from documents where doc_id < 200
+    ),
+    sh as (
+      select distinct doc_id, shingle from (
+        select doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                                     i -> array_to_string(tk[i:i+2], ' '))) as shingle
+        from toks
+      ) x where shingle <> ''
+    ),
+    hashed as (
+      select doc_id,
+             cast(concat('0x', substr(md5(shingle), 1, 15)) as bigint) % {X_MOD} as x
+      from sh
+    ),
+    sigs as (select doc_id, {mins} from hashed group by doc_id),
+    bands as (
+      {bands_union}
+    )
+    select distinct a.doc_id as id_a, b.doc_id as id_b
+    from bands a join bands b
+      on a.band_id = b.band_id and a.bh = b.bh and a.doc_id < b.doc_id
+    """
+
+
+def q_simhash() -> str:
+    # 64-bit simhash from md5 hex digits, 4 bits/digit (operators/dedup
+    # .simhash): per-bit +-1 vote over the doc's tokens, sign -> bit
+    digit_cols = ", ".join(
+        f"strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1 as d{j}"
+        for j in range(16)
+    )
+    bit_sums = ", ".join(
+        f"sum(case when (d{i // 4} >> {i % 4}) & 1 = 1 then 1 else -1 end) as b{i}"
+        for i in range(64)
+    )
+    weights = [
+        f"case when b{i} > 0 then cast({2**i if i < 63 else -(2**63)} as bigint) else cast(0 as bigint) end"
+        for i in range(64)
+    ]
+    sig = " + ".join(weights)
+    return f"""
+    with toks as (
+      select doc_id, tok from (
+        select doc_id, unnest(string_split(text, ' ')) as tok from documents
+      ) t where tok <> ''
+    ),
+    digits as (select doc_id, {digit_cols} from (select doc_id, md5(tok) as hx from toks) h),
+    sums as (select doc_id, {bit_sums} from digits group by doc_id)
+    select doc_id, {sig} as simhash from sums
+    """
+
+
 # -- similarity ------------------------------------------------------------
 
 
@@ -351,6 +423,82 @@ def q_near_dup_embeddings() -> str:
       ) z group by qa, qb
     ) s
     where s_ab / (sqrt(s_aa) * sqrt(s_bb)) >= 0.35
+    """
+
+
+def q_ann_topk() -> str:
+    # exact brute-force top-5 per query (vec_id < 8), self excluded;
+    # rank omitted from the contract (row order within float-noise ties
+    # is engine-specific; membership + sim@4dp is not)
+    return """
+    select qa, qb, round(s_ab / (sqrt(s_aa) * sqrt(s_bb)), 4) as sim
+    from (
+      select qa, qb, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
+      from (
+        select a.vec_id as qa, b.vec_id as qb,
+               cast(unnest(a.embedding) as double) as xa,
+               cast(unnest(b.embedding) as double) as xb
+        from embeddings a join embeddings b on a.vec_id <> b.vec_id
+        where a.vec_id < 8
+      ) z group by qa, qb
+    ) s
+    qualify row_number() over (partition by qa order by s_ab / (sqrt(s_aa) * sqrt(s_bb)) desc, qb) <= 5
+    """
+
+
+def _plane_values_sql(dim: int, n_planes: int, seed: int = 42) -> str:
+    """VALUES rows (j, p0..p{n-1}) of the deterministic LSH hyperplanes
+    (operators/similarity._hyperplane) — full-precision repr round-trips
+    exactly into DuckDB doubles."""
+    from lakefs_spark.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(dim, seed, p) for p in range(n_planes)]
+    rows = []
+    for j in range(dim):
+        vals = ", ".join(repr(planes[p][j]) for p in range(n_planes))
+        rows.append(f"({j + 1}, {vals})")
+    return ",\n      ".join(rows)
+
+
+def q_lsh_topk() -> str:
+    n_planes = 6
+    cols = ", ".join(f"p{p}" for p in range(n_planes))
+    dots = ", ".join(
+        f"sum(cast(e.embedding[pl.j] as double) * pl.p{p}) as s{p}" for p in range(n_planes)
+    )
+    bits = " || ".join(
+        f"(case when s{p} >= 0 then '1' else '0' end)" for p in range(n_planes)
+    )
+    return f"""
+    with planes (j, {cols}) as (values
+      {_plane_values_sql(64, n_planes)}
+    ),
+    buckets as (
+      select vec_id, {bits} as bucket from (
+        select e.vec_id, {dots}
+        from embeddings e join planes pl on true
+        group by e.vec_id
+      ) d
+    ),
+    pairs as (
+      select qa.vec_id as qa, cb.vec_id as qb
+      from buckets qa join buckets cb
+        on qa.bucket = cb.bucket and qa.vec_id <> cb.vec_id
+      where qa.vec_id < 8
+    )
+    select qa, qb, round(s_ab / (sqrt(s_aa) * sqrt(s_bb)), 4) as sim
+    from (
+      select qa, qb, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
+      from (
+        select p.qa, p.qb,
+               cast(unnest(ea.embedding) as double) as xa,
+               cast(unnest(eb.embedding) as double) as xb
+        from pairs p
+        join embeddings ea on ea.vec_id = p.qa
+        join embeddings eb on eb.vec_id = p.qb
+      ) z group by qa, qb
+    ) s
+    qualify row_number() over (partition by qa order by s_ab / (sqrt(s_aa) * sqrt(s_bb)) desc, qb) <= 5
     """
 
 
@@ -817,6 +965,10 @@ def all_oracles() -> dict[str, str]:
                 "cosine_pairs": q_cosine_pairs(),
                 "near_dup_embeddings": q_near_dup_embeddings(),
                 "ivf_topk": q_ivf_topk(),
+                "ann_topk": q_ann_topk(),
+                "lsh_topk": q_lsh_topk(),
+                "minhash_candidates": q_minhash_candidates(),
+                "simhash": q_simhash(),
                 "import_prefix_replace": q_import_prefix_replace(),
                 "symlink_manifest": q_symlink_manifest(),
                 "hive_partitions": q_hive_partitions(),

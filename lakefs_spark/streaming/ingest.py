@@ -135,6 +135,11 @@ def windowed_event_counts(
     — the standard Structured Streaming windowed-agg shape.
     """
     df = events
+    # naive parquet micros arrive as TIMESTAMP_NTZ, which watermarks
+    # reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — normalize to
+    # TIMESTAMP (callers pin session TZ to UTC, so the instant is stable)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
