@@ -13,11 +13,14 @@ Mirrors the reference's committed store (SURVEY.md §1.2/§1.3):
 
 Physical write path: entries are chunk-assigned (plans/chunker.py —
 boundary rule is a pure key hash so chunking is deterministic and
-distributed), then each chunk is written by an executor via
-``applyInPandas`` — the Spark-native analog of the reference's
-parallel range uploaders (MaxUploaders,
+distributed), then written by Spark's native parquet writer with
+``partitionBy(chunk_idx)`` — one shuffle, zero Python in the data
+path — while a JVM aggregation derives each chunk's content address;
+the driver renames chunk files into place (O(#ranges) metadata ops).
+The executor-parallel write is the Spark-native analog of the
+reference's parallel range uploaders (MaxUploaders,
 pkg/graveler/committed/batch_write_closer.go). A chunk whose file
-already exists is skipped (content-address hit).
+already exists is kept (content-address hit).
 
 Scale: chunks are ~raggedness entries (50k default) — well under
 executor memory; the groupBy(chunk_idx) shuffle is one pass and
@@ -29,12 +32,10 @@ planning, column pruning and min/max row-group pruning all apply.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,15 +69,6 @@ def manifests_dir(root: str) -> str:
     return os.path.join(root, "manifests")
 
 
-def _to_parquet_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    out = pdf[ENTRY_COLS].copy()
-    out["metadata_json"] = [
-        None if m is None else json.dumps(dict(sorted(m.items())), separators=(",", ":"))
-        for m in out.pop("metadata")
-    ]
-    return out[[f.name for f in _PA_SCHEMA]]
-
-
 def write_ranges(
     entries: DataFrame,
     root: str,
@@ -98,48 +90,110 @@ def write_ranges(
 
 
 def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
-    """Write ranges for rows already carrying a ``chunk_idx`` column."""
+    """Write ranges for rows already carrying a ``chunk_idx`` column.
+
+    Fully JVM-side — the earlier applyInPandas writer shuffled every
+    entry through Arrow into Python (the whole payload, each commit);
+    this path never leaves the JVM:
+      1. one hash shuffle on chunk_idx + native parquet write with
+         ``partitionBy(chunk_idx)`` (rows pre-sorted per chunk, one
+         file per chunk because the shuffle co-locates each chunk);
+      2. one aggregation job computing, per chunk, the manifest row and
+         the content address — sha256 over the sorted length-tagged
+         (key, identity) stream (identical framing to the reference's
+         content-derived SSTable ID idea, sstable/writer.go:101-135) —
+         via collect_list/array_sort/sha2 (bounded by raggedness, the
+         same per-chunk cap the pandas writer had);
+      3. driver renames chunk files to ``<range_id>.parquet`` —
+         O(#ranges) metadata ops, no data movement. A pre-existing
+         content address wins (structural-sharing hit, file replaced
+         by an identical one is a no-op semantically).
+    """
+    import shutil
+    import tempfile
+
     rdir = ranges_dir(root)
     os.makedirs(rdir, exist_ok=True)
 
-    def _write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("key", kind="mergesort")
-        # vectorized length-tagged framing (a per-row python loop here
-        # costs ~10x at 50k rows per chunk)
-        ks, ids = pdf["key"], pdf["identity"]
-        framed = (
-            ks.str.len().astype(str).str.cat(ks, sep=":")
-            .str.cat(ids.str.len().astype(str), sep="")
-            .str.cat(ids, sep=":")
+    meta = F.col("metadata")
+    staged = chunked.select(
+        F.col("chunk_idx"),
+        "key",
+        "identity",
+        "address",
+        "address_type",
+        "size",
+        "etag",
+        "last_modified",
+        # canonical (sorted-keys, compact) JSON — byte-parity with
+        # json.dumps(sorted, separators=(",",":")) used on the read side
+        F.when(
+            meta.isNotNull(),
+            F.to_json(F.map_from_entries(F.array_sort(F.map_entries(meta)))),
+        ).alias("metadata_json"),
+        "content_type",
+    )
+    # ONE shuffle: co-locate + sort each chunk, persist the post-shuffle
+    # rows; the write and the manifest aggregation both read the cache,
+    # and the groupBy reuses the cached HashPartitioning(chunk_idx) —
+    # no second shuffle
+    staged = staged.repartition("chunk_idx").sortWithinPartitions("chunk_idx", "key").persist()
+    try:
+        frame = lambda x: F.concat(  # noqa: E731 — f"{len(k)}:{k}{len(i)}:{i}"
+            F.length(x["key"]).cast("string"),
+            F.lit(":"),
+            x["key"],
+            F.length(x["identity"]).cast("string"),
+            F.lit(":"),
+            x["identity"],
         )
-        range_id = hashlib.sha256("".join(framed.tolist()).encode()).hexdigest()
-        path = os.path.join(rdir, f"{range_id}.parquet")
-        if not os.path.exists(path):  # content-address hit => free
-            out = _to_parquet_pdf(pdf)
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(
-                pa.Table.from_pandas(out, schema=_PA_SCHEMA, preserve_index=False),
-                tmp,
-                compression="snappy",
+        mf_rows = (
+            staged.groupBy("chunk_idx")
+            .agg(
+                F.sha2(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("key", "identity"))),
+                            frame,
+                        ),
+                    ),
+                    256,
+                ).alias("range_id"),
+                F.min("key").alias("min_key"),
+                F.max("key").alias("max_key"),
+                F.count(F.lit(1)).alias("count"),
+                F.sum(F.coalesce(F.col("size"), F.lit(0))).cast("long").alias("estimated_size"),
             )
-            os.replace(tmp, path)
-        return pd.DataFrame(
+            .collect()
+        )
+        if not mf_rows:
+            return pd.DataFrame(columns=MANIFEST_COLS)
+        tmp_dir = tempfile.mkdtemp(prefix=".write_ranges.", dir=root)
+        staged.write.partitionBy("chunk_idx").mode("overwrite").parquet(tmp_dir)
+        for r in mf_rows:
+            dest = os.path.join(rdir, f"{r['range_id']}.parquet")
+            cdir = os.path.join(tmp_dir, f"chunk_idx={r['chunk_idx']}")
+            parts = [p for p in os.listdir(cdir) if p.endswith(".parquet")]
+            assert len(parts) == 1, f"expected one file per chunk, got {parts}"
+            if os.path.exists(dest):  # content-address hit => keep original
+                os.remove(os.path.join(cdir, parts[0]))
+            else:
+                os.replace(os.path.join(cdir, parts[0]), dest)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    finally:
+        staged.unpersist()
+    manifest = pd.DataFrame(
+        [
             {
-                "range_id": [range_id],
-                "min_key": [pdf["key"].iloc[0]],
-                "max_key": [pdf["key"].iloc[-1]],
-                "count": [len(pdf)],
-                "estimated_size": [int(pdf["size"].fillna(0).sum())],
+                "range_id": r["range_id"],
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+                "count": int(r["count"]),
+                "estimated_size": int(r["estimated_size"]),
             }
-        )
-
-    manifest = (
-        chunked.groupBy("chunk_idx")
-        .applyInPandas(
-            _write_chunk,
-            schema="range_id string, min_key string, max_key string, count long, estimated_size long",
-        )
-        .toPandas()
+            for r in mf_rows
+        ]
     )
     return manifest.sort_values("min_key").reset_index(drop=True)
 
