@@ -733,6 +733,78 @@ def q_gc_summary(spark, sf_dir):
     return GC.gc_summary(q_gc_mark(spark, sf_dir))
 
 
+def q_active_commits(spark, sf_dir):
+    """GC active-commit set over the shared DAG (§2.12;
+    pkg/graveler/retention/active_commits.go): per-branch retention
+    cutoffs, first-beyond-cutoff commit survives, tags always survive."""
+    from lakefs_spark.sources import dagspec as DG
+    from lakefs_spark.storage.refs import active_commit_set
+
+    store, branches, tags = _dag_store()
+    cutoffs = {
+        branches[b]: DG.date_of(DG.GC_CUTOFF_IDX[b]) for b in DG.BRANCHES
+    }
+    active = active_commit_set(store, cutoffs, list(tags.values()))
+    return spark.createDataFrame([(c,) for c in sorted(active)], "commit_id string")
+
+
+def q_walker_entries(spark, sf_dir):
+    """Object-store walker -> import entry rows (§2.1;
+    pkg/block/walker.go semantics): anchored base-prefix strip (keys
+    repeating the base substring mid-path survive), metadata-derived
+    etag, typed identity hash excluding address/mtime
+    (pkg/catalog/entry.go:21-38)."""
+    from lakefs_spark.sources.walker import entries_from_walk
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    walked = docs.select(
+        # path repeats the base's trailing segment mid-path on purpose
+        F.concat(
+            F.lit("file:///data/x/data/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/part-"),
+            (F.col("doc_id") % 4).cast("string"),
+        ).alias("path"),
+        F.col("n_chars").cast("long").alias("size"),
+        F.lit(None).cast("timestamp").alias("last_modified"),
+    )
+    out = entries_from_walk(walked, "file:///data/x", key_prefix="imported/")
+    return out.select("key", "identity", "address", "size", "etag")
+
+
+def q_s3_list_pages(spark, sf_dir):
+    """S3-gateway ListObjectsV2 pagination driven end-to-end on the
+    real Repository via the catalog facade (§2.2/§2.13;
+    pkg/gateway/operations/listobjects.go:106-360): the flat listing
+    resumes with NextContinuationToken page over page; the delimiter
+    listing folds CommonPrefixes. One row per emitted item with its
+    page index and the page's IsTruncated flag."""
+    from lakefs_spark.catalog import Catalog
+
+    repo = _e2e_repo(spark, sf_dir)
+    cat = Catalog(repo)
+    rows = []
+    token, page = "", 0
+    while True:
+        resp = cat.list_objects_v2(
+            "main", prefix="tables/", max_keys=4000, continuation_token=token
+        )
+        for f in resp["Contents"]:
+            rows.append(("flat", page, f["Key"], False, resp["IsTruncated"]))
+        if not resp["IsTruncated"]:
+            break
+        token = resp["NextContinuationToken"]
+        page += 1
+    resp = cat.list_objects_v2("main", prefix="tables/", delimiter="/", max_keys=1000)
+    for d in resp["CommonPrefixes"]:
+        rows.append(("delim", 0, d["Prefix"], True, resp["IsTruncated"]))
+    for f in resp["Contents"]:
+        rows.append(("delim", 0, f["Key"], False, resp["IsTruncated"]))
+    return spark.createDataFrame(
+        rows, "mode string, page long, key string, is_common_prefix boolean, is_truncated boolean"
+    )
+
+
 # -- driver contract -------------------------------------------------------
 
 
@@ -785,6 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_base": q_merge_base,
         "ref_resolve": q_ref_resolve,
         "gc_summary": q_gc_summary,
+        "active_commits": q_active_commits,
+        "walker_entries": q_walker_entries,
+        "s3_list_pages": q_s3_list_pages,
         "repo_commit_snapshot": q_repo_commit_snapshot,
         "repo_revert_snapshot": q_repo_revert_snapshot,
         "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot,

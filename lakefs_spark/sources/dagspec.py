@@ -145,6 +145,14 @@ MB_PAIRS: list[tuple[int, int]] = [
 LOG_HEAD = 119  # "exp"
 LOG_SINCE_IDX = 60  # since = date_of(60)
 
+# GC active-commit-set parameters: "now" one step past the last commit;
+# default retention reaches back to trunk index 80, dev's per-branch
+# override reaches to 40 — so exp walks deep (crossing B-merge second
+# parents, which survive as first-beyond-cutoff), dev walks its whole
+# branch segment, and main's head is older than its cutoff (head-only)
+GC_NOW_IDX = DAG_N  # now = date_of(120)
+GC_CUTOFF_IDX = {"main": 80, "dev": 40, "exp": 80}  # branch -> cutoff index
+
 
 def dag_nodes_sql() -> str:
     """DuckDB CTE body deriving (i, cid, ts, parent1, parent2) — the

@@ -842,6 +842,102 @@ def q_gc_summary() -> str:
 # snapshots* relationally: c2 = staged_active overlaid on entries
 # (tombstones dropped), c1 = entries unchanged.
 
+def q_active_commits() -> str:
+    # recursive walk per head with its cutoff: expand a node's parents
+    # only while the node itself is at-or-after the cutoff, so the
+    # first commit beyond the cutoff lands in the set unexpanded
+    from lakefs_spark.sources.dagspec import BRANCHES, GC_CUTOFF_IDX, TAGS, date_of
+
+    heads = ", ".join(
+        f"({BRANCHES[b]}, {date_of(GC_CUTOFF_IDX[b])!r})" for b in sorted(BRANCHES)
+    )
+    tag_nodes = ", ".join(f"({i})" for i in sorted(TAGS.values()))
+    return _dag_prefix() + f"""
+    heads(node, cutoff) as (values {heads}),
+    walk(node, cutoff) as (
+      select node, cutoff from heads
+      union
+      select e.parent, w.cutoff
+      from walk w
+      join dag d on d.i = w.node
+      join edges e on e.child = w.node
+      where d.ts >= w.cutoff
+    ),
+    act(node) as (
+      -- union all + outer distinct: inside WITH RECURSIVE, DuckDB
+      -- treats a bare UNION CTE as an iteration and skips the dedup
+      select node from walk
+      union all
+      select node from (values {tag_nodes}) t(node)
+    )
+    select distinct d.cid as commit_id from act join dag d on d.i = act.node
+    """
+
+
+def q_walker_entries() -> str:
+    # walker key/etag/identity derivation restated: anchored base strip
+    # ('/data/x/' is 8 chars -> substr from 9), etag over 'path|size'
+    # (null mtime dropped by concat_ws), typed identity framing
+    # len:value per field (functions/ident.py)
+    ct = "application/octet-stream"
+    return f"""
+    with w as (
+      select 'file:///data/x/data/' || cast(doc_id as varchar) || '/part-'
+               || cast(doc_id % 4 as varchar) as path,
+             cast(n_chars as bigint) as size
+      from documents where doc_id % 7 = 0
+    ),
+    d as (
+      select path, size,
+             md5(path || '|' || cast(size as varchar)) as etag,
+             'imported/' || substr(regexp_replace(path, '^[a-zA-Z0-9]+:/+', '/'), 9) as key
+      from w
+    )
+    select key,
+           sha256(
+             cast(length(cast(size as varchar)) as varchar) || ':' || cast(size as varchar)
+             || cast(length(etag) as varchar) || ':' || etag
+             || '{len(ct)}:{ct}'
+           ) as identity,
+           path as address, size, etag
+    from d
+    """
+
+
+def q_s3_list_pages() -> str:
+    # flat pages: lexicographic listing windowed into 4000-key pages,
+    # IsTruncated iff rows remain past the page; delimiter page: one
+    # fold into first-segment CommonPrefixes (plus direct leaves)
+    return with_views("entries", "staged_active") + f"""
+    , snap as ({_active_overlay()}),
+    flat as (
+      select key, row_number() over (order by key) as rn,
+             count(*) over () as total
+      from snap where key like 'tables/%'
+    ),
+    delim as (
+      select distinct 'tables/' || substring(sfx, 1, instr(sfx, '/')) as key,
+             true as is_common_prefix
+      from (select substring(key, 8, 1000000) as sfx from snap
+            where key like 'tables/%') t
+      where instr(sfx, '/') > 0
+      union all
+      select key, false from snap
+      where key like 'tables/%'
+        and instr(substring(key, 8, 1000000), '/') = 0
+    )
+    select 'flat' as mode,
+           cast(floor((rn - 1) / 4000) as bigint) as page,
+           key, false as is_common_prefix,
+           ((cast(floor((rn - 1) / 4000) as bigint) + 1) * 4000 < total) as is_truncated
+    from flat
+    union all
+    select 'delim', 0, key, is_common_prefix,
+           (select count(*) from delim) > 1000
+    from delim
+    """
+
+
 def _active_overlay(staged_filter: str = "true") -> str:
     return f"""
     select key, identity, size, etag from (
@@ -981,6 +1077,9 @@ def all_oracles() -> dict[str, str]:
                 "merge_base": q_merge_base(),
                 "ref_resolve": q_ref_resolve(),
                 "gc_summary": q_gc_summary(),
+                "active_commits": q_active_commits(),
+                "walker_entries": q_walker_entries(),
+                "s3_list_pages": q_s3_list_pages(),
                 "repo_commit_snapshot": q_repo_commit_snapshot(),
                 "repo_revert_snapshot": q_repo_revert_snapshot(),
                 "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot(),

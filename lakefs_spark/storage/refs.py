@@ -318,3 +318,39 @@ def merge_base(commits: CommitStore, a: str, b: str) -> str | None:
             pc = commits.get(p)
             heapq.heappush(heap, (-pc.generation, p))
     return None
+
+
+def active_commit_set(
+    commits: CommitStore,
+    head_cutoffs: dict[str, float],
+    tag_cids: list[str] | None = None,
+) -> set[str]:
+    """GC active-commit set (pkg/graveler/retention/active_commits.go):
+    from each head, walk ancestry keeping commits newer than that
+    head's retention cutoff; the FIRST commit at-or-beyond the cutoff
+    also survives (its snapshot may still be referenced) but its
+    parents are not walked. Tag targets always survive.
+
+    ``head_cutoffs``: head commit id -> absolute cutoff timestamp.
+    The commit graph is driver-sized at any data scale (see module
+    docstring) — this walk is O(|commits|), never O(data).
+    """
+    active: set[str] = set()
+    for head, cutoff in head_cutoffs.items():
+        if head is None:
+            continue
+        frontier = [head]
+        seen: set[str] = set()
+        active.add(head)
+        while frontier:
+            cid = frontier.pop()
+            if cid in seen:
+                continue
+            seen.add(cid)
+            c = commits.get(cid)
+            active.add(cid)
+            if c.creation_date >= cutoff:
+                frontier.extend(c.parents)
+    for t in tag_cids or []:
+        active.add(t)
+    return active

@@ -1104,31 +1104,20 @@ class Repository:
     ) -> set[str]:
         """GC active-commit set: from every branch head walk ancestry;
         keep commits newer than the branch's retention cutoff plus the
-        first commit beyond it (pkg/graveler/retention/active_commits.go)."""
+        first commit beyond it (pkg/graveler/retention/active_commits.go;
+        walk shared with refs.active_commit_set)."""
+        from lakefs_spark.storage.refs import active_commit_set
+
         per_branch = per_branch or {}
         now = time.time() if now is None else now
-        active: set[str] = set()
+        cutoffs: dict[str, float] = {}
         for branch, head in self.branches().items():
             if head is None:
                 continue
-            cutoff = now - 86400.0 * per_branch.get(branch, retention_days_default)
-            frontier = [head]
-            seen = set()
-            active.add(head)
-            while frontier:
-                cid = frontier.pop()
-                if cid in seen:
-                    continue
-                seen.add(cid)
-                c = self.commits.get(cid)
-                if c.creation_date >= cutoff:
-                    active.add(cid)
-                    frontier.extend(c.parents)
-                else:
-                    active.add(cid)  # first commit beyond the cutoff survives
-        for tag_cid in self.tags().values():
-            active.add(tag_cid)
-        return active
+            c = now - 86400.0 * per_branch.get(branch, retention_days_default)
+            # two branches on one head: the more-retentive (earlier) cutoff wins
+            cutoffs[head] = min(c, cutoffs.get(head, c))
+        return active_commit_set(self.commits, cutoffs, list(self.tags().values()))
 
     def reachable_addresses(self, commit_ids: set[str]) -> DataFrame:
         """Distinct physical addresses referenced by the given commits'

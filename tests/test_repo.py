@@ -961,3 +961,34 @@ def test_pull_request_lifecycle(repo, spark):
     assert len(page1) == 1
     page2 = repo.pulls.list(after=page1[0]["id"])
     assert [p["id"] for p in page1 + page2] == sorted([pid, pid2])
+
+
+def test_active_commit_set_walk_semantics(tmp_path):
+    """refs.active_commit_set: expansion stops at the first commit
+    beyond the cutoff (which itself survives), per-head cutoffs are
+    independent, tags always survive."""
+    from lakefs_spark.storage.refs import Commit, CommitStore, active_commit_set
+
+    store = CommitStore(str(tmp_path / "commits"))
+    # chain c0 <- c1 <- c2 <- c3, dates 0, 100, 200, 300
+    for i in range(4):
+        store.put(
+            Commit(
+                commit_id=f"c{i}",
+                parents=[f"c{i-1}"] if i else [],
+                metarange_id="",
+                message=f"m{i}",
+                committer="t",
+                creation_date=float(i * 100),
+                generation=i + 1,
+            )
+        )
+    # cutoff 150: c3 (300) expands, c2 (200) expands, c1 (100) is the
+    # first-beyond-cutoff -> kept, c0 never reached
+    assert active_commit_set(store, {"c3": 150.0}) == {"c3", "c2", "c1"}
+    # head itself beyond the cutoff: kept, unexpanded
+    assert active_commit_set(store, {"c1": 150.0}) == {"c1"}
+    # tag resurrects an otherwise-dead commit
+    assert active_commit_set(store, {"c1": 150.0}, ["c0"]) == {"c1", "c0"}
+    # two heads, independent cutoffs
+    assert active_commit_set(store, {"c3": 250.0, "c1": 50.0}) == {"c3", "c2", "c1", "c0"}
