@@ -507,6 +507,11 @@ def _e2e_repo(spark, sf_dir):
         repo.stage_entries("cpt", sa.where(~F.col("is_tombstone")))
         repo.stage_deletes("cpt", sa.where(F.col("is_tombstone")).select("key"))
         repo.compact("cpt")
+        # CopyEntry: shallow copy of min(key) to a new key on a fork of
+        # c1 — same identity/address, no byte copy (catalog.go:3064-3176)
+        repo.create_branch("cpy", "main~1")
+        repo.copy_entry("main~1", min_key, "cpy", "tables/zz/copied")
+        repo.commit("cpy", "copy entry")
         _E2E_REPOS[key] = repo
     return repo
 
@@ -599,6 +604,24 @@ def q_repo_conditional_set_snapshot(spark, sf_dir):
 
 def q_repo_compact_snapshot(spark, sf_dir):
     return _e2e_snapshot(spark, sf_dir, "cpt")
+
+
+def q_repo_copy_entry_snapshot(spark, sf_dir):
+    """CopyEntry (§2.11; pkg/catalog/catalog.go:3064-3176): shallow
+    copy staged + committed — the snapshot gains one key aliasing the
+    source row's identity/address."""
+    return _e2e_snapshot(spark, sf_dir, "cpy")
+
+
+def q_commit_ordered(spark, sf_dir):
+    """Ordered commit iterator (§2.9;
+    pkg/graveler/ref/commit_ordered_iterator.go): all commits in id
+    order — the GC commit-map scan."""
+    store, _, _ = _dag_store()
+    rows = [
+        (i + 1, c) for i, c in enumerate(store.all_ids())
+    ]
+    return spark.createDataFrame(rows, "pos long, commit_id string")
 
 
 def q_repo_restore_snapshot(spark, sf_dir):
@@ -860,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_commits": q_active_commits,
         "walker_entries": q_walker_entries,
         "s3_list_pages": q_s3_list_pages,
+        "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot,
+        "commit_ordered": q_commit_ordered,
         "repo_commit_snapshot": q_repo_commit_snapshot,
         "repo_revert_snapshot": q_repo_revert_snapshot,
         "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot,

@@ -999,6 +999,24 @@ def q_repo_compact_snapshot() -> str:
     return with_views("entries", "staged_active") + _active_overlay()
 
 
+def q_repo_copy_entry_snapshot() -> str:
+    # c1 snapshot plus min(key)'s row re-keyed (same identity/etag/size)
+    return with_views("entries") + """
+    select key, identity, size, etag from entries
+    union all
+    select 'tables/zz/copied' as key, identity, size, etag
+    from entries where key = (select min(key) from entries)
+    """
+
+
+def q_commit_ordered() -> str:
+    return _dag_prefix() + """
+    dummy(x) as (select 1)
+    select row_number() over (order by d.cid) as pos, d.cid as commit_id
+    from dag d
+    """
+
+
 def q_repo_restore_snapshot() -> str:
     # dump -> copy storage -> restore must reproduce the c2 snapshot
     return with_views("entries", "staged_active") + _active_overlay()
@@ -1080,6 +1098,8 @@ def all_oracles() -> dict[str, str]:
                 "active_commits": q_active_commits(),
                 "walker_entries": q_walker_entries(),
                 "s3_list_pages": q_s3_list_pages(),
+                "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot(),
+                "commit_ordered": q_commit_ordered(),
                 "repo_commit_snapshot": q_repo_commit_snapshot(),
                 "repo_revert_snapshot": q_repo_revert_snapshot(),
                 "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot(),
