@@ -606,6 +606,16 @@ def q_repo_compact_snapshot(spark, sf_dir):
     return _e2e_snapshot(spark, sf_dir, "cpt")
 
 
+def q_repo_uncommitted_compacted(spark, sf_dir):
+    """Combined diff on a compacted branch (§2.3;
+    pkg/graveler/joined_diff_iterator.go + combined_diff_iterator.go):
+    uncommitted state = overlay(staging, compacted) diffed against the
+    committed head, range-pruned on both manifest-id inequality and
+    staged-key interval probes."""
+    repo = _e2e_repo(spark, sf_dir)
+    return repo.uncommitted("cpt").select("key", "diff_type", "identity")
+
+
 def q_repo_copy_entry_snapshot(spark, sf_dir):
     """CopyEntry (§2.11; pkg/catalog/catalog.go:3064-3176): shallow
     copy staged + committed — the snapshot gains one key aliasing the
@@ -884,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walker_entries": q_walker_entries,
         "s3_list_pages": q_s3_list_pages,
         "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot,
+        "repo_uncommitted_compacted": q_repo_uncommitted_compacted,
         "commit_ordered": q_commit_ordered,
         "repo_commit_snapshot": q_repo_commit_snapshot,
         "repo_revert_snapshot": q_repo_revert_snapshot,

@@ -999,6 +999,24 @@ def q_repo_compact_snapshot() -> str:
     return with_views("entries", "staged_active") + _active_overlay()
 
 
+def q_repo_uncommitted_compacted() -> str:
+    # combined diff == the staged_active changes vs the c1 snapshot:
+    # 2-way diff semantics (equal identities and tombstones of absent
+    # keys vanish); identity carries the new value for added/changed,
+    # the old for removed
+    return with_views("entries", "staged_active") + """
+    select s.key,
+           case when s.is_tombstone then 'removed'
+                when c.identity is null then 'added'
+                else 'changed' end as diff_type,
+           case when s.is_tombstone then c.identity else s.identity end as identity
+    from staged_active s
+    left join entries c on s.key = c.key
+    where not (s.is_tombstone and c.identity is null)
+      and not (not s.is_tombstone and s.identity is not distinct from c.identity)
+    """
+
+
 def q_repo_copy_entry_snapshot() -> str:
     # c1 snapshot plus min(key)'s row re-keyed (same identity/etag/size)
     return with_views("entries") + """
@@ -1099,6 +1117,7 @@ def all_oracles() -> dict[str, str]:
                 "walker_entries": q_walker_entries(),
                 "s3_list_pages": q_s3_list_pages(),
                 "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot(),
+                "repo_uncommitted_compacted": q_repo_uncommitted_compacted(),
                 "commit_ordered": q_commit_ordered(),
                 "repo_commit_snapshot": q_repo_commit_snapshot(),
                 "repo_revert_snapshot": q_repo_revert_snapshot(),
