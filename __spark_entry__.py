@@ -606,6 +606,48 @@ def q_repo_compact_snapshot(spark, sf_dir):
     return _e2e_snapshot(spark, sf_dir, "cpt")
 
 
+def q_stream_ingest_snapshot(spark, sf_dir):
+    """Structured-Streaming ingest end-to-end (streaming/ingest.py):
+    readStream over the events table -> foreachBatch stage+commit (one
+    atomic commit per microbatch, epoch-guarded exactly-once) -> final
+    committed snapshot. The oracle restates the event->entry mapping
+    relationally; commit mechanics cancel out by construction."""
+    key = (id(spark), sf_dir, "stream")
+    repo = _E2E_REPOS.get(key)
+    if repo is None:
+        import tempfile
+
+        from lakefs_spark.storage.repo import Repository
+        from lakefs_spark.streaming.ingest import (
+            entries_from_events,
+            foreach_batch_committer,
+        )
+
+        _fixtures(spark, sf_dir)
+        events = spark.table("events").where(F.col("event_id") % 10 == 0)
+        src = tempfile.mkdtemp(prefix="lakefs_stream_src_")
+        ckpt = tempfile.mkdtemp(prefix="lakefs_stream_ckpt_")
+        events.coalesce(3).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_stream_"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_committer(repo, "main", entries_from_events, query_name="ingest")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        _E2E_REPOS[key] = repo
+    return repo.snapshot("main").select("key", "identity", "size", "etag")
+
+
 def q_repo_uncommitted_compacted(spark, sf_dir):
     """Combined diff on a compacted branch (§2.3;
     pkg/graveler/joined_diff_iterator.go + combined_diff_iterator.go):
@@ -896,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot,
         "repo_uncommitted_compacted": q_repo_uncommitted_compacted,
         "commit_ordered": q_commit_ordered,
+        "stream_ingest_snapshot": q_stream_ingest_snapshot,
         "repo_commit_snapshot": q_repo_commit_snapshot,
         "repo_revert_snapshot": q_repo_revert_snapshot,
         "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot,

@@ -999,6 +999,21 @@ def q_repo_compact_snapshot() -> str:
     return with_views("entries", "staged_active") + _active_overlay()
 
 
+def q_stream_ingest_snapshot() -> str:
+    # event->entry mapping restated; the stream's commit-per-batch
+    # mechanics (epoch skip, CAS pointer swap) produce exactly the union
+    # of the batches = this projection
+    return """
+    select 'events/date=' || strftime(ts, '%Y-%m-%d') || '/'
+             || lpad(cast(event_id as varchar), 12, '0') as key,
+           md5(concat_ws('|', event_id, event_type,
+                         cast(cast(value as decimal(18,6)) as varchar))) as identity,
+           cast(octet_length(encode(coalesce(props, ''))) as bigint) as size,
+           md5(concat_ws('|', event_id, props)) as etag
+    from events where event_id % 10 = 0
+    """
+
+
 def q_repo_uncommitted_compacted() -> str:
     # combined diff == the staged_active changes vs the c1 snapshot:
     # 2-way diff semantics (equal identities and tombstones of absent
@@ -1119,6 +1134,7 @@ def all_oracles() -> dict[str, str]:
                 "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot(),
                 "repo_uncommitted_compacted": q_repo_uncommitted_compacted(),
                 "commit_ordered": q_commit_ordered(),
+                "stream_ingest_snapshot": q_stream_ingest_snapshot(),
                 "repo_commit_snapshot": q_repo_commit_snapshot(),
                 "repo_revert_snapshot": q_repo_revert_snapshot(),
                 "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot(),

@@ -104,7 +104,14 @@ def entries_from_events(events: DataFrame, prefix: str = "events/") -> DataFrame
     sorted by ingest day — commits touch a bounded set of trailing
     ranges instead of rewriting history (the append-mostly pattern).
     """
-    ident = F.md5(F.concat_ws("|", "event_id", "event_type", F.col("value").cast("string")))
+    # value rides through a fixed-scale decimal, not raw double->string:
+    # float shortest-repr differs across engines (1e-4 vs 0.0001), and a
+    # content identity must not depend on a printer's notation choice
+    ident = F.md5(
+        F.concat_ws(
+            "|", "event_id", "event_type", F.col("value").cast("decimal(18,6)").cast("string")
+        )
+    )
     return events.select(
         F.concat(
             F.lit(prefix),
