@@ -135,3 +135,46 @@ def test_whole_stage_codegen_covers_text_features(spark):
     # codegen'd operators print with the '*(stage)' star marker
     assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_simhash_is_python_free_single_aggregation(spark):
+    """SimHash (md5-digit bits) must stay JVM-side: no Python eval
+    nodes, and exactly one aggregation (partial+final over one shuffle)."""
+    from lakefs_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_minhash_signatures_python_free(spark):
+    """The affine minhash family is arithmetic over one md5 base hash —
+    no Python eval nodes may appear."""
+    from lakefs_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(F.col("doc_id") < 50)
+    plan = _plan(minhash_signatures(docs, num_hashes=16))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_range_write_agg_reuses_cached_partitioning(spark):
+    """write_ranges_prechunked shuffles once: the manifest aggregation
+    over the persisted post-shuffle rows must not add an Exchange above
+    the InMemoryTableScan."""
+    df = spark.range(500).select(
+        (F.col("id") % 5).alias("chunk_idx"),
+        F.col("id").cast("string").alias("key"),
+        F.md5(F.col("id").cast("string")).alias("identity"),
+    )
+    staged = df.repartition("chunk_idx").sortWithinPartitions("chunk_idx", "key").persist()
+    try:
+        staged.count()
+        agg = staged.groupBy("chunk_idx").agg(F.count(F.lit(1)).alias("n"))
+        plan = _plan(agg)
+        # the only Exchange strings permitted are inside the cached
+        # relation's stored child plan, i.e. below InMemoryTableScan
+        above_cache = plan.split("InMemoryTableScan")[0]
+        assert "Exchange" not in above_cache, plan
+    finally:
+        staged.unpersist()
