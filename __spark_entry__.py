@@ -223,6 +223,14 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE-ish token counting (GPT-2 pre-tokenizer classes, lookahead-
+    free so Spark's Java regex and the RE2 oracle agree)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
 def q_text_quality(spark, sf_dir):
     return TX.quality_features(_docs(spark, sf_dir))
 
@@ -909,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_stats": q_range_stats,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,

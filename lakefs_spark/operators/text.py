@@ -34,6 +34,23 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(text, " "))
 
 
+# GPT-2-style pre-tokenizer classes, restated without lookahead so the
+# same pattern runs on Java regex (Spark) and RE2 (DuckDB oracle):
+# contraction suffixes | letter runs | digit runs | symbol runs.
+# (The original's trailing-space lookahead only affects whitespace
+# tokens, which a counter ignores anyway.)
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer classes.
+
+    A cheap, library-free estimate of LLM token cost (the real BPE
+    merge table only splits *within* these pre-tokens, so this counts
+    a lower bound that tracks closely for natural text)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
 def occurrence_count(text: Column, needle: str) -> Column:
     """Non-overlapping occurrences of ``needle`` via length difference."""
     return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(len(needle))

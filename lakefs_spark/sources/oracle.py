@@ -233,6 +233,18 @@ def q_token_counts() -> str:
     return "select doc_id, cast(length(split(text, ' ')) as bigint) as n_tokens from documents"
 
 
+def q_bpe_token_counts() -> str:
+    from lakefs_spark.operators.text import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+    select doc_id,
+           cast(length(regexp_extract_all(text, '{pat}')) as bigint)
+             as n_bpe_tokens
+    from documents
+    """
+
+
 def _sw_hits_sql(text_expr: str, lang: str) -> str:
     padded = f"(' ' || {text_expr} || ' ')"
     terms = []
@@ -1105,6 +1117,7 @@ def all_oracles() -> dict[str, str]:
                 "range_stats": q_range_stats(),
                 "dedup_exact": q_dedup_exact(),
                 "token_counts": q_token_counts(),
+                "bpe_token_counts": q_bpe_token_counts(),
                 "text_quality": q_text_quality(),
                 "lang_id": q_lang_id(),
                 "doc_fingerprints": q_doc_fingerprints(),
