@@ -285,6 +285,20 @@ def q_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(q, emb, centroid_mod=20, nprobe=3, k=5)
 
 
+def q_kmeans_codebook(spark, sf_dir):
+    """Spherical k-means IVF-codebook training (2 Lloyd iterations,
+    deterministic init): one row per (cid, dim) with the trained value
+    rounded to 6dp (float sum-order noise is far below that)."""
+    from lakefs_spark.operators.similarity import kmeans_codebook
+
+    emb = _embeddings(spark, sf_dir)
+    cents = kmeans_codebook(emb, centroid_mod=20, iters=2, dim=64)
+    rows = [
+        (cid, j, round(v, 6)) for cid, vec in cents for j, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "cid long, dim long, val double")
+
+
 def q_minhash_candidates(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return D.minhash_candidates(docs, num_hashes=32, bands=8)
@@ -925,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "near_dup_embeddings": q_near_dup_embeddings,
         "ivf_topk": q_ivf_topk,
+        "kmeans_codebook": q_kmeans_codebook,
         "import_prefix_replace": q_import_prefix_replace,
         "symlink_manifest": q_symlink_manifest,
         "hive_partitions": q_hive_partitions,

@@ -142,6 +142,84 @@ def lsh_topk(
     )
 
 
+def _normalize_codebook(cent_rows: list[tuple[int, list[float]]]) -> list[tuple[int, list[float]]]:
+    import math
+
+    cents = []
+    for cid, vec in cent_rows:
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        cents.append((cid, [x / n for x in vec]))
+    return cents
+
+
+def _fold_assignment(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """argmax_c dot(vec, c) over a unit-normalized driver-side codebook,
+    folded into ONE JVM projection (no shuffle, no K-times row blowup);
+    strictly-greater replacement == (sim desc, cid asc) tie-break.
+    Returns a struct (cid, s)."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(x) for x in v]).alias("cv"),
+            )
+            for cid, v in cents
+        ]
+    )
+    return F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(-1).cast("long").alias("cid"),
+            F.lit(float("-inf")).cast("double").alias("s"),
+        ),
+        lambda acc, c: F.when(
+            _dot(vec, c["cv"]) > acc["s"],
+            F.struct(c["cid"].alias("cid"), _dot(vec, c["cv"]).alias("s")),
+        ).otherwise(acc),
+    )
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    centroid_mod: int = 20,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means training for the IVF codebook: deterministic
+    init (every ``centroid_mod``-th vector), then ``iters`` Lloyd
+    steps — assign each vector to its max-cosine centroid (the same
+    folded-projection assignment ivf_topk uses at query time), recompute
+    each centroid as the element-wise mean of its members.
+
+    Scale shape: per iteration ONE scan of the corpus (shuffle-free
+    assignment projection) + ONE groupBy(cid) with 64 avg aggregates
+    (map-side partial); the codebook itself stays driver-sized (K
+    vectors), exactly like the chunker's boundary list. Empty clusters
+    keep their previous centroid (deterministic).
+    """
+    init = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.where(F.col(id_col) % centroid_mod == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = init
+    corp = corpus.select(F.col(vec_col).alias("vb"))
+    for _ in range(iters):
+        best = _fold_assignment(F.col("vb"), _normalize_codebook(cents))
+        assigned = corp.select(best["cid"].alias("cid"), "vb")
+        new_rows = {
+            int(r["cid"]): [float(r[f"m{j}"]) for j in range(dim)]
+            for r in assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("vb")[j].cast("double")).alias(f"m{j}") for j in range(dim)])
+            .collect()
+        }
+        cents = [(cid, new_rows.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -170,40 +248,14 @@ def ivf_topk(
       via a broadcast join; candidates come from an equi-join on
       centroid id — never an all-pairs cross join.
     """
-    import math
-
     cent_src = corpus.where(F.col(id_col) % centroid_mod == 0)
     cent_rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in cent_src.select(id_col, vec_col).collect()
     )
-    cents = []
-    for cid, vec in cent_rows:
-        n = math.sqrt(sum(x * x for x in vec)) or 1.0
-        cents.append((cid, [x / n for x in vec]))
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("long").alias("cid"),
-                F.array(*[F.lit(x) for x in vec]).alias("cv"),
-            )
-            for cid, vec in cents
-        ]
-    )
+    cents = _normalize_codebook(cent_rows)
     corp = corpus.select(F.col(id_col).alias("qb"), F.col(vec_col).alias("vb"))
-    # fold over the codebook in cid order; replace only on strictly
-    # greater similarity == (sim desc, cid asc) tie-break
-    best = F.aggregate(
-        cent_arr,
-        F.struct(
-            F.lit(-1).cast("long").alias("cid"),
-            F.lit(float("-inf")).cast("double").alias("s"),
-        ),
-        lambda acc, c: F.when(
-            _dot(F.col("vb"), c["cv"]) > acc["s"],
-            F.struct(c["cid"].alias("cid"), _dot(F.col("vb"), c["cv"]).alias("s")),
-        ).otherwise(acc),
-    )
+    best = _fold_assignment(F.col("vb"), cents)
     assign = corp.select("qb", "vb", best["cid"].alias("cid"))
 
     centdf = cent_src.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))

@@ -514,6 +514,74 @@ def q_lsh_topk() -> str:
     """
 
 
+def q_kmeans_codebook() -> str:
+    # two spherical Lloyd steps restated relationally: assignment =
+    # argmax_c dot(v,c)/||c|| (tie: min cid), new centroid = per-dim
+    # mean of members, empty cluster keeps its previous centroid.
+    # dims are joined positionally via range(1,65) (1-based lists).
+    return """
+    with cents0 as (
+      select vec_id as cid, embedding as cv from embeddings where vec_id % 20 = 0
+    ),
+    score1 as (
+      select va, cid, s_ab / sqrt(s_cc) as score from (
+        select a.vec_id as va, c.cid,
+               sum(cast(a.embedding[r.j] as double) * cast(c.cv[r.j] as double)) as s_ab,
+               sum(cast(c.cv[r.j] as double) * cast(c.cv[r.j] as double)) as s_cc
+        from embeddings a
+        cross join range(1, 65) r(j)
+        join cents0 c on true
+        group by a.vec_id, c.cid
+      ) s
+    ),
+    assign1 as (
+      select va, cid from (
+        select va, cid, row_number() over (partition by va order by score desc, cid) as rn
+        from score1
+      ) t where rn = 1
+    ),
+    means1 as (
+      select s.cid, r.j, avg(cast(e.embedding[r.j] as double)) as val
+      from assign1 s
+      join embeddings e on e.vec_id = s.va
+      cross join range(1, 65) r(j)
+      group by s.cid, r.j
+    ),
+    cents1 as (
+      select c.cid, r.j,
+             coalesce(m.val, cast(c.cv[r.j] as double)) as val
+      from cents0 c
+      cross join range(1, 65) r(j)
+      left join means1 m on m.cid = c.cid and m.j = r.j
+    ),
+    norm1 as (select cid, sqrt(sum(val * val)) as nrm from cents1 group by cid),
+    score2 as (
+      select va, cid, s_ab / nrm as score from (
+        select a.vec_id as va, c1.cid, sum(cast(a.embedding[c1.j] as double) * c1.val) as s_ab
+        from embeddings a join cents1 c1 on true
+        group by a.vec_id, c1.cid
+      ) s join norm1 using (cid)
+    ),
+    assign2 as (
+      select va, cid from (
+        select va, cid, row_number() over (partition by va order by score desc, cid) as rn
+        from score2
+      ) t where rn = 1
+    ),
+    means2 as (
+      select s.cid, r.j, avg(cast(e.embedding[r.j] as double)) as val
+      from assign2 s
+      join embeddings e on e.vec_id = s.va
+      cross join range(1, 65) r(j)
+      group by s.cid, r.j
+    )
+    select c1.cid, cast(c1.j - 1 as bigint) as dim,
+           round(coalesce(m.val, c1.val), 6) as val
+    from cents1 c1
+    left join means2 m on m.cid = c1.cid and m.j = c1.j
+    """
+
+
 def q_ivf_topk() -> str:
     # Independent IVF restatement: codebook = vec_id % 20 == 0; assign
     # each vector to its max-cosine centroid (tie: min cid); queries
@@ -1125,6 +1193,7 @@ def all_oracles() -> dict[str, str]:
                 "cosine_pairs": q_cosine_pairs(),
                 "near_dup_embeddings": q_near_dup_embeddings(),
                 "ivf_topk": q_ivf_topk(),
+                "kmeans_codebook": q_kmeans_codebook(),
                 "ann_topk": q_ann_topk(),
                 "lsh_topk": q_lsh_topk(),
                 "minhash_candidates": q_minhash_candidates(),
