@@ -368,6 +368,27 @@ def q_media_features(spark, sf_dir):
     return extract_features(_media(spark, sf_dir))
 
 
+def q_media_resize(spark, sf_dir):
+    """Aspect-preserving resize plan (multimodal.resize): geometry is
+    JVM-side metadata math; the stubbed pixel pass rides mapInPandas.
+    Payload excluded from the contract (binary passthrough)."""
+    from lakefs_spark.operators.multimodal import resize
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 1)
+    imgs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        (F.lit(200) + (F.col("doc_id") % 7) * 100).cast("int").alias("width"),
+        (F.lit(150) + (F.col("doc_id") % 5) * 120).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return resize(imgs, max_w=512, max_h=384).select(
+        "media_id", "out_w", "out_h", "resized"
+    )
+
+
 def q_gc_key_match(spark, sf_dir):
     _fixtures(spark, sf_dir)
     return staged_view(spark, "staged_active").where(F.col("key").rlike("b[13]/")).select("key")
@@ -944,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symlink_manifest": q_symlink_manifest,
         "hive_partitions": q_hive_partitions,
         "media_frame_sample": q_media_frame_sample,
+        "media_resize": q_media_resize,
         "gc_key_match": q_gc_key_match,
         "windowed_event_counts": q_windowed_event_counts,
         "usage_report": q_usage_report,

@@ -76,6 +76,49 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(op, schema="media_id long, kind string, features array<double>")
 
 
+def resize(media: DataFrame, max_w: int, max_h: int) -> DataFrame:
+    """Image-resize plan: aspect-preserving fit into (max_w, max_h).
+
+    Target geometry is computed JVM-side from the metadata columns (no
+    decode needed to *plan* a resize); the pixel work runs through the
+    same mapInPandas stub shape as extract_features — STUBBED here
+    (no image libs in this container): the payload passes through
+    unchanged and ``resized`` marks rows a real decoder would touch.
+    Swap ``_resize_one`` for PIL's ``Image.thumbnail`` in production.
+    """
+    scale = F.least(
+        F.lit(max_w) / F.col("width").cast("double"),
+        F.lit(max_h) / F.col("height").cast("double"),
+        F.lit(1.0),
+    )
+    planned = media.where(F.col("kind") == "image").select(
+        "media_id",
+        "kind",
+        "payload",
+        "mime",
+        "width",
+        "height",
+        scale.alias("scale"),
+        F.greatest(F.floor(F.col("width") * scale).cast("int"), F.lit(1)).alias("out_w"),
+        F.greatest(F.floor(F.col("height") * scale).cast("int"), F.lit(1)).alias("out_h"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id", "kind", "mime", "out_w", "out_h"]].copy()
+            # STUB: a real decoder would re-encode at (out_w, out_h);
+            # the plumbing (batch shape, passthrough payload) is real
+            out["payload"] = pdf["payload"]
+            out["resized"] = pdf["scale"] < 1.0
+            yield out
+
+    return planned.mapInPandas(
+        op,
+        schema="media_id long, kind string, mime string, out_w int, out_h int, "
+        "payload binary, resized boolean",
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per sampled timestamp.
 

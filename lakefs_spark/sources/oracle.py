@@ -689,6 +689,27 @@ def q_media_frame_sample() -> str:
     """
 
 
+def q_media_resize() -> str:
+    # aspect-preserving fit of (200+(id%7)*100, 150+(id%5)*120) into
+    # 512x384: scale = min(512/w, 384/h, 1), floored dims (min 1)
+    return """
+    select media_id,
+           cast(greatest(floor(w * s), 1) as int) as out_w,
+           cast(greatest(floor(h * s), 1) as int) as out_h,
+           s < 1.0 as resized
+    from (
+      select doc_id as media_id, w, h,
+             least(512.0 / w, 384.0 / h, 1.0) as s
+      from (
+        select doc_id,
+               cast(200 + (doc_id % 7) * 100 as double) as w,
+               cast(150 + (doc_id % 5) * 120 as double) as h
+        from documents where doc_id % 3 = 1
+      ) b
+    ) t
+    """
+
+
 def q_gc_key_match() -> str:
     return with_views("staged_active") + """
     select key from staged_active where regexp_matches(key, 'b[13]/')
@@ -1202,6 +1223,7 @@ def all_oracles() -> dict[str, str]:
                 "symlink_manifest": q_symlink_manifest(),
                 "hive_partitions": q_hive_partitions(),
                 "media_frame_sample": q_media_frame_sample(),
+                "media_resize": q_media_resize(),
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),
                 "commit_log": q_commit_log(),
