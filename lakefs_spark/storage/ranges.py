@@ -169,6 +169,18 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
         )
         if not mf_rows:
             return pd.DataFrame(columns=MANIFEST_COLS)
+        # best-effort sweep of temp dirs leaked by crashed writers
+        # (age-gated so a concurrent writer's live dir survives)
+        import time as _time
+
+        for d in os.listdir(root):
+            if d.startswith(".write_ranges."):
+                p = os.path.join(root, d)
+                try:
+                    if _time.time() - os.path.getmtime(p) > 3600:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         tmp_dir = tempfile.mkdtemp(prefix=".write_ranges.", dir=root)
         staged.write.partitionBy("chunk_idx").mode("overwrite").parquet(tmp_dir)
         for r in mf_rows:
