@@ -453,6 +453,24 @@ def q_uncommitted_addresses(spark, sf_dir):
     )
 
 
+def q_session_event_stats(spark, sf_dir):
+    """Session windows (gap=30min) per user (streaming/ingest.py
+    session_event_stats; F.session_window): oracle re-derives sessions
+    with gaps-and-islands SQL. Epochs under the UTC session TZ."""
+    from lakefs_spark.streaming.ingest import session_event_stats
+
+    _fixtures(spark, sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = session_event_stats(spark.table("events"))
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp").cast("long").alias("session_start_s"),
+        F.col("session_end").cast("timestamp").cast("long").alias("session_end_s"),
+        "n_events",
+        "total_value",
+    )
+
+
 def q_windowed_event_counts(spark, sf_dir):
     from lakefs_spark.streaming.ingest import windowed_event_counts
 
@@ -968,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "gc_key_match": q_gc_key_match,
         "windowed_event_counts": q_windowed_event_counts,
+        "session_event_stats": q_session_event_stats,
         "usage_report": q_usage_report,
         "point_lookup": q_point_lookup,
         "uncommitted_addresses": q_uncommitted_addresses,

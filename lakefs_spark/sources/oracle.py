@@ -755,6 +755,41 @@ def q_uncommitted_addresses() -> str:
     """
 
 
+def q_session_event_stats() -> str:
+    # gaps-and-islands in exact MICROSECONDS (Spark session windows use
+    # full ts precision; a seconds-level restatement diverges near
+    # 30min-boundary gaps, and epoch()'s double->bigint cast ROUNDS
+    # where Spark's timestamp->long cast truncates). An event exactly
+    # gap after its predecessor starts a NEW session (window end is
+    # exclusive) -> new_sess on diff >= gap. Final epochs floor to
+    # seconds like the Spark side's cast.
+    return """
+    with e as (
+      select user_id, epoch_us(ts) as us, value from events
+    ),
+    flagged as (
+      select user_id, us, value,
+             case when us - lag(us) over (partition by user_id order by us) >= 1800000000
+                    or lag(us) over (partition by user_id order by us) is null
+                  then 1 else 0 end as new_sess
+      from e
+    ),
+    islands as (
+      select user_id, us, value,
+             sum(new_sess) over (partition by user_id order by us
+                                 rows between unbounded preceding and current row) as sess
+      from flagged
+    )
+    select user_id,
+           cast(floor(min(us) / 1000000) as bigint) as session_start_s,
+           cast(floor(max(us) / 1000000) as bigint) + 1800 as session_end_s,
+           count(*) as n_events,
+           round(sum(value), 4) as total_value
+    from islands
+    group by user_id, sess
+    """
+
+
 def q_windowed_event_counts() -> str:
     # 10-minute tumbling windows, epoch-aligned like Spark's window()
     return """
@@ -1226,6 +1261,7 @@ def all_oracles() -> dict[str, str]:
                 "media_resize": q_media_resize(),
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),
+                "session_event_stats": q_session_event_stats(),
                 "commit_log": q_commit_log(),
                 "commit_log_since": q_commit_log_since(),
                 "commit_log_first_parent": q_commit_log_first_parent(),

@@ -129,6 +129,39 @@ def entries_from_events(events: DataFrame, prefix: str = "events/") -> DataFrame
     )
 
 
+def session_event_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session-window per-user stats: events closer than ``gap`` merge
+    into one session; ``session_end = last event + gap`` (Spark
+    session-window semantics). Works identically on a stream (state
+    closes when the watermark passes a session's gap) and a batch
+    (equivalent to the gaps-and-islands SQL the oracle uses).
+    """
+    df = events
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, gap)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

@@ -160,3 +160,32 @@ def test_tombstone_alert_sensor_stateful(spark, tmp_path):
     drop([("dev", f"d3{i}", True) for i in range(2)])
     run()
     assert alerts_set() == {("dev", 5), ("main", 5), ("dev", 10)}
+
+
+def test_session_event_stats_streaming_matches_batch(spark, tmp_path):
+    from lakefs_spark.streaming.ingest import session_event_stats
+
+    events = _events(spark).where(F.col("event_id") < 500)
+    src = str(tmp_path / "ssrc")
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+
+    static = session_event_stats(events).orderBy("user_id", "session_start")
+    expected = [tuple(r) for r in static.collect()]
+    assert expected, "fixture produced no sessions"
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = session_event_stats(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_stats")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [
+        tuple(r)
+        for r in spark.table("sess_stats").orderBy("user_id", "session_start").collect()
+    ]
+    assert got == expected
