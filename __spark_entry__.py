@@ -453,6 +453,34 @@ def q_uncommitted_addresses(spark, sf_dir):
     )
 
 
+def q_asof_click_attribution(spark, sf_dir):
+    """As-of join (operators/asof.py): for each purchase, the latest
+    click of the same user at-or-before the purchase. Right side
+    deduped per (user, ts) so the match is deterministic; oracle uses
+    DuckDB's native ASOF LEFT JOIN (an independent implementation)."""
+    from lakefs_spark.operators.asof import asof_join
+
+    _fixtures(spark, sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.table("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(purchases, clicks, on=["user_id"])
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("purchase_ts_s"),
+        "click_id",
+        F.col("matched_ts").cast("timestamp").cast("long").alias("click_ts_s"),
+    )
+
+
 def q_session_event_stats(spark, sf_dir):
     """Session windows (gap=30min) per user (streaming/ingest.py
     session_event_stats; F.session_window): oracle re-derives sessions
@@ -987,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_key_match": q_gc_key_match,
         "windowed_event_counts": q_windowed_event_counts,
         "session_event_stats": q_session_event_stats,
+        "asof_click_attribution": q_asof_click_attribution,
         "usage_report": q_usage_report,
         "point_lookup": q_point_lookup,
         "uncommitted_addresses": q_uncommitted_addresses,

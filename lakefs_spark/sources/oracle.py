@@ -755,6 +755,26 @@ def q_uncommitted_addresses() -> str:
     """
 
 
+def q_asof_click_attribution() -> str:
+    # DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    # the same point-in-time semantics (inclusive: click_ts <= purchase_ts)
+    return """
+    with p as (
+      select event_id as purchase_id, user_id, ts from events
+      where event_type = 'purchase'
+    ),
+    c as (
+      select user_id, ts, max(event_id) as click_id from events
+      where event_type = 'click' group by user_id, ts
+    )
+    select p.purchase_id, p.user_id,
+           cast(floor(epoch_us(p.ts) / 1000000) as bigint) as purchase_ts_s,
+           c.click_id,
+           cast(floor(epoch_us(c.ts) / 1000000) as bigint) as click_ts_s
+    from p asof left join c on p.user_id = c.user_id and p.ts >= c.ts
+    """
+
+
 def q_session_event_stats() -> str:
     # gaps-and-islands in exact MICROSECONDS (Spark session windows use
     # full ts precision; a seconds-level restatement diverges near
@@ -1262,6 +1282,7 @@ def all_oracles() -> dict[str, str]:
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),
                 "session_event_stats": q_session_event_stats(),
+                "asof_click_attribution": q_asof_click_attribution(),
                 "commit_log": q_commit_log(),
                 "commit_log_since": q_commit_log_since(),
                 "commit_log_first_parent": q_commit_log_first_parent(),

@@ -178,3 +178,18 @@ def test_range_write_agg_reuses_cached_partitioning(spark):
         assert "Exchange" not in above_cache, plan
     finally:
         staged.unpersist()
+
+
+def test_asof_join_is_single_shuffle_no_cartesian(spark):
+    """The as-of merge-scan must plan one Exchange on the join key and
+    never a cartesian/theta join."""
+    from lakefs_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    plan = _plan(asof_join(left, right, on=["user_id"]))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # union sides coalesce into one shuffle + AQE reads

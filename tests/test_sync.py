@@ -47,3 +47,33 @@ def test_sync_plan_cases(spark):
         "cf": "conflict",
         # "gone" removed on both sides: agreement, no op
     }
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive match, per-key isolation, null when nothing precedes,
+    tolerance nulls stale matches."""
+    from lakefs_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "u", 100.0), (2, "u", 205.0), (3, "v", 50.0)],
+        "lid long, k string, ts double",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [("u", 100.0, "a"), ("u", 200.0, "b"), ("v", 60.0, "c")],
+        "k string, ts double, tag string",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    out = {
+        r["lid"]: (r["tag"], r["matched_ts"])
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert out[1][0] == "a"      # inclusive: right at exactly left_ts matches
+    assert out[2][0] == "b"      # latest preceding, not first
+    assert out[3][0] is None     # v's only click is later -> no match
+
+    tol = {
+        r["lid"]: r["tag"]
+        for r in asof_join(left, right, on=["k"], tolerance_s=4.0).collect()
+    }
+    assert tol[1] == "a" and tol[2] is None  # 5s-stale match nulled
