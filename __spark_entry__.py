@@ -453,6 +453,27 @@ def q_uncommitted_addresses(spark, sf_dir):
     )
 
 
+def q_range_join_acctbal(spark, sf_dir):
+    """Range join (operators/rangejoin.py): customers whose account
+    balance falls inside [supplier.acctbal, +500] within the same
+    nation — bucketized equi-join, never a per-key cross product."""
+    from lakefs_spark.operators.rangejoin import range_join
+
+    _fixtures(spark, sf_dir)
+    intervals = spark.table("supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 500.0).alias("hi"),
+    )
+    points = spark.table("customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("bal")
+    )
+    out = range_join(points, intervals, on=["nationkey"], point_col="bal",
+                     lo_col="lo", hi_col="hi", bucket_width=512.0)
+    return out.select("s_suppkey", "c_custkey", "nationkey")
+
+
 def q_asof_click_attribution(spark, sf_dir):
     """As-of join (operators/asof.py): for each purchase, the latest
     click of the same user at-or-before the purchase. Right side
@@ -1016,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": q_windowed_event_counts,
         "session_event_stats": q_session_event_stats,
         "asof_click_attribution": q_asof_click_attribution,
+        "range_join_acctbal": q_range_join_acctbal,
         "usage_report": q_usage_report,
         "point_lookup": q_point_lookup,
         "uncommitted_addresses": q_uncommitted_addresses,

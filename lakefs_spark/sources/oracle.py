@@ -755,6 +755,17 @@ def q_uncommitted_addresses() -> str:
     """
 
 
+def q_range_join_acctbal() -> str:
+    # independent restatement: plain inequality join (fine at oracle
+    # scale; the Spark side must NOT plan this shape — see test_plans)
+    return """
+    select s.s_suppkey, c.c_custkey, c.c_nationkey as nationkey
+    from customer c join supplier s
+      on c.c_nationkey = s.s_nationkey
+     and c.c_acctbal between s.s_acctbal and s.s_acctbal + 500.0
+    """
+
+
 def q_asof_click_attribution() -> str:
     # DuckDB's native ASOF LEFT JOIN — an independent implementation of
     # the same point-in-time semantics (inclusive: click_ts <= purchase_ts)
@@ -1283,6 +1294,7 @@ def all_oracles() -> dict[str, str]:
                 "windowed_event_counts": q_windowed_event_counts(),
                 "session_event_stats": q_session_event_stats(),
                 "asof_click_attribution": q_asof_click_attribution(),
+                "range_join_acctbal": q_range_join_acctbal(),
                 "commit_log": q_commit_log(),
                 "commit_log_since": q_commit_log_since(),
                 "commit_log_first_parent": q_commit_log_first_parent(),

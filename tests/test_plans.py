@@ -193,3 +193,21 @@ def test_asof_join_is_single_shuffle_no_cartesian(spark):
     plan = _plan(asof_join(left, right, on=["user_id"]))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # union sides coalesce into one shuffle + AQE reads
+
+
+def test_range_join_is_equi_join_not_theta(spark):
+    """The bucketized range join must plan as a hash/sort-merge
+    equi-join — never BroadcastNestedLoopJoin/CartesianProduct."""
+    from lakefs_spark.operators.rangejoin import range_join
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("bal")
+    )
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").select(
+        "s_suppkey", F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("lo"), (F.col("s_acctbal") + 500.0).alias("hi"),
+    )
+    plan = _plan(range_join(cust, supp, on=["nationkey"], point_col="bal",
+                            lo_col="lo", hi_col="hi", bucket_width=512.0))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
