@@ -502,6 +502,23 @@ def q_asof_click_attribution(spark, sf_dir):
     )
 
 
+def q_sliding_event_counts(spark, sf_dir):
+    """Sliding windows (10min window / 5min hop): every event counted
+    in window/slide overlapping windows."""
+    from lakefs_spark.streaming.ingest import windowed_event_counts
+
+    _fixtures(spark, sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = windowed_event_counts(spark.table("events"), slide="5 minutes")
+    return out.select(
+        F.col("window_start").cast("timestamp").cast("long").alias("window_start_s"),
+        F.col("window_end").cast("timestamp").cast("long").alias("window_end_s"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 def q_session_event_stats(spark, sf_dir):
     """Session windows (gap=30min) per user (streaming/ingest.py
     session_event_stats; F.session_window): oracle re-derives sessions
@@ -1038,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_event_stats": q_session_event_stats,
         "asof_click_attribution": q_asof_click_attribution,
         "range_join_acctbal": q_range_join_acctbal,
+        "sliding_event_counts": q_sliding_event_counts,
         "usage_report": q_usage_report,
         "point_lookup": q_point_lookup,
         "uncommitted_addresses": q_uncommitted_addresses,

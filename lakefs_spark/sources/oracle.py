@@ -786,6 +786,25 @@ def q_asof_click_attribution() -> str:
     """
 
 
+def q_sliding_event_counts() -> str:
+    # each event belongs to exactly two 10-min windows on a 5-min hop:
+    # starts floor(s/300)*300 and that minus 300 (second-aligned
+    # boundaries make the seconds-level floor exact against micros ts)
+    return """
+    select ws as window_start_s, ws + 600 as window_end_s, event_type,
+           count(*) as n_events, round(sum(value), 4) as total_value
+    from (
+      select event_type, value,
+             unnest(generate_series(
+               cast(floor(epoch(ts) / 300) - 1 as bigint) * 300,
+               cast(floor(epoch(ts) / 300) as bigint) * 300,
+               300)) as ws
+      from events
+    ) t
+    group by ws, event_type
+    """
+
+
 def q_session_event_stats() -> str:
     # gaps-and-islands in exact MICROSECONDS (Spark session windows use
     # full ts precision; a seconds-level restatement diverges near
@@ -1295,6 +1314,7 @@ def all_oracles() -> dict[str, str]:
                 "session_event_stats": q_session_event_stats(),
                 "asof_click_attribution": q_asof_click_attribution(),
                 "range_join_acctbal": q_range_join_acctbal(),
+                "sliding_event_counts": q_sliding_event_counts(),
                 "commit_log": q_commit_log(),
                 "commit_log_since": q_commit_log_since(),
                 "commit_log_first_parent": q_commit_log_first_parent(),

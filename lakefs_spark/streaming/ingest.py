@@ -167,8 +167,11 @@ def windowed_event_counts(
     window: str = "10 minutes",
     watermark: str = "30 minutes",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window per-type counts with a late-data watermark.
+    """Tumbling (or, with ``slide``, sliding/hopping) per-type counts
+    with a late-data watermark: each event lands in window_size/slide
+    overlapping windows.
 
     Works on both a streaming DataFrame (state is dropped once the
     watermark passes a window) and a static one (watermark is a no-op)
@@ -183,7 +186,12 @@ def windowed_event_counts(
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
-        df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        df.groupBy(
+            (
+                F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+            ).alias("w"),
+            "event_type",
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
