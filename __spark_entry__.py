@@ -493,13 +493,30 @@ def q_asof_click_attribution(spark, sf_dir):
         .agg(F.max("event_id").alias("click_id"))
     )
     out = asof_join(purchases, clicks, on=["user_id"])
+    # null-free contract: unmatched purchases carry -1 sentinels
     return out.select(
         "purchase_id",
         "user_id",
         F.col("ts").cast("timestamp").cast("long").alias("purchase_ts_s"),
-        "click_id",
-        F.col("matched_ts").cast("timestamp").cast("long").alias("click_ts_s"),
+        F.coalesce(F.col("click_id"), F.lit(-1)).cast("long").alias("click_id"),
+        F.coalesce(
+            F.col("matched_ts").cast("timestamp").cast("long"), F.lit(-1)
+        ).alias("click_ts_s"),
     )
+
+
+def q_event_time_rollup(spark, sf_dir):
+    """Day⊃hour continuous-aggregate rollup in one grouping-sets pass
+    (streaming/ingest.event_time_rollup); oracle restates it as an
+    independent union of per-grain aggregates."""
+    from lakefs_spark.streaming.ingest import event_time_rollup
+
+    _fixtures(spark, sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = event_time_rollup(spark.table("events"))
+    # null-free contract: day-grain rows carry hour='' (null ordering /
+    # hashing is comparator-specific)
+    return out.withColumn("hour", F.coalesce(F.col("hour"), F.lit("")))
 
 
 def q_sliding_event_counts(spark, sf_dir):
@@ -1056,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_attribution": q_asof_click_attribution,
         "range_join_acctbal": q_range_join_acctbal,
         "sliding_event_counts": q_sliding_event_counts,
+        "event_time_rollup": q_event_time_rollup,
         "usage_report": q_usage_report,
         "point_lookup": q_point_lookup,
         "uncommitted_addresses": q_uncommitted_addresses,

@@ -780,9 +780,23 @@ def q_asof_click_attribution() -> str:
     )
     select p.purchase_id, p.user_id,
            cast(floor(epoch_us(p.ts) / 1000000) as bigint) as purchase_ts_s,
-           c.click_id,
-           cast(floor(epoch_us(c.ts) / 1000000) as bigint) as click_ts_s
+           coalesce(c.click_id, -1) as click_id,
+           coalesce(cast(floor(epoch_us(c.ts) / 1000000) as bigint), -1) as click_ts_s
     from p asof left join c on p.user_id = c.user_id and p.ts >= c.ts
+    """
+
+
+def q_event_time_rollup() -> str:
+    # independent restatement: union of the two grains computed
+    # separately (the Spark side must do it in ONE grouping-sets pass)
+    return """
+    select strftime(ts, '%Y-%m-%d') as day, '' as hour,
+           'day' as grain, count(*) as n_events, round(sum(value), 4) as total_value
+    from events group by 1
+    union all
+    select strftime(ts, '%Y-%m-%d'), strftime(ts, '%H'),
+           'hour', count(*), round(sum(value), 4)
+    from events group by 1, 2
     """
 
 
@@ -1315,6 +1329,7 @@ def all_oracles() -> dict[str, str]:
                 "asof_click_attribution": q_asof_click_attribution(),
                 "range_join_acctbal": q_range_join_acctbal(),
                 "sliding_event_counts": q_sliding_event_counts(),
+                "event_time_rollup": q_event_time_rollup(),
                 "commit_log": q_commit_log(),
                 "commit_log_since": q_commit_log_since(),
                 "commit_log_first_parent": q_commit_log_first_parent(),

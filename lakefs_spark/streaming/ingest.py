@@ -129,6 +129,38 @@ def entries_from_events(events: DataFrame, prefix: str = "events/") -> DataFrame
     )
 
 
+def event_time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (day ⊃ hour) in ONE
+    aggregation pass via ROLLUP grouping sets — Catalyst expands the
+    sets map-side, so the N-granularity rollup costs one shuffle, not
+    N scans. ``grain`` labels each output row ('day' rows have hour
+    null), the continuous-aggregate shape time-series stores maintain.
+    """
+    df = events
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    day = F.date_format(ts_col, "yyyy-MM-dd").alias("day")
+    hour = F.date_format(ts_col, "HH").alias("hour")
+    return (
+        df.rollup(day, hour)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .where(F.col("day").isNotNull())  # drop the grand-total row
+        .select(
+            "day",
+            "hour",
+            F.when(F.col("hour").isNull(), F.lit("day")).otherwise(F.lit("hour")).alias("grain"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_event_stats(
     events: DataFrame,
     gap: str = "30 minutes",
