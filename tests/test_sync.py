@@ -77,3 +77,64 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, on=["k"], tolerance_s=4.0).collect()
     }
     assert tol[1] == "a" and tol[2] is None  # 5s-stale match nulled
+
+
+def test_asof_and_range_join_match_naive_random(spark):
+    """Seeded randomized cross-check of both custom joins against naive
+    pandas references (merge_asof / filtered cross join)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.operators.asof import asof_join
+    from lakefs_spark.operators.rangejoin import range_join
+
+    rng = np.random.default_rng(42)
+    n = 400
+    lp = pd.DataFrame({
+        "lid": np.arange(n),
+        "k": rng.integers(0, 15, n).astype(str),
+        "ts": rng.uniform(0, 1000, n),
+    })
+    rp = pd.DataFrame({
+        "k": rng.integers(0, 15, n).astype(str),
+        "ts": rng.uniform(0, 1000, n),
+        "tag": np.arange(n),
+    }).drop_duplicates(["k", "ts"])
+
+    left = spark.createDataFrame(lp).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(rp).withColumn("ts", F.timestamp_seconds("ts"))
+    got = {
+        r["lid"]: r["tag"] for r in asof_join(left, right, on=["k"]).collect()
+    }
+    exp_df = pd.merge_asof(
+        lp.sort_values("ts"), rp.sort_values("ts"), on="ts", by="k", direction="backward"
+    )
+    exp = {int(r.lid): (None if pd.isna(r.tag) else int(r.tag)) for r in exp_df.itertuples()}
+    assert got == exp
+
+    pts = pd.DataFrame({
+        "pid": np.arange(n),
+        "k": rng.integers(0, 10, n).astype(str),
+        "v": rng.uniform(0, 1000, n),
+    })
+    lo = rng.uniform(0, 900, 120)
+    iv = pd.DataFrame({
+        "iid": np.arange(120),
+        "k": rng.integers(0, 10, 120).astype(str),
+        "lo": lo,
+        "hi": lo + rng.uniform(0, 300, 120),
+    })
+    got_rj = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            spark.createDataFrame(pts), spark.createDataFrame(iv),
+            on=["k"], point_col="v", lo_col="lo", hi_col="hi", bucket_width=128.0,
+        ).collect()
+    }
+    m = pts.merge(iv, on="k")
+    exp_rj = {
+        (int(r.pid), int(r.iid))
+        for r in m[(m.v >= m.lo) & (m.v <= m.hi)].itertuples()
+    }
+    assert got_rj == exp_rj
