@@ -33,8 +33,14 @@ from lakefs_spark.sources.fixtures import create_fixture_views, entries_view, st
 _FIXTURES_READY: set[tuple[int, str]] = set()
 
 
+def _session_tag(spark: SparkSession) -> str:
+    # applicationId, not id(spark): a GC'd session's id can be reused
+    # by a new session object, which would serve stale cached state
+    return spark.sparkContext.applicationId
+
+
 def _fixtures(spark: SparkSession, sf_dir: str) -> None:
-    tag = (id(spark), sf_dir)
+    tag = (_session_tag(spark), sf_dir)
     if tag not in _FIXTURES_READY:
         create_fixture_views(spark, sf_dir)
         _FIXTURES_READY.add(tag)
@@ -586,7 +592,7 @@ def _e2e_repo(spark, sf_dir):
     revert / cherry-pick -> manifest-pruned snapshot reads. Exercises
     the storage engine (SURVEY §2.1/§2.11) inside the driver gate; the
     oracles restate the *final snapshots* relationally."""
-    key = (id(spark), sf_dir)
+    key = (_session_tag(spark), sf_dir)
     repo = _E2E_REPOS.get(key)
     if repo is None:
         import tempfile
@@ -664,7 +670,7 @@ def _e2e_restored_repo(spark, sf_dir):
     """Dump the e2e repo's refs, copy its content-addressed storage to
     a fresh root, restore — the snapshot must survive the round-trip
     (graveler.go Dump/Restore)."""
-    key = (id(spark), sf_dir, "restored")
+    key = (_session_tag(spark), sf_dir, "restored")
     repo2 = _E2E_REPOS.get(key)
     if repo2 is None:
         import os
@@ -710,7 +716,7 @@ def _e2e_merge_repo(spark, sf_dir):
     merge_dest fixture states, then a real repo.merge(strategy=src) —
     end-to-end merge orchestration (dirty check, merge-base via the
     commit DAG, manifest-pruned 3-way diff, commit-apply)."""
-    key = (id(spark), sf_dir)
+    key = (_session_tag(spark), sf_dir)
     repo = _E2E_MERGE.get(key)
     if repo is None:
         import tempfile
@@ -756,7 +762,7 @@ def q_stream_ingest_snapshot(spark, sf_dir):
     atomic commit per microbatch, epoch-guarded exactly-once) -> final
     committed snapshot. The oracle restates the event->entry mapping
     relationally; commit mechanics cancel out by construction."""
-    key = (id(spark), sf_dir, "stream")
+    key = (_session_tag(spark), sf_dir, "stream")
     repo = _E2E_REPOS.get(key)
     if repo is None:
         import tempfile
