@@ -229,6 +229,12 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary: term frequency, document frequency, IDF —
+    top-200 tokens (operators/text.vocab_stats)."""
+    return TX.vocab_stats(_docs(spark, sf_dir), top_k=200)
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """BPE-ish token counting (GPT-2 pre-tokenizer classes, lookahead-
     free so Spark's Java regex and the RE2 oracle agree)."""
@@ -1060,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
+        "vocab_stats": q_vocab_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,

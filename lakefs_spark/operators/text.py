@@ -110,6 +110,38 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def vocab_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 200
+) -> DataFrame:
+    """Corpus vocabulary table: per token, total occurrences, document
+    frequency, and IDF — the stats a BPE trainer or tf-idf filter
+    starts from. Top-k by (count desc, token asc).
+
+    Scale shape: explode -> ONE hash aggregation with map-side partial
+    combine (token skew collapses map-side, so 'the' never concentrates
+    a reducer); df via count(distinct doc) inside the same agg; top-k
+    is a TakeOrdered, not a global sort.
+    """
+    n_docs = df.count()  # driver scalar; the corpus row count is cheap
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    stats = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    out = stats.select(
+        F.col("tok").alias("token"),
+        "n_total",
+        "n_docs",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("n_docs")), 6).alias("idf"),
+    )
+    # orderBy+limit plans TakeOrderedAndProject (per-partition partial
+    # top-k), never a global single-task window; (n_total desc, token)
+    # is a total order, so the cut is deterministic
+    return out.orderBy(F.col("n_total").desc(), F.col("token")).limit(top_k)
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set. Two documents with the same bag of unique

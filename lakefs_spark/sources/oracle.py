@@ -233,6 +233,25 @@ def q_token_counts() -> str:
     return "select doc_id, cast(length(split(text, ' ')) as bigint) as n_tokens from documents"
 
 
+def q_vocab_stats() -> str:
+    return """
+    with tok as (
+      select doc_id, tok from (
+        select doc_id, unnest(string_split(text, ' ')) as tok from documents
+      ) t where tok <> ''
+    ),
+    stats as (
+      select tok as token, count(*) as n_total, count(distinct doc_id) as n_docs
+      from tok group by tok
+    )
+    select token, n_total, n_docs,
+           round(ln((select count(*) from documents) / cast(n_docs as double)), 6) as idf
+    from stats
+    order by n_total desc, token
+    limit 200
+    """
+
+
 def q_bpe_token_counts() -> str:
     from lakefs_spark.operators.text import BPE_TOKEN_RE
 
@@ -1306,6 +1325,7 @@ def all_oracles() -> dict[str, str]:
                 "dedup_exact": q_dedup_exact(),
                 "token_counts": q_token_counts(),
                 "bpe_token_counts": q_bpe_token_counts(),
+                "vocab_stats": q_vocab_stats(),
                 "text_quality": q_text_quality(),
                 "lang_id": q_lang_id(),
                 "doc_fingerprints": q_doc_fingerprints(),

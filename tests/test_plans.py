@@ -211,3 +211,13 @@ def test_range_join_is_equi_join_not_theta(spark):
                             lo_col="lo", hi_col="hi", bucket_width=512.0))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_vocab_topk_plans_take_ordered(spark):
+    """vocab_stats' top-k must plan TakeOrderedAndProject — never a
+    global single-partition window/sort."""
+    from lakefs_spark.operators.text import vocab_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(vocab_stats(docs, top_k=50))
+    assert "TakeOrderedAndProject" in plan, plan
