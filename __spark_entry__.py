@@ -316,6 +316,15 @@ def q_minhash_candidates(spark, sf_dir):
     return D.minhash_candidates(docs, num_hashes=32, bands=8)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash candidate pairs
+    (operators/dedup.duplicate_clusters): (member, rep=min id) — the
+    keep-one step; oracle = recursive transitive-closure min."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    pairs = D.minhash_candidates(docs, num_hashes=32, bands=8)
+    return D.duplicate_clusters(pairs)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1067,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
         "vocab_stats": q_vocab_stats,
+        "dedup_clusters": q_dedup_clusters,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,

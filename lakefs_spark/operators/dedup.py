@@ -231,3 +231,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over candidate near-dup pairs:
+    (member, rep) where rep = min id in the component — the keep-one
+    decision step after candidate generation + verification.
+
+    Min-label propagation: each round every node takes the min of its
+    own and its neighbors' labels (one equi-join + one min-agg per
+    round); converged when no label changes. The fixpoint (component
+    minimum) is unique, so the result is deterministic regardless of
+    round count. Near-dup components are shallow (diameter ~ a few
+    hops), so rounds stay small; for adversarially long chains at
+    100 TB swap in the large-star/small-star variant (alternating
+    conditional stars halve diameter per round) — same join shape.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist()
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias("member"), F.col("label").alias("rep"))
+    labels.unpersist()
+    return out

@@ -348,10 +348,11 @@ def q_ngram_jaccard() -> str:
     """
 
 
-def q_minhash_candidates() -> str:
-    # independent restatement of the md5-derived affine MinHash family
+def _minhash_ctes() -> str:
+    # CTE chain of the md5-derived affine MinHash family
     # (functions/hashfam.py): num_hashes=32, bands=8 (4 rows/band),
-    # 3-gram shingles, docs doc_id < 200
+    # 3-gram shingles, docs doc_id < 200; ends with ``cand`` = the
+    # distinct candidate pairs
     from lakefs_spark.functions.hashfam import MERSENNE31, X_MOD, affine_constants
 
     consts = affine_constants(32)
@@ -365,8 +366,7 @@ def q_minhash_candidates() -> str:
             f"select doc_id, {band} as band_id, concat_ws(',', {ms}) as bh from sigs"
         )
     bands_union = "\n      union all ".join(band_rows)
-    return f"""
-    with toks as (
+    return f"""toks as (
       select doc_id, string_split(text, ' ') as tk from documents where doc_id < 200
     ),
     sh as (
@@ -385,10 +385,35 @@ def q_minhash_candidates() -> str:
     sigs as (select doc_id, {mins} from hashed group by doc_id),
     bands as (
       {bands_union}
+    ),
+    cand as (
+      select distinct a.doc_id as id_a, b.doc_id as id_b
+      from bands a join bands b
+        on a.band_id = b.band_id and a.bh = b.bh and a.doc_id < b.doc_id
+    )"""
+
+
+def q_minhash_candidates() -> str:
+    return f"with {_minhash_ctes()}\nselect id_a, id_b from cand"
+
+
+def q_dedup_clusters() -> str:
+    # transitive-closure minimum per node over the undirected candidate
+    # graph — an independent restatement of min-label propagation's
+    # fixpoint
+    return f"""
+    with recursive {_minhash_ctes()},
+    edges as (
+      select id_a as u, id_b as v from cand
+      union all
+      select id_b, id_a from cand
+    ),
+    reach(node, r) as (
+      select u, u from (select distinct u from edges) n
+      union
+      select e.u, reach.r from edges e join reach on reach.node = e.v
     )
-    select distinct a.doc_id as id_a, b.doc_id as id_b
-    from bands a join bands b
-      on a.band_id = b.band_id and a.bh = b.bh and a.doc_id < b.doc_id
+    select node as member, min(r) as rep from reach group by node
     """
 
 
@@ -1326,6 +1351,7 @@ def all_oracles() -> dict[str, str]:
                 "token_counts": q_token_counts(),
                 "bpe_token_counts": q_bpe_token_counts(),
                 "vocab_stats": q_vocab_stats(),
+                "dedup_clusters": q_dedup_clusters(),
                 "text_quality": q_text_quality(),
                 "lang_id": q_lang_id(),
                 "doc_fingerprints": q_doc_fingerprints(),

@@ -138,3 +138,18 @@ def test_asof_and_range_join_match_naive_random(spark):
         for r in m[(m.v >= m.lo) & (m.v <= m.hi)].itertuples()
     }
     assert got_rj == exp_rj
+
+
+def test_duplicate_clusters_components(spark):
+    """Chain, triangle-with-tail, and disjoint pair resolve to their
+    component minima; propagation converges past one hop."""
+    from lakefs_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3: needs multi-round propagation),
+        # triangle 10-11-12 with tail 13, disjoint pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["member"]: r["rep"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
