@@ -229,6 +229,26 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_length_percentiles(spark, sf_dir):
+    """Exact per-language length percentiles (quality-filter
+    thresholds): one groupBy with a multi-percentile aggregate —
+    F.percentile is exact with linear interpolation, same definition
+    as the oracle's quantile_cont."""
+    docs = _docs(spark, sf_dir)
+    ps = [0.25, 0.5, 0.75, 0.9]
+    agg = (
+        docs.select(
+            TX.lang_id(F.col("text")).alias("lang_pred"),
+            F.length("text").alias("n"),
+        )
+        .groupBy("lang_pred")
+        .agg(F.percentile("n", F.lit(ps)).alias("pct"))
+    )
+    return agg.select(
+        "lang_pred", F.posexplode("pct").alias("pos", "val")
+    ).select("lang_pred", F.col("pos").cast("long").alias("pos"), F.round("val", 6).alias("val"))
+
+
 def q_vocab_stats(spark, sf_dir):
     """Corpus vocabulary: term frequency, document frequency, IDF —
     top-200 tokens (operators/text.vocab_stats)."""
@@ -1077,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "vocab_stats": q_vocab_stats,
         "dedup_clusters": q_dedup_clusters,
+        "length_percentiles": q_length_percentiles,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,

@@ -311,6 +311,37 @@ def q_lang_id() -> str:
     """
 
 
+def q_length_percentiles() -> str:
+    # reuse the lang-id case ladder; quantile_cont == Spark percentile
+    # (both exact linear interpolation at index p*(n-1))
+    langs = list(STOPWORDS)
+    scores = {lg: _sw_hits_sql("text", lg) for lg in langs}
+    score_cols = ", ".join(f"{scores[lg]} as s_{lg}" for lg in langs)
+    cases = []
+    for i, lg in enumerate(langs):
+        conds = [f"s_{lg} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"s_{lg} > s_{other}")
+            elif j > i:
+                conds.append(f"s_{lg} >= s_{other}")
+        cases.append(f"when {' and '.join(conds)} then '{lg}'")
+    case_sql = "case " + " ".join(cases) + " else 'unk' end"
+    ps = [0.25, 0.5, 0.75, 0.9]
+    parts = "\n    union all ".join(
+        f"select lang_pred, cast({i} as bigint) as pos, round(quantile_cont(n, {p}), 6) as val "
+        f"from t group by lang_pred"
+        for i, p in enumerate(ps)
+    )
+    return f"""
+    with t as (
+      select {case_sql} as lang_pred, length(text) as n
+      from (select text, {score_cols} from documents) s
+    )
+    {parts}
+    """
+
+
 def q_doc_fingerprints() -> str:
     return """
     select doc_id,
@@ -1352,6 +1383,7 @@ def all_oracles() -> dict[str, str]:
                 "bpe_token_counts": q_bpe_token_counts(),
                 "vocab_stats": q_vocab_stats(),
                 "dedup_clusters": q_dedup_clusters(),
+                "length_percentiles": q_length_percentiles(),
                 "text_quality": q_text_quality(),
                 "lang_id": q_lang_id(),
                 "doc_fingerprints": q_doc_fingerprints(),
