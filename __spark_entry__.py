@@ -229,6 +229,22 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style duplicate-3gram ratio per document
+    (operators/text.repetition_scores)."""
+    return TX.repetition_scores(_docs(spark, sf_dir))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: per training doc (doc_id < 450), the
+    fraction of its distinct 3-grams appearing anywhere in the eval
+    slice (doc_id >= 450) — shingle equi-join, never doc x doc."""
+    docs = _docs(spark, sf_dir)
+    return TX.contamination_scores(
+        docs.where(F.col("doc_id") < 450), docs.where(F.col("doc_id") >= 450)
+    )
+
+
 def q_length_percentiles(spark, sf_dir):
     """Exact per-language length percentiles (quality-filter
     thresholds): one groupBy with a multi-percentile aggregate —
@@ -1098,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "dedup_clusters": q_dedup_clusters,
         "length_percentiles": q_length_percentiles,
+        "repetition_scores": q_repetition_scores,
+        "contamination": q_contamination,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,

@@ -147,3 +147,77 @@ def fingerprint(text: Column) -> Column:
     distinct token set. Two documents with the same bag of unique
     tokens collide — by design (shingle-free near-dup prefilter)."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(text, " "))), " "))
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Gopher-style repetition filter signal: fraction of a document's
+    word n-gram windows that are duplicates of an earlier window —
+    ``1 - distinct_ngrams / total_windows`` (0 when too short).
+
+    One shingle explode + one groupBy; the distinct count rides the
+    same aggregation. High scores mark boilerplate/spam for dropping.
+    """
+    from lakefs_spark.operators.dedup import shingles
+
+    toks = F.split(F.col(text_col), " ")
+    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    base = df.select(F.col(id_col), total.alias("n_windows"))
+    dist = (
+        shingles(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        base.join(dist, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(
+                    1.0 - F.coalesce(F.col("n_distinct"), F.lit(0)) / F.col("n_windows"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+        )
+    )
+
+
+def contamination_scores(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination signal: per training document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    eval set — docs above a threshold get dropped before training.
+
+    Shape: distinct eval shingles (small relative to the corpus) feed a
+    semi-join against the training shingle stream — an equi-join on the
+    shingle, never a doc x doc comparison.
+    """
+    from lakefs_spark.operators.dedup import shingles
+
+    tr = shingles(train, text_col, id_col, n)
+    ev = shingles(eval_set, text_col, id_col, n).select("shingle").distinct()
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        tr.join(ev, "shingle", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_sh").cast("long").alias("n_sh"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh"), 6).alias(
+                "contamination"
+            ),
+        )
+    )

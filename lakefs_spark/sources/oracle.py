@@ -311,6 +311,57 @@ def q_lang_id() -> str:
     """
 
 
+_SHINGLE3 = """
+      select distinct doc_id, shingle from (
+        select doc_id,
+               unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                     i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+                 as shingle
+        from documents {where}
+      ) x where shingle <> ''
+"""
+
+
+def q_repetition_scores() -> str:
+    return f"""
+    with base as (
+      select doc_id, greatest(len(string_split(text, ' ')) - 2, 0) as n_windows
+      from documents
+    ),
+    dist as (
+      select doc_id, count(*) as n_distinct from ({_SHINGLE3.format(where="")}) s
+      group by doc_id
+    )
+    select b.doc_id,
+           cast(b.n_windows as bigint) as n_windows,
+           cast(coalesce(d.n_distinct, 0) as bigint) as n_distinct,
+           case when b.n_windows > 0
+                then round(1.0 - coalesce(d.n_distinct, 0) / cast(b.n_windows as double), 6)
+                else 0.0 end as rep_ratio
+    from base b left join dist d on d.doc_id = b.doc_id
+    """
+
+
+def q_contamination() -> str:
+    return f"""
+    with tr as ({_SHINGLE3.format(where="where doc_id < 450")}),
+    ev as (
+      select distinct shingle from ({_SHINGLE3.format(where="where doc_id >= 450")}) e
+    ),
+    totals as (select doc_id, count(*) as n_sh from tr group by doc_id),
+    hits as (
+      select tr.doc_id, count(*) as n_hit
+      from tr where exists (select 1 from ev where ev.shingle = tr.shingle)
+      group by tr.doc_id
+    )
+    select t.doc_id,
+           cast(t.n_sh as bigint) as n_sh,
+           cast(coalesce(h.n_hit, 0) as bigint) as n_hit,
+           round(coalesce(h.n_hit, 0) / cast(t.n_sh as double), 6) as contamination
+    from totals t left join hits h on h.doc_id = t.doc_id
+    """
+
+
 def q_length_percentiles() -> str:
     # reuse the lang-id case ladder; quantile_cont == Spark percentile
     # (both exact linear interpolation at index p*(n-1))
@@ -1384,6 +1435,8 @@ def all_oracles() -> dict[str, str]:
                 "vocab_stats": q_vocab_stats(),
                 "dedup_clusters": q_dedup_clusters(),
                 "length_percentiles": q_length_percentiles(),
+                "repetition_scores": q_repetition_scores(),
+                "contamination": q_contamination(),
                 "text_quality": q_text_quality(),
                 "lang_id": q_lang_id(),
                 "doc_fingerprints": q_doc_fingerprints(),
