@@ -229,6 +229,28 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-based corpus split (90/10): bucket =
+    portable base hash (functions/hashfam.py) of 'split|<doc_id>'
+    mod 100 — stable across runs, partitionings, and engines."""
+    from lakefs_spark.functions.hashfam import X_MOD
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(X_MOD),
+    ) % 100
+    return docs.select(
+        "doc_id",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style duplicate-3gram ratio per document
     (operators/text.repetition_scores)."""
@@ -1116,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "repetition_scores": q_repetition_scores,
         "contamination": q_contamination,
+        "train_val_split": q_train_val_split,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,

@@ -322,6 +322,20 @@ _SHINGLE3 = """
 """
 
 
+def q_train_val_split() -> str:
+    from lakefs_spark.functions.hashfam import X_MOD
+
+    b = (
+        f"cast(concat('0x', substr(md5(concat('split|', cast(doc_id as varchar))), 1, 15)) "
+        f"as bigint) % {X_MOD} % 100"
+    )
+    return f"""
+    select doc_id, cast({b} as bigint) as bucket,
+           case when {b} < 90 then 'train' else 'val' end as split
+    from documents
+    """
+
+
 def q_repetition_scores() -> str:
     return f"""
     with base as (
@@ -1437,6 +1451,7 @@ def all_oracles() -> dict[str, str]:
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),
                 "contamination": q_contamination(),
+                "train_val_split": q_train_val_split(),
                 "text_quality": q_text_quality(),
                 "lang_id": q_lang_id(),
                 "doc_fingerprints": q_doc_fingerprints(),
