@@ -992,3 +992,40 @@ def test_active_commit_set_walk_semantics(tmp_path):
     assert active_commit_set(store, {"c1": 150.0}, ["c0"]) == {"c1", "c0"}
     # two heads, independent cutoffs
     assert active_commit_set(store, {"c3": 250.0, "c1": 50.0}) == {"c3", "c2", "c1", "c0"}
+
+
+def test_concurrent_branch_commits_share_range_store(repo, spark):
+    """Two threads committing to DIFFERENT branches concurrently: the
+    content-addressed range writes share one store (rename races are
+    benign — first file wins, identical content), both snapshots come
+    out exact, and the branch pointers never cross."""
+    import threading
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    repo.create_branch("b1", "main")
+    repo.create_branch("b2", "main")
+
+    errs = []
+
+    def work(branch, salt):
+        try:
+            upd = ents.limit(30).withColumn(
+                "identity", F.md5(F.concat(F.col("identity"), F.lit(salt)))
+            )
+            repo.stage_entries(branch, upd)
+            repo.commit(branch, f"update {branch}")
+        except Exception as e:  # surface into the main thread
+            errs.append((branch, repr(e)))
+
+    t1 = threading.Thread(target=work, args=("b1", "S1"))
+    t2 = threading.Thread(target=work, args=("b2", "S2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    base = {r["key"]: r["identity"] for r in repo.snapshot("main").collect()}
+    for branch, salt in (("b1", "S1"), ("b2", "S2")):
+        snap = {r["key"]: r["identity"] for r in repo.snapshot(branch).collect()}
+        changed = {k for k in snap if snap[k] != base[k]}
+        assert len(snap) == len(base)
+        assert len(changed) == 30, (branch, len(changed))
