@@ -251,6 +251,93 @@ def q_train_val_split(spark, sf_dir):
     )
 
 
+def q_pii_counts(spark, sf_dir):
+    """PII signal extraction (operators/pipeline.pii_signals) over a
+    probe corpus synthesized from customer rows: a deterministic mix
+    of rows with emails (custkey%3), phones (custkey%5, the c_phone
+    format), IPv4s (custkey%7), and rows with none of them."""
+    from lakefs_spark.operators import pipeline as P
+
+    _fixtures(spark, sf_dir)
+    c = spark.table("customer")
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (k % 90 + 10).cast("string"),
+        (k % 900 + 100).cast("string"),
+        ((k * 7) % 900 + 100).cast("string"),
+        (k % 9000 + 1000).cast("string"),
+    )
+    probe = c.select(
+        k.alias("id"),
+        F.concat_ws(
+            " ",
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.when(
+                k % 3 == 0,
+                F.concat(
+                    F.regexp_replace(F.lower("c_name"), "[^a-z0-9]", "."),
+                    F.lit("@example.com"),
+                ),
+            ),
+            F.when(k % 5 == 0, phone),
+            F.when(
+                k % 7 == 0,
+                F.concat(
+                    F.lit("10.20."),
+                    (k % 256).cast("string"),
+                    F.lit("."),
+                    (k % 100).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return P.pii_signals(probe, id_col="id")
+
+
+def q_sampling_weights(spark, sf_dir):
+    """Temperature-based language sampling mix (alpha=0.7, 1000-doc
+    budget) — operators/pipeline.sampling_weights."""
+    from lakefs_spark.operators import pipeline as P
+
+    return P.sampling_weights(_docs(spark, sf_dir), "lang", alpha=0.7, budget=1000)
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Greedy token-budget sequence packing (budget=512, 8 shards) via
+    applyInPandas per shard; the oracle replays the same greedy walk
+    with a recursive CTE (operators/pipeline.pack_sequences)."""
+    from lakefs_spark.operators import pipeline as P
+
+    return P.pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
+
+
+def q_passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup: 3-word windows occurring in >=2
+    distinct documents (operators/pipeline.passage_dedup)."""
+    from lakefs_spark.operators import pipeline as P
+
+    return P.passage_dedup(_docs(spark, sf_dir), w=3, min_docs=2)
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """Per-document boilerplate fraction: passages repeated across >=5
+    docs are boilerplate; reports the cleaned token count
+    (operators/pipeline.boilerplate_strip)."""
+    from lakefs_spark.operators import pipeline as P
+
+    return P.boilerplate_strip(_docs(spark, sf_dir), w=3, boiler_min_docs=5)
+
+
+def q_length_band_filter(spark, sf_dir):
+    """Quantile-band corpus filter: keep documents inside the exact
+    [p05, p95] band of n_chars (operators/pipeline.band_filter)."""
+    from lakefs_spark.operators import pipeline as P
+
+    return P.band_filter(_docs(spark, sf_dir), "n_chars", 0.05, 0.95)
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style duplicate-3gram ratio per document
     (operators/text.repetition_scores)."""
@@ -1137,6 +1224,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "length_percentiles": q_length_percentiles,
         "repetition_scores": q_repetition_scores,
+        "pii_counts": q_pii_counts,
+        "sampling_weights": q_sampling_weights,
+        "sequence_packing": q_sequence_packing,
+        "passage_dedup": q_passage_dedup,
+        "boilerplate_strip": q_boilerplate_strip,
+        "length_band_filter": q_length_band_filter,
         "contamination": q_contamination,
         "train_val_split": q_train_val_split,
         "text_quality": q_text_quality,

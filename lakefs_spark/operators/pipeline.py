@@ -1,0 +1,259 @@
+"""Corpus-preparation operators for large-scale training-data pipelines.
+
+Beyond-the-reference operators (lakeFS versions objects, it does not
+look inside them): PII signal extraction, temperature-based sampling
+weights, token-budget sequence packing, passage-level exact dedup,
+boilerplate stripping, and quantile-band corpus filtering.
+
+Scale notes (100 TB):
+- PII / passage ops are single-pass JVM projections (regexp_count /
+  split / slice inside whole-stage codegen) plus at most one hash
+  aggregation with map-side partial combine — no Python in the hot path.
+- ``pack_sequences`` is the one deliberately Pandas-backed operator:
+  greedy first-fit packing is inherently sequential *within* a shard,
+  so the shard is the unit of parallelism (``applyInPandas`` over
+  ``groupBy(shard)``). Shard count is the scale knob: size shards so
+  one shard's (doc_id, n_tokens) rows — two longs per doc, NOT the
+  text — fit comfortably in one Arrow batch. 10⁹ docs / 10⁴ shards =
+  10⁵ rows ≈ 1.6 MB per group.
+- ``sampling_weights`` / ``band_filter`` reduce to one tiny aggregate
+  broadcast back over the corpus — no wide shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared PII patterns, restated without lookarounds so the same source
+# runs on Java regex (Spark) and RE2 (DuckDB oracle).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_signals(df: DataFrame, text_col: str = "text", id_col: str = "id") -> DataFrame:
+    """Per-document PII signals: match counts per class, a combined
+    flag, and the length after redacting every match.
+
+    One fused projection (regexp_count / regexp_replace are JVM
+    codegen'd); at corpus scale this is an embarrassingly parallel
+    scan with zero shuffle.
+    """
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_ipv4 = F.regexp_count(t, F.lit(IPV4_RE))
+    n_phone = F.regexp_count(t, F.lit(PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_email"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        n_phone.cast("long").alias("n_phone"),
+        ((n_email + n_ipv4 + n_phone) > 0).alias("has_pii"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+def sampling_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.7,
+    budget: int = 1000,
+) -> DataFrame:
+    """Temperature-based sampling weights per group (multilingual
+    pre-training mix): ``w_g = n_g^alpha / sum_g n_g^alpha`` with the
+    per-group document budget for a ``budget``-sized sample.
+
+    alpha < 1 upsamples the tail (low-resource languages) relative to
+    proportional sampling. One count aggregation + a broadcast of the
+    scalar normalizer — no wide shuffle.
+
+    Budgets use floor(x + 0.5) on both engines (DuckDB round() is
+    half-away-from-zero, Spark's is HALF_UP — identical for positive
+    x only by accident; floor(+0.5) is identical by construction).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    z = counts.agg(F.sum(F.pow("n_docs", F.lit(alpha))).alias("z"))
+    w = F.pow("n_docs", F.lit(alpha)) / F.col("z")
+    return counts.crossJoin(F.broadcast(z)).select(
+        F.col(group_col),
+        F.col("n_docs"),
+        F.round(w, 6).alias("weight"),
+        F.floor(w * budget + F.lit(0.5)).cast("long").alias("budget_docs"),
+    )
+
+
+_PACK_SCHEMA = "doc_id long, shard long, n_tokens long, seq_id long, seq_fill long"
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: walk each shard's documents
+    in id order and start a new training sequence whenever adding the
+    next document would exceed the token ``budget`` (documents longer
+    than the budget get a sequence of their own).
+
+    The pack decision is a running state, inherently sequential within
+    a shard — exactly the applyInPandas shape: shards are the parallel
+    unit, the UDF sees only (doc_id, n_tokens) pairs (never the text),
+    and emits (seq_id, seq_fill) assignments. Deterministic given the
+    shard function and id order, so resumable and engine-portable.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, fills = [], []
+        seq, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fills and fill + t > budget:
+                seq += 1
+                fill = t
+            else:
+                fill += t
+            seq_ids.append(seq)
+            fills.append(fill)
+        pdf["seq_id"] = seq_ids
+        pdf["seq_fill"] = fills
+        return pdf[["doc_id", "shard", "n_tokens", "seq_id", "seq_fill"]]
+
+    return base.groupBy("shard").applyInPandas(pack, _PACK_SCHEMA)
+
+
+def passage_windows(
+    df: DataFrame, w: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode each document into consecutive ``w``-word passages
+    (non-overlapping windows; the last one may be short).
+
+    Built without a groupBy: slice the token array per window index
+    inside one projection (sequence/transform/slice are JVM codegen'd),
+    then posexplode. Output: (id, win_idx, passage).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_win = F.greatest(F.ceil(F.size(toks) / F.lit(w)).cast("int"), F.lit(1))
+    arr = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(arr).alias("win_idx", "passage")
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    w: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level exact duplication table: passages (by content
+    hash) that occur in at least ``min_docs`` distinct documents, with
+    total occurrence and distinct-document counts.
+
+    The scalable stand-in for suffix-array substring dedup: one
+    explode + ONE hash aggregation keyed by the passage hash (map-side
+    partial combine collapses repeats early), never doc x doc.
+    """
+    p = passage_windows(df, w, text_col, id_col)
+    return (
+        p.groupBy(F.md5("passage").alias("passage_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    w: int = 3,
+    boiler_min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate signal: which fraction of a document's
+    passages are 'boilerplate' (= the passage occurs in at least
+    ``boiler_min_docs`` distinct documents corpus-wide).
+
+    Two passes over the passage stream sharing one definition: the
+    boilerplate set is an aggregate (small — it IS the repeated tail),
+    re-joined as a semi-join on the passage hash. Documents with
+    clean_ratio below a cutoff get dropped; the cleaned token count
+    sizes the surviving corpus.
+    """
+    p = passage_windows(df, w, text_col, id_col).select(
+        F.col(id_col), F.md5("passage").alias("passage_hash"), F.size(F.split("passage", " ")).alias("p_toks")
+    )
+    boiler = (
+        p.groupBy("passage_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= boiler_min_docs)
+        .select("passage_hash")
+    )
+    hits = (
+        p.join(boiler, "passage_hash", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"), F.sum("p_toks").alias("boiler_toks"))
+    )
+    totals = p.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"), F.sum("p_toks").alias("n_toks")
+    )
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+        (F.col("n_toks") - F.coalesce("boiler_toks", F.lit(0))).cast("long").alias("clean_tokens"),
+        F.round(
+            1.0 - F.coalesce("n_boiler", F.lit(0)) / F.col("n_windows"), 6
+        ).alias("clean_ratio"),
+    )
+
+
+def band_filter(
+    df: DataFrame,
+    value: Column | str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile-band corpus filter: flag rows whose ``value`` falls
+    inside the exact [lo_q, hi_q] quantile band (linear interpolation,
+    Spark ``percentile`` == DuckDB ``quantile_cont``).
+
+    The outlier-trimming filter every corpus pass starts with (too
+    short / too long documents). One exact-percentile aggregate
+    broadcast over the scan; swap in approx_percentile at 100 TB when
+    a 1e-3 quantile error is acceptable and a single-pass sketch
+    (no sort) is preferred.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    q = df.agg(
+        F.percentile(v, F.lit(lo_q)).alias("q_lo"),
+        F.percentile(v, F.lit(hi_q)).alias("q_hi"),
+    )
+    return df.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        v.cast("long").alias("value"),
+        F.round("q_lo", 6).alias("q_lo"),
+        F.round("q_hi", 6).alias("q_hi"),
+        ((v >= F.col("q_lo")) & (v <= F.col("q_hi"))).alias("in_band"),
+    )

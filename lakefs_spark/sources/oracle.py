@@ -1419,6 +1419,133 @@ def q_repo_log_paths() -> str:
     """
 
 
+def q_pii_counts() -> str:
+    from lakefs_spark.operators.pipeline import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    probe = """
+      select c_custkey as id,
+             concat_ws(' ', c_name, c_mktsegment,
+               case when c_custkey % 3 = 0
+                    then concat(regexp_replace(lower(c_name), '[^a-z0-9]', '.', 'g'), '@example.com') end,
+               case when c_custkey % 5 = 0
+                    then concat_ws('-', cast(c_custkey % 90 + 10 as varchar),
+                                        cast(c_custkey % 900 + 100 as varchar),
+                                        cast((c_custkey * 7) % 900 + 100 as varchar),
+                                        cast(c_custkey % 9000 + 1000 as varchar)) end,
+               case when c_custkey % 7 = 0
+                    then concat('10.20.', cast(c_custkey % 256 as varchar), '.', cast(c_custkey % 100 as varchar)) end
+             ) as text
+      from customer
+    """
+    e, i, p = EMAIL_RE, IPV4_RE, PHONE_RE
+    return f"""
+    with probe as ({probe})
+    select id,
+           cast(len(regexp_extract_all(text, '{e}')) as bigint) as n_email,
+           cast(len(regexp_extract_all(text, '{i}')) as bigint) as n_ipv4,
+           cast(len(regexp_extract_all(text, '{p}')) as bigint) as n_phone,
+           (len(regexp_extract_all(text, '{e}'))
+            + len(regexp_extract_all(text, '{i}'))
+            + len(regexp_extract_all(text, '{p}'))) > 0 as has_pii,
+           cast(length(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{p}', '<PHONE>', 'g')) as bigint) as redacted_len
+    from probe
+    """
+
+
+def q_sampling_weights() -> str:
+    return """
+    with c as (select lang, cast(count(*) as bigint) as n_docs from documents group by lang),
+         t as (select sum(pow(n_docs, 0.7)) as z from c)
+    select lang, n_docs,
+           round(pow(n_docs, 0.7) / z, 6) as weight,
+           cast(floor(pow(n_docs, 0.7) / z * 1000 + 0.5) as bigint) as budget_docs
+    from c, t
+    """
+
+
+def q_sequence_packing() -> str:
+    # replay of the greedy walk: recursion order == pandas loop order
+    return """
+    with recursive d as (
+      select doc_id, doc_id % 8 as shard,
+             cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+             row_number() over (partition by doc_id % 8 order by doc_id) as rn
+      from documents
+    ),
+    acc as (
+      select shard, rn, doc_id, n_tokens, n_tokens as seq_fill, cast(0 as bigint) as seq_id
+      from d where rn = 1
+      union all
+      select d.shard, d.rn, d.doc_id, d.n_tokens,
+             case when a.seq_fill + d.n_tokens > 512 then d.n_tokens
+                  else a.seq_fill + d.n_tokens end,
+             case when a.seq_fill + d.n_tokens > 512 then a.seq_id + 1 else a.seq_id end
+      from acc a join d on d.shard = a.shard and d.rn = a.rn + 1
+    )
+    select doc_id, cast(shard as bigint) as shard, n_tokens, seq_id,
+           cast(seq_fill as bigint) as seq_fill
+    from acc
+    """
+
+
+_PASSAGES_SQL = """
+    with t as (select doc_id, string_split(text, ' ') as toks from documents),
+    passages as (
+      select doc_id, i as win_idx,
+             array_to_string(toks[(i*3+1):(i*3+3)], ' ') as passage
+      from t, unnest(range(0, greatest(cast(ceil(len(toks)/3.0) as bigint), 1))) as u(i)
+    )
+"""
+
+
+def q_passage_dedup() -> str:
+    return f"""
+    {_PASSAGES_SQL}
+    select md5(passage) as passage_hash,
+           cast(count(*) as bigint) as n_occurrences,
+           cast(count(distinct doc_id) as bigint) as n_docs
+    from passages
+    group by 1
+    having count(distinct doc_id) >= 2
+    """
+
+
+def q_boilerplate_strip() -> str:
+    return f"""
+    {_PASSAGES_SQL},
+    p as (select doc_id, md5(passage) as passage_hash,
+                 cast(len(string_split(passage, ' ')) as bigint) as p_toks
+          from passages),
+    boiler as (select passage_hash from p group by 1
+               having count(distinct doc_id) >= 5),
+    hits as (select doc_id, cast(count(*) as bigint) as n_boiler,
+                    sum(p_toks) as boiler_toks
+             from p semi join boiler using (passage_hash)
+             group by doc_id),
+    totals as (select doc_id, cast(count(*) as bigint) as n_windows,
+                      sum(p_toks) as n_toks
+               from p group by doc_id)
+    select t.doc_id, t.n_windows,
+           coalesce(h.n_boiler, 0) as n_boiler,
+           cast(t.n_toks - coalesce(h.boiler_toks, 0) as bigint) as clean_tokens,
+           round(1.0 - coalesce(h.n_boiler, 0) / cast(t.n_windows as double), 6) as clean_ratio
+    from totals t left join hits h using (doc_id)
+    """
+
+
+def q_length_band_filter() -> str:
+    return """
+    with q as (select quantile_cont(n_chars, 0.05) as q_lo,
+                      quantile_cont(n_chars, 0.95) as q_hi
+               from documents)
+    select doc_id, cast(n_chars as bigint) as value,
+           round(q_lo, 6) as q_lo, round(q_hi, 6) as q_hi,
+           n_chars >= q_lo and n_chars <= q_hi as in_band
+    from documents, q
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -1450,6 +1577,12 @@ def all_oracles() -> dict[str, str]:
                 "dedup_clusters": q_dedup_clusters(),
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),
+                "pii_counts": q_pii_counts(),
+                "sampling_weights": q_sampling_weights(),
+                "sequence_packing": q_sequence_packing(),
+                "passage_dedup": q_passage_dedup(),
+                "boilerplate_strip": q_boilerplate_strip(),
+                "length_band_filter": q_length_band_filter(),
                 "contamination": q_contamination(),
                 "train_val_split": q_train_val_split(),
                 "text_quality": q_text_quality(),

@@ -1,0 +1,119 @@
+"""Unit tests for operators/pipeline.py (corpus-preparation operators).
+
+The oracle-parity sweep (tests/test_oracle_parity.py + the driver gate)
+covers value equality vs DuckDB; these tests pin the operator
+invariants that SQL parity alone can't express (greedy packing
+feasibility, window coverage, band monotonicity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakefs_spark.operators import pipeline as P
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_pii_signals_counts_and_redaction(spark):
+    rows = [
+        (1, "reach me at bob@example.com or 10.1.2.3"),
+        (2, "call 12-345-678-9012 twice 12-345-678-9012"),
+        (3, "nothing to see here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in P.pii_signals(df, id_col="id").collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 0)
+    assert out[1]["has_pii"] and out[1]["redacted_len"] == len("reach me at <EMAIL> or <IP>")
+    assert out[2]["n_phone"] == 2 and out[2]["redacted_len"] == len("call <PHONE> twice <PHONE>")
+    assert not out[3]["has_pii"] and out[3]["redacted_len"] == len(rows[2][1])
+    assert out[4]["redacted_len"] == 0
+
+
+def test_sampling_weights_sum_to_one(spark):
+    out = P.sampling_weights(_docs(spark), "lang", alpha=0.7, budget=1000).collect()
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+    # alpha<1 upsamples the tail: every group's weight exceeds its raw share
+    n_total = sum(r["n_docs"] for r in out)
+    smallest = min(out, key=lambda r: r["n_docs"])
+    assert smallest["weight"] > smallest["n_docs"] / n_total
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    budget = 128
+    out = P.pack_sequences(_docs(spark), budget=budget, n_shards=4).collect()
+    assert len(out) == _docs(spark).count()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        seq, fill = 0, 0
+        for r in rows:
+            assert r["doc_id"] % 4 == shard
+            t = r["n_tokens"]
+            if fill and fill + t > budget:
+                seq, fill = seq + 1, t
+            else:
+                fill += t
+            # replayed greedy state must match the operator's output
+            assert (r["seq_id"], r["seq_fill"]) == (seq, fill)
+            # a sequence never exceeds the budget unless it holds a
+            # single oversized document
+            assert r["seq_fill"] <= budget or r["seq_fill"] == t
+
+
+def test_passage_windows_cover_every_token(spark):
+    docs = _docs(spark).limit(50)
+    p = P.passage_windows(docs, w=3)
+    # re-joining a doc's passages in win_idx order reconstructs it
+    rebuilt = (
+        p.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("win_idx", "passage"))),
+                    lambda s: s["passage"],
+                ),
+                " ",
+            ).alias("text2")
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id").where(F.col("text") != F.col("text2"))
+    assert joined.count() == 0
+
+
+def test_passage_dedup_thresholds(spark):
+    docs = _docs(spark)
+    dup = P.passage_dedup(docs, w=3, min_docs=2)
+    assert dup.where(F.col("n_docs") < 2).count() == 0
+    assert dup.where(F.col("n_occurrences") < F.col("n_docs")).count() == 0
+
+
+def test_boilerplate_strip_bounds(spark):
+    out = P.boilerplate_strip(_docs(spark), w=3, boiler_min_docs=3)
+    bad = out.where(
+        (F.col("n_boiler") > F.col("n_windows"))
+        | (F.col("clean_ratio") < 0)
+        | (F.col("clean_ratio") > 1)
+        | (F.col("clean_tokens") < 0)
+    )
+    assert bad.count() == 0
+    # the corpus-wide repeated tail must exist at this threshold
+    assert out.where(F.col("n_boiler") > 0).count() > 0
+
+
+def test_band_filter_trims_both_tails(spark):
+    docs = _docs(spark)
+    out = P.band_filter(docs, "n_chars", 0.25, 0.75)
+    n = docs.count()
+    kept = out.where("in_band").count()
+    # central band holds roughly half the corpus, and extremes are out
+    assert 0.4 * n <= kept <= 0.65 * n
+    lo = out.orderBy("value").first()
+    hi = out.orderBy(F.col("value").desc()).first()
+    assert not lo["in_band"] and not hi["in_band"]
