@@ -1038,6 +1038,145 @@ def q_repo_cherry_pick_snapshot(spark, sf_dir):
     return _e2e_snapshot(spark, sf_dir, "cp")
 
 
+# -- governance: branch/tag CRUD, protection, hooks, pull requests --------
+
+_GOV_REPOS: dict = {}
+
+
+def _gov_repo(spark, sf_dir):
+    """Governance surface driven end-to-end on a real Repository:
+    branch/tag CRUD, branch protection (commits blocked, merges
+    allowed — pkg/graveler/branch/protection_manager.go), the hook
+    run log including an aborted pre-commit
+    (pkg/actions/kv_run_results_iterator.go), and the pull-request
+    lifecycle create -> merge/close (pkg/graveler/graveler.go:360-392,
+    pkg/catalog/catalog.go:3362-3420). The negative paths (hook abort,
+    protected-branch rejection) are asserted in-gate so a regression
+    turns these queries red."""
+    key = (_session_tag(spark), sf_dir)
+    st = _GOV_REPOS.get(key)
+    if st is None:
+        import tempfile
+
+        from lakefs_spark.storage.repo import (
+            HookAbortError,
+            ProtectedBranchError,
+            Repository,
+        )
+
+        _fixtures(spark, sf_dir)
+        repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_gov_"))
+        ent = _snap(spark, sf_dir, "entries")
+        repo.import_entries("main", ent, message="base import")
+
+        # hooks registered after the import: the run log captures
+        # exactly the scripted events below
+        def policy_guard(repo_, event, ctx):
+            if "forbidden" in (ctx.get("message") or ""):
+                raise HookAbortError("message vetoed by policy hook")
+
+        repo.on("pre-commit", policy_guard)
+        repo.on("post-commit", lambda repo_, event, ctx: None)
+        repo.on("post-delete-branch", lambda repo_, event, ctx: None)
+
+        for b in ("feature", "dev", "wip", "tmp"):
+            repo.create_branch(b, "main")
+        repo.create_tag("v1", "main")
+
+        def salted(df, s):
+            return df.withColumn(
+                "identity", F.md5(F.concat(F.col("identity").cast("string"), F.lit(s)))
+            )
+
+        repo.stage_entries(
+            "feature", salted(ent.where(F.col("key").startswith(ORC.LIST_PREFIX)), "F")
+        )
+        repo.commit("feature", "feature work")
+        repo.stage_entries(
+            "dev", salted(ent.where(F.col("key").startswith("tables/orders/b5/")), "D")
+        )
+        repo.set_entry(
+            "dev",
+            {"key": "tables/zz/dev-note", "identity": "dev-note", "size": 1, "etag": "dev-note-etag"},
+        )
+        repo.commit("dev", "dev work")
+        # the policy hook vetoes this message -> aborted run, no commit
+        repo.stage_entries("dev", salted(ent.orderBy("key").limit(1), "X"))
+        try:
+            repo.commit("dev", "forbidden tweak")
+            raise RuntimeError("policy hook failed to abort the commit")
+        except HookAbortError:
+            pass
+        repo.reset_branch("dev")
+        # protection: direct commits to main are blocked, merges stay
+        # allowed (the PR merge below proves the allowed path)
+        repo.protect_branch("main")
+        try:
+            repo.commit("main", "direct to protected", allow_empty=True)
+            raise RuntimeError("protected branch accepted a direct commit")
+        except ProtectedBranchError:
+            pass
+        pr1 = repo.pulls.create("feature", "main", title="feature work")
+        pr2 = repo.pulls.create("dev", "main", title="dev work")
+        pr3 = repo.pulls.create("wip", "main", title="empty")
+        repo.pulls.merge(pr1)
+        repo.pulls.close(pr3)
+        repo.delete_branch("tmp")
+        st = (repo, [pr1, pr2, pr3])
+        _GOV_REPOS[key] = st
+    return st
+
+
+def q_pull_requests(spark, sf_dir):
+    """PR lifecycle snapshot: status after merge/close plus the live
+    conflict-aware PR diff size (a merged PR's diff collapses to 0
+    because its source head becomes the merge base)."""
+    repo, prs = _gov_repo(spark, sf_dir)
+    rows = []
+    for pos, pid in enumerate(prs, 1):
+        rec = repo.pulls.get(pid)
+        rows.append(
+            (pos, rec["status"], rec["source"], rec["destination"], repo.pulls.diff(pid).count())
+        )
+    return spark.createDataFrame(
+        rows, "pos long, status string, source string, destination string, n_diff long"
+    )
+
+
+def q_branch_listing(spark, sf_dir):
+    """Branch/tag listing after the scripted CRUD: snapshot entry
+    counts per ref and the effective protection flag (deleted 'tmp'
+    must be absent; the tag pins the pre-merge snapshot)."""
+    import fnmatch
+
+    repo, _ = _gov_repo(spark, sf_dir)
+    pats = [r["pattern"] for r in repo.protection_rules()]
+    rows = []
+    for name in sorted(repo.branches()):
+        rows.append(
+            (name, "branch", repo.snapshot(name).count(), any(fnmatch.fnmatch(name, p) for p in pats))
+        )
+    for name in sorted(repo.tags()):
+        rows.append((name, "tag", repo.snapshot(name).count(), False))
+    return spark.createDataFrame(
+        rows, "name string, kind string, n_entries long, is_protected boolean"
+    )
+
+
+def q_hook_runs(spark, sf_dir):
+    """Hook run-results log, newest first: completed pre/post-commit
+    pairs, the aborted pre-commit (policy veto), and the
+    post-delete-branch run."""
+    repo, _ = _gov_repo(spark, sf_dir)
+    rows = [
+        (i + 1, r["event"], r["hook_index"], r["status"], r["error"] is not None)
+        for i, r in enumerate(repo.hook_runs())
+    ]
+    return spark.createDataFrame(
+        rows, "pos long, event string, hook_index long, status string, has_error boolean"
+    )
+
+
 # -- commit DAG (storage.refs over the shared dagspec DAG) -----------------
 
 _DAG_STORE = None
@@ -1265,6 +1404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_commits": q_active_commits,
         "walker_entries": q_walker_entries,
         "s3_list_pages": q_s3_list_pages,
+        "pull_requests": q_pull_requests,
+        "branch_listing": q_branch_listing,
+        "hook_runs": q_hook_runs,
         "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot,
         "repo_uncommitted_compacted": q_repo_uncommitted_compacted,
         "commit_ordered": q_commit_ordered,

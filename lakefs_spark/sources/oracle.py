@@ -1419,6 +1419,49 @@ def q_repo_log_paths() -> str:
     """
 
 
+def q_pull_requests() -> str:
+    # pr1 merged (diff collapses: source head becomes the merge base);
+    # pr2 open: dev changed every entries row under b5/ plus one added
+    # key; pr3 closed over an unchanged branch
+    return with_views("entries") + """
+    select cast(1 as bigint) as pos, 'MERGED' as status, 'feature' as source,
+           'main' as destination, cast(0 as bigint) as n_diff
+    union all
+    select 2, 'OPEN', 'dev', 'main',
+           (select count(*) + 1 from entries where key like 'tables/orders/b5/%')
+    union all
+    select 3, 'CLOSED', 'wip', 'main', 0
+    """
+
+
+def q_branch_listing() -> str:
+    # feature/main changed identities only (same key count); dev added
+    # one key; the tag pins the pre-merge snapshot; tmp was deleted
+    return with_views("entries") + """
+    , n as (select cast(count(*) as bigint) as c from entries)
+    select 'dev' as name, 'branch' as kind, c + 1 as n_entries, false as is_protected from n
+    union all select 'feature', 'branch', c, false from n
+    union all select 'main', 'branch', c, true from n
+    union all select 'wip', 'branch', c, false from n
+    union all select 'v1', 'tag', c, false from n
+    """
+
+
+def q_hook_runs() -> str:
+    # the scripted governance flow's run log, newest first (see
+    # __spark_entry__._gov_repo): feature commit pair, dev commit pair,
+    # the aborted pre-commit, then the branch delete
+    return """
+    select cast(1 as bigint) as pos, 'post-delete-branch' as event,
+           cast(0 as bigint) as hook_index, 'completed' as status, false as has_error
+    union all select 2, 'pre-commit', 0, 'aborted', true
+    union all select 3, 'post-commit', 0, 'completed', false
+    union all select 4, 'pre-commit', 0, 'completed', false
+    union all select 5, 'post-commit', 0, 'completed', false
+    union all select 6, 'pre-commit', 0, 'completed', false
+    """
+
+
 def q_pii_counts() -> str:
     from lakefs_spark.operators.pipeline import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -1577,6 +1620,9 @@ def all_oracles() -> dict[str, str]:
                 "dedup_clusters": q_dedup_clusters(),
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),
+                "pull_requests": q_pull_requests(),
+                "branch_listing": q_branch_listing(),
+                "hook_runs": q_hook_runs(),
                 "pii_counts": q_pii_counts(),
                 "sampling_weights": q_sampling_weights(),
                 "sequence_packing": q_sequence_packing(),
