@@ -338,6 +338,24 @@ def q_length_band_filter(spark, sf_dir):
     return P.band_filter(_docs(spark, sf_dir), "n_chars", 0.05, 0.95)
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (operators/similarity.
+    label_centroids): posexplode + one partial-agg groupBy."""
+    from lakefs_spark.operators.similarity import label_centroids
+
+    _fixtures(spark, sf_dir)
+    return label_centroids(spark.table("embeddings"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampler realizing the alpha=0.7
+    temperature mix via the portable md5 hash family
+    (operators/pipeline.stratified_sample)."""
+    from lakefs_spark.operators import pipeline as P
+
+    return P.stratified_sample(_docs(spark, sf_dir), "lang", alpha=0.7, budget=1000)
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style duplicate-3gram ratio per document
     (operators/text.repetition_scores)."""
@@ -1177,6 +1195,70 @@ def q_hook_runs(spark, sf_dir):
     )
 
 
+_WEBHOOK_LOG: dict = {}
+
+
+def q_webhook_deliveries(spark, sf_dir):
+    """Webhook hook runner driven end-to-end over real loopback HTTP
+    (storage/webhook.py; pkg/actions/webhook.go:85-133): a local server
+    records each POSTed EventInfo payload; a 200 endpoint lets the
+    commit proceed, a 500 endpoint vetoes it (abort-on-non-2xx).
+    Asserted in-gate: the vetoed commit leaves the head unmoved."""
+    key = _session_tag(spark)
+    rows = _WEBHOOK_LOG.get(key)
+    if rows is None:
+        import http.server
+        import json as _json
+        import tempfile
+        import threading
+
+        from lakefs_spark.storage.repo import HookAbortError, Repository
+        from lakefs_spark.storage.webhook import webhook_hook
+
+        deliveries: list[tuple] = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+                status = 500 if self.path.startswith("/deny") else 200
+                deliveries.append(
+                    (self.path, body["event_type"], body["branch_id"], status)
+                )
+                self.send_response(status)
+                self.end_headers()
+
+            def log_message(self, *a):  # keep the gate's stdout clean
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_wh_"))
+            repo.on("pre-commit", webhook_hook(f"{base}/ok", hook_id="ci-gate"))
+            repo.set_entry("main", {"key": "a/1", "identity": "i1", "size": 1, "etag": "e1"})
+            c1 = repo.commit("main", "first")
+            # a second webhook vetoes: both hooks POST, the op aborts
+            repo.on("pre-commit", webhook_hook(f"{base}/deny", hook_id="veto"))
+            repo.set_entry("main", {"key": "a/2", "identity": "i2", "size": 2, "etag": "e2"})
+            try:
+                repo.commit("main", "second")
+                raise RuntimeError("500 webhook failed to veto the commit")
+            except HookAbortError:
+                pass
+            if repo.resolve("main").commit_id != c1.commit_id:
+                raise RuntimeError("vetoed commit moved the branch head")
+        finally:
+            srv.shutdown()
+            srv.server_close()
+        rows = [(i + 1, *d) for i, d in enumerate(deliveries)]
+        _WEBHOOK_LOG[key] = rows
+    return spark.createDataFrame(
+        rows, "pos long, path string, event string, branch string, http_status long"
+    )
+
+
 # -- commit DAG (storage.refs over the shared dagspec DAG) -----------------
 
 _DAG_STORE = None
@@ -1369,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": q_passage_dedup,
         "boilerplate_strip": q_boilerplate_strip,
         "length_band_filter": q_length_band_filter,
+        "label_centroids": q_label_centroids,
+        "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
         "train_val_split": q_train_val_split,
         "text_quality": q_text_quality,
@@ -1407,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pull_requests": q_pull_requests,
         "branch_listing": q_branch_listing,
         "hook_runs": q_hook_runs,
+        "webhook_deliveries": q_webhook_deliveries,
         "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot,
         "repo_uncommitted_compacted": q_repo_uncommitted_compacted,
         "commit_ordered": q_commit_ordered,

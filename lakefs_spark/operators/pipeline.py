@@ -257,3 +257,45 @@ def band_filter(
         F.round("q_hi", 6).alias("q_hi"),
         ((v >= F.col("q_lo")) & (v <= F.col("q_hi"))).alias("in_band"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.7,
+    budget: int = 1000,
+    resolution: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic stratified sampler realizing the temperature mix:
+    each group's keep-rate is ``budget_g / n_g`` from
+    :func:`sampling_weights`, and a document is kept when its portable
+    hash bucket (md5-derived, the same family as the train/val split)
+    falls below the rate.
+
+    Engine-portable by construction: bucket / resolution is an exact
+    binary double, and the rate is the same bigint/bigint division on
+    both sides — so keep decisions reproduce bit-for-bit across Spark,
+    the DuckDB oracle, and any resumed run. The rates frame is tiny
+    (one row per group) and broadcast; the scan stays shuffle-free.
+    """
+    from lakefs_spark.functions.hashfam import X_MOD
+
+    rates = sampling_weights(df, group_col, alpha, budget).select(
+        group_col, (F.col("budget_docs") / F.col("n_docs")).alias("rate")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample|"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(X_MOD)
+    ) % resolution
+    return df.join(F.broadcast(rates), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        (bucket / F.lit(float(resolution)) < F.col("rate")).alias("is_kept"),
+    )

@@ -277,3 +277,26 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("qa", "qb")
     )
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label centroid of an embedding column: mean per dimension.
+
+    The building block for IVF codebook seeding, class prototypes, and
+    drift monitoring. Shape: posexplode to (label, dim, x) then ONE
+    hash aggregation — map-side partial sums collapse each partition
+    to |labels| x dim rows, so the shuffle is tiny regardless of row
+    count. No Python; no per-vector UDF.
+    """
+    return (
+        df.select(F.col(label_col).cast("long").alias("label"),
+                  F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("c", 6).alias("centroid"),
+            F.col("n").cast("long").alias("n_vectors"),
+        )
+    )

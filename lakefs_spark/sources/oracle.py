@@ -1462,6 +1462,18 @@ def q_hook_runs() -> str:
     """
 
 
+def q_webhook_deliveries() -> str:
+    # the scripted webhook flow's delivery log (__spark_entry__.
+    # q_webhook_deliveries): first commit passes the 200 gate; the
+    # second attempt POSTs to both hooks and the 500 vetoes it
+    return """
+    select cast(1 as bigint) as pos, '/ok' as path, 'pre-commit' as event,
+           'main' as branch, cast(200 as bigint) as http_status
+    union all select 2, '/ok', 'pre-commit', 'main', 200
+    union all select 3, '/deny', 'pre-commit', 'main', 500
+    """
+
+
 def q_pii_counts() -> str:
     from lakefs_spark.operators.pipeline import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -1577,6 +1589,40 @@ def q_boilerplate_strip() -> str:
     """
 
 
+def q_label_centroids() -> str:
+    return """
+    with e as (
+      select label, cast(unnest(embedding) as double) as x,
+             unnest(range(len(embedding))) as i
+      from embeddings
+    )
+    select cast(label as bigint) as label, cast(i as bigint) as dim,
+           round(avg(x), 6) as centroid,
+           cast(count(*) as bigint) as n_vectors
+    from e group by 1, 2
+    """
+
+
+def q_stratified_sample() -> str:
+    from lakefs_spark.functions.hashfam import X_MOD
+
+    bucket = (
+        f"cast(concat('0x', substr(md5(concat('sample|', cast(doc_id as varchar))), 1, 15)) "
+        f"as bigint) % {X_MOD} % 1048576"
+    )
+    return f"""
+    with c as (select lang, cast(count(*) as bigint) as n_docs from documents group by lang),
+         t as (select sum(pow(n_docs, 0.7)) as z from c),
+         r as (select lang,
+                      cast(floor(pow(n_docs, 0.7) / z * 1000 + 0.5) as bigint)
+                        / cast(n_docs as double) as rate
+               from c, t)
+    select d.doc_id, d.lang,
+           ({bucket}) / 1048576.0 < r.rate as is_kept
+    from documents d join r using (lang)
+    """
+
+
 def q_length_band_filter() -> str:
     return """
     with q as (select quantile_cont(n_chars, 0.05) as q_lo,
@@ -1623,12 +1669,15 @@ def all_oracles() -> dict[str, str]:
                 "pull_requests": q_pull_requests(),
                 "branch_listing": q_branch_listing(),
                 "hook_runs": q_hook_runs(),
+                "webhook_deliveries": q_webhook_deliveries(),
                 "pii_counts": q_pii_counts(),
                 "sampling_weights": q_sampling_weights(),
                 "sequence_packing": q_sequence_packing(),
                 "passage_dedup": q_passage_dedup(),
                 "boilerplate_strip": q_boilerplate_strip(),
                 "length_band_filter": q_length_band_filter(),
+                "label_centroids": q_label_centroids(),
+                "stratified_sample": q_stratified_sample(),
                 "contamination": q_contamination(),
                 "train_val_split": q_train_val_split(),
                 "text_quality": q_text_quality(),

@@ -117,3 +117,33 @@ def test_band_filter_trims_both_tails(spark):
     lo = out.orderBy("value").first()
     hi = out.orderBy(F.col("value").desc()).first()
     assert not lo["in_band"] and not hi["in_band"]
+
+
+def test_stratified_sample_tracks_budgets(spark):
+    docs = _docs(spark)
+    out = P.stratified_sample(docs, "lang", alpha=0.7, budget=200)
+    assert out.count() == docs.count()
+    # kept counts land near each group's budget (hash-uniformity bound)
+    w = {r["lang"]: r for r in P.sampling_weights(docs, "lang", 0.7, 200).collect()}
+    kept = {r["lang"]: r["n"] for r in
+            out.where("is_kept").groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, rec in w.items():
+        target = min(rec["budget_docs"], rec["n_docs"])
+        assert abs(kept.get(lang, 0) - target) <= max(5, 0.5 * target), (lang, kept.get(lang), target)
+
+
+def test_label_centroids_shape(spark):
+    from lakefs_spark.operators.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = label_centroids(emb)
+    dims = emb.selectExpr("size(embedding) d").distinct().collect()[0]["d"]
+    labels = emb.select("label").distinct().count()
+    assert out.count() == dims * labels
+    # every (label, dim) carries that label's full vector count
+    bad = out.join(
+        emb.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_expect")),
+        "label",
+    ).where(F.col("n_vectors") != F.col("n_expect"))
+    assert bad.count() == 0
