@@ -221,3 +221,64 @@ def test_vocab_topk_plans_take_ordered(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(vocab_stats(docs, top_k=50))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pii_signals_python_free_codegen(spark):
+    """PII extraction is one fused JVM projection: no Python eval
+    nodes, no Exchange (pure scan+project)."""
+    from lakefs_spark.operators.pipeline import pii_signals
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id as id", "text"
+    )
+    plan = _plan(pii_signals(docs, id_col="id"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_passage_dedup_single_distinct_agg(spark):
+    """Passage dedup is explode + one distinct-aggregate: no Python,
+    no cartesian, and at most the two Exchanges a count-distinct agg
+    plans (partial on (hash, doc), final on hash)."""
+    from lakefs_spark.operators.pipeline import passage_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(passage_dedup(docs, w=3, min_docs=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_pack_sequences_one_arrow_stage_on_shard(spark):
+    """Sequence packing is exactly one Arrow-grouped stage keyed by
+    shard: one FlatMapGroupsInPandas over one Exchange — the text
+    column must NOT flow into the Python worker."""
+    from lakefs_spark.operators.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_sequences(docs, budget=512, n_shards=8))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "text" not in plan.split("FlatMapGroupsInPandas")[1].splitlines()[0], plan
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    """The per-group rate frame must broadcast; the corpus side joins
+    without a shuffle of its own (no SortMergeJoin on the scan)."""
+    from lakefs_spark.operators.pipeline import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(stratified_sample(docs, "lang"))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_label_centroids_single_aggregation(spark):
+    """Centroids: posexplode + ONE hash aggregation (partial+final over
+    a single Exchange), all JVM-side."""
+    from lakefs_spark.operators.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(label_centroids(emb))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
