@@ -525,6 +525,69 @@ def q_hive_partitions(spark, sf_dir):
     return hive_partitions(_snap(spark, sf_dir, "entries"), "tables/orders/")
 
 
+def q_delta_log_actions(spark, sf_dir):
+    """Delta-log exporter round-trip (operators/export.delta_log_export;
+    catalogexport/delta_exporter.lua analog): write the snapshot's
+    transaction log (adds streamed executor-side via toLocalIterator,
+    never a full collect), then read the log file back through Spark's
+    JSON reader and return the add actions."""
+    import tempfile
+
+    from lakefs_spark.operators.export import delta_log_export
+
+    path = delta_log_export(
+        _snap(spark, sf_dir, "entries"), tempfile.mkdtemp(prefix="lakefs_delta_")
+    )
+    log = spark.read.json(path)
+    return log.where(F.col("add").isNotNull()).select(
+        F.col("add.path").alias("path"), F.col("add.size").cast("long").alias("size")
+    )
+
+
+def q_glue_partition_batches(spark, sf_dir):
+    """Glue BatchCreatePartition request bodies flattened to rows
+    (operators/export.glue_partition_input): partition values under
+    tables/orders/, batch-chunked at the API's 100-input cap."""
+    from lakefs_spark.operators.export import glue_partition_input, hive_partitions
+
+    parts = hive_partitions(_snap(spark, sf_dir, "entries"), "tables/orders/")
+    batches = glue_partition_input(parts, "db", "orders", "s3://bucket/orders")
+    rows = []
+    for bi, req in enumerate(batches):
+        for pi, p in enumerate(req["PartitionInputList"]):
+            rows.append(
+                (bi, pi, p["Values"][0], p["StorageDescriptor"]["Location"])
+            )
+    return spark.createDataFrame(
+        rows, "batch_idx long, pos long, part_value string, location string"
+    )
+
+
+def q_unity_table_payload(spark, sf_dir):
+    """Unity external-table registration payload
+    (operators/export.unity_table_input): the metadata-scale aggregates
+    the exporter stamps into the request."""
+    from lakefs_spark.operators.export import unity_table_input
+
+    req = unity_table_input(
+        _snap(spark, sf_dir, "entries"), "cat", "sch", "orders", "s3://bucket/orders"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                req["name"],
+                req["table_type"],
+                req["data_source_format"],
+                req["storage_location"],
+                int(req["properties"]["exported_objects"]),
+                int(req["properties"]["exported_bytes"]),
+            )
+        ],
+        "name string, table_type string, data_source_format string, "
+        "storage_location string, n_objects long, n_bytes long",
+    )
+
+
 def _media(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
     return docs.select(
@@ -1466,6 +1529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_prefix_replace": q_import_prefix_replace,
         "symlink_manifest": q_symlink_manifest,
         "hive_partitions": q_hive_partitions,
+        "delta_log_actions": q_delta_log_actions,
+        "glue_partition_batches": q_glue_partition_batches,
+        "unity_table_payload": q_unity_table_payload,
         "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
         "gc_key_match": q_gc_key_match,

@@ -817,6 +817,48 @@ def q_hive_partitions() -> str:
     """
 
 
+def q_delta_log_actions() -> str:
+    # the written log's add actions restated: one per object, size
+    # coalesced to 0 (export.py add-action construction)
+    return with_views("entries") + """
+    select address as path, cast(coalesce(size, 0) as bigint) as size
+    from entries
+    """
+
+
+def q_glue_partition_batches() -> str:
+    # partition inventory under tables/orders/, ordered by value and
+    # chunked at the Glue BatchCreatePartition 100-input cap
+    return with_views("entries") + """
+    , parts as (
+      select substring(sfx, 1, instr(sfx, '/') - 1) as part_value
+      from (select substring(key, 15, 1000000) as sfx
+            from entries where key like 'tables/orders/%') t
+      where instr(sfx, '/') > 0
+      group by 1
+    ),
+    ordered as (
+      select part_value, row_number() over (order by part_value) - 1 as rn
+      from parts
+    )
+    select cast(rn // 100 as bigint) as batch_idx,
+           cast(rn % 100 as bigint) as pos,
+           part_value,
+           concat('s3://bucket/orders/', part_value, '/') as location
+    from ordered
+    """
+
+
+def q_unity_table_payload() -> str:
+    return with_views("entries") + """
+    select 'orders' as name, 'EXTERNAL' as table_type, 'DELTA' as data_source_format,
+           's3://bucket/orders/' as storage_location,
+           cast(count(*) as bigint) as n_objects,
+           cast(sum(coalesce(size, 0)) as bigint) as n_bytes
+    from entries
+    """
+
+
 def q_media_frame_sample() -> str:
     # videos = every 3rd document; duration derived from n_chars;
     # sample timestamps every 500 ms, inclusive of 0 and duration
@@ -1695,6 +1737,9 @@ def all_oracles() -> dict[str, str]:
                 "import_prefix_replace": q_import_prefix_replace(),
                 "symlink_manifest": q_symlink_manifest(),
                 "hive_partitions": q_hive_partitions(),
+                "delta_log_actions": q_delta_log_actions(),
+                "glue_partition_batches": q_glue_partition_batches(),
+                "unity_table_payload": q_unity_table_payload(),
                 "media_frame_sample": q_media_frame_sample(),
                 "media_resize": q_media_resize(),
                 "gc_key_match": q_gc_key_match(),
