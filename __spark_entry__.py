@@ -610,9 +610,15 @@ def q_media_frame_sample(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """mapInPandas feature extraction over binary media payloads; the
+    stub decoder's md5-byte features are restated relationally, so
+    this checks the full Arrow batch plumbing against the oracle."""
     from lakefs_spark.operators.multimodal import extract_features
 
-    return extract_features(_media(spark, sf_dir))
+    out = extract_features(_media(spark, sf_dir))
+    return out.select(
+        "media_id", "kind", F.posexplode("features").alias("dim", "value")
+    ).select("media_id", "kind", F.col("dim").cast("long").alias("dim"), "value")
 
 
 def q_media_resize(spark, sf_dir):

@@ -46,14 +46,15 @@ def _decode_one(payload: bytes, kind: str) -> np.ndarray:
 
         img = PIL.Image.open(io.BytesIO(payload)); arr = np.asarray(img)
 
-    Deterministic fake: hash-seeded feature vector, so tests can assert
-    stability without media libraries.
+    Deterministic fake: the FEATURE_DIM md5 digest bytes of the payload
+    scaled to [0, 1] — stable across runs AND restatable relationally,
+    so the driver oracle can check the mapInPandas plumbing end-to-end
+    without media libraries.
     """
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"unknown media kind: {kind}")
-    seed = int.from_bytes(__import__("hashlib").md5(payload).digest()[:4], "little")
-    rng = np.random.default_rng(seed)
-    return rng.random(FEATURE_DIM, dtype=np.float64)
+    digest = __import__("hashlib").md5(payload).digest()
+    return np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8).astype(np.float64) / 255.0
 
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:

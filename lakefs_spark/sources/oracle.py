@@ -859,6 +859,22 @@ def q_unity_table_payload() -> str:
     """
 
 
+def q_media_features() -> str:
+    # the stub decoder's features are the first 16 md5 digest bytes of
+    # the payload scaled to [0,1]; payload bytes == UTF-8 of text, so
+    # DuckDB's md5(varchar) reproduces them exactly (exact division)
+    return """
+    with m as (
+      select doc_id as media_id, 'video' as kind, md5(text) as h
+      from documents where doc_id % 3 = 0
+    ),
+    d as (select unnest(range(16)) as j)
+    select media_id, kind, cast(j as bigint) as dim,
+           cast(concat('0x', substr(h, j*2 + 1, 2)) as bigint) / 255.0 as value
+    from m, d
+    """
+
+
 def q_media_frame_sample() -> str:
     # videos = every 3rd document; duration derived from n_chars;
     # sample timestamps every 500 ms, inclusive of 0 and duration
@@ -1741,6 +1757,7 @@ def all_oracles() -> dict[str, str]:
                 "glue_partition_batches": q_glue_partition_batches(),
                 "unity_table_payload": q_unity_table_payload(),
                 "media_frame_sample": q_media_frame_sample(),
+                "media_features": q_media_features(),
                 "media_resize": q_media_resize(),
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),
