@@ -1045,6 +1045,63 @@ def q_stream_ingest_snapshot(spark, sf_dir):
     return repo.snapshot("main").select("key", "identity", "size", "etag")
 
 
+_SENSOR_ALERTS: dict = {}
+
+
+def q_tombstone_alert_stream(spark, sf_dir):
+    """Stateful streaming delete sensor end-to-end (streaming/sensors.
+    tombstone_alerts; pkg/graveler/delete_sensor.go:48-125): a
+    deterministic change stream replayed in microbatches through
+    applyInPandasWithState; per-branch crossings summed over the alert
+    stream equal floor(total_tombstones / threshold) — invariant to how
+    the stream was batched, which is exactly what the oracle restates."""
+    key = (_session_tag(spark), sf_dir)
+    rows = _SENSOR_ALERTS.get(key)
+    if rows is None:
+        import tempfile
+
+        from lakefs_spark.streaming.sensors import tombstone_alerts
+
+        _fixtures(spark, sf_dir)
+        changes = (
+            spark.table("events")
+            .where(F.col("event_id") % 5 == 0)
+            .select(
+                F.concat(F.lit("b"), (F.col("user_id") % 3).cast("string")).alias("branch"),
+                (F.col("event_id") % 4 == 0).alias("is_tombstone"),
+            )
+        )
+        src = tempfile.mkdtemp(prefix="lakefs_sensor_src_")
+        changes.coalesce(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        name = f"sensor_alerts_{abs(hash(key)) % (1 << 30)}"
+        q = (
+            tombstone_alerts(stream, threshold=40)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="lakefs_sensor_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        rows = [
+            (r["branch"], r["n_crossings"], r["threshold"])
+            for r in spark.table(name)
+            .groupBy("branch", "threshold")
+            .agg(F.sum("crossings").alias("n_crossings"))
+            .select("branch", "n_crossings", "threshold")
+            .collect()
+        ]
+        _SENSOR_ALERTS[key] = rows
+    return spark.createDataFrame(rows, "branch string, n_crossings long, threshold long")
+
+
 def q_repo_uncommitted_compacted(spark, sf_dir):
     """Combined diff on a compacted branch (§2.3;
     pkg/graveler/joined_diff_iterator.go + combined_diff_iterator.go):
@@ -1568,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_uncommitted_compacted": q_repo_uncommitted_compacted,
         "commit_ordered": q_commit_ordered,
         "stream_ingest_snapshot": q_stream_ingest_snapshot,
+        "tombstone_alert_stream": q_tombstone_alert_stream,
         "repo_commit_snapshot": q_repo_commit_snapshot,
         "repo_revert_snapshot": q_repo_revert_snapshot,
         "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot,

@@ -817,6 +817,24 @@ def q_hive_partitions() -> str:
     """
 
 
+def q_tombstone_alert_stream() -> str:
+    # batch-invariant sensor contract: crossings summed over the alert
+    # stream == floor(total tombstones / threshold) per branch; branches
+    # that never reach the threshold emit nothing
+    return """
+    with c as (
+      select concat('b', cast(user_id % 3 as varchar)) as branch,
+             case when event_id % 4 = 0 then 1 else 0 end as tomb
+      from events where event_id % 5 = 0
+    )
+    select branch,
+           cast(floor(sum(tomb) / 40.0) as bigint) as n_crossings,
+           cast(40 as bigint) as threshold
+    from c group by branch
+    having sum(tomb) >= 40
+    """
+
+
 def q_delta_log_actions() -> str:
     # the written log's add actions restated: one per object, size
     # coalesced to 0 (export.py add-action construction)
@@ -1779,6 +1797,7 @@ def all_oracles() -> dict[str, str]:
                 "repo_uncommitted_compacted": q_repo_uncommitted_compacted(),
                 "commit_ordered": q_commit_ordered(),
                 "stream_ingest_snapshot": q_stream_ingest_snapshot(),
+                "tombstone_alert_stream": q_tombstone_alert_stream(),
                 "repo_commit_snapshot": q_repo_commit_snapshot(),
                 "repo_revert_snapshot": q_repo_revert_snapshot(),
                 "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot(),

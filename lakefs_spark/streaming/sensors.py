@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-ALERT_SCHEMA = "branch string, tombstones long, threshold long"
+ALERT_SCHEMA = "branch string, tombstones long, threshold long, crossings long"
 _STATE_SCHEMA = "cnt long"
 
 
@@ -51,8 +51,17 @@ def tombstone_alerts(changes: DataFrame, threshold: int) -> DataFrame:
             new += int(pdf["is_tombstone"].fillna(False).astype(bool).sum())
         state.update((new,))
         if new // threshold > prev // threshold:
+            # crossings = multiples of the threshold passed this batch;
+            # sum(crossings) over the alert stream is floor(total/th),
+            # invariant to how rows were batched — the contract the
+            # driver oracle checks
             yield pd.DataFrame(
-                {"branch": [branch], "tombstones": [new], "threshold": [threshold]}
+                {
+                    "branch": [branch],
+                    "tombstones": [new],
+                    "threshold": [threshold],
+                    "crossings": [new // threshold - prev // threshold],
+                }
             )
 
     return changes.groupBy("branch").applyInPandasWithState(
