@@ -452,6 +452,31 @@ def q_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(q, emb, dim=64, k=5, n_planes=6).select("qa", "qb", "sim")
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@5 of the LSH-bucketed top-k
+    against the exact brute-force top-k, per query vector — the metric
+    that decides bucket/plane counts before scaling an index out."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8)
+    exact = SIM.brute_force_topk(q, emb, k=5).select("qa", "qb")
+    approx = SIM.lsh_topk(q, emb, dim=64, k=5, n_planes=6).select("qa", "qb")
+    hits = (
+        exact.join(approx, ["qa", "qb"], "semi")
+        .groupBy("qa")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("qa")
+        .distinct()
+        .join(hits, "qa", "left")
+        .select(
+            "qa",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 6).alias("recall"),
+        )
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic coarse codebook, inverted-list probe,
     exact rerank (the scale path next to lsh_topk)."""
@@ -1637,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_log_paths": q_repo_log_paths,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
+        "ann_recall": q_ann_recall,
         "lsh_topk": q_lsh_topk,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,

@@ -598,6 +598,18 @@ def q_ann_topk() -> str:
     """
 
 
+def q_ann_recall() -> str:
+    # recall@5 of the LSH top-k vs brute force, composed from the two
+    # gated definitions (their determinism is already driver-verified)
+    return f"""
+    select e.qa, cast(count(l.qa) as bigint) as n_hits,
+           round(count(l.qa) / 5.0, 6) as recall
+    from ({q_ann_topk()}) e
+    left join ({q_lsh_topk()}) l on e.qa = l.qa and e.qb = l.qb
+    group by e.qa
+    """
+
+
 def _plane_values_sql(dim: int, n_planes: int, seed: int = 42) -> str:
     """VALUES rows (j, p0..p{n-1}) of the deterministic LSH hyperplanes
     (operators/similarity._hyperplane) — full-precision repr round-trips
@@ -1765,6 +1777,7 @@ def all_oracles() -> dict[str, str]:
                 "ivf_topk": q_ivf_topk(),
                 "kmeans_codebook": q_kmeans_codebook(),
                 "ann_topk": q_ann_topk(),
+                "ann_recall": q_ann_recall(),
                 "lsh_topk": q_lsh_topk(),
                 "minhash_candidates": q_minhash_candidates(),
                 "simhash": q_simhash(),
