@@ -517,6 +517,19 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (operators/dedup.simhash_near_dups):
+    banded candidate equi-join + exact Hamming verify, over a probe
+    corpus with planted near-copies (one token appended)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mod = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    sigs = D.simhash(docs.unionByName(mod))
+    return D.simhash_near_dups(sigs)
+
+
 def q_near_dup_embeddings(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     pairs = SIM.cosine_pairs(emb, emb).where(F.col("qa") < F.col("qb"))
@@ -1666,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "media_features": q_media_features,
     }
 

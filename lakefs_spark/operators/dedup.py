@@ -283,3 +283,50 @@ def duplicate_clusters(
     out = labels.select(F.col("node").alias("member"), F.col("label").alias("rep"))
     labels.unpersist()
     return out
+
+
+def simhash_near_dups(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bands: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash signatures: candidates share at
+    least one of ``bands`` equal-width signature bands (pigeonhole: any
+    pair within 64/bands - 1 flipped bits per band must collide on some
+    band), verified by exact Hamming distance <= ``max_hamming``.
+
+    Scale shape: the (band, band_val) equi-join replaces the all-pairs
+    comparison — the same banding trick as MinHash LSH but over one
+    64-bit signature, so the candidate table is tiny. Band extraction
+    is fill-independent ((sig >> s) & mask strips arithmetic-shift fill
+    bits), so the SQL oracle reproduces it on two's-complement BIGINTs.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col(sig_col), i * width).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ]
+    )
+    b = sigs.select(
+        F.col(id_col), F.col(sig_col), F.posexplode(band_arr).alias("band", "band_val")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(y, ["band", "band_val"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col(f"x.{sig_col}").alias("sig_a"),
+            F.col(f"y.{sig_col}").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -513,9 +513,10 @@ def q_dedup_clusters() -> str:
     """
 
 
-def q_simhash() -> str:
-    # 64-bit simhash from md5 hex digits, 4 bits/digit (operators/dedup
-    # .simhash): per-bit +-1 vote over the doc's tokens, sign -> bit
+def _simhash_body(source: str) -> str:
+    """CTE chain computing (doc_id, simhash) over ``source`` — the
+    relational restatement of operators/dedup.simhash, shared by the
+    signature and the near-dup oracles."""
     digit_cols = ", ".join(
         f"strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1 as d{j}"
         for j in range(16)
@@ -530,14 +531,51 @@ def q_simhash() -> str:
     ]
     sig = " + ".join(weights)
     return f"""
-    with toks as (
+    toks as (
       select doc_id, tok from (
-        select doc_id, unnest(string_split(text, ' ')) as tok from documents
+        select doc_id, unnest(string_split(text, ' ')) as tok from {source}
       ) t where tok <> ''
     ),
     digits as (select doc_id, {digit_cols} from (select doc_id, md5(tok) as hx from toks) h),
-    sums as (select doc_id, {bit_sums} from digits group by doc_id)
-    select doc_id, {sig} as simhash from sums
+    sums as (select doc_id, {bit_sums} from digits group by doc_id),
+    sigs as (select doc_id, {sig} as simhash from sums)
+    """
+
+
+def q_simhash() -> str:
+    # 64-bit simhash from md5 hex digits, 4 bits/digit (operators/dedup
+    # .simhash): per-bit +-1 vote over the doc's tokens, sign -> bit
+    return f"""
+    with {_simhash_body("documents")}
+    select doc_id, simhash from sigs
+    """
+
+
+def q_simhash_near_dups() -> str:
+    # probe corpus = documents plus near-copies (one token appended) so
+    # the banded candidate join has true positives to find; band values
+    # use (sig >> s) & mask, fill-independent on two's-complement longs
+    return f"""
+    with probe as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 10000, text || ' extra' from documents where doc_id < 50
+    ),
+    {_simhash_body("probe")},
+    bv as (
+      select doc_id, simhash, u.b,
+             (simhash >> (u.b * 16)) & 65535 as band_val
+      from sigs, unnest([0, 1, 2, 3]) as u(b)
+    ),
+    cand as (
+      select distinct x.doc_id as id_a, y.doc_id as id_b,
+             x.simhash as sa, y.simhash as sb
+      from bv x join bv y
+        on x.b = y.b and x.band_val = y.band_val and x.doc_id < y.doc_id
+    )
+    select id_a, id_b, cast(bit_count(xor(sa, sb)) as bigint) as hamming
+    from cand
+    where bit_count(xor(sa, sb)) <= 8
     """
 
 
@@ -1781,6 +1819,7 @@ def all_oracles() -> dict[str, str]:
                 "lsh_topk": q_lsh_topk(),
                 "minhash_candidates": q_minhash_candidates(),
                 "simhash": q_simhash(),
+                "simhash_near_dups": q_simhash_near_dups(),
                 "import_prefix_replace": q_import_prefix_replace(),
                 "symlink_manifest": q_symlink_manifest(),
                 "hive_partitions": q_hive_partitions(),
