@@ -1304,6 +1304,16 @@ def _gov_repo(spark, sf_dir):
         repo.pulls.merge(pr1)
         repo.pulls.close(pr3)
         repo.delete_branch("tmp")
+        # leave LIVE staging on 'wip' (no commit, so the hook log and
+        # snapshot counts above stay put): one staged-only key + a
+        # tombstone on the smallest committed key — the overlay point-
+        # lookup fixtures (staged wins / tombstone hides / fallthrough)
+        min_key = ent.agg(F.min("key")).first()[0]
+        repo.set_entry(
+            "wip",
+            {"key": "tables/zz/staged-only", "identity": "st-1", "size": 9, "etag": "st-e"},
+        )
+        repo.stage_deletes("wip", spark.createDataFrame([(min_key,)], "key string"))
         st = (repo, [pr1, pr2, pr3])
         _GOV_REPOS[key] = st
     return st
@@ -1343,6 +1353,49 @@ def q_branch_listing(spark, sf_dir):
     return spark.createDataFrame(
         rows, "name string, kind string, n_entries long, is_protected boolean"
     )
+
+
+def q_point_lookup_branch(spark, sf_dir):
+    """Branch point lookup through the staging overlay
+    (storage/repo.get: staged wins, tombstone hides, committed falls
+    through; `@` pins the committed head past live staging)."""
+    repo, _ = _gov_repo(spark, sf_dir)
+    ent = _snap(spark, sf_dir, "entries")
+    k1 = ent.agg(F.min("key")).first()[0]
+    k2 = ent.where(F.col("key") > k1).agg(F.min("key")).first()[0]
+    hit = repo.get("wip", "tables/zz/staged-only")
+    gone = repo.get("wip", k1)
+    thru = repo.get("wip", k2)
+    committed = repo.get("wip@", k1)
+    rows = [
+        (1, "staged_only", "tables/zz/staged-only", hit["identity"], hit["size"]),
+        (2, "tombstoned", k1, None if gone is None else gone["identity"], None),
+        (3, "fallthrough", k2, thru["identity"], thru["size"]),
+        (4, "committed_at", k1, committed["identity"], committed["size"]),
+    ]
+    return spark.createDataFrame(
+        rows, "pos long, kind string, key string, identity string, size long"
+    )
+
+
+def q_list_page_probe(spark, sf_dir):
+    """Pagination with the amount+1 has-more probe
+    (storage/repo.list_page; pkg/catalog/catalog.go:1270-1325): walk
+    the committed prefix page by page; every page except the last must
+    report has_more and fill the page."""
+    repo, _ = _gov_repo(spark, sf_dir)
+    amount, after, page, rows = 997, "", 0, []
+    while True:
+        items, more = repo.list_page("main", prefix=ORC.LIST_PREFIX, after=after, amount=amount)
+        if more and len(items) != amount:
+            raise RuntimeError("non-final page underfilled")
+        for r in items:
+            rows.append((r["key"], page))
+        if not more:
+            break
+        after = items[-1]["key"]
+        page += 1
+    return spark.createDataFrame(rows, "key string, page long")
 
 
 def q_hook_runs(spark, sf_dir):
@@ -1659,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_listing": q_branch_listing,
         "hook_runs": q_hook_runs,
         "webhook_deliveries": q_webhook_deliveries,
+        "point_lookup_branch": q_point_lookup_branch,
+        "list_page_probe": q_list_page_probe,
         "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot,
         "repo_uncommitted_compacted": q_repo_uncommitted_compacted,
         "commit_ordered": q_commit_ordered,

@@ -1573,6 +1573,37 @@ def q_branch_listing() -> str:
     """
 
 
+def q_point_lookup_branch() -> str:
+    # overlay point-lookup fixtures staged on 'wip' by the governance
+    # script: staged-only hit, tombstone hiding the min key, committed
+    # fallthrough on the next key, and `@` pinning the committed head
+    return with_views("entries") + """
+    , k1 as (select min(key) as k from entries),
+      k2 as (select min(key) as k from entries where key > (select k from k1))
+    select cast(1 as bigint) as pos, 'staged_only' as kind,
+           'tables/zz/staged-only' as key, 'st-1' as identity, cast(9 as bigint) as size
+    union all
+    select 2, 'tombstoned', (select k from k1), null, null
+    union all
+    select 3, 'fallthrough', (select k from k2),
+           (select identity from entries where key = (select k from k2)),
+           (select size from entries where key = (select k from k2))
+    union all
+    select 4, 'committed_at', (select k from k1),
+           (select identity from entries where key = (select k from k1)),
+           (select size from entries where key = (select k from k1))
+    """
+
+
+def q_list_page_probe() -> str:
+    return with_views("entries") + f"""
+    select key,
+           cast((row_number() over (order by key) - 1) // 997 as bigint) as page
+    from entries
+    where key >= '{LIST_PREFIX}' and key < '{LIST_PREFIX_UPPER}'
+    """
+
+
 def q_hook_runs() -> str:
     # the scripted governance flow's run log, newest first (see
     # __spark_entry__._gov_repo): feature commit pair, dev commit pair,
@@ -1796,6 +1827,8 @@ def all_oracles() -> dict[str, str]:
                 "branch_listing": q_branch_listing(),
                 "hook_runs": q_hook_runs(),
                 "webhook_deliveries": q_webhook_deliveries(),
+                "point_lookup_branch": q_point_lookup_branch(),
+                "list_page_probe": q_list_page_probe(),
                 "pii_counts": q_pii_counts(),
                 "sampling_weights": q_sampling_weights(),
                 "sequence_packing": q_sequence_packing(),
