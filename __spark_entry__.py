@@ -1412,6 +1412,52 @@ def q_hook_runs(spark, sf_dir):
     )
 
 
+_TTL_RESULT: dict = {}
+
+
+def q_run_ttl_expiry(spark, sf_dir):
+    """TTL cleanup of the hook run-results log (storage/repo.
+    expire_runs; pkg/catalog/catalog.go:3177-3208 expired-task delete):
+    two hook-run groups separated by a 50 ms gap; expiring with a
+    cutoff between them must drop exactly the first group and keep the
+    second, atomically."""
+    key = _session_tag(spark)
+    row = _TTL_RESULT.get(key)
+    if row is None:
+        import tempfile
+        import time as _time
+
+        from lakefs_spark.storage.repo import Repository
+
+        repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_ttl_"))
+        repo.on("pre-commit", lambda repo_, event, ctx: None)
+        repo.on("post-commit", lambda repo_, event, ctx: None)
+        repo.set_entry("main", {"key": "t/1", "identity": "i1", "size": 1, "etag": "e1"})
+        repo.commit("main", "old group")
+        _time.sleep(0.05)
+        repo.set_entry("main", {"key": "t/2", "identity": "i2", "size": 2, "etag": "e2"})
+        repo.commit("main", "new group")
+        runs = repo.hook_runs()
+        n_before = len(runs)
+        times = sorted(r["start_time"] for r in runs)
+        newest = times[-1]
+        # cutoff strictly between the first commit's runs and the
+        # second's (guaranteed separated by the sleep above)
+        midpoint = (times[1] + times[2]) / 2
+        dropped = repo.expire_runs(newest + 0.001 - midpoint, now=newest + 0.001)
+        survivors = repo.hook_runs()
+        row = (
+            n_before,
+            dropped,
+            len(survivors),
+            sorted(r["event"] for r in survivors) == ["post-commit", "pre-commit"],
+        )
+        _TTL_RESULT[key] = row
+    return spark.createDataFrame(
+        [row], "n_before long, n_dropped long, n_after long, newest_group_kept boolean"
+    )
+
+
 _WEBHOOK_LOG: dict = {}
 
 
@@ -1714,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webhook_deliveries": q_webhook_deliveries,
         "point_lookup_branch": q_point_lookup_branch,
         "list_page_probe": q_list_page_probe,
+        "run_ttl_expiry": q_run_ttl_expiry,
         "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot,
         "repo_uncommitted_compacted": q_repo_uncommitted_compacted,
         "commit_ordered": q_commit_ordered,

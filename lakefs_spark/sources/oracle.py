@@ -1619,6 +1619,15 @@ def q_hook_runs() -> str:
     """
 
 
+def q_run_ttl_expiry() -> str:
+    # 4 hook runs (pre+post per commit, 2 commits); the cutoff between
+    # the two 50ms-separated groups drops exactly the first pair
+    return """
+    select cast(4 as bigint) as n_before, cast(2 as bigint) as n_dropped,
+           cast(2 as bigint) as n_after, true as newest_group_kept
+    """
+
+
 def q_webhook_deliveries() -> str:
     # the scripted webhook flow's delivery log (__spark_entry__.
     # q_webhook_deliveries): first commit passes the 200 gate; the
@@ -1829,6 +1838,7 @@ def all_oracles() -> dict[str, str]:
                 "webhook_deliveries": q_webhook_deliveries(),
                 "point_lookup_branch": q_point_lookup_branch(),
                 "list_page_probe": q_list_page_probe(),
+                "run_ttl_expiry": q_run_ttl_expiry(),
                 "pii_counts": q_pii_counts(),
                 "sampling_weights": q_sampling_weights(),
                 "sequence_packing": q_sequence_packing(),
