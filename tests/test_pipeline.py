@@ -147,3 +147,28 @@ def test_label_centroids_shape(spark):
         "label",
     ).where(F.col("n_vectors") != F.col("n_expect"))
     assert bad.count() == 0
+
+
+def test_passage_windows_edge_cases(spark):
+    rows = [(1, ""), (2, "one"), (3, "a b c"), (4, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = P.passage_windows(df, w=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["win_idx"], r["passage"]))
+    # empty text -> split yields [""], one empty passage (doc survives)
+    assert got[1] == [(0, "")]
+    assert got[2] == [(0, "one")]
+    assert got[3] == [(0, "a b c")]
+    # short tail window keeps the remainder
+    assert sorted(got[4]) == [(0, "a b c"), (1, "d")]
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    rows = [(0, "a " * 600), (8, "b"), (16, "c")]  # same shard (mod 8)
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    out = sorted(P.pack_sequences(df, budget=512, n_shards=8).collect(),
+                 key=lambda r: r["doc_id"])
+    # oversized first doc occupies bin 0 alone; the next doc opens bin 1
+    assert out[0]["seq_id"] == 0 and out[0]["n_tokens"] == 600
+    assert out[1]["seq_id"] == 1 and out[2]["seq_id"] == 1
