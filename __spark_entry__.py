@@ -1261,7 +1261,7 @@ def _gov_repo(spark, sf_dir):
         repo.on("post-commit", lambda repo_, event, ctx: None)
         repo.on("post-delete-branch", lambda repo_, event, ctx: None)
 
-        for b in ("feature", "dev", "wip", "tmp"):
+        for b in ("feature", "dev", "wip", "tmp", "stg"):
             repo.create_branch(b, "main")
         repo.create_tag("v1", "main")
 
@@ -1304,16 +1304,17 @@ def _gov_repo(spark, sf_dir):
         repo.pulls.merge(pr1)
         repo.pulls.close(pr3)
         repo.delete_branch("tmp")
-        # leave LIVE staging on 'wip' (no commit, so the hook log and
-        # snapshot counts above stay put): one staged-only key + a
-        # tombstone on the smallest committed key — the overlay point-
-        # lookup fixtures (staged wins / tombstone hides / fallthrough)
+        # leave LIVE staging on the dedicated 'stg' branch (NOT 'wip',
+        # whose PR diff would see it — bare-branch refs include
+        # staging): one staged-only key + a tombstone on the smallest
+        # committed key — the overlay point-lookup fixtures
+        # (staged wins / tombstone hides / fallthrough)
         min_key = ent.agg(F.min("key")).first()[0]
         repo.set_entry(
-            "wip",
+            "stg",
             {"key": "tables/zz/staged-only", "identity": "st-1", "size": 9, "etag": "st-e"},
         )
-        repo.stage_deletes("wip", spark.createDataFrame([(min_key,)], "key string"))
+        repo.stage_deletes("stg", spark.createDataFrame([(min_key,)], "key string"))
         st = (repo, [pr1, pr2, pr3])
         _GOV_REPOS[key] = st
     return st
@@ -1363,10 +1364,10 @@ def q_point_lookup_branch(spark, sf_dir):
     ent = _snap(spark, sf_dir, "entries")
     k1 = ent.agg(F.min("key")).first()[0]
     k2 = ent.where(F.col("key") > k1).agg(F.min("key")).first()[0]
-    hit = repo.get("wip", "tables/zz/staged-only")
-    gone = repo.get("wip", k1)
-    thru = repo.get("wip", k2)
-    committed = repo.get("wip@", k1)
+    hit = repo.get("stg", "tables/zz/staged-only")
+    gone = repo.get("stg", k1)
+    thru = repo.get("stg", k2)
+    committed = repo.get("stg@", k1)
     rows = [
         (1, "staged_only", "tables/zz/staged-only", hit["identity"], hit["size"]),
         (2, "tombstoned", k1, None if gone is None else gone["identity"], None),

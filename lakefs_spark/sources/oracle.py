@@ -1568,6 +1568,7 @@ def q_branch_listing() -> str:
     select 'dev' as name, 'branch' as kind, c + 1 as n_entries, false as is_protected from n
     union all select 'feature', 'branch', c, false from n
     union all select 'main', 'branch', c, true from n
+    union all select 'stg', 'branch', c, false from n  -- +1 staged, -1 tombstoned
     union all select 'wip', 'branch', c, false from n
     union all select 'v1', 'tag', c, false from n
     """
