@@ -250,7 +250,10 @@ def duplicate_clusters(
     conditional stars halve diameter per round) — same join shape.
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # persist the symmetrized edge list: every propagation round joins
+    # against it, and its plan embeds the (expensive) candidate
+    # generation — without the cache each round would recompute it
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     ).persist()
@@ -282,6 +285,7 @@ def duplicate_clusters(
             break
     out = labels.select(F.col("node").alias("member"), F.col("label").alias("rep"))
     labels.unpersist()
+    und.unpersist()
     return out
 
 

@@ -588,7 +588,18 @@ class Repository:
         limit: int | None = None,
     ) -> DataFrame:
         upper = upper_bound_for_prefix(prefix) if prefix else None
-        snap = self.snapshot(ref, key_lower=prefix or None, key_upper=upper)
+        lower = prefix or None
+        # resume-cursor pushdown: a page after `after` only needs keys
+        # strictly greater, so prune the snapshot read (manifest ranges
+        # + parquet scan) at after+'\x00'. Safe with a delimiter too: a
+        # group whose derived prefix <= after is re-derived from its
+        # remaining members and dropped by the post-fold `key > after`
+        # filter, exactly as with an unpruned scan — but later pages no
+        # longer re-read the whole listed range (the reference's SeekGE
+        # resume, pkg/catalog/entry_listing_iterator.go:70-74).
+        if after and (lower is None or after >= lower):
+            lower = after + "\x00"
+        snap = self.snapshot(ref, key_lower=lower, key_upper=upper)
         return _list_entries(snap, prefix=prefix, after=after, delimiter=delimiter, limit=limit)
 
     def list_page(
