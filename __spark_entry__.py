@@ -1459,6 +1459,62 @@ def q_run_ttl_expiry(spark, sf_dir):
     )
 
 
+_EXPECT_LOG: dict = {}
+
+
+def q_expectation_gate(spark, sf_dir):
+    """Data-quality expectation hooks (storage/expectations.py): all
+    rules evaluated in ONE aggregation pass over the branch's
+    post-commit view at pre-commit; a failing rule vetoes the commit
+    (asserted in-gate: the head does not move). The audit trail of
+    observed values is the query output — fixture-derived, so the
+    oracle recomputes it relationally."""
+    key = (_session_tag(spark), sf_dir)
+    rows = _EXPECT_LOG.get(key)
+    if rows is None:
+        import tempfile
+
+        from lakefs_spark.storage.expectations import Expectation, expectations_hook
+        from lakefs_spark.storage.repo import HookAbortError, Repository
+
+        repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_exp_"))
+        sink: list = []
+        rules = [
+            Expectation("no_negative_size", F.min("size"), lambda v: v is not None and v >= 0),
+            Expectation(
+                "no_duplicate_keys",
+                F.count(F.lit(1)) - F.count_distinct(F.col("key")),
+                lambda v: v == 0,
+            ),
+            Expectation("bounded_object_count", F.count(F.lit(1)), lambda v: v <= 10_000_000),
+        ]
+        repo.on("pre-commit", expectations_hook(rules, results_sink=sink))
+        subset = _snap(spark, sf_dir, "entries").where(
+            F.col("key").startswith(ORC.LIST_PREFIX)
+        )
+        repo.stage_entries("main", subset)
+        c1 = repo.commit("main", "clean subset")
+        # a poisoned row (negative size) must be vetoed pre-commit
+        repo.set_entry(
+            "main", {"key": "tables/zz/bad", "identity": "bad", "size": -1, "etag": "x"}
+        )
+        try:
+            repo.commit("main", "poisoned")
+            raise RuntimeError("expectation hook failed to veto the commit")
+        except HookAbortError:
+            pass
+        if repo.resolve("main").commit_id != c1.commit_id:
+            raise RuntimeError("vetoed commit moved the branch head")
+        rows = [
+            (i + 1, r["event"], r["name"], int(r["observed"]), r["passed"])
+            for i, r in enumerate(sink)
+        ]
+        _EXPECT_LOG[key] = rows
+    return spark.createDataFrame(
+        rows, "pos long, event string, rule string, observed long, passed boolean"
+    )
+
+
 _WEBHOOK_LOG: dict = {}
 
 
@@ -1762,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup_branch": q_point_lookup_branch,
         "list_page_probe": q_list_page_probe,
         "run_ttl_expiry": q_run_ttl_expiry,
+        "expectation_gate": q_expectation_gate,
         "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot,
         "repo_uncommitted_compacted": q_repo_uncommitted_compacted,
         "commit_ordered": q_commit_ordered,

@@ -1620,6 +1620,31 @@ def q_hook_runs() -> str:
     """
 
 
+def q_expectation_gate() -> str:
+    # audit trail of the expectation hook's two evaluations: the clean
+    # subset (all pass, observed = fixture aggregates) and the poisoned
+    # snapshot (negative min size fails; counts gain the staged row)
+    return with_views("entries") + f"""
+    , sub as (select * from entries
+              where key >= '{LIST_PREFIX}' and key < '{LIST_PREFIX_UPPER}')
+    select cast(1 as bigint) as pos, 'pre-commit' as event, 'no_negative_size' as rule,
+           (select cast(min(size) as bigint) from sub) as observed,
+           (select min(size) >= 0 from sub) as passed
+    union all
+    select 2, 'pre-commit', 'no_duplicate_keys', 0, true
+    union all
+    select 3, 'pre-commit', 'bounded_object_count',
+           (select count(*) from sub), true
+    union all
+    select 4, 'pre-commit', 'no_negative_size', -1, false
+    union all
+    select 5, 'pre-commit', 'no_duplicate_keys', 0, true
+    union all
+    select 6, 'pre-commit', 'bounded_object_count',
+           (select count(*) + 1 from sub), true
+    """
+
+
 def q_run_ttl_expiry() -> str:
     # 4 hook runs (pre+post per commit, 2 commits); the cutoff between
     # the two 50ms-separated groups drops exactly the first pair
@@ -1840,6 +1865,7 @@ def all_oracles() -> dict[str, str]:
                 "point_lookup_branch": q_point_lookup_branch(),
                 "list_page_probe": q_list_page_probe(),
                 "run_ttl_expiry": q_run_ttl_expiry(),
+                "expectation_gate": q_expectation_gate(),
                 "pii_counts": q_pii_counts(),
                 "sampling_weights": q_sampling_weights(),
                 "sequence_packing": q_sequence_packing(),

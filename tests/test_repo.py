@@ -1029,3 +1029,37 @@ def test_concurrent_branch_commits_share_range_store(repo, spark):
         changed = {k for k in snap if snap[k] != base[k]}
         assert len(snap) == len(base)
         assert len(changed) == 30, (branch, len(changed))
+
+
+def test_expectations_hook_vetoes_and_audits(spark, tmp_path):
+    """expectations.py: one-pass rule evaluation, veto on failure,
+    audit sink records observed values for every evaluation."""
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.storage.expectations import Expectation, evaluate, expectations_hook
+    from lakefs_spark.storage.repo import HookAbortError, Repository
+
+    repo = Repository.create(spark, str(tmp_path / "exp"))
+    sink = []
+    rules = [
+        Expectation("min_size_ok", F.min("size"), lambda v: v is not None and v >= 0),
+        Expectation("n_bounded", F.count(F.lit(1)), lambda v: v <= 2),
+    ]
+    repo.on("pre-commit", expectations_hook(rules, results_sink=sink))
+    repo.set_entry("main", {"key": "a/1", "identity": "i", "size": 5, "etag": "e"})
+    repo.commit("main", "ok")
+    assert [r["passed"] for r in sink] == [True, True]
+    # third object breaks the bound -> veto, head stays
+    head = repo.resolve("main").commit_id
+    repo.set_entry("main", {"key": "a/2", "identity": "j", "size": 1, "etag": "e"})
+    repo.set_entry("main", {"key": "a/3", "identity": "k", "size": 2, "etag": "e"})
+    try:
+        repo.commit("main", "too many")
+        raise AssertionError("expected veto")
+    except HookAbortError as e:
+        assert "n_bounded" in str(e)
+    assert repo.resolve("main").commit_id == head
+    assert [r["passed"] for r in sink] == [True, True, True, False]
+    # evaluate() alone: one row per rule with observed values
+    res = evaluate(repo.snapshot("main"), rules)
+    assert res[0]["observed"] == 1 and res[1]["observed"] == 3
