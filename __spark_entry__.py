@@ -513,6 +513,24 @@ def q_dedup_clusters(spark, sf_dir):
     return D.duplicate_clusters(pairs)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """The dedup pipeline end-to-end: MinHash candidates -> connected
+    components -> keep-one-per-cluster -> surviving-corpus stats per
+    language. Every stage is its own gated operator; this composes
+    them the way a production pass would run."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    pairs = D.minhash_candidates(docs, num_hashes=32, bands=8)
+    clusters = D.duplicate_clusters(pairs)
+    dropped = clusters.where(F.col("member") != F.col("rep")).select(
+        F.col("member").alias("doc_id")
+    )
+    survivors = docs.join(dropped, "doc_id", "anti")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1763,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "vocab_stats": q_vocab_stats,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "length_percentiles": q_length_percentiles,
         "repetition_scores": q_repetition_scores,
         "pii_counts": q_pii_counts,

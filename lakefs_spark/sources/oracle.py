@@ -513,6 +513,32 @@ def q_dedup_clusters() -> str:
     """
 
 
+def q_dedup_survivors() -> str:
+    # the composed pipeline: candidates -> transitive-closure clusters
+    # -> drop non-representatives -> per-language survivor stats
+    return f"""
+    with recursive {_minhash_ctes()},
+    edges as (
+      select id_a as u, id_b as v from cand
+      union all
+      select id_b, id_a from cand
+    ),
+    reach(node, r) as (
+      select u, u from (select distinct u from edges) n
+      union
+      select e.u, reach.r from edges e join reach on reach.node = e.v
+    ),
+    reps as (select node as member, min(r) as rep from reach group by node),
+    dropped as (select member as doc_id from reps where member <> rep)
+    select lang, cast(count(*) as bigint) as n_docs,
+           cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens
+    from documents d
+    where d.doc_id < 200
+      and not exists (select 1 from dropped x where x.doc_id = d.doc_id)
+    group by lang
+    """
+
+
 def _simhash_body(source: str) -> str:
     """CTE chain computing (doc_id, simhash) over ``source`` — the
     relational restatement of operators/dedup.simhash, shared by the
@@ -1856,6 +1882,7 @@ def all_oracles() -> dict[str, str]:
                 "bpe_token_counts": q_bpe_token_counts(),
                 "vocab_stats": q_vocab_stats(),
                 "dedup_clusters": q_dedup_clusters(),
+                "dedup_survivors": q_dedup_survivors(),
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),
                 "pull_requests": q_pull_requests(),
