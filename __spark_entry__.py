@@ -356,6 +356,55 @@ def q_stratified_sample(spark, sf_dir):
     return P.stratified_sample(_docs(spark, sf_dir), "lang", alpha=0.7, budget=1000)
 
 
+def q_corpus_funnel(spark, sf_dir):
+    """The corpus-prep filter funnel composed end-to-end over the
+    training slice (doc_id < 450): exact length band -> alpha-ratio
+    quality cut -> repetition cut -> benchmark decontamination, with
+    per-stage surviving doc/token counts. Each stage is its own gated
+    operator; thresholds compare the same rounded values on both
+    engines, so the cut is reproducible bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") < 450)
+    qf = TX.quality_features(train).select("doc_id", "alpha_ratio")
+    rep = TX.repetition_scores(train).select("doc_id", "rep_ratio")
+    cont = TX.contamination_scores(
+        train, docs.where(F.col("doc_id") >= 450)
+    ).select("doc_id", "contamination")
+    from lakefs_spark.operators import pipeline as P
+
+    band = P.band_filter(train, "n_chars", 0.05, 0.95).select("doc_id", "in_band")
+    base = (
+        train.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks"))
+        .join(band, "doc_id")
+        .join(qf, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+    )
+    s1 = F.col("in_band")
+    s2 = s1 & (F.col("alpha_ratio") >= 0.75)
+    s3 = s2 & (F.coalesce("rep_ratio", F.lit(0.0)) <= 0.2)
+    s4 = s3 & (F.coalesce("contamination", F.lit(0.0)) <= 0.05)
+    flags = base.select(
+        "n_toks",
+        F.lit(True).alias("s0_all"),
+        s1.alias("s1_length"),
+        s2.alias("s2_quality"),
+        s3.alias("s3_repetition"),
+        s4.alias("s4_decontaminated"),
+    )
+    stages = ["s0_all", "s1_length", "s2_quality", "s3_repetition", "s4_decontaminated"]
+    return flags.agg(
+        *[F.sum(F.when(F.col(s), 1).otherwise(0)).cast("long").alias(f"d_{s}") for s in stages],
+        *[F.sum(F.when(F.col(s), F.col("n_toks")).otherwise(0)).cast("long").alias(f"t_{s}") for s in stages],
+    ).select(
+        F.expr(
+            "stack(5, "
+            + ", ".join(f"'{s}', d_{s}, t_{s}" for s in stages)
+            + ") as (stage, n_docs, n_tokens)"
+        )
+    )
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style duplicate-3gram ratio per document
     (operators/text.repetition_scores)."""
@@ -1782,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "corpus_funnel": q_corpus_funnel,
         "length_percentiles": q_length_percentiles,
         "repetition_scores": q_repetition_scores,
         "pii_counts": q_pii_counts,

@@ -376,6 +376,71 @@ def q_contamination() -> str:
     """
 
 
+def q_corpus_funnel() -> str:
+    # composed funnel over the training slice: each stage's predicate
+    # compares the same ROUNDED values as the individual gated queries
+    stage = (
+        "select '{name}' as stage, cast(count(*) filter (where {cond}) as bigint) as n_docs, "
+        "cast(coalesce(sum(n_toks) filter (where {cond}), 0) as bigint) as n_tokens from flags"
+    )
+    return f"""
+    with t as (
+      select doc_id, text, n_chars,
+             cast(len(string_split(text, ' ')) as bigint) as n_toks
+      from documents where doc_id < 450
+    ),
+    band as (select quantile_cont(n_chars, 0.05) as lo,
+                    quantile_cont(n_chars, 0.95) as hi from t),
+    q as (select doc_id,
+                 round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                       / greatest(length(text), 1), 4) as alpha_ratio
+          from t),
+    base_rep as (select doc_id,
+                        greatest(len(string_split(text, ' ')) - 2, 0) as n_windows
+                 from t),
+    dist as (select doc_id, count(*) as n_distinct
+             from ({_SHINGLE3.format(where="where doc_id < 450")}) s group by doc_id),
+    rep as (select b.doc_id,
+                   case when b.n_windows > 0
+                        then round(1.0 - coalesce(d.n_distinct, 0)
+                                   / cast(b.n_windows as double), 6)
+                        else 0.0 end as rep_ratio
+            from base_rep b left join dist d on d.doc_id = b.doc_id),
+    tr as ({_SHINGLE3.format(where="where doc_id < 450")}),
+    ev as (select distinct shingle
+           from ({_SHINGLE3.format(where="where doc_id >= 450")}) e),
+    totals as (select doc_id, count(*) as n_sh from tr group by doc_id),
+    hits as (select tr.doc_id, count(*) as n_hit from tr
+             where exists (select 1 from ev where ev.shingle = tr.shingle)
+             group by tr.doc_id),
+    cont as (select tt.doc_id,
+                    round(coalesce(h.n_hit, 0) / cast(tt.n_sh as double), 6) as contamination
+             from totals tt left join hits h on h.doc_id = tt.doc_id),
+    flags as (
+      select t.doc_id, t.n_toks,
+             (t.n_chars >= band.lo and t.n_chars <= band.hi) as s1,
+             (t.n_chars >= band.lo and t.n_chars <= band.hi)
+               and q.alpha_ratio >= 0.75 as s2,
+             (t.n_chars >= band.lo and t.n_chars <= band.hi)
+               and q.alpha_ratio >= 0.75
+               and coalesce(rep.rep_ratio, 0.0) <= 0.2 as s3,
+             (t.n_chars >= band.lo and t.n_chars <= band.hi)
+               and q.alpha_ratio >= 0.75
+               and coalesce(rep.rep_ratio, 0.0) <= 0.2
+               and coalesce(cont.contamination, 0.0) <= 0.05 as s4
+      from t cross join band
+      join q on q.doc_id = t.doc_id
+      left join rep on rep.doc_id = t.doc_id
+      left join cont on cont.doc_id = t.doc_id
+    )
+    {stage.format(name="s0_all", cond="true")}
+    union all {stage.format(name="s1_length", cond="s1")}
+    union all {stage.format(name="s2_quality", cond="s2")}
+    union all {stage.format(name="s3_repetition", cond="s3")}
+    union all {stage.format(name="s4_decontaminated", cond="s4")}
+    """
+
+
 def q_length_percentiles() -> str:
     # reuse the lang-id case ladder; quantile_cont == Spark percentile
     # (both exact linear interpolation at index p*(n-1))
@@ -1883,6 +1948,7 @@ def all_oracles() -> dict[str, str]:
                 "vocab_stats": q_vocab_stats(),
                 "dedup_clusters": q_dedup_clusters(),
                 "dedup_survivors": q_dedup_survivors(),
+                "corpus_funnel": q_corpus_funnel(),
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),
                 "pull_requests": q_pull_requests(),
