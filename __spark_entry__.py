@@ -1207,6 +1207,64 @@ def q_tombstone_alert_stream(spark, sf_dir):
     return spark.createDataFrame(rows, "branch string, n_crossings long, threshold long")
 
 
+_STREAM_DEDUP: dict = {}
+
+
+def q_stream_dedup_hashes(spark, sf_dir):
+    """Streaming exact-dedup on ingest (streaming/sensors.
+    first_seen_hashes): documents replayed twice across microbatches
+    (every doc appears in 2 files); per-hash state swallows every
+    occurrence after the first, so the emitted set is exactly the
+    distinct content hashes, invariant to batch order."""
+    key = (_session_tag(spark), sf_dir)
+    rows = _STREAM_DEDUP.get(key)
+    if rows is None:
+        import tempfile
+
+        from lakefs_spark.streaming.sensors import first_seen_hashes
+
+        feed = _docs(spark, sf_dir).select(F.md5("text").alias("fp"))
+        src = tempfile.mkdtemp(prefix="lakefs_sdedup_src_")
+        # two copies of the corpus across 4 files: duplicates both
+        # inside one batch and across batches
+        feed.coalesce(2).write.mode("overwrite").parquet(src)
+        feed.coalesce(2).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        name = f"sdedup_{abs(hash(key)) % (1 << 30)}"
+        q = (
+            first_seen_hashes(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="lakefs_sdedup_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        rows = [(r["fp"],) for r in spark.table(name).collect()]
+        _STREAM_DEDUP[key] = rows
+    return spark.createDataFrame(rows, "fp string")
+
+
+def q_packing_efficiency(spark, sf_dir):
+    """Packing quality per shard: sequences opened and fill efficiency
+    sum(tokens) / (n_seqs * budget) — the metric that tunes shard
+    count and budget before a full-corpus pack."""
+    from lakefs_spark.operators import pipeline as P
+
+    packed = P.pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
+    return packed.groupBy("shard").agg(
+        (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / ((F.max("seq_id") + 1) * 512.0), 6).alias("fill_efficiency"),
+    )
+
+
 def q_repo_uncommitted_compacted(spark, sf_dir):
     """Combined diff on a compacted branch (§2.3;
     pkg/graveler/joined_diff_iterator.go + combined_diff_iterator.go):
@@ -1893,6 +1951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commit_ordered": q_commit_ordered,
         "stream_ingest_snapshot": q_stream_ingest_snapshot,
         "tombstone_alert_stream": q_tombstone_alert_stream,
+        "stream_dedup_hashes": q_stream_dedup_hashes,
+        "packing_efficiency": q_packing_efficiency,
         "repo_commit_snapshot": q_repo_commit_snapshot,
         "repo_revert_snapshot": q_repo_revert_snapshot,
         "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot,

@@ -976,6 +976,38 @@ def q_tombstone_alert_stream() -> str:
     """
 
 
+def q_stream_dedup_hashes() -> str:
+    # the emitted set is exactly the distinct content hashes
+    return "select distinct md5(text) as fp from documents"
+
+
+def q_packing_efficiency() -> str:
+    # extends the greedy-packing replay with per-shard rollup
+    return """
+    with recursive d as (
+      select doc_id, doc_id % 8 as shard,
+             cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+             row_number() over (partition by doc_id % 8 order by doc_id) as rn
+      from documents
+    ),
+    acc as (
+      select shard, rn, doc_id, n_tokens, n_tokens as seq_fill, cast(0 as bigint) as seq_id
+      from d where rn = 1
+      union all
+      select d.shard, d.rn, d.doc_id, d.n_tokens,
+             case when a.seq_fill + d.n_tokens > 512 then d.n_tokens
+                  else a.seq_fill + d.n_tokens end,
+             case when a.seq_fill + d.n_tokens > 512 then a.seq_id + 1 else a.seq_id end
+      from acc a join d on d.shard = a.shard and d.rn = a.rn + 1
+    )
+    select cast(shard as bigint) as shard,
+           cast(max(seq_id) + 1 as bigint) as n_seqs,
+           cast(sum(n_tokens) as bigint) as total_tokens,
+           round(sum(n_tokens) / ((max(seq_id) + 1) * 512.0), 6) as fill_efficiency
+    from acc group by shard
+    """
+
+
 def q_delta_log_actions() -> str:
     # the written log's add actions restated: one per object, size
     # coalesced to 0 (export.py add-action construction)
@@ -2013,6 +2045,8 @@ def all_oracles() -> dict[str, str]:
                 "commit_ordered": q_commit_ordered(),
                 "stream_ingest_snapshot": q_stream_ingest_snapshot(),
                 "tombstone_alert_stream": q_tombstone_alert_stream(),
+                "stream_dedup_hashes": q_stream_dedup_hashes(),
+                "packing_efficiency": q_packing_efficiency(),
                 "repo_commit_snapshot": q_repo_commit_snapshot(),
                 "repo_revert_snapshot": q_repo_revert_snapshot(),
                 "repo_cherry_pick_snapshot": q_repo_cherry_pick_snapshot(),

@@ -71,3 +71,36 @@ def tombstone_alerts(changes: DataFrame, threshold: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def first_seen_hashes(changes: DataFrame, hash_col: str = "fp") -> DataFrame:
+    """Streaming exact-dedup: emit each content hash the first time it
+    is seen across the whole stream; later occurrences (any batch) are
+    swallowed by the per-hash state.
+
+    The dedup-on-ingest pattern for a training pipeline: the emitted
+    stream is the deduplicated corpus feed. State per distinct hash is
+    one counter (bytes); the emitted SET is batch-order-invariant —
+    exactly the distinct hashes — which is what the driver oracle
+    checks.
+    """
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (fp,) = key
+        seen = state.get[0] if state.exists else 0
+        n = seen
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        if seen == 0 and n > 0:
+            yield pd.DataFrame({"fp": [fp]})
+
+    return changes.groupBy(hash_col).applyInPandasWithState(
+        _update,
+        outputStructType="fp string",
+        stateStructType="cnt long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
