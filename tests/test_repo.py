@@ -1063,3 +1063,32 @@ def test_expectations_hook_vetoes_and_audits(spark, tmp_path):
     # evaluate() alone: one row per rule with observed values
     res = evaluate(repo.snapshot("main"), rules)
     assert res[0]["observed"] == 1 and res[1]["observed"] == 3
+
+
+def test_branch_protection_blocks_staging_and_commit_but_not_merge(spark, tmp_path):
+    """protection_manager.go semantics: staging_write and commit are
+    blocked on a protected branch; merging INTO it stays allowed."""
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.storage.repo import ProtectedBranchError, Repository
+
+    repo = Repository.create(spark, str(tmp_path / "prot"))
+    repo.set_entry("main", {"key": "a/1", "identity": "i", "size": 1, "etag": "e"})
+    repo.commit("main", "base")
+    repo.create_branch("work", "main")
+    repo.protect_branch("main")
+    for op in (
+        lambda: repo.set_entry("main", {"key": "a/2", "identity": "j", "size": 1, "etag": "e"}),
+        lambda: repo.stage_deletes("main", spark.createDataFrame([("a/1",)], "key string")),
+        lambda: repo.commit("main", "direct", allow_empty=True),
+    ):
+        try:
+            op()
+            raise AssertionError("protected branch accepted a blocked op")
+        except ProtectedBranchError:
+            pass
+    # the PR path: stage+commit on work, merge into protected main
+    repo.set_entry("work", {"key": "a/2", "identity": "j", "size": 2, "etag": "e2"})
+    repo.commit("work", "feature")
+    repo.merge("work", "main")
+    assert repo.get("main", "a/2")["identity"] == "j"
