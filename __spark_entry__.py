@@ -1150,6 +1150,74 @@ def q_stream_ingest_snapshot(spark, sf_dir):
     return repo.snapshot("main").select("key", "identity", "size", "etag")
 
 
+_SRC_DIRS: dict = {}
+
+
+def _src_dir(spark, sf_dir, fmt):
+    """Materialize the documents table once per (session, sf, format)
+    for source-format round-trip gates; written single-file so DuckDB
+    reads the identical bytes."""
+    key = (_session_tag(spark), sf_dir, fmt)
+    d = _SRC_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"lakefs_src_{fmt}_")
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+        w = docs.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).csv(d)
+        elif fmt == "json":
+            w.json(d)
+        _SRC_DIRS[key] = d
+    return d
+
+
+def q_csv_source(spark, sf_dir):
+    """CSV source round-trip: the engine reads back a CSV export of
+    the documents table with an explicit schema; the oracle reads the
+    same files via read_csv. Spark-side: header + schema, no
+    inference job at scale."""
+    d = _src_dir(spark, sf_dir, "csv")
+    return (
+        spark.read.schema("doc_id long, lang string, text string")
+        .option("header", True)
+        .csv(d)
+    )
+
+
+def q_json_source(spark, sf_dir):
+    """JSON-lines source round-trip (schema supplied, no inference)."""
+    d = _src_dir(spark, sf_dir, "json")
+    return spark.read.schema("doc_id long, lang string, text string").json(d)
+
+
+def q_binary_file_source(spark, sf_dir):
+    """binaryFile source: ingest opaque objects (the media/object
+    ingestion path) — one row per file with length and payload md5;
+    the oracle reads the same bytes via read_blob."""
+    import os as _os
+
+    key = (_session_tag(spark), sf_dir, "bin")
+    d = _SRC_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="lakefs_src_bin_")
+        for r in (
+            _docs(spark, sf_dir).where(F.col("doc_id") < 20).select("doc_id", "text").collect()
+        ):
+            with open(_os.path.join(d, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
+                f.write(r["text"].encode())
+        _SRC_DIRS[key] = d
+    bf = spark.read.format("binaryFile").load(d)
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("payload_md5"),
+    )
+
+
 _SENSOR_ALERTS: dict = {}
 
 
@@ -1952,6 +2020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_snapshot": q_stream_ingest_snapshot,
         "tombstone_alert_stream": q_tombstone_alert_stream,
         "stream_dedup_hashes": q_stream_dedup_hashes,
+        "csv_source": q_csv_source,
+        "json_source": q_json_source,
+        "binary_file_source": q_binary_file_source,
         "packing_efficiency": q_packing_efficiency,
         "repo_commit_snapshot": q_repo_commit_snapshot,
         "repo_revert_snapshot": q_repo_revert_snapshot,

@@ -976,6 +976,26 @@ def q_tombstone_alert_stream() -> str:
     """
 
 
+def q_csv_source() -> str:
+    # round-trip contract: the CSV export + schema-read reproduces the
+    # table byte-for-byte (no inference, no loss)
+    return "select doc_id, lang, text from documents"
+
+
+def q_json_source() -> str:
+    return "select doc_id, lang, text from documents"
+
+
+def q_binary_file_source() -> str:
+    # binaryFile ingestion of opaque objects: name, size, payload md5
+    return """
+    select concat('doc_', lpad(cast(doc_id as varchar), 5, '0'), '.bin') as name,
+           cast(length(text) as bigint) as n_bytes,
+           md5(text) as payload_md5
+    from documents where doc_id < 20
+    """
+
+
 def q_stream_dedup_hashes() -> str:
     # the emitted set is exactly the distinct content hashes
     return "select distinct md5(text) as fp from documents"
@@ -2046,6 +2066,9 @@ def all_oracles() -> dict[str, str]:
                 "stream_ingest_snapshot": q_stream_ingest_snapshot(),
                 "tombstone_alert_stream": q_tombstone_alert_stream(),
                 "stream_dedup_hashes": q_stream_dedup_hashes(),
+                "csv_source": q_csv_source(),
+                "json_source": q_json_source(),
+                "binary_file_source": q_binary_file_source(),
                 "packing_efficiency": q_packing_efficiency(),
                 "repo_commit_snapshot": q_repo_commit_snapshot(),
                 "repo_revert_snapshot": q_repo_revert_snapshot(),
