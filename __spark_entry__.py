@@ -553,13 +553,30 @@ def q_minhash_candidates(spark, sf_dir):
     return D.minhash_candidates(docs, num_hashes=32, bands=8)
 
 
+_CLUSTERS_CACHE: dict = {}
+
+
+def _dedup_clusters_rows(spark, sf_dir):
+    """Materialized (member, rep) clusters, computed once per session:
+    the label-propagation loop is iterative, so both consumers
+    (clusters + survivors) share one run."""
+    key = (_session_tag(spark), sf_dir)
+    rows = _CLUSTERS_CACHE.get(key)
+    if rows is None:
+        docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+        pairs = D.minhash_candidates(docs, num_hashes=32, bands=8)
+        rows = [(r["member"], r["rep"]) for r in D.duplicate_clusters(pairs).collect()]
+        _CLUSTERS_CACHE[key] = rows
+    return rows
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the MinHash candidate pairs
     (operators/dedup.duplicate_clusters): (member, rep=min id) — the
     keep-one step; oracle = recursive transitive-closure min."""
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    pairs = D.minhash_candidates(docs, num_hashes=32, bands=8)
-    return D.duplicate_clusters(pairs)
+    return spark.createDataFrame(
+        _dedup_clusters_rows(spark, sf_dir), "member long, rep long"
+    )
 
 
 def q_dedup_survivors(spark, sf_dir):
@@ -568,8 +585,9 @@ def q_dedup_survivors(spark, sf_dir):
     language. Every stage is its own gated operator; this composes
     them the way a production pass would run."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    pairs = D.minhash_candidates(docs, num_hashes=32, bands=8)
-    clusters = D.duplicate_clusters(pairs)
+    clusters = spark.createDataFrame(
+        _dedup_clusters_rows(spark, sf_dir), "member long, rep long"
+    )
     dropped = clusters.where(F.col("member") != F.col("rep")).select(
         F.col("member").alias("doc_id")
     )
