@@ -1950,7 +1950,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_merge_result_src(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every oracle-checked operator query, one callable per operator.
+
+    The driver contract exposes only the 50-slot layout built by
+    ``queries()`` (see lakefs_spark/gatespec.py); the full per-operator
+    set stays available here for tests and direct use.
+    """
     return {
         "snapshot_listing": q_snapshot_listing,
         "list_prefix_page": q_list_prefix_page,
@@ -2060,6 +2066,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "media_features": q_media_features,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract: exactly 50 entries (the driver grades the first
+    50 in dict order). Flagship operators keep solo entries; the rest
+    are folded into combined gates — tagged unions canonicalized to
+    (gate, row_repr) on both engines (lakefs_spark/gatespec.py)."""
+    from lakefs_spark import gatespec as GS
+
+    parts = part_queries()
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: parts[name] for name in GS.SOLO
+    }
+    for gate, members in GS.GATES.items():
+        out[gate] = (
+            lambda spark, sf_dir, _m=members: GS.spark_gate(
+                spark, sf_dir, _m, GS.COLSPECS, parts
+            )
+        )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1971,11 +1971,26 @@ def q_length_band_filter() -> str:
 
 
 ORACLES: dict[str, str] = {}
+PART_ORACLES: dict[str, str] = {}
 
 
 def all_oracles() -> dict[str, str]:
+    """Driver contract: one oracle per queries() entry — solo oracles
+    pass through; gate oracles are the tagged UNION ALL of their parts
+    canonicalized to (gate, row_repr) (lakefs_spark/gatespec.py)."""
+    from lakefs_spark import gatespec as GS
+
+    parts = part_oracles()
     if not ORACLES:
-        ORACLES.update(
+        ORACLES.update({name: parts[name] for name in GS.SOLO})
+        for gate, members in GS.GATES.items():
+            ORACLES[gate] = GS.oracle_gate(members, GS.COLSPECS, parts)
+    return dict(ORACLES)
+
+
+def part_oracles() -> dict[str, str]:
+    if not PART_ORACLES:
+        PART_ORACLES.update(
             {
                 "snapshot_listing": q_snapshot_listing(),
                 "list_prefix_page": q_list_prefix_page(),
@@ -2085,4 +2100,4 @@ def all_oracles() -> dict[str, str]:
                 "uncommitted_addresses": q_uncommitted_addresses(),
             }
         )
-    return dict(ORACLES)
+    return dict(PART_ORACLES)
