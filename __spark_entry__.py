@@ -1101,7 +1101,15 @@ def _e2e_merge_repo(spark, sf_dir):
         _restage_to(repo, "src", base, _snap(spark, sf_dir, "merge_source"), "to source")
         repo.create_branch("dst", "main")
         _restage_to(repo, "dst", base, _snap(spark, sf_dir, "merge_dest"), "to dest")
+        repo.create_branch("dsq", "dst")  # pre-merge dest, for the squash variant
         repo.merge("src", "dst", strategy="src")
+        # squash merge: same snapshot, single-parent commit
+        sq = repo.merge("src", "dsq", strategy="src", squash=True)
+        if len(repo.commits.get(sq.commit_id).parents) != 1:
+            raise RuntimeError("squash merge must produce a single-parent commit")
+        # revert the merge commit w.r.t. its first (dest) parent
+        repo.create_branch("rvm", "dst")
+        repo.revert("rvm", "rvm", parent_number=1)
         _E2E_MERGE[key] = repo
     return repo
 
@@ -1942,6 +1950,46 @@ def q_s3_list_pages(spark, sf_dir):
     )
 
 
+def q_s3_list_v1_pages(spark, sf_dir):
+    """S3-gateway ListObjects V1 (marker/NextMarker) paging on the real
+    Repository (pkg/gateway/operations/listobjects.go:236-360): each
+    page records the marker it resumed from; NextMarker = last emitted
+    key feeds the next page verbatim."""
+    from lakefs_spark.catalog import Catalog
+
+    repo = _e2e_repo(spark, sf_dir)
+    cat = Catalog(repo)
+    rows = []
+    marker, page = "", 0
+    while True:
+        resp = cat.list_objects_v1("main", prefix="tables/", max_keys=3000, marker=marker)
+        for f in resp["Contents"]:
+            rows.append(("v1", page, f["Key"], marker, resp["IsTruncated"]))
+        if not resp["IsTruncated"]:
+            break
+        marker = resp["NextMarker"]
+        page += 1
+    return spark.createDataFrame(
+        rows, "mode string, page long, key string, marker string, is_truncated boolean"
+    )
+
+
+def q_repo_squash_merge_snapshot(spark, sf_dir):
+    """Squash merge (graveler.go:3192, SquashMerge): same merged
+    snapshot as the 2-parent merge, but the result commit has exactly
+    one parent — asserted in-build so a regression turns the gate red."""
+    repo = _e2e_merge_repo(spark, sf_dir)
+    return repo.snapshot("dsq").select("key", "identity", "size", "etag")
+
+
+def q_repo_revert_merge_snapshot(spark, sf_dir):
+    """Revert of a merge commit with parent_number=1
+    (graveler.go:2829-2960): applying the inverse of the merge relative
+    to its first (dest) parent restores the pre-merge dest snapshot."""
+    repo = _e2e_merge_repo(spark, sf_dir)
+    return repo.snapshot("rvm").select("key", "identity", "size", "etag")
+
+
 # -- driver contract -------------------------------------------------------
 
 
@@ -2030,6 +2078,9 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_commits": q_active_commits,
         "walker_entries": q_walker_entries,
         "s3_list_pages": q_s3_list_pages,
+        "s3_list_v1_pages": q_s3_list_v1_pages,
+        "repo_squash_merge_snapshot": q_repo_squash_merge_snapshot,
+        "repo_revert_merge_snapshot": q_repo_revert_merge_snapshot,
         "pull_requests": q_pull_requests,
         "branch_listing": q_branch_listing,
         "hook_runs": q_hook_runs,

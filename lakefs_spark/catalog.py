@@ -158,6 +158,49 @@ class Catalog:
             resp["NextContinuationToken"] = rows[-1]["key"]
         return resp
 
+    def list_objects_v1(
+        self,
+        ref: str,
+        prefix: str = "",
+        delimiter: str = "",
+        max_keys: int = 1000,
+        marker: str = "",
+    ) -> dict:
+        """S3-gateway ListObjects (V1) envelope
+        (pkg/gateway/operations/listobjects.go:236-360): the resume
+        cursor is ``marker`` (a key, exclusive); when the page is
+        truncated the response carries ``NextMarker`` = last emitted
+        item, which the next call passes back verbatim."""
+        rows, has_more = self.repo.list_page(
+            ref, prefix=prefix, after=marker, delimiter=delimiter, amount=max_keys
+        )
+        dirs = [{"Prefix": r["key"]} for r in rows if r["is_common_prefix"]]
+        files = [
+            {
+                "Key": r["key"],
+                "Size": r["size"],
+                "ETag": r["etag"],
+                "LastModified": r["last_modified"],
+                "StorageClass": "STANDARD",
+            }
+            for r in rows
+            if not r["is_common_prefix"]
+        ]
+        resp = {
+            "Name": self.repo.root,
+            "Prefix": prefix,
+            "Delimiter": delimiter,
+            "Marker": marker,
+            "MaxKeys": max_keys,
+            "CommonPrefixes": dirs,
+            "Contents": files,
+            "IsTruncated": False,
+        }
+        if has_more and rows:
+            resp["IsTruncated"] = True
+            resp["NextMarker"] = rows[-1]["key"]
+        return resp
+
     def stat_object(self, ref: str, path: str):
         """Entry row for ``path`` or None (statObject 404)."""
         return self.repo.get(ref, path)

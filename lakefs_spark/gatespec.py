@@ -58,11 +58,16 @@ GATES: dict[str, list[str]] = {
     "point_lookup_gates": ["point_lookup", "point_lookup_branch"],
     "repo_condset_copy": ["repo_conditional_set_snapshot", "repo_copy_entry_snapshot"],
     "repo_compact_gates": ["repo_compact_snapshot", "repo_uncommitted_compacted"],
-    "repo_restore_log": ["repo_restore_snapshot", "repo_log_paths"],
+    "repo_lifecycle_extras": [
+        "repo_restore_snapshot",
+        "repo_log_paths",
+        "repo_squash_merge_snapshot",
+        "repo_revert_merge_snapshot",
+    ],
     "stream_ops": ["stream_dedup_hashes", "tombstone_alert_stream"],
     "manifest_exports": ["symlink_manifest", "hive_partitions"],
     "export_payloads": ["delta_log_actions", "glue_partition_batches", "unity_table_payload"],
-    "external_listing_gates": ["s3_list_pages", "walker_entries"],
+    "external_listing_gates": ["s3_list_pages", "s3_list_v1_pages", "walker_entries"],
     "governance_objects": ["pull_requests", "branch_listing"],
     "hook_gates": ["hook_runs", "webhook_deliveries", "run_ttl_expiry", "expectation_gate"],
     "event_windows_extra": ["sliding_event_counts", "event_time_rollup"],
@@ -277,6 +282,9 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "repo_uncommitted_compacted": [("key", "string"), ("diff_type", "string"), ("identity", "string")],
     "run_ttl_expiry": [("n_before", "bigint"), ("n_dropped", "bigint"), ("n_after", "bigint"), ("newest_group_kept", "boolean")],
     "s3_list_pages": [("mode", "string"), ("page", "bigint"), ("key", "string"), ("is_common_prefix", "boolean"), ("is_truncated", "boolean")],
+    "s3_list_v1_pages": [("mode", "string"), ("page", "bigint"), ("key", "string"), ("marker", "string"), ("is_truncated", "boolean")],
+    "repo_squash_merge_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
+    "repo_revert_merge_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "sampling_weights": [("lang", "string"), ("n_docs", "bigint"), ("weight", "double"), ("budget_docs", "bigint")],
     "sequence_packing": [("doc_id", "bigint"), ("shard", "bigint"), ("n_tokens", "bigint"), ("seq_id", "bigint"), ("seq_fill", "bigint")],
     "session_event_stats": [("user_id", "bigint"), ("session_start_s", "bigint"), ("session_end_s", "bigint"), ("n_events", "bigint"), ("total_value", "double")],

@@ -1970,6 +1970,38 @@ def q_length_band_filter() -> str:
     """
 
 
+
+def q_s3_list_v1_pages() -> str:
+    # V1 marker paging: 3000-key lexicographic pages over the active
+    # overlay; each row carries the marker its page resumed from (the
+    # last key of the previous page) and the page's IsTruncated flag
+    return with_views("entries", "staged_active") + f"""
+    , snap as ({_active_overlay()}),
+    flat as (
+      select key, row_number() over (order by key) as rn,
+             count(*) over () as total
+      from snap where key like 'tables/%'
+    )
+    select 'v1' as mode,
+           cast(floor((rn - 1) / 3000) as bigint) as page,
+           key,
+           coalesce((select max(f2.key) from flat f2
+                     where f2.rn <= cast(floor((f1.rn - 1) / 3000) as bigint) * 3000), '') as marker,
+           ((cast(floor((rn - 1) / 3000) as bigint) + 1) * 3000 < total) as is_truncated
+    from flat f1
+    """
+
+
+def q_repo_squash_merge_snapshot() -> str:
+    return with_views("merge_base", "merge_source", "merge_dest") + merged_snapshot_sql(
+        "merge_base", "merge_source", "merge_dest", "src"
+    )
+
+
+def q_repo_revert_merge_snapshot() -> str:
+    return with_views("merge_dest") + "select key, identity, size, etag from merge_dest"
+
+
 ORACLES: dict[str, str] = {}
 PART_ORACLES: dict[str, str] = {}
 
@@ -2075,6 +2107,9 @@ def part_oracles() -> dict[str, str]:
                 "active_commits": q_active_commits(),
                 "walker_entries": q_walker_entries(),
                 "s3_list_pages": q_s3_list_pages(),
+                "s3_list_v1_pages": q_s3_list_v1_pages(),
+                "repo_squash_merge_snapshot": q_repo_squash_merge_snapshot(),
+                "repo_revert_merge_snapshot": q_repo_revert_merge_snapshot(),
                 "repo_copy_entry_snapshot": q_repo_copy_entry_snapshot(),
                 "repo_uncommitted_compacted": q_repo_uncommitted_compacted(),
                 "commit_ordered": q_commit_ordered(),
