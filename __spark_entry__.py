@@ -548,6 +548,22 @@ def q_kmeans_codebook(spark, sf_dir):
     return spark.createDataFrame(rows, "cid long, dim long, val double")
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding: 4 subspaces x deterministic
+    per-subspace codebooks; one (vec_id, m, code) row per subspace.
+    Codes compress 64 float32 dims to 4 small ints — the 100 TB
+    memory story for embedding search (see operators/similarity.py)."""
+    return SIM.pq_codes(_embeddings(spark, sf_dir))
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ/ADC approximate top-k: per-query distance tables over the
+    subspace codebooks, fixed-order summed lookups over the codes."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8)
+    return SIM.pq_topk(q, emb)
+
+
 def q_minhash_candidates(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return D.minhash_candidates(docs, num_hashes=32, bands=8)
@@ -2050,6 +2066,8 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": q_near_dup_embeddings,
         "ivf_topk": q_ivf_topk,
         "kmeans_codebook": q_kmeans_codebook,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
         "import_prefix_replace": q_import_prefix_replace,
         "symlink_manifest": q_symlink_manifest,
         "hive_partitions": q_hive_partitions,

@@ -100,7 +100,15 @@ GATES: dict[str, list[str]] = {
         "boilerplate_strip",
         "length_band_filter",
     ],
-    "ann_gates": ["ann_topk", "ann_recall", "lsh_topk", "ivf_topk", "kmeans_codebook"],
+    "ann_gates": [
+        "ann_topk",
+        "ann_recall",
+        "lsh_topk",
+        "ivf_topk",
+        "kmeans_codebook",
+        "pq_codes",
+        "pq_topk",
+    ],
     "embedding_dup_gates": ["cosine_pairs", "near_dup_embeddings"],
     "media_gates": ["media_frame_sample", "media_features", "media_resize"],
     "source_formats": ["csv_source", "json_source", "binary_file_source"],
@@ -237,6 +245,8 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "ivf_topk": [("qa", "bigint"), ("qb", "bigint")],
     "json_source": [("doc_id", "bigint"), ("lang", "string"), ("text", "string")],
     "kmeans_codebook": [("cid", "bigint"), ("dim", "bigint"), ("val", "double")],
+    "pq_codes": [("vec_id", "bigint"), ("m", "bigint"), ("code", "bigint")],
+    "pq_topk": [("qa", "bigint"), ("qb", "bigint")],
     "label_centroids": [("label", "bigint"), ("dim", "bigint"), ("centroid", "double"), ("n_vectors", "bigint")],
     "lang_id": [("doc_id", "bigint"), ("lang_pred", "string")],
     "length_band_filter": [("doc_id", "bigint"), ("value", "bigint"), ("q_lo", "double"), ("q_hi", "double"), ("in_band", "boolean")],

@@ -300,3 +300,163 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = 
             F.col("n").cast("long").alias("n_vectors"),
         )
     )
+
+
+# -- product quantization ---------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    dim: int = 64,
+    centroid_mod: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search"): the dim axis is split into ``n_sub``
+    contiguous subspaces; each subspace gets its own codebook. Init is
+    the engine's deterministic rule (every ``centroid_mod``-th vector's
+    subvector — the same seeding kmeans_codebook/ivf_topk use), so both
+    engines derive identical codebooks with no RNG."""
+    d0 = dim // n_sub
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.where(F.col(id_col) % centroid_mod == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return {
+        m: [(cid, vec[m * d0 : (m + 1) * d0]) for cid, vec in rows] for m in range(n_sub)
+    }
+
+
+def _fold_l2_assignment(subvec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """argmin_c ||v - c||^2 == argmax_c dot(v,c) - ||c||^2/2, folded
+    into ONE JVM projection; strictly-greater replacement == tie -> min
+    cid. ||c||^2/2 is a Python-computed literal (sequential sum, the
+    same add order the oracle's SQL sum uses)."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(x) for x in v]).alias("cv"),
+                F.lit(sum(x * x for x in v) / 2.0).alias("h"),
+            )
+            for cid, v in cents
+        ]
+    )
+    return F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(-1).cast("long").alias("cid"),
+            F.lit(float("-inf")).cast("double").alias("s"),
+        ),
+        lambda acc, c: F.when(
+            _dot(subvec, c["cv"]) - c["h"] > acc["s"],
+            F.struct(c["cid"].alias("cid"), (_dot(subvec, c["cv"]) - c["h"]).alias("s")),
+        ).otherwise(acc),
+    )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    dim: int = 64,
+    centroid_mod: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: one (id, m, code) row per vector and subspace.
+
+    Scale shape: ONE shuffle-free scan — per row, n_sub folded argmin
+    projections over the broadcast codebooks (K*n_sub literals), then a
+    posexplode to long form. A 64-dim vector compresses to n_sub bytes
+    of codes; at 1e9 vectors the codes table is ~4 GB vs 256 GB of
+    float32 — the whole point of PQ at 100 TB."""
+    books = pq_codebooks(corpus, n_sub, dim, centroid_mod, id_col, vec_col)
+    d0 = dim // n_sub
+    per_m = F.array(
+        *[
+            _fold_l2_assignment(
+                F.slice(F.col(vec_col), m * d0 + 1, d0), books[m]
+            )["cid"]
+            for m in range(n_sub)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col).cast("long").alias(id_col), F.posexplode(per_m).alias("m", "code")
+    ).select(id_col, F.col("m").cast("long").alias("m"), "code")
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_sub: int = 4,
+    dim: int = 64,
+    centroid_mod: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k: per query, a distance table to every
+    (subspace, centroid) is computed driver-side (K*n_sub*|Q| scalars),
+    broadcast as map literals, and each corpus vector's score is the
+    FIXED-ORDER sum of its n_sub table lookups — so both engines add
+    the same doubles in the same order (bitwise-stable ranking).
+
+    Scale shape: the corpus side never leaves the executors and reads
+    only the codes projection (one scan, no shuffle before the
+    per-query top-k); query count and codebook size bound the broadcast.
+    This is the ADC search loop of an IVFPQ index, minus the coarse
+    IVF routing already shown in ivf_topk."""
+    books = pq_codebooks(corpus, n_sub, dim, centroid_mod, id_col, vec_col)
+    d0 = dim // n_sub
+    qrows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    # distance tables: t[qa][m][cid] = dot(q_m, c_m) - ||c_m||^2/2
+    # (monotone in -||q_m - c_m||^2; the dropped ||q_m||^2 is constant
+    # per (qa, m) so the argsort is unchanged)
+    tables: dict[int, list] = {}
+    for qa, qv in qrows:
+        per_sub = []
+        for m in range(n_sub):
+            qsub = qv[m * d0 : (m + 1) * d0]
+            ent = {}
+            for cid, cv in books[m]:
+                s = 0.0
+                for a, b in zip(qsub, cv):
+                    s += a * b
+                ent[cid] = s - sum(x * x for x in cv) / 2.0
+            per_sub.append(ent)
+        tables[qa] = per_sub
+
+    codes = pq_codes(corpus, n_sub, dim, centroid_mod, id_col, vec_col)
+    wide = codes.groupBy(id_col).pivot("m", list(range(n_sub))).agg(F.first("code"))
+    score_structs = []
+    for qa, per_sub in tables.items():
+        terms = None
+        for m in range(n_sub):
+            lut = F.create_map(
+                *[F.lit(v) for cid, s in sorted(per_sub[m].items()) for v in (cid, s)]
+            )
+            term = lut[F.col(str(m))]
+            terms = term if terms is None else terms + term
+        score_structs.append(
+            F.struct(F.lit(qa).cast("long").alias("qa"), terms.alias("score"))
+        )
+    scored = (
+        wide.select(
+            F.col(id_col).alias("qb"), F.explode(F.array(*score_structs)).alias("qs")
+        )
+        .select("qb", F.col("qs.qa").alias("qa"), F.col("qs.score").alias("score"))
+        .where(F.col("qa") != F.col("qb"))
+    )
+    wk = Window.partitionBy("qa").orderBy(F.col("score").desc(), F.col("qb").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("qa", "qb")
+    )

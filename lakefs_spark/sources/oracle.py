@@ -2002,6 +2002,98 @@ def q_repo_revert_merge_snapshot() -> str:
     return with_views("merge_dest") + "select key, identity, size, etag from merge_dest"
 
 
+
+def q_pq_codes() -> str:
+    # PQ encode restated relationally: per (vector, subspace), code =
+    # argmax_c dot(v_m, c_m) - ||c_m||^2/2 (== argmin L2), tie -> min
+    # cid; codebook = every 20th vector's subvectors (deterministic)
+    return """
+    with cb as (
+      select vec_id as cid,
+             cast(floor((r.j - 1) / 16) as bigint) as m,
+             r.j as j,
+             cast(embedding[r.j] as double) as val
+      from embeddings cross join range(1, 65) r(j)
+      where vec_id % 20 = 0
+    ),
+    cnorm as (select m, cid, sum(val * val) / 2.0 as h from cb group by m, cid),
+    scores as (
+      select e.vec_id, cb.m, cb.cid,
+             sum(cast(e.embedding[cb.j] as double) * cb.val) as dot
+      from embeddings e join cb on true
+      group by e.vec_id, cb.m, cb.cid
+    ),
+    best as (
+      select vec_id, m, cid from (
+        select s.vec_id, s.m, s.cid,
+               row_number() over (partition by s.vec_id, s.m
+                                  order by s.dot - n.h desc, s.cid) as rn
+        from scores s join cnorm n on n.m = s.m and n.cid = s.cid
+      ) t where rn = 1
+    )
+    select vec_id, m, cid as code from best
+    """
+
+
+def q_pq_topk() -> str:
+    # ADC search: per-query (m, cid) distance tables, score = fixed
+    # left-assoc sum of the 4 table lookups along each vector's codes
+    return """
+    with cb as (
+      select vec_id as cid,
+             cast(floor((r.j - 1) / 16) as bigint) as m,
+             r.j as j,
+             cast(embedding[r.j] as double) as val
+      from embeddings cross join range(1, 65) r(j)
+      where vec_id % 20 = 0
+    ),
+    cnorm as (select m, cid, sum(val * val) / 2.0 as h from cb group by m, cid),
+    scores as (
+      select e.vec_id, cb.m, cb.cid,
+             sum(cast(e.embedding[cb.j] as double) * cb.val) as dot
+      from embeddings e join cb on true
+      group by e.vec_id, cb.m, cb.cid
+    ),
+    best as (
+      select vec_id, m, cid from (
+        select s.vec_id, s.m, s.cid,
+               row_number() over (partition by s.vec_id, s.m
+                                  order by s.dot - n.h desc, s.cid) as rn
+        from scores s join cnorm n on n.m = s.m and n.cid = s.cid
+      ) t where rn = 1
+    ),
+    c0 as (select vec_id, cid as code from best where m = 0),
+    c1 as (select vec_id, cid as code from best where m = 1),
+    c2 as (select vec_id, cid as code from best where m = 2),
+    c3 as (select vec_id, cid as code from best where m = 3),
+    qtab as (
+      select q.vec_id as qa, cb.m, cb.cid,
+             sum(cast(q.embedding[cb.j] as double) * cb.val) as dot
+      from embeddings q join cb on true
+      where q.vec_id < 8
+      group by q.vec_id, cb.m, cb.cid
+    ),
+    qs as (
+      select qa, m, cid, qtab.dot - n.h as s
+      from qtab join cnorm n using (m, cid)
+    ),
+    adc as (
+      select t0.qa, c0.vec_id as qb, t0.s + t1.s + t2.s + t3.s as score
+      from c0
+      join c1 on c1.vec_id = c0.vec_id
+      join c2 on c2.vec_id = c0.vec_id
+      join c3 on c3.vec_id = c0.vec_id
+      join qs t0 on t0.m = 0 and t0.cid = c0.code
+      join qs t1 on t1.m = 1 and t1.cid = c1.code and t1.qa = t0.qa
+      join qs t2 on t2.m = 2 and t2.cid = c2.code and t2.qa = t0.qa
+      join qs t3 on t3.m = 3 and t3.cid = c3.code and t3.qa = t0.qa
+      where t0.qa <> c0.vec_id
+    )
+    select qa, qb from adc
+    qualify row_number() over (partition by qa order by score desc, qb) <= 5
+    """
+
+
 ORACLES: dict[str, str] = {}
 PART_ORACLES: dict[str, str] = {}
 
@@ -2076,6 +2168,8 @@ def part_oracles() -> dict[str, str]:
                 "near_dup_embeddings": q_near_dup_embeddings(),
                 "ivf_topk": q_ivf_topk(),
                 "kmeans_codebook": q_kmeans_codebook(),
+                "pq_codes": q_pq_codes(),
+                "pq_topk": q_pq_topk(),
                 "ann_topk": q_ann_topk(),
                 "ann_recall": q_ann_recall(),
                 "lsh_topk": q_lsh_topk(),
