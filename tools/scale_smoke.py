@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scale smoke: run the B1/B3/B4/B7 shapes at REPLICAS x the bench
+scale point (default 10x = ~6M entries) and print per-op seconds next
+to the 1x numbers, to measure how the engine's costs actually grow.
+
+What linearity demonstrates (and what the design predicts):
+- import+commit: range writes are one shuffle + native parquet; cost
+  ~O(entries).
+- diff 1%: manifest pruning keeps the scan to changed ranges; the
+  changed-range count grows with the change set, not the repo.
+- merge 1%: COW apply rewrites only touched ranges; with uniformly
+  random keys every range is touched, so this is the worst case.
+- gc mark: two anti-joins over the address set, ~O(addresses).
+
+Usage: python tools/scale_smoke.py [REPLICAS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.session import get_spark
+    from lakefs_spark.storage.repo import Repository
+
+    spark = get_spark("scale_smoke")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.createOrReplaceTempView("li")
+    # replicate the bench entry derivation across REPLICAS key prefixes
+    ents = spark.sql(
+        f"""
+        select 'tables/r' || r.id || '/b' || (l_orderkey % 8) || '/'
+               || lpad(cast(l_orderkey as string), 12, '0') || '-'
+               || cast(l_linenumber as string) as key,
+               md5('li|' || r.id || '|' || l_orderkey || '|' || l_linenumber) as identity,
+               'data/g1/' || md5('a|' || r.id || '|' || l_orderkey || '-' || l_linenumber) as address,
+               'RELATIVE' as address_type,
+               (l_orderkey % 997) * 100 + l_linenumber as size,
+               md5('e|' || r.id || '|' || l_orderkey || '-' || l_linenumber) as etag,
+               cast(null as timestamp) as last_modified,
+               cast(null as map<string,string>) as metadata,
+               'application/octet-stream' as content_type
+        from li cross join range(0, {replicas}) r
+        """
+    )
+    n = ents.count()
+    timings: dict[str, float] = {"replicas": replicas, "entries": n}
+
+    root = tempfile.mkdtemp(prefix="lakescale_")
+    try:
+        repo = Repository.create(spark, root)
+        t0 = time.time()
+        repo.import_entries("main", ents, message="scale import")
+        timings["import_commit_s"] = round(time.time() - t0, 1)
+
+        key_mod = F.abs(F.xxhash64("key")) % 100
+        repo.create_branch("left", "main")
+        repo.stage_entries(
+            "left",
+            ents.where(key_mod == 1).withColumn(
+                "identity", F.md5(F.concat(F.col("identity"), F.lit("L")))
+            ),
+        )
+        t0 = time.time()
+        repo.commit("left", "left 1%")
+        timings["commit_1pct_s"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        n_diff = repo.diff("main", "left").count()
+        timings["diff_1pct_s"] = round(time.time() - t0, 1)
+        assert n_diff > 0
+
+        repo.create_branch("right", "main")
+        repo.stage_entries(
+            "right",
+            ents.where(key_mod == 2).withColumn(
+                "identity", F.md5(F.concat(F.col("identity"), F.lit("R")))
+            ),
+        )
+        repo.commit("right", "right 1%")
+        t0 = time.time()
+        repo.merge("left", "right")
+        timings["merge_1pct_s"] = round(time.time() - t0, 1)
+
+        reachable = repo.reachable_addresses(repo.active_commits(7.0))
+        orphans = ents.where(key_mod < 10).select(
+            F.concat(F.lit("data/orphan/"), F.md5("key")).alias("address")
+        )
+        listing = reachable.unionByName(orphans)
+        t0 = time.time()
+        n_marked = repo.gc_mark(listing, 7.0).count()
+        timings["gc_mark_s"] = round(time.time() - t0, 1)
+        assert n_marked == orphans.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    print(json.dumps(timings))
+
+
+if __name__ == "__main__":
+    main()
