@@ -569,6 +569,13 @@ def q_minhash_candidates(spark, sf_dir):
     return D.minhash_candidates(docs, num_hashes=32, bands=8)
 
 
+def q_minhash_jaccard_est(spark, sf_dir):
+    """Estimator calibration: MinHash-estimated vs exact n-gram Jaccard
+    per LSH candidate pair (error ~ 1/sqrt(num_hashes))."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return D.minhash_jaccard_estimate(docs, num_hashes=32, bands=8)
+
+
 _CLUSTERS_CACHE: dict = {}
 
 
@@ -2131,6 +2138,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "lsh_topk": q_lsh_topk,
         "minhash_candidates": q_minhash_candidates,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "media_features": q_media_features,

@@ -334,3 +334,80 @@ def simhash_near_dups(
     return cand.select(
         "id_a", "id_b", ham.cast("long").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Per candidate pair, the MinHash Jaccard ESTIMATE (fraction of
+    equal signature components) next to the EXACT n-gram Jaccard — the
+    calibration readout that decides num_hashes/bands before scaling an
+    LSH dedup out (estimate error ~ 1/sqrt(num_hashes)).
+
+    Scale shape: signatures and candidates come from the banded
+    equi-join path (never all-pairs); the exact verify joins shingles
+    only for documents that appear in some candidate pair (semi-join
+    pushdown), so the expensive exact computation is bounded by the
+    candidate set — the same verify-on-candidates positioning
+    ngram_jaccard_pairs documents.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    cand = minhash_candidates(df, text_col, id_col, n, num_hashes, bands)
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(df, text_col, id_col, n).join(cand_ids, id_col, "semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    szs_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    szs_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(szs_a, "id_a")
+        .join(szs_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round(
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -2094,6 +2094,35 @@ def q_pq_topk() -> str:
     """
 
 
+
+def q_minhash_jaccard_est() -> str:
+    # estimate = fraction of equal signature components (k/32 exact in
+    # double); exact = n-gram Jaccard over the candidate pairs only
+    eq_terms = " + ".join(f"cast((sa.m{i} = sb.m{i}) as int)" for i in range(32))
+    return f"""with {_minhash_ctes()},
+    est as (
+      select c.id_a, c.id_b, ({eq_terms}) / 32.0 as est_jaccard
+      from cand c
+      join sigs sa on sa.doc_id = c.id_a
+      join sigs sb on sb.doc_id = c.id_b
+    ),
+    sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    inter as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select e.id_a, e.id_b, round(e.est_jaccard, 6) as est_jaccard,
+           round(coalesce(i.n_inter, 0)
+                 / cast(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) as double),
+                 6) as exact_jaccard
+    from est e
+    left join inter i on i.id_a = e.id_a and i.id_b = e.id_b
+    join sizes sa on sa.doc_id = e.id_a
+    join sizes sb on sb.doc_id = e.id_b
+    """
+
+
 ORACLES: dict[str, str] = {}
 PART_ORACLES: dict[str, str] = {}
 
@@ -2174,6 +2203,7 @@ def part_oracles() -> dict[str, str]:
                 "ann_recall": q_ann_recall(),
                 "lsh_topk": q_lsh_topk(),
                 "minhash_candidates": q_minhash_candidates(),
+                "minhash_jaccard_est": q_minhash_jaccard_est(),
                 "simhash": q_simhash(),
                 "simhash_near_dups": q_simhash_near_dups(),
                 "import_prefix_replace": q_import_prefix_replace(),
