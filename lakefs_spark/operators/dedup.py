@@ -234,22 +234,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def duplicate_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over candidate near-dup pairs:
     (member, rep) where rep = min id in the component — the keep-one
     decision step after candidate generation + verification.
 
-    Min-label propagation: each round every node takes the min of its
-    own and its neighbors' labels (one equi-join + one min-agg per
-    round); converged when no label changes. The fixpoint (component
-    minimum) is unique, so the result is deterministic regardless of
-    round count. Near-dup components are shallow (diameter ~ a few
-    hops), so rounds stay small; for adversarially long chains at
-    100 TB swap in the large-star/small-star variant (alternating
-    conditional stars halve diameter per round) — same join shape.
+    Size-adaptive, the same way Spark picks broadcast joins: a probe
+    takes up to ``driver_threshold + 1`` edges; at or under the
+    threshold the component labels come from a driver-side union-find
+    over the collected edge list (near-dup edge lists are candidate
+    pairs, already a tiny fraction of the corpus — one job instead of
+    3 per propagation round). Past it, distributed min-label
+    propagation: each round every node takes the min of its own and
+    its neighbors' labels (one equi-join + one min-agg per round);
+    converged when no label changes. The fixpoint (component minimum)
+    is unique, so both paths produce identical output —
+    tests/test_pipeline.py asserts the agreement.
+
+    Near-dup components are shallow (diameter ~ a few hops), so rounds
+    stay small; for adversarially long chains at 100 TB swap in the
+    large-star/small-star variant (alternating conditional stars halve
+    diameter per round) — same join shape.
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    probe = e.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in probe:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        rows = sorted((int(node), int(find(node))) for node in parent)
+        return pairs.sparkSession.createDataFrame(rows, "member long, rep long")
     # persist the symmetrized edge list: every propagation round joins
     # against it, and its plan embeds the (expensive) candidate
     # generation — without the cache each round would recompute it

@@ -153,3 +153,9 @@ def test_duplicate_clusters_components(spark):
     )
     got = {r["member"]: r["rep"] for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    # driver union-find fast path and distributed propagation agree
+    dist = {
+        r["member"]: r["rep"]
+        for r in duplicate_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert dist == got
