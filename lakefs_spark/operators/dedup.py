@@ -261,9 +261,13 @@ def duplicate_clusters(
     large-star/small-star variant (alternating conditional stars halve
     diameter per round) — same join shape.
     """
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # persist the edge list before probing: candidate generation is the
+    # expensive upstream plan, and on the distributed path it would
+    # otherwise run twice (size probe + symmetrized union)
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).persist()
     probe = e.limit(driver_threshold + 1).collect()
     if len(probe) <= driver_threshold:
+        e.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -319,6 +323,7 @@ def duplicate_clusters(
     out = labels.select(F.col("node").alias("member"), F.col("label").alias("rep"))
     labels.unpersist()
     und.unpersist()
+    e.unpersist()
     return out
 
 
