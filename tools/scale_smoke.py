@@ -38,7 +38,10 @@ def main() -> None:
     from lakefs_spark.storage.repo import Repository
 
     spark = get_spark("scale_smoke")
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # sf0.1 lineitem arrives as ~3 splits; spread the derivation
+    # (60M md5s at 100x) across the box instead of 3 tasks — at real
+    # scale the input would already have thousands of splits
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(64)
     li.createOrReplaceTempView("li")
     # replicate the bench entry derivation across REPLICAS key prefixes
     ents = spark.sql(
