@@ -564,6 +564,14 @@ def q_pq_topk(spark, sf_dir):
     return SIM.pq_topk(q, emb)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFPQ: coarse IVF routing + PQ/ADC scoring inside the probed
+    lists (no-residual variant) — the production ANN composition."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8)
+    return SIM.ivfpq_topk(q, emb)
+
+
 def q_minhash_candidates(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return D.minhash_candidates(docs, num_hashes=32, bands=8)
@@ -2075,6 +2083,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_codebook": q_kmeans_codebook,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "import_prefix_replace": q_import_prefix_replace,
         "symlink_manifest": q_symlink_manifest,
         "hive_partitions": q_hive_partitions,

@@ -109,6 +109,7 @@ GATES: dict[str, list[str]] = {
         "kmeans_codebook",
         "pq_codes",
         "pq_topk",
+        "ivfpq_topk",
     ],
     "embedding_dup_gates": ["cosine_pairs", "near_dup_embeddings"],
     "media_gates": ["media_frame_sample", "media_features", "media_resize"],
@@ -248,6 +249,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "kmeans_codebook": [("cid", "bigint"), ("dim", "bigint"), ("val", "double")],
     "pq_codes": [("vec_id", "bigint"), ("m", "bigint"), ("code", "bigint")],
     "pq_topk": [("qa", "bigint"), ("qb", "bigint")],
+    "ivfpq_topk": [("qa", "bigint"), ("qb", "bigint")],
     "label_centroids": [("label", "bigint"), ("dim", "bigint"), ("centroid", "double"), ("n_vectors", "bigint")],
     "lang_id": [("doc_id", "bigint"), ("lang_pred", "string")],
     "length_band_filter": [("doc_id", "bigint"), ("value", "bigint"), ("q_lo", "double"), ("q_hi", "double"), ("in_band", "boolean")],

@@ -460,3 +460,100 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("qa", "qb")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroid_mod: int = 20,
+    nprobe: int = 3,
+    n_sub: int = 4,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ search: coarse IVF routing + PQ/ADC scoring inside the
+    probed inverted lists — the production ANN path (IVF narrows the
+    candidate set, PQ makes per-candidate scoring a table lookup).
+    This is the no-residual variant (codes quantize the raw vectors,
+    not the centroid residuals), which keeps the codebooks shared
+    across lists and the oracle exactly restateable.
+
+    Scale shape: the corpus side is ONE shuffle-free projection
+    emitting (coarse list id, n_sub PQ codes) per vector — 5 folded
+    argmax/argmin over broadcast codebooks; query routing and ADC
+    tables are driver-side (K*n_sub*|Q| scalars) and reach executors
+    as map literals. Scoring touches only rows whose list id is
+    probed, and each score is a fixed-order sum of n_sub lookups —
+    identical float behavior on both engines."""
+    import math
+
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.where(F.col(id_col) % centroid_mod == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents_norm = _normalize_codebook(cent_rows)
+    books = pq_codebooks(corpus, n_sub, dim, centroid_mod, id_col, vec_col)
+    d0 = dim // n_sub
+
+    corp = corpus.select(F.col(id_col).alias("qb"), F.col(vec_col).alias("vb"))
+    enc_cols = [_fold_assignment(F.col("vb"), cents_norm)["cid"].alias("ccid")]
+    for m in range(n_sub):
+        enc_cols.append(
+            _fold_l2_assignment(F.slice(F.col("vb"), m * d0 + 1, d0), books[m])["cid"].alias(
+                f"code{m}"
+            )
+        )
+    enc = corp.select("qb", *enc_cols)
+
+    qrows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    score_structs = []
+    for qa, qv in qrows:
+        # coarse probe: top-nprobe centroids by cosine (tie -> min cid),
+        # sequential float ops matching the oracle's SQL sums
+        sims = []
+        for cid, cv in cent_rows:
+            ab = aa = bb = 0.0
+            for a, b in zip(qv, cv):
+                ab += a * b
+                aa += a * a
+                bb += b * b
+            sims.append((-(ab / (math.sqrt(aa) * math.sqrt(bb))), cid))
+        probe_cids = [cid for _, cid in sorted(sims)[:nprobe]]
+        # ADC tables per subspace
+        terms = None
+        for m in range(n_sub):
+            qsub = qv[m * d0 : (m + 1) * d0]
+            ent = {}
+            for cid, cv in books[m]:
+                s = 0.0
+                for a, b in zip(qsub, cv):
+                    s += a * b
+                ent[cid] = s - sum(x * x for x in cv) / 2.0
+            lut = F.create_map(
+                *[F.lit(v) for cid, s in sorted(ent.items()) for v in (cid, s)]
+            )
+            term = lut[F.col(f"code{m}")]
+            terms = term if terms is None else terms + term
+        score = F.when(F.col("ccid").isin(*probe_cids), terms)
+        score_structs.append(
+            F.struct(F.lit(qa).cast("long").alias("qa"), score.alias("score"))
+        )
+
+    scored = (
+        enc.select("qb", F.explode(F.array(*score_structs)).alias("qs"))
+        .select("qb", F.col("qs.qa").alias("qa"), F.col("qs.score").alias("score"))
+        .where(F.col("score").isNotNull() & (F.col("qa") != F.col("qb")))
+    )
+    wk = Window.partitionBy("qa").orderBy(F.col("score").desc(), F.col("qb").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("qa", "qb")
+    )

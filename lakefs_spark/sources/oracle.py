@@ -2123,6 +2123,91 @@ def q_minhash_jaccard_est() -> str:
     """
 
 
+
+def q_ivfpq_topk() -> str:
+    # IVFPQ: coarse probes (top-3 cosine centroids per query) restrict
+    # the candidate lists; scoring is the PQ/ADC fixed-order lookup sum
+    return """
+    with cent as (select vec_id, embedding from embeddings where vec_id % 20 = 0),
+    cent_sims as (
+      select va, ccid, s_ab / (sqrt(s_aa) * sqrt(s_bb)) as sim from (
+        select va, ccid, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
+        from (
+          select a.vec_id as va, c.vec_id as ccid,
+                 cast(unnest(a.embedding) as double) as xa,
+                 cast(unnest(c.embedding) as double) as xb
+          from embeddings a join cent c on true
+        ) z group by va, ccid
+      ) s
+    ),
+    cassign as (
+      select va as qb, ccid from (
+        select va, ccid, row_number() over (partition by va order by sim desc, ccid) as rn
+        from cent_sims
+      ) t where rn = 1
+    ),
+    cprobes as (
+      select va as qa, ccid from (
+        select va, ccid, row_number() over (partition by va order by sim desc, ccid) as rn
+        from cent_sims where va < 8
+      ) t where rn <= 3
+    ),
+    cb as (
+      select vec_id as cid,
+             cast(floor((r.j - 1) / 16) as bigint) as m,
+             r.j as j,
+             cast(embedding[r.j] as double) as val
+      from embeddings cross join range(1, 65) r(j)
+      where vec_id % 20 = 0
+    ),
+    cnorm as (select m, cid, sum(val * val) / 2.0 as h from cb group by m, cid),
+    scores as (
+      select e.vec_id, cb.m, cb.cid,
+             sum(cast(e.embedding[cb.j] as double) * cb.val) as dot
+      from embeddings e join cb on true
+      group by e.vec_id, cb.m, cb.cid
+    ),
+    best as (
+      select vec_id, m, cid from (
+        select s.vec_id, s.m, s.cid,
+               row_number() over (partition by s.vec_id, s.m
+                                  order by s.dot - n.h desc, s.cid) as rn
+        from scores s join cnorm n on n.m = s.m and n.cid = s.cid
+      ) t where rn = 1
+    ),
+    c0 as (select vec_id, cid as code from best where m = 0),
+    c1 as (select vec_id, cid as code from best where m = 1),
+    c2 as (select vec_id, cid as code from best where m = 2),
+    c3 as (select vec_id, cid as code from best where m = 3),
+    qtab as (
+      select q.vec_id as qa, cb.m, cb.cid,
+             sum(cast(q.embedding[cb.j] as double) * cb.val) as dot
+      from embeddings q join cb on true
+      where q.vec_id < 8
+      group by q.vec_id, cb.m, cb.cid
+    ),
+    qs as (
+      select qa, m, cid, qtab.dot - n.h as s
+      from qtab join cnorm n using (m, cid)
+    ),
+    adc as (
+      select p.qa, a.qb, t0.s + t1.s + t2.s + t3.s as score
+      from cprobes p
+      join cassign a on a.ccid = p.ccid and a.qb <> p.qa
+      join c0 on c0.vec_id = a.qb
+      join c1 on c1.vec_id = a.qb
+      join c2 on c2.vec_id = a.qb
+      join c3 on c3.vec_id = a.qb
+      join qs t0 on t0.m = 0 and t0.cid = c0.code and t0.qa = p.qa
+      join qs t1 on t1.m = 1 and t1.cid = c1.code and t1.qa = p.qa
+      join qs t2 on t2.m = 2 and t2.cid = c2.code and t2.qa = p.qa
+      join qs t3 on t3.m = 3 and t3.cid = c3.code and t3.qa = p.qa
+    )
+    select qa, qb from adc
+    qualify row_number() over (partition by qa order by score desc, qb) <= 5
+    """
+
+
 ORACLES: dict[str, str] = {}
 PART_ORACLES: dict[str, str] = {}
 
@@ -2199,6 +2284,7 @@ def part_oracles() -> dict[str, str]:
                 "kmeans_codebook": q_kmeans_codebook(),
                 "pq_codes": q_pq_codes(),
                 "pq_topk": q_pq_topk(),
+                "ivfpq_topk": q_ivfpq_topk(),
                 "ann_topk": q_ann_topk(),
                 "ann_recall": q_ann_recall(),
                 "lsh_topk": q_lsh_topk(),
