@@ -584,6 +584,14 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return D.minhash_jaccard_estimate(docs, num_hashes=32, bands=8)
 
 
+def q_token_overlap(spark, sf_dir):
+    """Multiset token containment over the LSH candidate pairs — the
+    near-subset signal Jaccard under-scores."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    cand = D.minhash_candidates(docs, num_hashes=32, bands=8)
+    return D.token_overlap_pairs(docs, cand)
+
+
 _CLUSTERS_CACHE: dict = {}
 
 
@@ -2148,6 +2156,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "minhash_candidates": q_minhash_candidates,
         "minhash_jaccard_est": q_minhash_jaccard_est,
+        "token_overlap": q_token_overlap,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "media_features": q_media_features,

@@ -82,6 +82,7 @@ GATES: dict[str, list[str]] = {
     "minhash_pipeline": [
         "minhash_candidates",
         "minhash_jaccard_est",
+        "token_overlap",
         "ngram_jaccard",
         "dedup_clusters",
         "dedup_survivors",
@@ -269,6 +270,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "merge_result_src": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "minhash_candidates": [("id_a", "bigint"), ("id_b", "bigint")],
     "minhash_jaccard_est": [("id_a", "bigint"), ("id_b", "bigint"), ("est_jaccard", "double"), ("exact_jaccard", "double")],
+    "token_overlap": [("id_a", "bigint"), ("id_b", "bigint"), ("overlap", "bigint"), ("containment", "double")],
     "multipart_etags": [("okey", "bigint"), ("etag", "string")],
     "near_dup_embeddings": [("qa", "bigint"), ("qb", "bigint")],
     "ngram_jaccard": [("id_a", "bigint"), ("id_b", "bigint"), ("jaccard", "double")],

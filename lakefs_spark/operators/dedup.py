@@ -449,3 +449,62 @@ def minhash_jaccard_estimate(
             ).alias("exact_jaccard"),
         )
     )
+
+
+def token_overlap_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted token overlap for candidate pairs: per (id_a, id_b),
+    ``overlap`` = sum over shared tokens of min(tf_a, tf_b) and
+    ``containment`` = overlap / min(n_tokens_a, n_tokens_b) — the
+    multiset-containment signal corpus dedup uses where Jaccard
+    under-scores near-subset documents (quotes, boilerplate wrappers).
+
+    All integer arithmetic until the final division, so the result is
+    bitwise identical regardless of join/aggregation order on any
+    engine. Scale shape: token frequencies are one hash aggregation
+    (map-side combine collapses repeats); the pair scoring joins the
+    inverted (id, token, tf) lists only for documents that appear in
+    ``pairs`` (semi-join pushdown) and shuffles on token like every
+    verify-on-candidates step here.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    toks = (
+        df.join(ids, id_col, "semi")
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    ta = tf.select(F.col(id_col).alias("id_a"), "tok", F.col("tf").alias("tf_a"))
+    tb = tf.select(F.col(id_col).alias("id_b"), "tok", F.col("tf").alias("tf_b"))
+    ov = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("overlap"))
+    )
+    la = lens.select(F.col(id_col).alias("id_a"), F.col("n_tokens").alias("n_a"))
+    lb = lens.select(F.col(id_col).alias("id_b"), F.col("n_tokens").alias("n_b"))
+    return (
+        pairs.join(ov, ["id_a", "id_b"], "left")
+        .join(la, "id_a")
+        .join(lb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+            F.round(
+                F.coalesce("overlap", F.lit(0))
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

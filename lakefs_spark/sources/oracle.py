@@ -2208,6 +2208,41 @@ def q_ivfpq_topk() -> str:
     """
 
 
+
+def q_token_overlap() -> str:
+    # integer min-tf overlap + containment over the candidate pairs;
+    # token frequencies from the raw (non-distinct) token stream
+    return f"""with {_minhash_ctes()},
+    toksall as (
+      select doc_id, unnest(string_split(text, ' ')) as tok
+      from documents where doc_id < 200
+    ),
+    tokf as (
+      select doc_id, tok, count(*) as tf from toksall
+      where tok <> '' group by doc_id, tok
+    ),
+    lens as (
+      select doc_id, count(*) as n_tokens from toksall
+      where tok <> '' group by doc_id
+    ),
+    ov as (
+      select c.id_a, c.id_b, sum(least(a.tf, b.tf)) as overlap
+      from cand c
+      join tokf a on a.doc_id = c.id_a
+      join tokf b on b.doc_id = c.id_b and b.tok = a.tok
+      group by c.id_a, c.id_b
+    )
+    select c.id_a, c.id_b,
+           cast(coalesce(o.overlap, 0) as bigint) as overlap,
+           round(coalesce(o.overlap, 0) / cast(least(la.n_tokens, lb.n_tokens) as double), 6)
+             as containment
+    from cand c
+    left join ov o on o.id_a = c.id_a and o.id_b = c.id_b
+    join lens la on la.doc_id = c.id_a
+    join lens lb on lb.doc_id = c.id_b
+    """
+
+
 ORACLES: dict[str, str] = {}
 PART_ORACLES: dict[str, str] = {}
 
@@ -2290,6 +2325,7 @@ def part_oracles() -> dict[str, str]:
                 "lsh_topk": q_lsh_topk(),
                 "minhash_candidates": q_minhash_candidates(),
                 "minhash_jaccard_est": q_minhash_jaccard_est(),
+                "token_overlap": q_token_overlap(),
                 "simhash": q_simhash(),
                 "simhash_near_dups": q_simhash_near_dups(),
                 "import_prefix_replace": q_import_prefix_replace(),
