@@ -256,3 +256,29 @@ def _write_delta_log(ent, out_dir, version, table_name, schema_json):
         for row in act_lines.toLocalIterator():
             f.write(row["line"] + "\n")
     return path
+
+
+def export_bucketed_table(
+    entries: DataFrame,
+    table: str,
+    buckets: int = 8,
+    bucket_col: str = "key",
+    partition_col: str | None = None,
+) -> None:
+    """Export a snapshot as a Spark-managed BUCKETED table so
+    downstream consumers join/aggregate on ``bucket_col`` without a
+    shuffle (the catalog records the hash-bucketing; two tables
+    bucketed the same way sort-merge join with zero Exchange).
+
+    This is the Spark-native analog of the reference's Hive/Glue
+    exporters (catalogexport/*.lua registers partitions for engines to
+    consume): where those hand the listing to an external metastore,
+    this registers the layout Spark itself exploits. At 100 TB the
+    bucketing is the difference between re-shuffling the snapshot on
+    every join and reading co-located buckets; pick ``buckets`` near
+    the target cluster's core count x a small factor.
+    """
+    w = entries.write.mode("overwrite").bucketBy(buckets, bucket_col).sortBy(bucket_col)
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.format("parquet").saveAsTable(table)

@@ -282,3 +282,35 @@ def test_label_centroids_single_aggregation(spark):
     plan = _plan(label_centroids(emb))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bucketed_export_joins_without_exchange(spark, tmp_path):
+    """Two snapshots exported with the same bucketing must sort-merge
+    join with ZERO Exchange — the co-located-join contract that makes
+    repeated snapshot joins free at scale."""
+    import pyspark.sql.functions as F
+
+    from lakefs_spark.operators.export import export_bucketed_table
+    from lakefs_spark.sources.fixtures import create_fixture_views, entries_view
+    from tests.conftest import SF_SMOKE
+
+    create_fixture_views(spark, SF_SMOKE)
+    ents = entries_view(spark, "entries").select("key", "identity", "size")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        export_bucketed_table(ents, "bkt_a", buckets=4)
+        export_bucketed_table(
+            ents.withColumn("size", F.col("size") + 1), "bkt_b", buckets=4
+        )
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "key")
+        j.count()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists bkt_a")
+        spark.sql("drop table if exists bkt_b")
