@@ -246,6 +246,26 @@ class Catalog:
         }
         self.repo.set_entry(branch, entry, if_absent=if_none_match)
 
+    def update_object_user_metadata(
+        self, branch: str, path: str, metadata: dict[str, str]
+    ) -> None:
+        """Replace an object's user metadata in place
+        (updateObjectUserMetadata — api/swagger.yml; the reference
+        restages the entry with new metadata and a recomputed
+        identity). 404s via KeyError if the object is not visible."""
+        cur = self.get_object(branch, path)
+        if cur is None:
+            raise KeyError(f"{path!r} not found on {branch!r}")
+        self.upload_object(
+            branch,
+            path,
+            cur["address"],
+            cur["size"],
+            cur["etag"],
+            content_type=cur["content_type"] or "application/octet-stream",
+            metadata=metadata,
+        )
+
     def delete_object(self, branch: str, path: str) -> None:
         self.repo.stage_deletes(branch, [path])
 

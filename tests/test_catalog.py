@@ -250,3 +250,19 @@ def test_list_objects_v2_continuation(cat, spark):
                                max_keys=10)
     assert [d["Prefix"] for d in resp["CommonPrefixes"]] == ["tables/orders/b1/"]
     assert resp["Contents"] == [] and resp["IsTruncated"] is False
+
+
+def test_update_object_user_metadata(cat, spark):
+    _seed(cat, spark)
+    cat.upload_object("main", "raw/meta.bin", "data/mm/1", 5, "etag-m")
+    cat.commit("main", "obj")
+    before = cat.stat_object("main", "raw/meta.bin")
+    cat.update_object_user_metadata("main", "raw/meta.bin", {"team": "ml", "v": "2"})
+    cat.commit("main", "meta update")
+    after = cat.stat_object("main", "raw/meta.bin")
+    assert after["metadata"] == {"team": "ml", "v": "2"}
+    # bytes untouched, identity recomputed (metadata is identity input)
+    assert after["address"] == before["address"] and after["etag"] == before["etag"]
+    assert after["identity"] != before["identity"]
+    with pytest.raises(KeyError):
+        cat.update_object_user_metadata("main", "raw/absent.bin", {"x": "1"})
