@@ -1092,3 +1092,43 @@ def test_branch_protection_blocks_staging_and_commit_but_not_merge(spark, tmp_pa
     repo.commit("work", "feature")
     repo.merge("work", "main")
     assert repo.get("main", "a/2")["identity"] == "j"
+
+
+def test_concurrent_merges_into_one_branch_retry_cas(repo, spark):
+    """Two threads merging DISJOINT sources into the SAME branch: one
+    merge loses the head CAS, retries against the winner's commit
+    (graveler.go:2422-2475 retryBranchUpdate), and the final snapshot
+    carries both change sets with both merge commits in the log."""
+    import threading
+
+    ents = _entries(spark)
+    repo.import_entries("main", ents, message="base")
+    keys = sorted(r["key"] for r in ents.select("key").collect())
+    half_a, half_b = keys[:30], keys[30:60]
+    for br, ks, salt in (("srcA", half_a, "A"), ("srcB", half_b, "B")):
+        repo.create_branch(br, "main")
+        upd = ents.where(F.col("key").isin(ks)).withColumn(
+            "identity", F.md5(F.concat(F.col("identity"), F.lit(salt)))
+        )
+        repo.stage_entries(br, upd)
+        repo.commit(br, f"prep {br}")
+
+    errs = []
+
+    def work(src):
+        try:
+            repo.merge(src, "main")
+        except Exception as e:
+            errs.append((src, repr(e)))
+
+    t1 = threading.Thread(target=work, args=("srcA",))
+    t2 = threading.Thread(target=work, args=("srcB",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    base = {r["key"]: r["identity"] for r in repo.snapshot("main~2").collect()}
+    snap = {r["key"]: r["identity"] for r in repo.snapshot("main").collect()}
+    changed = {k for k in snap if snap[k] != base.get(k)}
+    assert changed == set(half_a) | set(half_b)
+    msgs = [c.message for c in repo.log("main")]
+    assert sum("merge" in m for m in msgs) == 2, msgs
