@@ -455,6 +455,25 @@ def q_bpe_token_counts(spark, sf_dir):
     )
 
 
+def q_incremental_text_stats(spark, sf_dir):
+    """Diff-driven incremental processing — the versioning x pipeline
+    integration: token stats are recomputed ONLY for documents whose
+    backing object changed between two refs. The diff is
+    manifest-pruned (O(changed ranges)) and the semi-join pushes the
+    touched-doc set into the corpus scan, so at 100 TB a 1% commit
+    reprocesses 1% of the corpus instead of all of it."""
+    from lakefs_spark.operators.dedup import _base_hash
+
+    d = DF_.diff(_snap(spark, sf_dir, "snap_a"), _snap(spark, sf_dir, "snap_b"))
+    touched = d.select(
+        F.pmod(_base_hash(F.col("key")), F.lit(500)).alias("doc_id")
+    ).distinct()
+    docs = _docs(spark, sf_dir).join(touched, "doc_id", "semi")
+    return docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
 def q_text_quality(spark, sf_dir):
     return TX.quality_features(_docs(spark, sf_dir))
 
@@ -2082,6 +2101,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "train_val_split": q_train_val_split,
         "text_quality": q_text_quality,
+        "incremental_text_stats": q_incremental_text_stats,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ngram_jaccard": q_ngram_jaccard,

@@ -74,6 +74,7 @@ GATES: dict[str, list[str]] = {
     "token_gates": ["token_counts", "bpe_token_counts", "vocab_stats", "length_percentiles"],
     "text_signals": [
         "text_quality",
+        "incremental_text_stats",
         "lang_id",
         "doc_fingerprints",
         "repetition_scores",
@@ -314,6 +315,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "symlink_manifest": [("dir", "string"), ("n_objects", "bigint"), ("content", "string")],
     "sync_plan": [("path", "string"), ("op", "string")],
     "text_quality": [("doc_id", "bigint"), ("n_chars", "int"), ("n_tokens", "bigint"), ("n_spaces", "bigint"), ("n_alpha", "bigint"), ("alpha_ratio", "double"), ("stopword_hits", "bigint"), ("stopword_ratio", "double")],
+    "incremental_text_stats": [("doc_id", "bigint"), ("n_tokens", "bigint")],
     "token_counts": [("doc_id", "bigint"), ("n_tokens", "bigint")],
     "tombstone_alert_stream": [("branch", "string"), ("n_crossings", "bigint"), ("threshold", "bigint")],
     "train_val_split": [("doc_id", "bigint"), ("bucket", "bigint"), ("split", "string")],

@@ -2243,6 +2243,24 @@ def q_token_overlap() -> str:
     """
 
 
+
+def q_incremental_text_stats() -> str:
+    # touched docs = portable-hash(key) % 500 over the snap_a->snap_b
+    # diff; token stats only for those docs
+    from lakefs_spark.functions.hashfam import X_MOD
+
+    return with_views("snap_a", "snap_b") + f"""
+    , d as ({diff_sql("snap_a", "snap_b")}),
+    touched as (
+      select distinct
+             (cast(concat('0x', substr(md5(key), 1, 15)) as bigint) % {X_MOD}) % 500 as doc_id
+      from d
+    )
+    select doc.doc_id, cast(length(split(doc.text, ' ')) as bigint) as n_tokens
+    from documents doc join touched t on t.doc_id = doc.doc_id
+    """
+
+
 ORACLES: dict[str, str] = {}
 PART_ORACLES: dict[str, str] = {}
 
@@ -2310,6 +2328,7 @@ def part_oracles() -> dict[str, str]:
                 "contamination": q_contamination(),
                 "train_val_split": q_train_val_split(),
                 "text_quality": q_text_quality(),
+                "incremental_text_stats": q_incremental_text_stats(),
                 "lang_id": q_lang_id(),
                 "doc_fingerprints": q_doc_fingerprints(),
                 "ngram_jaccard": q_ngram_jaccard(),
