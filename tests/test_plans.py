@@ -314,3 +314,29 @@ def test_bucketed_export_joins_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists bkt_a")
         spark.sql("drop table if exists bkt_b")
+
+
+def test_pq_codes_single_projection_no_exchange(spark):
+    """PQ encoding is ONE shuffle-free scan: the folded argmin
+    projections + posexplode add no Exchange."""
+    from lakefs_spark.operators.similarity import pq_codes
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(pq_codes(emb))
+    assert "Exchange" not in plan, plan
+
+
+def test_ivfpq_corpus_side_shuffles_only_for_topk(spark):
+    """IVFPQ's corpus side (coarse id + codes + ADC scores) stays
+    shuffle-free until the per-query top-k window — exactly one
+    Exchange (hash on qa) in the whole plan."""
+    import pyspark.sql.functions as F
+
+    from lakefs_spark.operators.similarity import ivfpq_topk
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4)
+    plan = _plan(ivfpq_topk(q, emb))
+    assert plan.count("Exchange") == 1, plan
