@@ -1132,3 +1132,36 @@ def test_concurrent_merges_into_one_branch_retry_cas(repo, spark):
     assert changed == set(half_a) | set(half_b)
     msgs = [c.message for c in repo.log("main")]
     assert sum("merge" in m for m in msgs) == 2, msgs
+
+
+def test_delta_checkpoint_reconciles_log(repo, spark, tmp_path):
+    """delta_checkpoint replays the JSON versions into one parquet
+    state file + _last_checkpoint pointer: latest metaData wins, adds
+    removed at a later version are gone, pointer size matches."""
+    import json as _json
+    import os as _os
+
+    from lakefs_spark.operators.export import delta_checkpoint, delta_log_export
+
+    ents = _entries(spark).limit(40)
+    out = str(tmp_path / "delta")
+    delta_log_export(ents, out, version=0)
+    # version 1: drop 5 objects via remove actions, add 1
+    removed = [r["address"] for r in ents.limit(5).collect()]
+    log_dir = _os.path.join(out, "_delta_log")
+    with open(_os.path.join(log_dir, f"{1:020d}.json"), "w") as f:
+        for a in removed:
+            f.write(_json.dumps({"remove": {"path": a, "deletionTimestamp": 1}}) + "\n")
+        f.write(_json.dumps({"add": {"path": "data/new/xyz", "size": 1,
+                                     "partitionValues": {},
+                                     "modificationTime": 2, "dataChange": True}}) + "\n")
+    ckpt = delta_checkpoint(spark, out, version=1)
+    state = spark.read.parquet(ckpt)
+    adds = [r["add"]["path"] for r in state.where("add is not null").collect()]
+    assert "data/new/xyz" in adds
+    assert not set(removed) & set(adds)
+    assert len(adds) == 40 - 5 + 1
+    assert state.where("metaData is not null").count() == 1
+    assert state.where("protocol is not null").count() == 1
+    lc = _json.load(open(_os.path.join(log_dir, "_last_checkpoint")))
+    assert lc["version"] == 1 and lc["size"] == len(adds) + 2
