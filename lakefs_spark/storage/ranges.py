@@ -99,11 +99,11 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
          ``partitionBy(chunk_idx)`` (rows pre-sorted per chunk, one
          file per chunk because the shuffle co-locates each chunk);
       2. one aggregation job computing, per chunk, the manifest row and
-         the content address — sha256 over the sorted length-tagged
-         (key, identity) stream (identical framing to the reference's
-         content-derived SSTable ID idea, sstable/writer.go:101-135) —
-         via collect_list/array_sort/sha2 (bounded by raggedness, the
-         same per-chunk cap the pandas writer had);
+         the content address — sha256 over an order-independent
+         multiset hash of the length-tagged (key, identity) rows (the
+         reference's content-derived SSTable ID idea,
+         sstable/writer.go:101-135, with O(1) aggregation state: see
+         the inline note below);
       3. driver renames chunk files to ``<range_id>.parquet`` —
          O(#ranges) metadata ops, no data movement. A pre-existing
          content address wins (structural-sharing hit, file replaced
@@ -139,31 +139,48 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
     # no second shuffle
     staged = staged.repartition("chunk_idx").sortWithinPartitions("chunk_idx", "key").persist()
     try:
-        frame = lambda x: F.concat(  # noqa: E731 — f"{len(k)}:{k}{len(i)}:{i}"
-            F.length(x["key"]).cast("string"),
+        # content address = sha256 over an ORDER-INDEPENDENT multiset
+        # hash of the chunk's length-tagged (key, identity) rows: four
+        # independently-salted xxhash64 streams folded with bit_xor,
+        # plus count/min/max. O(1) aggregation state per chunk — the
+        # earlier sorted collect_list+sha held every row of every chunk
+        # in the aggregation hash map, so per-task memory grew with
+        # chunks-per-partition and OOMed at ~2e8 entries (found by
+        # tools/scale_smoke.py 300). Keys are unique within a chunk, so
+        # the xor never cancels duplicate rows; same content => same
+        # address (structural sharing) is preserved with ~256 bits of
+        # accidental-collision margin.
+        frame = F.concat(  # f"{len(k)}:{k}{len(i)}:{i}"
+            F.length("key").cast("string"),
             F.lit(":"),
-            x["key"],
-            F.length(x["identity"]).cast("string"),
+            F.col("key"),
+            F.length("identity").cast("string"),
             F.lit(":"),
-            x["identity"],
+            F.col("identity"),
         )
+        xors = [
+            F.bit_xor(F.xxhash64(F.concat(F.lit(f"s{i}:"), frame))).alias(f"x{i}")
+            for i in range(4)
+        ]
         mf_rows = (
             staged.groupBy("chunk_idx")
             .agg(
-                F.sha2(
-                    F.concat_ws(
-                        "",
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("key", "identity"))),
-                            frame,
-                        ),
-                    ),
-                    256,
-                ).alias("range_id"),
+                *xors,
                 F.min("key").alias("min_key"),
                 F.max("key").alias("max_key"),
                 F.count(F.lit(1)).alias("count"),
                 F.sum(F.coalesce(F.col("size"), F.lit(0))).cast("long").alias("estimated_size"),
+            )
+            .select(
+                "chunk_idx",
+                F.sha2(
+                    F.concat_ws(":", "count", "x0", "x1", "x2", "x3", "min_key", "max_key"),
+                    256,
+                ).alias("range_id"),
+                "min_key",
+                "max_key",
+                "count",
+                "estimated_size",
             )
             .collect()
         )
