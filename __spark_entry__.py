@@ -1253,6 +1253,8 @@ def _src_dir(spark, sf_dir, fmt):
             w.option("header", True).csv(d)
         elif fmt == "json":
             w.json(d)
+        elif fmt == "orc":
+            w.orc(d)
         _SRC_DIRS[key] = d
     return d
 
@@ -1274,6 +1276,15 @@ def q_json_source(spark, sf_dir):
     """JSON-lines source round-trip (schema supplied, no inference)."""
     d = _src_dir(spark, sf_dir, "json")
     return spark.read.schema("doc_id long, lang string, text string").json(d)
+
+
+def q_orc_source(spark, sf_dir):
+    """ORC source round-trip: native columnar alternative to Parquet
+    (spark-sql ships the ORC reader). DuckDB cannot read ORC, so the
+    oracle is the source-of-truth projection from the parquet table —
+    the gate checks lossless write+read fidelity."""
+    d = _src_dir(spark, sf_dir, "orc")
+    return spark.read.orc(d).select("doc_id", "lang", "text")
 
 
 def q_binary_file_source(spark, sf_dir):
@@ -2160,6 +2171,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_source": q_csv_source,
         "json_source": q_json_source,
         "binary_file_source": q_binary_file_source,
+        "orc_source": q_orc_source,
         "packing_efficiency": q_packing_efficiency,
         "repo_commit_snapshot": q_repo_commit_snapshot,
         "repo_revert_snapshot": q_repo_revert_snapshot,

@@ -115,7 +115,7 @@ GATES: dict[str, list[str]] = {
     ],
     "embedding_dup_gates": ["cosine_pairs", "near_dup_embeddings"],
     "media_gates": ["media_frame_sample", "media_features", "media_resize"],
-    "source_formats": ["csv_source", "json_source", "binary_file_source"],
+    "source_formats": ["csv_source", "json_source", "binary_file_source", "orc_source"],
 }
 
 # queries() entries that stay single-operator (flagship / high-volume)
@@ -248,6 +248,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "import_prefix_replace": [("key", "string"), ("identity", "string"), ("address", "string"), ("size", "bigint"), ("etag", "string")],
     "ivf_topk": [("qa", "bigint"), ("qb", "bigint")],
     "json_source": [("doc_id", "bigint"), ("lang", "string"), ("text", "string")],
+    "orc_source": [("doc_id", "bigint"), ("lang", "string"), ("text", "string")],
     "kmeans_codebook": [("cid", "bigint"), ("dim", "bigint"), ("val", "double")],
     "pq_codes": [("vec_id", "bigint"), ("m", "bigint"), ("code", "bigint")],
     "pq_topk": [("qa", "bigint"), ("qb", "bigint")],

@@ -986,6 +986,13 @@ def q_json_source() -> str:
     return "select doc_id, lang, text from documents"
 
 
+def q_orc_source() -> str:
+    # DuckDB has no ORC reader: the oracle is the source-of-truth
+    # projection; the Spark side must reproduce it through the ORC
+    # write+read round trip losslessly
+    return "select doc_id, lang, text from documents"
+
+
 def q_binary_file_source() -> str:
     # binaryFile ingestion of opaque objects: name, size, payload md5
     return """
@@ -2384,6 +2391,7 @@ def part_oracles() -> dict[str, str]:
                 "csv_source": q_csv_source(),
                 "json_source": q_json_source(),
                 "binary_file_source": q_binary_file_source(),
+                "orc_source": q_orc_source(),
                 "packing_efficiency": q_packing_efficiency(),
                 "repo_commit_snapshot": q_repo_commit_snapshot(),
                 "repo_revert_snapshot": q_repo_revert_snapshot(),

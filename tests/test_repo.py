@@ -1165,3 +1165,31 @@ def test_delta_checkpoint_reconciles_log(repo, spark, tmp_path):
     assert state.where("protocol is not null").count() == 1
     lc = _json.load(open(_os.path.join(log_dir, "_last_checkpoint")))
     assert lc["version"] == 1 and lc["size"] == len(adds) + 2
+
+
+def test_range_id_partition_order_independent_and_content_sensitive(spark, tmp_path):
+    """The content address must be a pure function of a chunk's
+    (key, identity) multiset: identical entries arriving in any input
+    order / partitioning yield byte-identical manifests (structural
+    sharing across independent writers), and flipping one identity
+    changes exactly the containing chunk's range_id."""
+    create_fixture_views(spark, SF_SMOKE)
+    # deterministic subset (limit would re-pick rows per evaluation)
+    ents = _entries(spark).where(F.abs(F.xxhash64("key")) % 8 == 0)
+    mf_a = R.write_ranges(ents, str(tmp_path / "a"), raggedness=RAGGEDNESS)
+    shuffled = ents.orderBy(F.md5("key")).repartition(7)
+    mf_b = R.write_ranges(shuffled, str(tmp_path / "b"), raggedness=RAGGEDNESS)
+    assert list(mf_a["range_id"]) == list(mf_b["range_id"])
+    assert list(mf_a["min_key"]) == list(mf_b["min_key"])
+    # perturb one entry's identity: only its chunk's address changes
+    victim = ents.orderBy("key").limit(1).collect()[0]["key"]
+    mutated = ents.withColumn(
+        "identity",
+        F.when(F.col("key") == victim, F.lit("deadbeef")).otherwise(F.col("identity")),
+    )
+    mf_c = R.write_ranges(mutated, str(tmp_path / "c"), raggedness=RAGGEDNESS)
+    changed = [
+        i for i, (x, y) in enumerate(zip(mf_a["range_id"], mf_c["range_id"])) if x != y
+    ]
+    assert len(changed) == 1
+    assert mf_a["min_key"].iloc[changed[0]] <= victim <= mf_a["max_key"].iloc[changed[0]]
