@@ -679,6 +679,26 @@ def q_near_dup_embeddings(spark, sf_dir):
     return pairs.where(F.col("sim") >= 0.35).select("qa", "qb")
 
 
+def q_embedding_dedup_survivors(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP (SemDeDup-shaped keep-one): the
+    near-dup pair graph -> connected components
+    (operators/dedup.duplicate_clusters) -> keep the min-id member per
+    component, emit the surviving vec_ids. Completes the pair-listing
+    gate into an actual corpus-reduction decision."""
+    emb = _embeddings(spark, sf_dir)
+    pairs = (
+        SIM.cosine_pairs(emb, emb)
+        .where(F.col("qa") < F.col("qb"))
+        .where(F.col("sim") >= 0.35)
+        .select(F.col("qa").alias("id_a"), F.col("qb").alias("id_b"))
+    )
+    clusters = D.duplicate_clusters(pairs)
+    dropped = clusters.where(F.col("member") != F.col("rep")).select(
+        F.col("member").alias("vec_id")
+    )
+    return emb.select("vec_id").join(dropped, "vec_id", "anti")
+
+
 # -- import / export / multimodal ------------------------------------------
 
 
@@ -2118,6 +2138,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
         "near_dup_embeddings": q_near_dup_embeddings,
+        "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "ivf_topk": q_ivf_topk,
         "kmeans_codebook": q_kmeans_codebook,
         "pq_codes": q_pq_codes,

@@ -113,7 +113,11 @@ GATES: dict[str, list[str]] = {
         "pq_topk",
         "ivfpq_topk",
     ],
-    "embedding_dup_gates": ["cosine_pairs", "near_dup_embeddings"],
+    "embedding_dup_gates": [
+        "cosine_pairs",
+        "near_dup_embeddings",
+        "embedding_dedup_survivors",
+    ],
     "media_gates": ["media_frame_sample", "media_features", "media_resize"],
     "source_formats": ["csv_source", "json_source", "binary_file_source", "orc_source"],
 }
@@ -275,6 +279,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "token_overlap": [("id_a", "bigint"), ("id_b", "bigint"), ("overlap", "bigint"), ("containment", "double")],
     "multipart_etags": [("okey", "bigint"), ("etag", "string")],
     "near_dup_embeddings": [("qa", "bigint"), ("qb", "bigint")],
+    "embedding_dedup_survivors": [("vec_id", "bigint")],
     "ngram_jaccard": [("id_a", "bigint"), ("id_b", "bigint"), ("jaccard", "double")],
     "overlay_visible": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "packing_efficiency": [("shard", "bigint"), ("n_seqs", "bigint"), ("total_tokens", "bigint"), ("fill_efficiency", "double")],

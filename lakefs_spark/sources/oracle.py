@@ -707,6 +707,42 @@ def q_near_dup_embeddings() -> str:
     """
 
 
+def q_embedding_dedup_survivors() -> str:
+    # keep-one over the near-dup pair graph: transitive-closure min per
+    # component (independent restatement of the engine's union-find /
+    # min-label propagation fixpoint), survivors = everything that is
+    # not a non-representative member
+    return """
+    with recursive cand as (
+      select qa, qb
+      from (
+        select qa, qb, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
+        from (
+          select a.vec_id as qa, b.vec_id as qb,
+                 cast(unnest(a.embedding) as double) as xa,
+                 cast(unnest(b.embedding) as double) as xb
+          from embeddings a join embeddings b on a.vec_id < b.vec_id
+        ) z group by qa, qb
+      ) s
+      where s_ab / (sqrt(s_aa) * sqrt(s_bb)) >= 0.35
+    ),
+    edges as (
+      select qa as u, qb as v from cand
+      union all
+      select qb, qa from cand
+    ),
+    reach(node, r) as (
+      select u, u from (select distinct u from edges) n
+      union
+      select e.u, reach.r from edges e join reach on reach.node = e.v
+    ),
+    reps as (select node as member, min(r) as rep from reach group by node),
+    dropped as (select member from reps where member <> rep)
+    select vec_id from embeddings
+    where vec_id not in (select member from dropped)
+    """
+
+
 def q_ann_topk() -> str:
     # exact brute-force top-5 per query (vec_id < 8), self excluded;
     # rank omitted from the contract (row order within float-noise ties
@@ -2341,6 +2377,7 @@ def part_oracles() -> dict[str, str]:
                 "ngram_jaccard": q_ngram_jaccard(),
                 "cosine_pairs": q_cosine_pairs(),
                 "near_dup_embeddings": q_near_dup_embeddings(),
+                "embedding_dedup_survivors": q_embedding_dedup_survivors(),
                 "ivf_topk": q_ivf_topk(),
                 "kmeans_codebook": q_kmeans_codebook(),
                 "pq_codes": q_pq_codes(),
