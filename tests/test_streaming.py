@@ -189,3 +189,65 @@ def test_session_event_stats_streaming_matches_batch(spark, tmp_path):
         for r in spark.table("sess_stats").orderBy("user_id", "session_start").collect()
     ]
     assert got == expected
+
+
+def test_late_data_dropped_behind_watermark(spark, tmp_path):
+    """The streaming-only late-data contract (batch replay cannot show
+    it): with an event-time watermark, a window is finalized once the
+    watermark passes its end, and a row arriving after that is DROPPED
+    — it must not reopen or re-emit the finalized window. Three files
+    replayed one per microbatch (mtime-ordered): on-time rows, a
+    watermark-advancing row, then a late row into the closed window."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from lakefs_spark.streaming.ingest import windowed_event_counts
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 10, minute)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    batches = [
+        ("f1", [(t(1), "a", 1.0), (t(4), "a", 1.0)]),   # window 10:00-10:10
+        ("f2", [(t(50), "a", 1.0)]),                     # max event -> 10:50
+        # the wm used by batch N is derived from data through batch N-1,
+        # so one buffer batch is needed before the wm=10:40 cutoff is in
+        # force for arriving rows
+        ("f3", [(t(52), "a", 1.0)]),
+        ("f4", [(t(2), "a", 99.0), (t(59), "a", 1.0)]),  # late row: dropped
+    ]
+    for i, (name, rows) in enumerate(batches):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = str(src / f"{name}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = windowed_event_counts(stream, window="10 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_win")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {
+        (r["window_start"].minute, r["n_events"], r["total_value"])
+        for r in spark.table("late_win").collect()
+    }
+    # the 10:00 window closed with exactly the 2 on-time rows; the late
+    # 10:02 row (value 99) is absent everywhere
+    assert (0, 2, 2.0) in rows, rows
+    assert not any(v == 99.0 or v == 101.0 for _, _, v in rows), rows
