@@ -63,12 +63,25 @@ def main() -> None:
     n = ents.count()
     timings: dict[str, float] = {"replicas": replicas, "entries": n}
 
+    def drop_dead_shuffles():
+        # local[N] has ONE disk for what a cluster spreads over
+        # thousands: finished ops leave tens of GB of shuffle files
+        # that ContextCleaner only frees on driver JVM GC, which a
+        # batch driver may never trigger — at 300x the dead files
+        # exceed the box's scratch space. Nudge both GCs between ops.
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3)  # let ContextCleaner process the queue
+
     root = tempfile.mkdtemp(prefix="lakescale_")
     try:
         repo = Repository.create(spark, root)
         t0 = time.time()
         repo.import_entries("main", ents, message="scale import")
         timings["import_commit_s"] = round(time.time() - t0, 1)
+        drop_dead_shuffles()
 
         key_mod = F.abs(F.xxhash64("key")) % 100
         repo.create_branch("left", "main")
@@ -81,11 +94,13 @@ def main() -> None:
         t0 = time.time()
         repo.commit("left", "left 1%")
         timings["commit_1pct_s"] = round(time.time() - t0, 1)
+        drop_dead_shuffles()
 
         t0 = time.time()
         n_diff = repo.diff("main", "left").count()
         timings["diff_1pct_s"] = round(time.time() - t0, 1)
         assert n_diff > 0
+        drop_dead_shuffles()
 
         repo.create_branch("right", "main")
         repo.stage_entries(
@@ -98,6 +113,7 @@ def main() -> None:
         t0 = time.time()
         repo.merge("left", "right")
         timings["merge_1pct_s"] = round(time.time() - t0, 1)
+        drop_dead_shuffles()
 
         reachable = repo.reachable_addresses(repo.active_commits(7.0))
         orphans = ents.where(key_mod < 10).select(
