@@ -79,14 +79,18 @@ def write_ranges(
     Returns the manifest as a pandas DataFrame (MANIFEST_COLS), sorted
     by min_key. Entries must have unique keys (caller overlays first).
     """
-    # persist: the entry stream (often an expensive upstream plan) is
-    # evaluated twice — boundary-key collect, then the grouped write
-    entries = entries.select(*ENTRY_COLS).persist()
-    try:
-        chunked = assign_chunks(entries, "key", raggedness)
-        return write_ranges_prechunked(chunked, root)
-    finally:
-        entries.unpersist()
+    # NO persist: the entry stream is evaluated twice (boundary-key
+    # collect, then the grouped write), but the boundary pass prunes to
+    # the single key column with a 1-in-raggedness filter — a cheap
+    # pruned re-scan. Caching instead would spill the full-width
+    # snapshot (~data size) to disk: at 300x bench scale that plus the
+    # write shuffle exhausted a single box, and on a cluster it is the
+    # same pure waste spread over more disks. Callers whose upstream is
+    # a genuinely expensive non-scan plan (commit-apply) persist their
+    # own bounded change stream and call write_ranges_prechunked.
+    entries = entries.select(*ENTRY_COLS)
+    chunked = assign_chunks(entries, "key", raggedness)
+    return write_ranges_prechunked(chunked, root)
 
 
 def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
@@ -98,16 +102,20 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
       1. one hash shuffle on chunk_idx + native parquet write with
          ``partitionBy(chunk_idx)`` (rows pre-sorted per chunk, one
          file per chunk because the shuffle co-locates each chunk);
-      2. one aggregation job computing, per chunk, the manifest row and
-         the content address — sha256 over an order-independent
-         multiset hash of the length-tagged (key, identity) rows (the
-         reference's content-derived SSTable ID idea,
-         sstable/writer.go:101-135, with O(1) aggregation state: see
-         the inline note below);
+      2. one aggregation job over the files just written (column-pruned
+         to key/identity/size, map-side partial agg) computing, per
+         chunk, the manifest row and the content address — sha256 over
+         an order-independent multiset hash of the length-tagged
+         (key, identity) rows (the reference's content-derived SSTable
+         ID idea, sstable/writer.go:101-135, with O(1) aggregation
+         state: see the inline note below);
       3. driver renames chunk files to ``<range_id>.parquet`` —
          O(#ranges) metadata ops, no data movement. A pre-existing
          content address wins (structural-sharing hit, file replaced
          by an identical one is a no-op semantically).
+
+    No persist anywhere: caching the full-width post-shuffle rows
+    would spill ~data size to disk a second time per commit.
     """
     import shutil
     import tempfile
@@ -133,12 +141,31 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
         ).alias("metadata_json"),
         "content_type",
     )
-    # ONE shuffle: co-locate + sort each chunk, persist the post-shuffle
-    # rows; the write and the manifest aggregation both read the cache,
-    # and the groupBy reuses the cached HashPartitioning(chunk_idx) —
-    # no second shuffle
-    staged = staged.repartition("chunk_idx").sortWithinPartitions("chunk_idx", "key").persist()
+    # ONE shuffle: co-locate + sort each chunk, write immediately. No
+    # persist — caching the full-width post-shuffle rows spilled ~data
+    # size to disk a second time, which is what broke 300x runs on one
+    # box (a cluster spreads it, but it is pure waste there too): the
+    # manifest aggregation instead re-reads the files just written,
+    # column-pruned to (key, identity, size) + the chunk_idx partition
+    # column, with map-side partial aggregation per chunk file.
+    staged = staged.repartition("chunk_idx").sortWithinPartitions("chunk_idx", "key")
+    # best-effort sweep of temp dirs leaked by crashed writers
+    # (age-gated so a concurrent writer's live dir survives)
+    import time as _time
+
+    for d in os.listdir(root):
+        if d.startswith(".write_ranges."):
+            p = os.path.join(root, d)
+            try:
+                if _time.time() - os.path.getmtime(p) > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    tmp_dir = tempfile.mkdtemp(prefix=".write_ranges.", dir=root)
     try:
+        staged.write.partitionBy("chunk_idx").mode("overwrite").parquet(tmp_dir)
+        if not any(d.startswith("chunk_idx=") for d in os.listdir(tmp_dir)):
+            return pd.DataFrame(columns=MANIFEST_COLS)
         # content address = sha256 over an ORDER-INDEPENDENT multiset
         # hash of the chunk's length-tagged (key, identity) rows: four
         # independently-salted xxhash64 streams folded with bit_xor,
@@ -162,8 +189,9 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
             F.bit_xor(F.xxhash64(F.concat(F.lit(f"s{i}:"), frame))).alias(f"x{i}")
             for i in range(4)
         ]
+        written = chunked.sparkSession.read.parquet(tmp_dir)
         mf_rows = (
-            staged.groupBy("chunk_idx")
+            written.groupBy("chunk_idx")
             .agg(
                 *xors,
                 F.min("key").alias("min_key"),
@@ -184,22 +212,6 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
             )
             .collect()
         )
-        if not mf_rows:
-            return pd.DataFrame(columns=MANIFEST_COLS)
-        # best-effort sweep of temp dirs leaked by crashed writers
-        # (age-gated so a concurrent writer's live dir survives)
-        import time as _time
-
-        for d in os.listdir(root):
-            if d.startswith(".write_ranges."):
-                p = os.path.join(root, d)
-                try:
-                    if _time.time() - os.path.getmtime(p) > 3600:
-                        shutil.rmtree(p, ignore_errors=True)
-                except OSError:
-                    pass
-        tmp_dir = tempfile.mkdtemp(prefix=".write_ranges.", dir=root)
-        staged.write.partitionBy("chunk_idx").mode("overwrite").parquet(tmp_dir)
         for r in mf_rows:
             dest = os.path.join(rdir, f"{r['range_id']}.parquet")
             cdir = os.path.join(tmp_dir, f"chunk_idx={r['chunk_idx']}")
@@ -209,9 +221,8 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
                 os.remove(os.path.join(cdir, parts[0]))
             else:
                 os.replace(os.path.join(cdir, parts[0]), dest)
-        shutil.rmtree(tmp_dir, ignore_errors=True)
     finally:
-        staged.unpersist()
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     manifest = pd.DataFrame(
         [
             {

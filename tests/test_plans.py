@@ -158,26 +158,37 @@ def test_minhash_signatures_python_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
-def test_range_write_agg_reuses_cached_partitioning(spark):
-    """write_ranges_prechunked shuffles once: the manifest aggregation
-    over the persisted post-shuffle rows must not add an Exchange above
-    the InMemoryTableScan."""
+def test_range_write_manifest_agg_prunes_written_columns(spark, tmp_path):
+    """The manifest aggregation re-reads the chunk files just written
+    (write_ranges_prechunked does not persist — caching the full-width
+    post-shuffle rows would spill ~data size to disk per commit). The
+    re-read must be column-pruned to exactly key/identity/size, with
+    map-side partial aggregation so only per-chunk partials shuffle."""
     df = spark.range(500).select(
         (F.col("id") % 5).alias("chunk_idx"),
         F.col("id").cast("string").alias("key"),
         F.md5(F.col("id").cast("string")).alias("identity"),
+        F.lit(7).cast("long").alias("size"),
+        F.md5(F.col("id").cast("string")).alias("etag"),
     )
-    staged = df.repartition("chunk_idx").sortWithinPartitions("chunk_idx", "key").persist()
-    try:
-        staged.count()
-        agg = staged.groupBy("chunk_idx").agg(F.count(F.lit(1)).alias("n"))
-        plan = _plan(agg)
-        # the only Exchange strings permitted are inside the cached
-        # relation's stored child plan, i.e. below InMemoryTableScan
-        above_cache = plan.split("InMemoryTableScan")[0]
-        assert "Exchange" not in above_cache, plan
-    finally:
-        staged.unpersist()
+    out = str(tmp_path / "chunks")
+    df.repartition("chunk_idx").write.partitionBy("chunk_idx").parquet(out)
+    written = spark.read.parquet(out)
+    agg = written.groupBy("chunk_idx").agg(
+        F.bit_xor(F.xxhash64(F.concat("key", "identity"))).alias("x0"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+        F.count(F.lit(1)).alias("count"),
+        F.sum("size").alias("estimated_size"),
+    )
+    plan = _plan(agg)
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "etag" not in rs, plan  # unused payload columns pruned
+    for col in ("key", "identity", "size"):
+        assert col in rs, plan
+    # partial agg below the Exchange: only per-chunk partials shuffle
+    # (SortAggregate — string min/max buffers are not hash-agg eligible)
+    assert "partial_bit_xor" in plan.split("Exchange")[1], plan
 
 
 def test_asof_join_is_single_shuffle_no_cartesian(spark):
