@@ -63,6 +63,9 @@ def main() -> None:
     n = ents.count()
     timings: dict[str, float] = {"replicas": replicas, "entries": n}
 
+    def note(k):
+        print(f"## {k}: {timings[k]}", flush=True)
+
     def drop_dead_shuffles():
         # local[N] has ONE disk for what a cluster spreads over
         # thousands: finished ops leave tens of GB of shuffle files
@@ -81,6 +84,7 @@ def main() -> None:
         t0 = time.time()
         repo.import_entries("main", ents, message="scale import")
         timings["import_commit_s"] = round(time.time() - t0, 1)
+        note("import_commit_s")
         drop_dead_shuffles()
 
         key_mod = F.abs(F.xxhash64("key")) % 100
@@ -94,11 +98,13 @@ def main() -> None:
         t0 = time.time()
         repo.commit("left", "left 1%")
         timings["commit_1pct_s"] = round(time.time() - t0, 1)
+        note("commit_1pct_s")
         drop_dead_shuffles()
 
         t0 = time.time()
         n_diff = repo.diff("main", "left").count()
         timings["diff_1pct_s"] = round(time.time() - t0, 1)
+        note("diff_1pct_s")
         assert n_diff > 0
         drop_dead_shuffles()
 
@@ -113,6 +119,7 @@ def main() -> None:
         t0 = time.time()
         repo.merge("left", "right")
         timings["merge_1pct_s"] = round(time.time() - t0, 1)
+        note("merge_1pct_s")
         drop_dead_shuffles()
 
         reachable = repo.reachable_addresses(repo.active_commits(7.0))
@@ -123,6 +130,7 @@ def main() -> None:
         t0 = time.time()
         n_marked = repo.gc_mark(listing, 7.0).count()
         timings["gc_mark_s"] = round(time.time() - t0, 1)
+        note("gc_mark_s")
         assert n_marked == orphans.count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
