@@ -122,6 +122,21 @@ def main() -> None:
         note("merge_1pct_s")
         drop_dead_shuffles()
 
+        # B2 shape: one 1000-entry page, prefix + deep after-cursor.
+        # Manifest range selection + cursor pushdown should keep page
+        # latency ~O(page), not O(repo) — the flattest line in the
+        # curve if the pruning works.
+        t0 = time.time()
+        page = repo.list_entries(
+            "main",
+            prefix="tables/r0/",
+            after="tables/r0/b4/",
+            limit=1000,
+        ).collect()
+        timings["list_page_s"] = round(time.time() - t0, 1)
+        note("list_page_s")
+        assert len(page) == 1000, len(page)
+
         reachable = repo.reachable_addresses(repo.active_commits(7.0))
         orphans = ents.where(key_mod < 10).select(
             F.concat(F.lit("data/orphan/"), F.md5("key")).alias("address")
