@@ -149,19 +149,23 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
     # column-pruned to (key, identity, size) + the chunk_idx partition
     # column, with map-side partial aggregation per chunk file.
     staged = staged.repartition("chunk_idx").sortWithinPartitions("chunk_idx", "key")
-    # best-effort sweep of temp dirs leaked by crashed writers
-    # (age-gated so a concurrent writer's live dir survives)
+    # temp dirs live under root/tmp (never read as a table; a dot/
+    # underscore prefix instead would make Spark's overwrite-mode path
+    # resolution warn "All paths were ignored" on every commit).
+    # Best-effort sweep of dirs leaked by crashed writers, age-gated so
+    # a concurrent writer's live dir survives.
     import time as _time
 
-    for d in os.listdir(root):
-        if d.startswith(".write_ranges."):
-            p = os.path.join(root, d)
-            try:
-                if _time.time() - os.path.getmtime(p) > 3600:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
-    tmp_dir = tempfile.mkdtemp(prefix=".write_ranges.", dir=root)
+    tmp_root = os.path.join(root, "tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    for d in os.listdir(tmp_root):
+        p = os.path.join(tmp_root, d)
+        try:
+            if _time.time() - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    tmp_dir = tempfile.mkdtemp(prefix="write_ranges_", dir=tmp_root)
     try:
         staged.write.partitionBy("chunk_idx").mode("overwrite").parquet(tmp_dir)
         if not any(d.startswith("chunk_idx=") for d in os.listdir(tmp_dir)):
