@@ -95,6 +95,13 @@ def apply_changes(
     """Apply a deduped change stream (is_tombstone + entry cols, one row
     per key) onto a base snapshot. Returns the new manifest."""
     if base_manifest is None or base_manifest.empty:
+        # DELIBERATELY un-persisted: an empty base means the change
+        # stream IS the whole snapshot (first commit / import), exactly
+        # the case where caching would spill ~data size to disk. The
+        # cost is one extra evaluation of the upstream for the
+        # boundary-key pass, which Catalyst prunes to the key column
+        # (plus the columns its own window/dedup needs) — the cheap
+        # side of the trade at scale.
         entries = changes.where(~F.col("is_tombstone")).select(*ENTRY_COLS)
         return R.write_ranges(entries, root, raggedness)
 

@@ -152,16 +152,28 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
     # temp dirs live under root/tmp (never read as a table; a dot/
     # underscore prefix instead would make Spark's overwrite-mode path
     # resolution warn "All paths were ignored" on every commit).
-    # Best-effort sweep of dirs leaked by crashed writers, age-gated so
-    # a concurrent writer's live dir survives.
+    # Best-effort sweep of dirs leaked by crashed writers. The age gate
+    # is 24h, not 1h: the dir's top-level mtime is set at job START
+    # (Spark writes under _temporary and renames at commit), so the
+    # gate bounds the longest single range-write job we may sweep out
+    # from under a live concurrent writer — measured writes reach ~7
+    # minutes at 180M entries, leaving >100x headroom.
     import time as _time
 
+    _SWEEP_AGE_S = 24 * 3600
     tmp_root = os.path.join(root, "tmp")
     os.makedirs(tmp_root, exist_ok=True)
-    for d in os.listdir(tmp_root):
-        p = os.path.join(tmp_root, d)
+    stale = [os.path.join(tmp_root, d) for d in os.listdir(tmp_root)]
+    # legacy location: pre-root/tmp writers leaked dot-prefixed dirs
+    # directly in root
+    stale += [
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith(".write_ranges.")
+    ]
+    for p in stale:
         try:
-            if _time.time() - os.path.getmtime(p) > 3600:
+            if _time.time() - os.path.getmtime(p) > _SWEEP_AGE_S:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

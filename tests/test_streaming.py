@@ -195,9 +195,11 @@ def test_late_data_dropped_behind_watermark(spark, tmp_path):
     """The streaming-only late-data contract (batch replay cannot show
     it): with an event-time watermark, a window is finalized once the
     watermark passes its end, and a row arriving after that is DROPPED
-    — it must not reopen or re-emit the finalized window. Three files
+    — it must not reopen or re-emit the finalized window. Four files
     replayed one per microbatch (mtime-ordered): on-time rows, a
-    watermark-advancing row, then a late row into the closed window."""
+    watermark-advancing row, a buffer batch (the wm used by batch N is
+    derived from data through batch N-1), then a late row into the
+    closed window."""
     import datetime as dt
     import glob
     import shutil
