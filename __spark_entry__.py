@@ -2042,8 +2042,9 @@ def q_s3_list_pages(spark, sf_dir):
 def q_s3_list_v1_pages(spark, sf_dir):
     """S3-gateway ListObjects V1 (marker/NextMarker) paging on the real
     Repository (pkg/gateway/operations/listobjects.go:236-360): each
-    page records the marker it resumed from; NextMarker = last emitted
-    key feeds the next page verbatim."""
+    page records the marker it resumed from; with no delimiter the
+    gateway omits NextMarker (ListV1 parity), so the client resumes
+    from the last Contents key of the truncated page."""
     from lakefs_spark.catalog import Catalog
 
     repo = _e2e_repo(spark, sf_dir)
@@ -2056,7 +2057,8 @@ def q_s3_list_v1_pages(spark, sf_dir):
             rows.append(("v1", page, f["Key"], marker, resp["IsTruncated"]))
         if not resp["IsTruncated"]:
             break
-        marker = resp["NextMarker"]
+        assert "NextMarker" not in resp  # ListV1: only set with delimiter
+        marker = resp["Contents"][-1]["Key"]
         page += 1
     return spark.createDataFrame(
         rows, "mode string, page long, key string, marker string, is_truncated boolean"

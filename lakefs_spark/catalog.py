@@ -168,9 +168,12 @@ class Catalog:
     ) -> dict:
         """S3-gateway ListObjects (V1) envelope
         (pkg/gateway/operations/listobjects.go:236-360): the resume
-        cursor is ``marker`` (a key, exclusive); when the page is
-        truncated the response carries ``NextMarker`` = last emitted
-        item, which the next call passes back verbatim."""
+        cursor is ``marker`` (a key, exclusive). Per the reference
+        gateway and S3, ``NextMarker`` is only returned when a
+        delimiter was given (last emitted item — key or common
+        prefix); without a delimiter a truncated page sets only
+        ``IsTruncated`` and the client resumes from the last
+        ``Contents`` key."""
         rows, has_more = self.repo.list_page(
             ref, prefix=prefix, after=marker, delimiter=delimiter, amount=max_keys
         )
@@ -198,7 +201,8 @@ class Catalog:
         }
         if has_more and rows:
             resp["IsTruncated"] = True
-            resp["NextMarker"] = rows[-1]["key"]
+            if delimiter:
+                resp["NextMarker"] = rows[-1]["key"]
         return resp
 
     def stat_object(self, ref: str, path: str):

@@ -265,8 +265,14 @@ def duplicate_clusters(
     # expensive upstream plan, and on the distributed path it would
     # otherwise run twice (size probe + symmetrized union)
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).persist()
-    probe = e.limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
+    # size probe as a COUNT (a long to the driver), not a collect —
+    # the distributed path must never materialize a million edge rows
+    # driver-side just to discover it is the distributed path. The
+    # edges are only collected once the driver path is chosen, and the
+    # persist above makes that second job a cache read.
+    n_edges = e.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        probe = e.collect()
         e.unpersist()
         parent: dict = {}
 

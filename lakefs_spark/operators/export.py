@@ -361,12 +361,16 @@ def delta_checkpoint(
         else None
     )
     ckpt_tmp = os.path.join(log_dir, f".ckpt.{os.getpid()}")
-    out = adds.select("add") if adds is not None else df.limit(0).select()
+    # an empty table (protocol/metaData but zero add actions) is a
+    # legal Delta state: checkpoint carries just the state rows, no
+    # add column. A log with neither state nor adds is not a log.
+    out = adds.select("add") if adds is not None else None
+    if out is None and state is None:
+        raise ValueError(f"delta log {log_dir} has no checkpointable actions")
     n_actions = 0
     import shutil as _shutil
 
-    full = None
-    if state is not None:
+    if state is not None and out is not None:
         full = state.select(
             "protocol", "metaData", F.lit(None).cast(out.schema["add"].dataType).alias("add")
         ).unionByName(
@@ -376,6 +380,8 @@ def delta_checkpoint(
                 "add",
             )
         )
+    elif state is not None:
+        full = state.select("protocol", "metaData")
     else:
         full = out
     full.coalesce(1).write.mode("overwrite").parquet(ckpt_tmp)

@@ -183,16 +183,21 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
         if not any(d.startswith("chunk_idx=") for d in os.listdir(tmp_dir)):
             return pd.DataFrame(columns=MANIFEST_COLS)
         # content address = sha256 over an ORDER-INDEPENDENT multiset
-        # hash of the chunk's length-tagged (key, identity) rows: four
-        # independently-salted xxhash64 streams folded with bit_xor,
-        # plus count/min/max. O(1) aggregation state per chunk — the
-        # earlier sorted collect_list+sha held every row of every chunk
-        # in the aggregation hash map, so per-task memory grew with
-        # chunks-per-partition and OOMed at ~2e8 entries (found by
-        # tools/scale_smoke.py 300). Keys are unique within a chunk, so
-        # the xor never cancels duplicate rows; same content => same
-        # address (structural sharing) is preserved with ~256 bits of
-        # accidental-collision margin.
+        # hash of the chunk's length-tagged (key, identity) rows: each
+        # row contributes four 60-bit lanes sliced from ONE sha2-256 of
+        # the framed row, and the lanes are SUMMED mod 2^64 (AdHash-
+        # style additive multiset hash over cryptographic digests —
+        # forging a collision needs a modular subset-sum over sha256
+        # outputs, unlike the previous bit_xor(xxhash64) fold, which
+        # was GF(2)-linear and forgeable by Gaussian elimination with
+        # attacker-chosen keys/identities). O(1) aggregation state per
+        # chunk — the earlier sorted collect_list+sha held every row of
+        # every chunk in the aggregation hash map, so per-task memory
+        # grew with chunks-per-partition and OOMed at ~2e8 entries
+        # (found by tools/scale_smoke.py 300). Sums run as decimal(38)
+        # so they cannot overflow under ANSI mode (2^60 per row x 2^60
+        # rows < 10^38); same content => same address (structural
+        # sharing) is preserved with 240 bits of collision margin.
         frame = F.concat(  # f"{len(k)}:{k}{len(i)}:{i}"
             F.length("key").cast("string"),
             F.lit(":"),
@@ -201,15 +206,20 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
             F.lit(":"),
             F.col("identity"),
         )
-        xors = [
-            F.bit_xor(F.xxhash64(F.concat(F.lit(f"s{i}:"), frame))).alias(f"x{i}")
-            for i in range(4)
-        ]
+        digest = F.sha2(frame, 256)
+        _MOD64 = F.lit("18446744073709551616").cast("decimal(38,0)")  # 2^64
+
+        def _lane_sum(i: int):
+            lane = F.conv(F.substring(digest, 1 + i * 16, 15), 16, 10).cast(
+                "decimal(38,0)"
+            )
+            return F.pmod(F.sum(lane), _MOD64).cast("decimal(20,0)").alias(f"x{i}")
+
         written = chunked.sparkSession.read.parquet(tmp_dir)
         mf_rows = (
             written.groupBy("chunk_idx")
             .agg(
-                *xors,
+                *[_lane_sum(i) for i in range(4)],
                 F.min("key").alias("min_key"),
                 F.max("key").alias("max_key"),
                 F.count(F.lit(1)).alias("count"),
