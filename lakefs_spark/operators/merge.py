@@ -24,7 +24,7 @@ storage/repo.py keeps the inputs O(changed ranges).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakefs_spark.schema import ENTRY_COLS
@@ -34,14 +34,89 @@ _PAYLOAD = [c for c in ENTRY_COLS if c not in ("key", "identity")]
 STRATEGIES = ("none", "src", "dest")
 
 
-def merge_actions(base: DataFrame, source: DataFrame, dest: DataFrame, strategy: str = "none") -> DataFrame:
+# -- conflict resolvers -----------------------------------------------------
+#
+# The reference's extension point (pkg/graveler/committed/merge.go:304-331
+# handleConflict + 523-534 StrategyConflictResolver): a chain of
+# resolvers is consulted in order for each conflicting key; the first
+# that picks a side wins, and only an unresolved key becomes
+# ErrConflictFound. The stock strategy behavior IS a resolver at the
+# end of the chain.
+#
+# Spark-native shape: a resolver is a callable ``(strategy) -> Column``
+# evaluated over the joined conflict row (columns: key, s_identity,
+# d_identity, s_<payload>, d_<payload>) returning 'src', 'dest', or
+# NULL (= pass to the next resolver). Declarative columns keep
+# resolution fully distributed — a Python callback per conflicting key
+# would pull an unbounded conflict stream through the driver.
+
+
+def strategy_resolver(strategy: str) -> Column:
+    """The reference's StrategyConflictResolver (merge.go:523-534):
+    picks per the merge strategy, passes under 'none'."""
+    if strategy == "src":
+        return F.lit("src")
+    if strategy == "dest":
+        return F.lit("dest")
+    return F.lit(None).cast("string")
+
+
+def key_pattern_resolver(pattern: str, choice: str):
+    """Resolve conflicts on keys matching ``pattern`` (rlike) to
+    ``choice`` ('src' or 'dest'); pass otherwise."""
+    if choice not in ("src", "dest"):
+        raise ValueError(f"choice must be 'src' or 'dest', got {choice!r}")
+
+    def r(strategy: str) -> Column:
+        return F.when(F.col("key").rlike(pattern), F.lit(choice))
+
+    return r
+
+
+def prefer_newer_resolver():
+    """Payload-based resolution: pick the side whose entry was modified
+    later; pass when either timestamp is absent (e.g. delete-vs-change
+    conflicts stay conflicts)."""
+
+    def r(strategy: str) -> Column:
+        s_ts, d_ts = F.col("s_last_modified"), F.col("d_last_modified")
+        return (
+            F.when(s_ts.isNull() | d_ts.isNull(), F.lit(None).cast("string"))
+            .when(s_ts >= d_ts, F.lit("src"))
+            .otherwise(F.lit("dest"))
+        )
+
+    return r
+
+
+def _conflict_outcome(strategy: str, resolvers, s_act: Column) -> Column:
+    """Action for a both-changed-differently key after running the
+    resolver chain (user resolvers first, strategy resolver last —
+    merge_test.go:1850 'first resolver decides' ordering)."""
+    chain = [*(resolvers or []), strategy_resolver]
+    choice = F.coalesce(*(r(strategy) for r in chain), F.lit("conflict"))
+    return (
+        F.when(choice == "src", s_act)
+        .when(choice == "dest", F.lit(None))  # keep dest == no action
+        .otherwise(F.lit("conflict"))
+    )
+
+
+def merge_actions(
+    base: DataFrame,
+    source: DataFrame,
+    dest: DataFrame,
+    strategy: str = "none",
+    resolvers=None,
+) -> DataFrame:
     """Per-key merge decision stream.
 
     Returns ``(key, action, identity, <payload>)`` with action in
     {'set', 'delete', 'conflict'}: 'set'/'delete' are the changes to
     apply onto dest; keys where dest already has the right value are
-    omitted. With strategy 'src'/'dest' conflicts are resolved and
-    come back as set/delete/omitted accordingly.
+    omitted. Conflicting keys run the ``resolvers`` chain (user
+    resolvers first, then the strategy resolver) and come back as
+    set/delete/omitted when resolved.
     """
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown merge strategy {strategy!r}")
@@ -52,7 +127,11 @@ def merge_actions(base: DataFrame, source: DataFrame, dest: DataFrame, strategy:
         F.col("identity").alias("s_identity"),
         *[F.col(c).alias(f"s_{c}") for c in _PAYLOAD],
     )
-    d = dest.select(F.col("key"), F.col("identity").alias("d_identity"))
+    d = dest.select(
+        F.col("key"),
+        F.col("identity").alias("d_identity"),
+        *[F.col(c).alias(f"d_{c}") for c in _PAYLOAD],
+    )
 
     j = s.join(d, on="key", how="full_outer").join(b, on="key", how="left")
 
@@ -62,14 +141,13 @@ def merge_actions(base: DataFrame, source: DataFrame, dest: DataFrame, strategy:
     d_changed = ~eq(d_id, b_id)
     same = eq(s_id, d_id)
 
+    s_act = F.when(s_id.isNull(), F.lit("delete")).otherwise(F.lit("set"))
     action = (
         F.when(~s_changed, F.lit(None))  # source didn't touch it -> keep dest, no action
         .when(same, F.lit(None))  # dest already matches source's result
-        .when(~d_changed, F.when(s_id.isNull(), F.lit("delete")).otherwise(F.lit("set")))
-        # both changed, different results:
-        .when(F.lit(strategy == "src"), F.when(s_id.isNull(), F.lit("delete")).otherwise(F.lit("set")))
-        .when(F.lit(strategy == "dest"), F.lit(None))
-        .otherwise(F.lit("conflict"))
+        .when(~d_changed, s_act)
+        # both changed, different results -> resolver chain
+        .otherwise(_conflict_outcome(strategy, resolvers, s_act))
     )
 
     return (
@@ -85,7 +163,7 @@ def merge_actions(base: DataFrame, source: DataFrame, dest: DataFrame, strategy:
 
 
 def merge_changes_from_diffs(
-    sdiff: DataFrame, ddiff: DataFrame, strategy: str = "none"
+    sdiff: DataFrame, ddiff: DataFrame, strategy: str = "none", resolvers=None
 ) -> DataFrame:
     """Merge decision stream from two base-anchored diffs.
 
@@ -96,6 +174,7 @@ def merge_changes_from_diffs(
 
     Returns ``(key, action, identity, <payload>)``, action in
     {'set','delete','conflict'}; identity is null for deletes.
+    Conflicting keys run the ``resolvers`` chain (see module note).
     """
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown merge strategy {strategy!r}")
@@ -105,7 +184,7 @@ def merge_changes_from_diffs(
         .otherwise(F.col("identity"))
         .alias(f"{p}_identity"),
         F.lit(True).alias(f"{p}_present"),
-        *([F.col(c).alias(f"{p}_{c}") for c in _PAYLOAD] if p == "s" else []),
+        *[F.col(c).alias(f"{p}_{c}") for c in _PAYLOAD],
     )
     j = qual(sdiff, "s").join(qual(ddiff, "d"), on="key", how="full_outer")
     s_id, d_id = F.col("s_identity"), F.col("d_identity")
@@ -114,9 +193,7 @@ def merge_changes_from_diffs(
         F.when(F.col("s_present").isNull(), F.lit(None))  # dest-only change
         .when(F.col("d_present").isNull(), s_act)  # source-only change
         .when(s_id.eqNullSafe(d_id), F.lit(None))  # same result
-        .when(F.lit(strategy == "src"), s_act)
-        .when(F.lit(strategy == "dest"), F.lit(None))
-        .otherwise(F.lit("conflict"))
+        .otherwise(_conflict_outcome(strategy, resolvers, s_act))
     )
     return (
         j.withColumn("action", action)

@@ -7,15 +7,14 @@ pkg/graveler/ref/pulls_iterator.go ordering). The PR itself is pure
 metadata — the heavy lifting (compare, merge) delegates to the
 Repository operators, so a PR listing never touches range data.
 
-Storage: one JSON file per PR under ``<root>/pulls/``, written with the
-same tmp+replace atomic swap as branch pointers; IDs are time-ordered
-so the listing iterator (sorted by ID) is also newest-last, matching
-the reference's xid ordering.
+Storage: one document per PR (doc keys ``pulls/<id>`` on the metadata
+store — with a LocalStore, the same one-JSON-file-per-PR layout as
+before); IDs are time-ordered so the listing iterator (sorted by ID)
+is also newest-last, matching the reference's xid ordering.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -35,17 +34,10 @@ class PullRequests:
 
     def __init__(self, repo):
         self.repo = repo
-        self.dir = os.path.join(repo.root, "pulls")
-
-    def _path(self, pull_id: str) -> str:
-        return os.path.join(self.dir, f"{pull_id}.json")
+        self.store = repo.store
 
     def _write(self, pull_id: str, rec: dict) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        tmp = f"{self._path(pull_id)}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, self._path(pull_id))
+        self.store.put_doc(f"pulls/{pull_id}", rec)
 
     def create(
         self,
@@ -85,11 +77,10 @@ class PullRequests:
         return pull_id
 
     def get(self, pull_id: str) -> dict:
-        try:
-            with open(self._path(pull_id)) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            raise PullRequestError(f"pull request not found: {pull_id!r}") from None
+        got = self.store.get_doc(f"pulls/{pull_id}")
+        if got is None:
+            raise PullRequestError(f"pull request not found: {pull_id!r}")
+        return got[0]
 
     def list(
         self, status: str | None = None, after: str = "", amount: int | None = None
@@ -97,11 +88,7 @@ class PullRequests:
         """PRs sorted by id (pulls_iterator.go order), with the
         reference's status filter: ``CLOSED`` matches CLOSED or MERGED,
         ``OPEN`` matches only OPEN (catalog.go:3409-3420)."""
-        if not os.path.isdir(self.dir):
-            return []
-        ids = sorted(
-            f[: -len(".json")] for f in os.listdir(self.dir) if f.endswith(".json")
-        )
+        ids = [k[len("pulls/"):] for k in self.store.list_docs("pulls/")]
         out = []
         for pid in ids:
             if pid <= after:

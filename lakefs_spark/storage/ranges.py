@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS, assign_chunks
 from lakefs_spark.schema import ENTRY_COLS
+from lakefs_spark.storage.store import as_store, data_root_of
 
 # Parquet-side schema: metadata map stored as canonical JSON text
 # (cross-tool safe); decoded back to map<string,string> on read.
@@ -61,12 +62,12 @@ _PA_SCHEMA = pa.schema(
 MANIFEST_COLS = ["range_id", "min_key", "max_key", "count", "estimated_size"]
 
 
-def ranges_dir(root: str) -> str:
-    return os.path.join(root, "ranges")
+def ranges_dir(root) -> str:
+    return os.path.join(data_root_of(root), "ranges")
 
 
-def manifests_dir(root: str) -> str:
-    return os.path.join(root, "manifests")
+def manifests_dir(root) -> str:
+    return os.path.join(data_root_of(root), "manifests")
 
 
 def write_ranges(
@@ -109,7 +110,8 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
          (key, identity) rows (the reference's content-derived SSTable
          ID idea, sstable/writer.go:101-135, with O(1) aggregation
          state: see the inline note below);
-      3. driver renames chunk files to ``<range_id>.parquet`` —
+      3. driver publishes chunk files to ``ranges/<range_id>.parquet``
+         through the store's put-if-absent blob publication —
          O(#ranges) metadata ops, no data movement. A pre-existing
          content address wins (structural-sharing hit, file replaced
          by an identical one is a no-op semantically).
@@ -120,8 +122,9 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
     import shutil
     import tempfile
 
-    rdir = ranges_dir(root)
-    os.makedirs(rdir, exist_ok=True)
+    store = as_store(root)
+    root = store.data_root
+    os.makedirs(ranges_dir(root), exist_ok=True)
 
     meta = F.col("metadata")
     staged = chunked.select(
@@ -239,14 +242,15 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
             .collect()
         )
         for r in mf_rows:
-            dest = os.path.join(rdir, f"{r['range_id']}.parquet")
             cdir = os.path.join(tmp_dir, f"chunk_idx={r['chunk_idx']}")
             parts = [p for p in os.listdir(cdir) if p.endswith(".parquet")]
             assert len(parts) == 1, f"expected one file per chunk, got {parts}"
-            if os.path.exists(dest):  # content-address hit => keep original
-                os.remove(os.path.join(cdir, parts[0]))
-            else:
-                os.replace(os.path.join(cdir, parts[0]), dest)
+            # put-if-absent publication: a content-address hit keeps the
+            # existing blob (same bytes by construction)
+            store.publish_blob(
+                os.path.join(cdir, parts[0]),
+                os.path.join("ranges", f"{r['range_id']}.parquet"),
+            )
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
     manifest = pd.DataFrame(
@@ -271,22 +275,51 @@ def metarange_id_of(manifest: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def write_manifest(manifest: pd.DataFrame, root: str) -> str:
-    """Persist the manifest; returns the content-addressed metarange id."""
+def write_manifest(manifest: pd.DataFrame, root) -> str:
+    """Persist the manifest; returns the content-addressed metarange id.
+    Publication is the store's put-if-absent blob path."""
+    store = as_store(root)
     mid = metarange_id_of(manifest)
-    mdir = manifests_dir(root)
-    os.makedirs(mdir, exist_ok=True)
-    path = os.path.join(mdir, f"{mid}.parquet")
-    if not os.path.exists(path):
-        tmp = f"{path}.tmp.{os.getpid()}"
+    rel = os.path.join("manifests", f"{mid}.parquet")
+    if not store.blob_exists(rel):
+        mdir = manifests_dir(store.data_root)
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".{mid}.tmp.{os.getpid()}")
         manifest[MANIFEST_COLS].to_parquet(tmp, index=False)
-        os.replace(tmp, path)
+        store.publish_blob(tmp, rel)
     return mid
 
 
-def read_manifest(root: str, metarange_id: str) -> pd.DataFrame:
+#: LRU over loaded manifests, keyed by (data_root, metarange_id).
+#: Manifests are content-addressed and immutable, so entries never go
+#: stale; the reference keeps the same cache as an LRU over commit
+#: manifests for the path-filtered log (pkg/catalog/catalog.go:1734-1828
+#: uses it around GetRangeIDByKey). Size 128 * ~20k rows is MBs.
+_MANIFEST_CACHE: "dict[tuple[str, str], pd.DataFrame]" = {}
+_MANIFEST_CACHE_MAX = 128
+
+
+def _read_manifest_uncached(root, metarange_id: str) -> pd.DataFrame:
     path = os.path.join(manifests_dir(root), f"{metarange_id}.parquet")
     return pd.read_parquet(path).sort_values("min_key").reset_index(drop=True)
+
+
+def read_manifest(root, metarange_id: str) -> pd.DataFrame:
+    """Manifest rows, LRU-cached (immutable => cache-forever; callers
+    must not mutate the returned frame in place — all engine callers
+    filter/concat, which copy)."""
+    key = (data_root_of(root), metarange_id)
+    hit = _MANIFEST_CACHE.pop(key, None)
+    if hit is None:
+        hit = _read_manifest_uncached(root, metarange_id)
+    _MANIFEST_CACHE[key] = hit  # re-insert = move to MRU end (dicts are ordered)
+    while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    return hit
+
+
+def manifest_cache_clear() -> None:
+    _MANIFEST_CACHE.clear()
 
 
 EMPTY_METARANGE = "empty"

@@ -23,8 +23,6 @@ Implements:
 from __future__ import annotations
 
 import heapq
-import json
-import os
 import re
 import time
 from dataclasses import dataclass, field
@@ -84,35 +82,41 @@ def commit_id_of(
 
 
 class CommitStore:
-    """JSON-file-per-commit store under <root>/commits/."""
+    """Content-addressed commit records on the metadata store
+    (doc keys ``commits/<id>``; with a LocalStore that is the same
+    JSON-file-per-commit layout as before). Commits are immutable, so
+    reads cache forever and puts are idempotent — no CAS needed
+    (AddCommit's dedup check, pkg/graveler/graveler.go:517-527)."""
 
-    def __init__(self, root: str):
-        self.dir = os.path.join(root, "commits")
-        os.makedirs(self.dir, exist_ok=True)
+    def __init__(self, root_or_store):
+        from lakefs_spark.storage.store import as_store
+
+        self.store = as_store(root_or_store)
         self._cache: dict[str, Commit] = {}
 
     def get(self, commit_id: str) -> Commit:
         if commit_id not in self._cache:
-            with open(os.path.join(self.dir, f"{commit_id}.json")) as f:
-                self._cache[commit_id] = Commit.from_json(json.load(f))
+            got = self.store.get_doc(f"commits/{commit_id}")
+            if got is None:
+                raise FileNotFoundError(f"commit not found: {commit_id!r}")
+            self._cache[commit_id] = Commit.from_json(got[0])
         return self._cache[commit_id]
 
     def exists(self, commit_id: str) -> bool:
-        return commit_id in self._cache or os.path.exists(
-            os.path.join(self.dir, f"{commit_id}.json")
+        return commit_id in self._cache or self.store.doc_exists(
+            f"commits/{commit_id}"
         )
 
     def put(self, c: Commit) -> None:
-        path = os.path.join(self.dir, f"{c.commit_id}.json")
-        if not os.path.exists(path):  # content-addressed => idempotent
-            tmp = f"{path}.tmp.{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump(c.to_json(), f)
-            os.replace(tmp, path)
+        if not self.store.doc_exists(f"commits/{c.commit_id}"):
+            # content-addressed => idempotent; last-writer-wins is safe
+            self.store.put_doc(f"commits/{c.commit_id}", c.to_json())
         self._cache[c.commit_id] = c
 
     def all_ids(self) -> list[str]:
-        return sorted(p[:-5] for p in os.listdir(self.dir) if p.endswith(".json"))
+        return sorted(
+            k[len("commits/"):] for k in self.store.list_docs("commits/")
+        )
 
     def create(
         self,

@@ -14,12 +14,18 @@ Storage layout under ``root``::
     refs/tags/<name>.json         {commit_id}
     staging/<branch>/<seq>/       parquet change batches (tombstones incl.)
 
-Concurrency model: branch pointers are updated by atomic file replace
-after an optimistic re-read — the local-FS stand-in for the KV CAS the
-reference relies on (pkg/graveler/graveler.go:2422-2475 retry loop; on
-object storage this maps to conditional PUT, e.g. S3 If-None-Match).
-Single-writer-per-branch is assumed for staging appends, like the
-reference's staging tokens.
+Concurrency model: every branch-pointer mutation is a version-token
+conditional PUT on the metadata store (storage/store.py — the
+semantics of kv SetIf, pkg/kv/store.go:96-111, S3 If-Match, DynamoDB
+condition writes). The repository never takes a lock: it reads
+``(state, version)``, computes, and puts-if-version-matches; a lost
+race surfaces as :class:`BranchChangedError` and the bounded retry
+loop recomputes on the new head (graveler.go:2422-2475). The default
+:class:`~lakefs_spark.storage.store.LocalStore` implements the
+conditional PUT over local files (single-host, like the reference's
+badger tier); any conditional-PUT backend slots in via the ``store``
+parameter. Single-writer-per-branch is assumed for staging appends,
+like the reference's staging tokens.
 
 Hooks: pre/post callbacks around commit and merge; a pre-hook raising
 ``HookAbortError`` aborts the operation (pkg/actions/event.go:16-32,
@@ -28,12 +34,10 @@ abort wiring pkg/graveler/graveler.go:2272-2287).
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
 import shutil
 import time
-from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +63,7 @@ from lakefs_spark.storage.refs import (
     merge_base,
     resolve_ref,
 )
+from lakefs_spark.storage.store import CASConflictError, LocalStore, Store
 
 
 class ConflictError(Exception):
@@ -104,10 +109,11 @@ BRANCH_UPDATE_MAX_TRIES = 3
 
 
 class Repository:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, store: Store | None = None):
         self.spark = spark
         self.root = root
-        self.commits = CommitStore(root)
+        self.store = store if store is not None else LocalStore(root)
+        self.commits = CommitStore(self.store)
         self.hooks: dict[str, list] = {}
         self.raggedness = DEFAULT_RAGGEDNESS
 
@@ -121,26 +127,32 @@ class Repository:
     # -- lifecycle ---------------------------------------------------------
 
     @staticmethod
-    def create(spark: SparkSession, root: str, default_branch: str = "main") -> "Repository":
+    def create(
+        spark: SparkSession,
+        root: str,
+        default_branch: str = "main",
+        store: Store | None = None,
+    ) -> "Repository":
         os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, "repo.json"), "w") as f:
-            json.dump({"default_branch": default_branch, "created_at": time.time()}, f)
-        for sub in ("ranges", "manifests", "commits", "refs/branches", "refs/tags", "staging"):
+        for sub in ("ranges", "manifests", "staging"):
             os.makedirs(os.path.join(root, sub), exist_ok=True)
-        repo = Repository(spark, root)
+        repo = Repository(spark, root, store=store)
+        repo.store.put_doc(
+            "repo", {"default_branch": default_branch, "created_at": time.time()}
+        )
         repo._write_branch(default_branch, {"head": None, "staging_seq": 0})
         return repo
 
     @staticmethod
-    def open(spark: SparkSession, root: str) -> "Repository":
-        if not os.path.exists(os.path.join(root, "repo.json")):
+    def open(spark: SparkSession, root: str, store: Store | None = None) -> "Repository":
+        repo = Repository(spark, root, store=store)
+        if not repo.store.doc_exists("repo"):
             raise FileNotFoundError(f"not a repository: {root}")
-        return Repository(spark, root)
+        return repo
 
     @property
     def default_branch(self) -> str:
-        with open(os.path.join(self.root, "repo.json")) as f:
-            return json.load(f)["default_branch"]
+        return self.store.get_doc("repo")[0]["default_branch"]
 
     # -- hooks -------------------------------------------------------------
 
@@ -176,17 +188,11 @@ class Repository:
             "context_keys": sorted(ctx),
             "start_time": time.time(),
         }
-        path = os.path.join(self.root, "runs.jsonl")
-        with open(path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        self.store.append_line("runs", json.dumps(rec))
 
     def hook_runs(self, event: str | None = None, limit: int | None = None) -> list[dict]:
         """Run-results listing, newest first (ListRunResults shape)."""
-        path = os.path.join(self.root, "runs.jsonl")
-        if not os.path.exists(path):
-            return []
-        with open(path) as f:
-            runs = [json.loads(line) for line in f if line.strip()]
+        runs = [json.loads(line) for line in self.store.read_lines("runs")]
         runs.reverse()
         if event is not None:
             runs = [r for r in runs if r["event"] == event]
@@ -195,44 +201,38 @@ class Repository:
     def expire_runs(self, ttl_seconds: float, now: float | None = None) -> int:
         """TTL cleanup of the run-results log (the expired-tasks delete
         of pkg/catalog/catalog.go:3177-3208). Returns rows dropped;
-        rewrite is atomic (tmp + replace, same as pointer swaps)."""
-        path = os.path.join(self.root, "runs.jsonl")
-        if not os.path.exists(path):
-            return 0
+        the rewrite is atomic on the store."""
         cutoff = (now if now is not None else time.time()) - ttl_seconds
-        with open(path) as f:
-            runs = [json.loads(line) for line in f if line.strip()]
+        runs = [json.loads(line) for line in self.store.read_lines("runs")]
         kept = [r for r in runs if r["start_time"] >= cutoff]
         if len(kept) == len(runs):
             return 0
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            for r in kept:
-                f.write(json.dumps(r) + "\n")
-        os.replace(tmp, path)
+        self.store.replace_lines("runs", [json.dumps(r) for r in kept])
         return len(runs) - len(kept)
 
     # -- branch protection ---------------------------------------------------
 
     def protection_rules(self) -> list[dict]:
-        path = os.path.join(self.root, "protected_branches.json")
-        if not os.path.exists(path):
-            return []
-        with open(path) as f:
-            return json.load(f)
+        got = self.store.get_doc("protected_branches")
+        return got[0]["rules"] if got else []
 
     def protect_branch(self, pattern: str, blocked: tuple[str, ...] = ("staging_write", "commit")) -> None:
         """Add a protection rule: fnmatch ``pattern`` over branch names,
         blocking the given ops (pkg/graveler/branch/protection_manager.go).
         Merges into a protected branch stay allowed — that is the rule's
         point (changes land via merge, not direct commit)."""
-        rules = self.protection_rules()
-        rules.append({"pattern": pattern, "blocked": list(blocked)})
-        path = os.path.join(self.root, "protected_branches.json")
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(rules, f)
-        os.replace(tmp, path)
+        new_rule = {"pattern": pattern, "blocked": list(blocked)}
+        for _ in range(16):  # read-merge-CAS so concurrent adds both land
+            got = self.store.get_doc("protected_branches")
+            rules, ver = (got[0]["rules"], got[1]) if got else ([], None)
+            try:
+                self.store.put_doc_if(
+                    "protected_branches", {"rules": rules + [new_rule]}, ver
+                )
+                return
+            except CASConflictError:
+                continue
+        raise TooManyTriesError("protected_branches update kept losing the CAS race")
 
     def _check_protected(self, branch: str, op: str) -> None:
         from fnmatch import fnmatch
@@ -245,54 +245,54 @@ class Repository:
 
     # -- branch / tag pointers ---------------------------------------------
 
-    def _branch_path(self, name: str) -> str:
-        return os.path.join(self.root, "refs", "branches", f"{name}.json")
+    def _branch_key(self, name: str) -> str:
+        return f"refs/branches/{name}"
+
+    def _get_branch(self, name: str) -> tuple[dict, str]:
+        """Branch state + its store version token (the CAS predicate)."""
+        got = self.store.get_doc(self._branch_key(name))
+        if got is None:
+            raise RefError(f"branch not found: {name!r}")
+        return got
 
     def _read_branch(self, name: str) -> dict:
-        try:
-            with open(self._branch_path(name)) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            raise RefError(f"branch not found: {name!r}") from None
+        return self._get_branch(name)[0]
 
     def _write_branch(self, name: str, state: dict) -> None:
-        path = self._branch_path(name)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, path)  # atomic file swap (not by itself a CAS)
+        self.store.put_doc(self._branch_key(name), state)
 
-    @contextmanager
-    def _branch_lock(self, name: str):
-        """Exclusive per-branch critical section for read-compare-write on
-        the pointer file. Local-FS analog of the KV store's conditional
-        put (pkg/kv/store.go:96-100 SetIf); on an object store this maps
-        to If-Match / conditional-write on the pointer object."""
-        lock_path = self._branch_path(name) + ".lock"
-        os.makedirs(os.path.dirname(lock_path), exist_ok=True)
-        with open(lock_path, "w") as lf:
-            fcntl.flock(lf, fcntl.LOCK_EX)
-            try:
-                yield
-            finally:
-                fcntl.flock(lf, fcntl.LOCK_UN)
+    #: inner bound for re-merging over concurrent NON-head writes (e.g.
+    #: a staging_seq bump racing a commit's head swap) — distinct from
+    #: BRANCH_UPDATE_MAX_TRIES, which bounds recomputes after the head
+    #: itself moved
+    _CAS_MERGE_MAX_TRIES = 16
 
     def _cas_update(self, name: str, expected_head, update: dict, drop: tuple = ()) -> dict:
-        """Atomically set fields on the branch state iff its head still
-        equals ``expected_head``. Merges over the CURRENT state (so a
-        concurrent staging_seq bump is preserved), removes ``drop`` keys,
-        and raises :class:`BranchChangedError` on a lost race
-        (graveler.go:2422-2475 branch-update predicate)."""
-        with self._branch_lock(name):
-            cur = self._read_branch(name)
+        """Set fields on the branch state iff its head still equals
+        ``expected_head``, via version-token conditional PUT — no lock
+        anywhere (kv SetIf semantics, pkg/kv/store.go:96-111). Merges
+        over the CURRENT state (so a concurrent staging_seq bump is
+        preserved: the bump changes the version, the conditional PUT
+        fails, and this loop re-reads and re-merges), removes ``drop``
+        keys, and raises :class:`BranchChangedError` once the HEAD is
+        seen to have moved (graveler.go:2422-2475 branch-update
+        predicate) so the caller's retry recomputes its work."""
+        for _ in range(self._CAS_MERGE_MAX_TRIES):
+            cur, ver = self._get_branch(name)
             if cur["head"] != expected_head:
                 raise BranchChangedError(
                     f"branch {name!r} moved: expected head {expected_head!r}, "
                     f"found {cur['head']!r}"
                 )
             new = {k: v for k, v in {**cur, **update}.items() if k not in drop}
-            self._write_branch(name, new)
-            return new
+            try:
+                self.store.put_doc_if(self._branch_key(name), new, ver)
+                return new
+            except CASConflictError:
+                continue  # concurrent non-head write; re-read and re-merge
+        raise BranchChangedError(
+            f"branch {name!r}: conditional PUT kept failing under concurrent writes"
+        )
 
     def _retry_branch_update(self, branch: str, attempt):
         """Run ``attempt()`` (which ends in a :meth:`_cas_update`) with a
@@ -312,52 +312,52 @@ class Repository:
         ) from last
 
     def branches(self) -> dict[str, str | None]:
-        d = os.path.join(self.root, "refs", "branches")
         return {
-            p[:-5]: json.load(open(os.path.join(d, p)))["head"]
-            for p in sorted(os.listdir(d))
-            if p.endswith(".json")
+            k[len("refs/branches/"):]: self.store.get_doc(k)[0]["head"]
+            for k in self.store.list_docs("refs/branches/")
         }
 
     def tags(self) -> dict[str, str]:
-        d = os.path.join(self.root, "refs", "tags")
         return {
-            p[:-5]: json.load(open(os.path.join(d, p)))["commit_id"]
-            for p in sorted(os.listdir(d))
-            if p.endswith(".json")
+            k[len("refs/tags/"):]: self.store.get_doc(k)[0]["commit_id"]
+            for k in self.store.list_docs("refs/tags/")
         }
 
     def create_branch(self, name: str, source_ref: str) -> None:
-        if os.path.exists(self._branch_path(name)):
+        if self.store.doc_exists(self._branch_key(name)):
             raise RefError(f"branch exists: {name!r}")
         self._fire("pre-create-branch", branch=name, source=source_ref)
         head = self.resolve(source_ref).commit_id
-        self._write_branch(name, {"head": head, "staging_seq": 0})
+        try:  # put-if-absent closes the check-then-create race
+            self.store.put_doc_if(
+                self._branch_key(name), {"head": head, "staging_seq": 0}, None
+            )
+        except CASConflictError:
+            raise RefError(f"branch exists: {name!r}") from None
         self._fire("post-create-branch", branch=name, head=head)
 
     def delete_branch(self, name: str) -> None:
         self._fire("pre-delete-branch", branch=name)
-        os.remove(self._branch_path(name))
+        self.store.delete_doc(self._branch_key(name))
         shutil.rmtree(os.path.join(self.root, "staging", name), ignore_errors=True)
         self._fire("post-delete-branch", branch=name)
 
     def create_tag(self, name: str, ref: str) -> None:
-        path = os.path.join(self.root, "refs", "tags", f"{name}.json")
-        if os.path.exists(path):
+        if self.store.doc_exists(f"refs/tags/{name}"):
             raise RefError(f"tag exists: {name!r}")
         self._fire("pre-create-tag", tag=name, ref=ref)
         cid = self.resolve(ref).commit_id
         if cid is None:
             raise RefError("cannot tag an empty branch")
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"commit_id": cid}, f)
-        os.replace(tmp, path)
+        try:
+            self.store.put_doc_if(f"refs/tags/{name}", {"commit_id": cid}, None)
+        except CASConflictError:
+            raise RefError(f"tag exists: {name!r}") from None
         self._fire("post-create-tag", tag=name, commit_id=cid)
 
     def delete_tag(self, name: str) -> None:
         self._fire("pre-delete-tag", tag=name)
-        os.remove(os.path.join(self.root, "refs", "tags", f"{name}.json"))
+        self.store.delete_doc(f"refs/tags/{name}")
         self._fire("post-delete-tag", tag=name)
 
     # -- ref resolution ----------------------------------------------------
@@ -376,14 +376,20 @@ class Repository:
         return os.path.join(self.root, "staging", branch)
 
     def _next_seq(self, branch: str) -> int:
-        # atomic fetch-and-increment: two concurrent stagers must not be
-        # handed the same seq (= same staging partition dir)
-        with self._branch_lock(branch):
-            st = self._read_branch(branch)
+        # lock-free fetch-and-increment via conditional PUT: two
+        # concurrent stagers must not be handed the same seq (= same
+        # staging partition dir); a lost CAS just re-reads and retries
+        for _ in range(self._CAS_MERGE_MAX_TRIES):
+            st, ver = self._get_branch(branch)
             seq = st["staging_seq"] + 1
-            st["staging_seq"] = seq
-            self._write_branch(branch, st)
-        return seq
+            try:
+                self.store.put_doc_if(
+                    self._branch_key(branch), {**st, "staging_seq": seq}, ver
+                )
+                return seq
+            except CASConflictError:
+                continue
+        raise TooManyTriesError(f"staging_seq bump on {branch!r} kept losing the CAS race")
 
     def stage_entries(self, branch: str, entries: DataFrame) -> None:
         """Stage upserts (entry-schema rows) onto a branch."""
@@ -510,13 +516,13 @@ class Repository:
         st = self._read_branch(branch)
         base_mid = st.get("compacted_mid") or self._metarange_of(st["head"])
         base_manifest = (
-            R.read_manifest(self.root, base_mid) if base_mid != R.EMPTY_METARANGE else None
+            R.read_manifest(self.store, base_mid) if base_mid != R.EMPTY_METARANGE else None
         )
         new_manifest = apply_changes(
             self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
         )
         mid = (
-            R.write_manifest(new_manifest, self.root)
+            R.write_manifest(new_manifest, self.store)
             if len(new_manifest)
             else R.EMPTY_METARANGE
         )
@@ -537,11 +543,16 @@ class Repository:
         d = self._staging_dir(branch)
         if prefix is None and key is None:
             self._clear_staging(branch)
-            with self._branch_lock(branch):
-                st = self._read_branch(branch)
-                if st.get("compacted_mid"):
-                    st.pop("compacted_mid", None)
-                    self._write_branch(branch, st)
+            for _ in range(self._CAS_MERGE_MAX_TRIES):
+                st, ver = self._get_branch(branch)
+                if not st.get("compacted_mid"):
+                    break
+                st.pop("compacted_mid", None)
+                try:
+                    self.store.put_doc_if(self._branch_key(branch), st, ver)
+                    break
+                except CASConflictError:
+                    continue
             return
         raw = self._staged_raw(branch)
         if raw is None:
@@ -567,7 +578,7 @@ class Repository:
             cmid = self._read_branch(r.branch).get("compacted_mid")
             if cmid:
                 base_mid = cmid
-        committed = R.read_snapshot(self.spark, self.root, base_mid, key_lower, key_upper)
+        committed = R.read_snapshot(self.spark, self.store, base_mid, key_lower, key_upper)
         if not r.staging:
             return committed
         staged = self._staged_raw(r.branch)
@@ -631,18 +642,18 @@ class Repository:
         """Rows of only the ranges that differ between two manifests —
         the whole-range fast path of diff.go:151,238-247."""
         lm = (
-            R.read_manifest(self.root, left_mid)
+            R.read_manifest(self.store, left_mid)
             if left_mid != R.EMPTY_METARANGE
             else pd.DataFrame(columns=R.MANIFEST_COLS)
         )
         rm = (
-            R.read_manifest(self.root, right_mid)
+            R.read_manifest(self.store, right_mid)
             if right_mid != R.EMPTY_METARANGE
             else pd.DataFrame(columns=R.MANIFEST_COLS)
         )
         lids, rids = set(lm["range_id"]), set(rm["range_id"])
-        left_rows = R.read_ranges(self.spark, self.root, sorted(lids - rids))
-        right_rows = R.read_ranges(self.spark, self.root, sorted(rids - lids))
+        left_rows = R.read_ranges(self.spark, self.store, sorted(lids - rids))
+        right_rows = R.read_ranges(self.spark, self.store, sorted(rids - lids))
         return left_rows, right_rows
 
     def diff(self, left_ref: str, right_ref: str) -> DataFrame:
@@ -665,19 +676,19 @@ class Repository:
         if cmid is None:
             if staged is None:
                 return diff_ops.diff(R.empty_entries(self.spark), R.empty_entries(self.spark))
-            committed = R.read_snapshot(self.spark, self.root, head_mid)
+            committed = R.read_snapshot(self.spark, self.store, head_mid)
             return diff_ops.uncommitted_diff(staged, committed)
         # compacted branch: 2-way diff head -> overlay(staged, compacted),
         # pruned to (a) ranges whose id differs between the two manifests
         # and (b) ranges covering any staged key (sound: a range selected
         # on one side has its key-overlapping counterpart selected too)
         lm = (
-            R.read_manifest(self.root, head_mid)
+            R.read_manifest(self.store, head_mid)
             if head_mid != R.EMPTY_METARANGE
             else pd.DataFrame(columns=R.MANIFEST_COLS)
         )
         rm = (
-            R.read_manifest(self.root, cmid)
+            R.read_manifest(self.store, cmid)
             if cmid != R.EMPTY_METARANGE
             else pd.DataFrame(columns=R.MANIFEST_COLS)
         )
@@ -698,8 +709,8 @@ class Repository:
                     )
             finally:
                 staged.unpersist()
-        left_rows = R.read_ranges(self.spark, self.root, sorted(lsel))
-        compacted_rows = R.read_ranges(self.spark, self.root, sorted(rsel))
+        left_rows = R.read_ranges(self.spark, self.store, sorted(lsel))
+        compacted_rows = R.read_ranges(self.spark, self.store, sorted(rsel))
         if staged is None:
             effective = compacted_rows
         else:
@@ -743,13 +754,13 @@ class Repository:
                 if base_mid == head_mid and not allow_empty:
                     raise NoChangesError(f"no staged changes on {branch!r}")
                 new_manifest = (
-                    R.read_manifest(self.root, base_mid)
+                    R.read_manifest(self.store, base_mid)
                     if base_mid != R.EMPTY_METARANGE
                     else pd.DataFrame(columns=R.MANIFEST_COLS)
                 )
             else:
                 base_manifest = (
-                    R.read_manifest(self.root, base_mid)
+                    R.read_manifest(self.store, base_mid)
                     if base_mid != R.EMPTY_METARANGE
                     else None
                 )
@@ -757,7 +768,7 @@ class Repository:
                     self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
                 )
             new_mid = (
-                R.write_manifest(new_manifest, self.root)
+                R.write_manifest(new_manifest, self.store)
                 if len(new_manifest)
                 else R.EMPTY_METARANGE
             )
@@ -788,14 +799,19 @@ class Repository:
     # -- merge family ------------------------------------------------------
 
     def _three_way_changes(
-        self, base_cid: str | None, source_cid: str | None, dest_cid: str | None, strategy: str
+        self,
+        base_cid: str | None,
+        source_cid: str | None,
+        dest_cid: str | None,
+        strategy: str,
+        resolvers=None,
     ) -> DataFrame:
         base_mid = self._metarange_of(base_cid)
         sdiff_l, sdiff_r = self._pruned_sides(base_mid, self._metarange_of(source_cid))
         ddiff_l, ddiff_r = self._pruned_sides(base_mid, self._metarange_of(dest_cid))
         sdiff = diff_ops.diff(sdiff_l, sdiff_r)
         ddiff = diff_ops.diff(ddiff_l, ddiff_r)
-        return merge_ops.merge_changes_from_diffs(sdiff, ddiff, strategy)
+        return merge_ops.merge_changes_from_diffs(sdiff, ddiff, strategy, resolvers)
 
     def _apply_actions_commit(
         self,
@@ -830,7 +846,7 @@ class Repository:
             raise NoChangesError("merge produced no changes")
         dest_mid = self._metarange_of(expected_head)
         base_manifest = (
-            R.read_manifest(self.root, dest_mid) if dest_mid != R.EMPTY_METARANGE else None
+            R.read_manifest(self.store, dest_mid) if dest_mid != R.EMPTY_METARANGE else None
         )
         try:
             new_manifest = apply_changes(
@@ -839,7 +855,7 @@ class Repository:
         finally:
             actions.unpersist()
         new_mid = (
-            R.write_manifest(new_manifest, self.root)
+            R.write_manifest(new_manifest, self.store)
             if len(new_manifest)
             else R.EMPTY_METARANGE
         )
@@ -867,12 +883,17 @@ class Repository:
         committer: str = "lakefs_spark",
         metadata: dict[str, str] | None = None,
         date: float | None = None,
+        resolvers=None,
     ) -> Commit:
         """3-way merge source into dest (graveler.go:3115-3257).
 
         Dest must be clean (ErrDirtyBranch); conflicts raise unless
-        resolved by strategy; result commit has parents [dest, source]
-        (dest first — graveler.go:3192), or [dest] when squashed.
+        resolved by strategy or a ``resolvers`` chain (the pluggable
+        ConflictResolver extension point,
+        pkg/graveler/committed/merge.go:304-331,523-534 — see
+        operators/merge.py resolvers); result commit has parents
+        [dest, source] (dest first — graveler.go:3192), or [dest]
+        when squashed.
         """
         if self.has_staged(dest_branch):
             raise DirtyBranchError(f"destination branch {dest_branch!r} has uncommitted changes")
@@ -886,7 +907,9 @@ class Repository:
             # diffs against whatever commit won the race
             dest_cid = self._read_branch(dest_branch)["head"]
             base_cid = merge_base(self.commits, source_cid, dest_cid) if dest_cid else None
-            actions = self._three_way_changes(base_cid, source_cid, dest_cid, strategy)
+            actions = self._three_way_changes(
+                base_cid, source_cid, dest_cid, strategy, resolvers
+            )
             parents = [dest_cid] if squash else [dest_cid, source_cid]
             parents = [p for p in parents if p]
             return self._apply_actions_commit(
@@ -999,7 +1022,7 @@ class Repository:
             head = self._read_branch(branch)["head"]
             head_mid = self._metarange_of(head)
             base_manifest = (
-                R.read_manifest(self.root, head_mid) if head_mid != R.EMPTY_METARANGE else None
+                R.read_manifest(self.store, head_mid) if head_mid != R.EMPTY_METARANGE else None
             )
             if replace_prefixes:
                 new_manifest = import_apply(
@@ -1012,7 +1035,7 @@ class Repository:
                 new_manifest = apply_changes(
                     self.spark, self.root, base_manifest, changes, self.raggedness
                 )
-            new_mid = R.write_manifest(new_manifest, self.root)
+            new_mid = R.write_manifest(new_manifest, self.store)
             commit = self.commits.create(
                 parents=[head] if head else [],
                 metarange_id=new_mid,
@@ -1067,12 +1090,12 @@ class Repository:
         if mid_a == mid_b:
             return False
         ma = (
-            R.read_manifest(self.root, mid_a)
+            R.read_manifest(self.store, mid_a)
             if mid_a != R.EMPTY_METARANGE
             else pd.DataFrame(columns=R.MANIFEST_COLS)
         )
         mb = (
-            R.read_manifest(self.root, mid_b)
+            R.read_manifest(self.store, mid_b)
             if mid_b != R.EMPTY_METARANGE
             else pd.DataFrame(columns=R.MANIFEST_COLS)
         )
@@ -1097,7 +1120,7 @@ class Repository:
             if not range_ids:
                 return {}
             rows = (
-                R.read_ranges(self.spark, self.root, sorted(range_ids))
+                R.read_ranges(self.spark, self.store, sorted(range_ids))
                 .where(F.col("key").isin(cand))
                 .select("key", "identity")
                 .collect()
@@ -1138,8 +1161,8 @@ class Repository:
             mid = self.commits.get(cid).metarange_id
             if mid == R.EMPTY_METARANGE:
                 continue
-            range_ids.update(R.read_manifest(self.root, mid)["range_id"])
-        rows = R.read_ranges(self.spark, self.root, sorted(range_ids))
+            range_ids.update(R.read_manifest(self.store, mid)["range_id"])
+        rows = R.read_ranges(self.spark, self.store, sorted(range_ids))
         return rows.select("address").where(F.col("address").isNotNull()).distinct()
 
     def uncommitted_addresses(self) -> DataFrame:
@@ -1200,22 +1223,25 @@ class Repository:
         live_mids.discard(R.EMPTY_METARANGE)
         live_ranges: set[str] = set()
         for mid in live_mids:
-            live_ranges.update(R.read_manifest(self.root, mid)["range_id"])
+            live_ranges.update(R.read_manifest(self.store, mid)["range_id"])
 
-        rdir, mdir = R.ranges_dir(self.root), R.manifests_dir(self.root)
         dead_ranges = [
-            p for p in os.listdir(rdir)
+            p for p in self.store.list_blobs("ranges")
             if p.endswith(".parquet") and p[: -len(".parquet")] not in live_ranges
         ]
         dead_manifests = [
-            p for p in os.listdir(mdir)
+            p for p in self.store.list_blobs("manifests")
             if p.endswith(".parquet") and p[: -len(".parquet")] not in live_mids
         ]
         if not dry_run:
             for p in dead_ranges:
-                os.remove(os.path.join(rdir, p))
+                self.store.delete_blob(os.path.join("ranges", p))
             for p in dead_manifests:
-                os.remove(os.path.join(mdir, p))
+                self.store.delete_blob(os.path.join("manifests", p))
+            if dead_manifests:
+                # drop cached copies of collected manifests so a stale
+                # read of a deleted id fails loudly instead of serving
+                R.manifest_cache_clear()
         return {"ranges_deleted": len(dead_ranges), "manifests_deleted": len(dead_manifests)}
 
     # -- misc write-path operators -----------------------------------------
@@ -1277,14 +1303,10 @@ class Repository:
         with open(os.path.join(in_dir, "refs.json")) as f:
             refs = json.load(f)
         for name, head in refs["branches"].items():
-            if not os.path.exists(self._branch_path(name)):
+            if not self.store.doc_exists(self._branch_key(name)):
                 self._write_branch(name, {"head": head, "staging_seq": 0})
             else:
                 st = self._read_branch(name)
                 self._write_branch(name, {**st, "head": head})
         for name, cid in refs["tags"].items():
-            path = os.path.join(self.root, "refs", "tags", f"{name}.json")
-            tmp = f"{path}.tmp.{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump({"commit_id": cid}, f)
-            os.replace(tmp, path)
+            self.store.put_doc(f"refs/tags/{name}", {"commit_id": cid})

@@ -73,9 +73,17 @@ def commit_batch(
         # alone (no commit happened; a crash before this write just
         # replays a no-op batch, which converges the same way)
         repo.reset_branch(branch)
-        with repo._branch_lock(branch):
-            st = repo._read_branch(branch)
-            repo._write_branch(branch, {**st, "stream_epochs": epochs})
+        from lakefs_spark.storage.store import CASConflictError
+
+        for _ in range(16):  # conditional PUT, merged over current state
+            st, ver = repo._get_branch(branch)
+            try:
+                repo.store.put_doc_if(
+                    repo._branch_key(branch), {**st, "stream_epochs": epochs}, ver
+                )
+                break
+            except CASConflictError:
+                continue
     return True
 
 

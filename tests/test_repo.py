@@ -247,6 +247,37 @@ def test_log_with_paths(repo, spark):
     assert c3.commit_id not in ids
 
 
+def test_log_with_paths_reads_each_manifest_once(repo, spark, monkeypatch):
+    """The commit-manifest LRU (reference: pkg/catalog/catalog.go:1734-1828
+    keeps an LRU around GetRangeIDByKey): a path-filtered log over N
+    commits must hit parquet at most once per DISTINCT metarange id,
+    not once per log step."""
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(200), message="base", date=100.0)
+    keys = [r["key"] for r in ents.orderBy("key").limit(3).collect()]
+    for i, k in enumerate(keys):
+        repo.stage_entries(
+            "main", ents.where(F.col("key") == k).withColumn("identity", F.lit(f"v{i}"))
+        )
+        repo.commit("main", f"touch {i}", date=200.0 + i)
+
+    R.manifest_cache_clear()
+    reads: list[str] = []
+    real = R._read_manifest_uncached
+
+    def counting(root, mid):
+        reads.append(mid)
+        return real(root, mid)
+
+    monkeypatch.setattr(R, "_read_manifest_uncached", counting)
+    repo.log_with_paths("main", keys)
+    distinct_mids = {
+        repo.commits.get(c.commit_id).metarange_id for c in repo.log("main")
+    }
+    assert len(reads) == len(set(reads)), f"manifest re-read: {reads}"
+    assert set(reads) <= distinct_mids
+
+
 def test_gc_mark_backdated(repo, spark):
     ents = _entries(spark)
     now = 1_000_000_000.0

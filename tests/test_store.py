@@ -1,0 +1,293 @@
+"""Metadata-store contract + CAS protocol tests.
+
+The shape of the reference's shared KV driver suite (pkg/kv/kvtest):
+every Store implementation must pass the same contract, and the commit
+protocol must show exactly-one-winner semantics over the conditional
+PUT alone — no POSIX locking above the interface.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakefs_spark.storage.repo import (
+    BranchChangedError,
+    Repository,
+)
+from lakefs_spark.storage.store import (
+    CASConflictError,
+    LocalStore,
+    MemStore,
+    Store,
+)
+
+
+@pytest.fixture(params=["local", "mem"])
+def store(request, tmp_path) -> Store:
+    root = str(tmp_path / "store")
+    if request.param == "local":
+        return LocalStore(root)
+    return MemStore(root)
+
+
+# -- contract (every driver must pass — pkg/kv/kvtest role) ---------------
+
+
+def test_get_missing_is_none(store):
+    assert store.get_doc("refs/branches/nope") is None
+    assert not store.doc_exists("refs/branches/nope")
+
+
+def test_put_get_roundtrip_and_version_changes(store):
+    v1 = store.put_doc("refs/branches/main", {"head": None, "staging_seq": 0})
+    doc, ver = store.get_doc("refs/branches/main")
+    assert doc == {"head": None, "staging_seq": 0}
+    assert ver == v1
+    v2 = store.put_doc("refs/branches/main", {"head": "c1", "staging_seq": 0})
+    assert v2 != v1
+    assert store.get_doc("refs/branches/main")[0]["head"] == "c1"
+
+
+def test_put_if_absent_then_conflict(store):
+    store.put_doc_if("refs/tags/v1", {"commit_id": "c9"}, None)
+    with pytest.raises(CASConflictError):
+        store.put_doc_if("refs/tags/v1", {"commit_id": "c8"}, None)
+    assert store.get_doc("refs/tags/v1")[0]["commit_id"] == "c9"
+
+
+def test_put_if_version_match_and_mismatch(store):
+    v1 = store.put_doc("k", {"n": 1})
+    v2 = store.put_doc_if("k", {"n": 2}, v1)
+    assert store.get_doc("k")[0]["n"] == 2
+    with pytest.raises(CASConflictError):  # stale token
+        store.put_doc_if("k", {"n": 3}, v1)
+    store.put_doc_if("k", {"n": 3}, v2)
+    assert store.get_doc("k")[0]["n"] == 3
+
+
+def test_put_if_on_missing_doc_fails(store):
+    with pytest.raises(CASConflictError):
+        store.put_doc_if("missing", {"n": 1}, "some-version")
+
+
+def test_delete_and_list(store):
+    for name in ("b", "a", "c"):
+        store.put_doc(f"refs/branches/{name}", {"head": None})
+    store.put_doc("refs/tags/t", {"commit_id": "c"})
+    assert store.list_docs("refs/branches/") == [
+        "refs/branches/a",
+        "refs/branches/b",
+        "refs/branches/c",
+    ]
+    store.delete_doc("refs/branches/b")
+    assert store.list_docs("refs/branches/") == [
+        "refs/branches/a",
+        "refs/branches/c",
+    ]
+    with pytest.raises(FileNotFoundError):
+        store.delete_doc("refs/branches/b")
+
+
+def test_line_log_append_read_replace(store):
+    assert store.read_lines("runs") == []
+    store.append_line("runs", '{"a":1}')
+    store.append_line("runs", '{"a":2}')
+    assert store.read_lines("runs") == ['{"a":1}', '{"a":2}']
+    store.replace_lines("runs", ['{"a":2}'])
+    assert store.read_lines("runs") == ['{"a":2}']
+
+
+def test_blob_publish_if_absent(store, tmp_path):
+    src1 = tmp_path / "blob1"
+    src1.write_bytes(b"content")
+    store.publish_blob(str(src1), "ranges/r1.parquet")
+    assert store.blob_exists("ranges/r1.parquet")
+    # re-publish of the same address keeps the original, consumes src
+    src2 = tmp_path / "blob2"
+    src2.write_bytes(b"content")
+    store.publish_blob(str(src2), "ranges/r1.parquet")
+    assert not src2.exists()
+    assert store.list_blobs("ranges") == ["r1.parquet"]
+
+
+# -- exactly-one-winner CAS rounds ----------------------------------------
+
+
+def test_exactly_one_winner_per_cas_round(store):
+    """N writers CAS from the same observed version: exactly one must
+    win each round, for as many rounds as writers (the property the
+    whole commit protocol rests on — kv SetIf / S3 If-Match)."""
+    key = "refs/branches/main"
+    store.put_doc("refs/branches/main", {"head": None, "staging_seq": 0})
+    n = 8
+    for rnd in range(n):
+        _, ver = store.get_doc(key)
+        outcomes: list[bool] = [None] * n
+        barrier = threading.Barrier(n)
+
+        def attempt(i):
+            barrier.wait()
+            try:
+                store.put_doc_if(key, {"head": f"r{rnd}w{i}", "staging_seq": 0}, ver)
+                outcomes[i] = True
+            except CASConflictError:
+                outcomes[i] = False
+
+        threads = [threading.Thread(target=attempt, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sum(outcomes) == 1, f"round {rnd}: {sum(outcomes)} winners"
+
+
+# -- the commit protocol over the fake object store ------------------------
+
+
+def _mk_entries(spark, keys):
+    rows = [
+        (k, f"id-{k}", f"s3://bucket/{k}", "FULL", 1, "e", None, None, "text/plain")
+        for k in keys
+    ]
+    from lakefs_spark.schema import ENTRY_SCHEMA
+
+    return spark.createDataFrame(rows, ENTRY_SCHEMA)
+
+
+def test_repo_lifecycle_over_mem_store(spark, tmp_path):
+    """All repository metadata ops must route through the Store: with a
+    MemStore there are no JSON files on disk, so any residual direct
+    filesystem access would crash here."""
+    root = str(tmp_path / "repo")
+    mem = MemStore(root)
+    repo = Repository.create(spark, root, store=mem)
+    assert repo.default_branch == "main"
+    repo.stage_entries("main", _mk_entries(spark, ["a/1", "a/2", "b/1"]))
+    c1 = repo.commit("main", "c1")
+    repo.create_branch("dev", "main")
+    repo.stage_entries("dev", _mk_entries(spark, ["b/2"]))
+    repo.commit("dev", "c2")
+    repo.create_tag("v1", "main")
+    merge_commit = repo.merge("dev", "main")
+    # a second Repository over the SAME store sees everything
+    repo2 = Repository.open(spark, root, store=mem)
+    assert repo2.branches()["main"] == merge_commit.commit_id
+    assert repo2.tags() == {"v1": c1.commit_id}
+    keys = [r["key"] for r in repo2.list_entries("main").collect()]
+    assert keys == ["a/1", "a/2", "b/1", "b/2"]
+    assert [c.commit_id for c in repo2.log("main")][0] == merge_commit.commit_id
+    # no metadata leaked to the filesystem (blobs + staging only)
+    import os
+
+    on_disk = set(os.listdir(root))
+    assert "repo.json" not in on_disk and "refs" not in on_disk and "commits" not in on_disk
+
+
+def test_concurrent_merges_exactly_one_cas_winner_per_round(spark, tmp_path):
+    """Two Repository instances over one shared MemStore race merges
+    into the same destination branch: the conditional PUT lets exactly
+    one head swap win per round; the loser observes BranchChangedError
+    and its bounded retry recomputes the 3-way diffs on the winner's
+    head — BOTH merges land (graveler.go:2422-2475 retryBranchUpdate,
+    driven end-to-end with no POSIX lock anywhere)."""
+    root = str(tmp_path / "repo")
+    mem = MemStore(root)
+    repo_a = Repository.create(spark, root, store=mem)
+    repo_b = Repository.open(spark, root, store=mem)
+    repo_a.stage_entries("main", _mk_entries(spark, ["seed"]))
+    repo_a.commit("main", "seed")
+    for repo, name in ((repo_a, "feat-a"), (repo_b, "feat-b")):
+        repo.create_branch(name, "main")
+        repo.stage_entries(name, _mk_entries(spark, [f"from-{name}"]))
+        repo.commit(name, f"work on {name}")
+
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def merger(name, repo, src):
+        barrier.wait()
+        try:
+            results[name] = repo.merge(src, "main")
+        except Exception as e:  # noqa: BLE001 — record for assertion
+            results[name] = e
+
+    ta = threading.Thread(target=merger, args=("a", repo_a, "feat-a"))
+    tb = threading.Thread(target=merger, args=("b", repo_b, "feat-b"))
+    ta.start(), tb.start()
+    ta.join(), tb.join()
+
+    oks = [r for r in results.values() if not isinstance(r, Exception)]
+    assert len(oks) == 2, f"both merges should land via retry: {results}"
+    keys = {r["key"] for r in repo_a.list_entries("main").collect()}
+    assert {"from-feat-a", "from-feat-b", "seed"} <= keys
+    # two distinct merge commits on top of seed
+    heads = {c.commit_id for c in oks}
+    assert len(heads) == 2
+    assert repo_a._read_branch("main")["head"] in heads
+
+
+def test_direct_cas_round_single_winner_two_repos(spark, tmp_path):
+    """The raw branch CAS (not the full commit flow): two repos CAS
+    from the same observed head; one wins, one gets BranchChangedError."""
+    root = str(tmp_path / "repo")
+    mem = MemStore(root)
+    repo_a = Repository.create(spark, root, store=mem)
+    repo_b = Repository.open(spark, root, store=mem)
+    head = repo_a._read_branch("main")["head"]
+
+    wins, losses = [], []
+    barrier = threading.Barrier(2)
+
+    def cas(repo, tag):
+        barrier.wait()
+        try:
+            repo._cas_update("main", head, {"head": f"new-{tag}"})
+            wins.append(tag)
+        except BranchChangedError:
+            losses.append(tag)
+
+    ts = [
+        threading.Thread(target=cas, args=(repo_a, "a")),
+        threading.Thread(target=cas, args=(repo_b, "b")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1 and len(losses) == 1, (wins, losses)
+
+
+def test_cas_merges_over_concurrent_seq_bump(spark, tmp_path):
+    """A staging_seq bump between a committer's read and its head CAS
+    must not be lost and must not abort the commit: the conditional
+    PUT fails, the merge loop re-reads, and both fields land."""
+    root = str(tmp_path / "repo")
+    mem = MemStore(root)
+    repo = Repository.create(spark, root, store=mem)
+    st, _ = repo._get_branch("main")
+
+    bumped = threading.Event()
+    orig_put_if = mem.put_doc_if
+    calls = {"n": 0}
+
+    def tripping_put_if(key, doc, ver):
+        # first head-swap attempt: sneak a seq bump in underneath
+        if key == "refs/branches/main" and doc.get("head") == "h1" and calls["n"] == 0:
+            calls["n"] += 1
+            if not bumped.is_set():
+                repo._next_seq("main")
+                bumped.set()
+            # ver is now stale -> this call must raise, loop re-merges
+        return orig_put_if(key, doc, ver)
+
+    mem.put_doc_if = tripping_put_if
+    try:
+        repo._cas_update("main", st["head"], {"head": "h1"})
+    finally:
+        mem.put_doc_if = orig_put_if
+    final = repo._read_branch("main")
+    assert final["head"] == "h1"
+    assert final["staging_seq"] == st["staging_seq"] + 1  # bump preserved
