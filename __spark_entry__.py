@@ -550,7 +550,7 @@ def q_ivf_topk(spark, sf_dir):
     exact rerank (the scale path next to lsh_topk)."""
     emb = _embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 8)
-    return SIM.ivf_topk(q, emb, centroid_mod=20, nprobe=3, k=5)
+    return SIM.ivf_topk(q, emb, n_centroids=25, nprobe=3, k=5)
 
 
 def q_kmeans_codebook(spark, sf_dir):
@@ -560,7 +560,7 @@ def q_kmeans_codebook(spark, sf_dir):
     from lakefs_spark.operators.similarity import kmeans_codebook
 
     emb = _embeddings(spark, sf_dir)
-    cents = kmeans_codebook(emb, centroid_mod=20, iters=2, dim=64)
+    cents = kmeans_codebook(emb, n_centroids=25, iters=2, dim=64)
     rows = [
         (cid, j, round(v, 6)) for cid, vec in cents for j, v in enumerate(vec)
     ]
@@ -572,7 +572,7 @@ def q_pq_codes(spark, sf_dir):
     per-subspace codebooks; one (vec_id, m, code) row per subspace.
     Codes compress 64 float32 dims to 4 small ints — the 100 TB
     memory story for embedding search (see operators/similarity.py)."""
-    return SIM.pq_codes(_embeddings(spark, sf_dir))
+    return SIM.pq_codes(_embeddings(spark, sf_dir), n_centroids=25)
 
 
 def q_pq_topk(spark, sf_dir):
@@ -580,7 +580,7 @@ def q_pq_topk(spark, sf_dir):
     subspace codebooks, fixed-order summed lookups over the codes."""
     emb = _embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 8)
-    return SIM.pq_topk(q, emb)
+    return SIM.pq_topk(q, emb, n_centroids=25)
 
 
 def q_ivfpq_topk(spark, sf_dir):
@@ -588,7 +588,7 @@ def q_ivfpq_topk(spark, sf_dir):
     lists (no-residual variant) — the production ANN composition."""
     emb = _embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 8)
-    return SIM.ivfpq_topk(q, emb)
+    return SIM.ivfpq_topk(q, emb, n_centroids=25)
 
 
 def q_minhash_candidates(spark, sf_dir):

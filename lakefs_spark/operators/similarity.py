@@ -142,6 +142,68 @@ def lsh_topk(
     )
 
 
+#: codebooks at or under this K are folded into one literal JVM
+#: projection; larger ones switch to a broadcast join + window (a
+#: literal expression tree over ~5e4 centroids would not compile)
+FOLD_MAX_K = 1024
+
+
+def _codebook_rows(
+    corpus: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic FIXED-K codebook seeding: the K corpus vectors
+    with the smallest md5(id) — a hash-ranked sample, so (a) the
+    codebook size is K regardless of corpus rows (1e3 or 1e9), (b)
+    membership is reproducible with no RNG state, and (c) the oracle
+    restates it as ``ORDER BY md5(cast(id AS varchar)) LIMIT K``
+    (md5-hex of the decimal string is engine-identical).
+
+    Plan shape: TakeOrdered (per-partition top-K + driver merge of K
+    rows per partition) — never a full sort shuffle, and the driver
+    holds exactly K vectors. Replaces the earlier every-Nth-vector
+    rule whose K grew linearly with the corpus."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def assign_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    out: str = "cid",
+) -> DataFrame:
+    """``df`` plus a centroid-id column: argmax_c dot(v, c) over a
+    driver-side codebook (callers pre-normalize for cosine), tie ->
+    min cid.
+
+    K <= FOLD_MAX_K: ONE folded JVM projection — no shuffle, no
+    K-times row blowup. Above that, a broadcast nested-loop join
+    scores all (row, centroid) pairs executor-side and ONE window
+    keeps each row's best — a single shuffle on ``id_col``, which is
+    how a 5e4-centroid IVF assignment stays feasible where the
+    literal fold would not compile."""
+    if len(cents) <= FOLD_MAX_K:
+        return df.withColumn(out, _fold_assignment(F.col(vec_col), cents)["cid"])
+    cdf = df.sparkSession.createDataFrame(
+        [(cid, v) for cid, v in cents], "__cid long, __cv array<double>"
+    )
+    scored = df.join(F.broadcast(cdf)).withColumn(
+        "__s", _dot(F.col(vec_col), F.col("__cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*df.columns, F.col("__cid").alias(out))
+    )
+
+
 def _normalize_codebook(cent_rows: list[tuple[int, list[float]]]) -> list[tuple[int, list[float]]]:
     import math
 
@@ -181,35 +243,31 @@ def _fold_assignment(vec: Column, cents: list[tuple[int, list[float]]]) -> Colum
 
 def kmeans_codebook(
     corpus: DataFrame,
-    centroid_mod: int = 20,
+    n_centroids: int = 256,
     iters: int = 2,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means training for the IVF codebook: deterministic
-    init (every ``centroid_mod``-th vector), then ``iters`` Lloyd
-    steps — assign each vector to its max-cosine centroid (the same
-    folded-projection assignment ivf_topk uses at query time), recompute
-    each centroid as the element-wise mean of its members.
+    FIXED-K init (hash-ranked sample — see ``_codebook_rows``), then
+    ``iters`` Lloyd steps — assign each vector to its max-cosine
+    centroid (the same assignment ivf_topk uses at query time),
+    recompute each centroid as the element-wise mean of its members.
 
     Scale shape: per iteration ONE scan of the corpus (shuffle-free
-    assignment projection) + ONE groupBy(cid) with 64 avg aggregates
-    (map-side partial); the codebook itself stays driver-sized (K
-    vectors), exactly like the chunker's boundary list. Empty clusters
-    keep their previous centroid (deterministic).
+    folded assignment for K <= FOLD_MAX_K, broadcast join + window
+    above) + ONE groupBy(cid) with 64 avg aggregates (map-side
+    partial); the codebook is K vectors on the driver REGARDLESS of
+    corpus rows. Empty clusters keep their previous centroid
+    (deterministic).
     """
-    init = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.where(F.col(id_col) % centroid_mod == 0)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    cents = init
-    corp = corpus.select(F.col(vec_col).alias("vb"))
+    cents = _codebook_rows(corpus, n_centroids, id_col, vec_col)
+    corp = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vb"))
     for _ in range(iters):
-        best = _fold_assignment(F.col("vb"), _normalize_codebook(cents))
-        assigned = corp.select(best["cid"].alias("cid"), "vb")
+        assigned = assign_centroids(
+            corp, "vid", "vb", _normalize_codebook(cents), out="cid"
+        ).select("cid", "vb")
         new_rows = {
             int(r["cid"]): [float(r[f"m{j}"]) for j in range(dim)]
             for r in assigned.groupBy("cid")
@@ -223,7 +281,7 @@ def kmeans_codebook(
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    centroid_mod: int = 20,
+    n_centroids: int = 256,
     nprobe: int = 3,
     k: int = 5,
     id_col: str = "vec_id",
@@ -233,32 +291,30 @@ def ivf_topk(
     centroids -> exact rerank inside the probed lists. Returns the
     (qa, qb) top-k membership set per query.
 
-    Codebook: every ``centroid_mod``-th corpus vector — a deterministic
-    stand-in for a trained k-means codebook (training is an offline
-    concern; the IVF *mechanics* — assignment, inverted lists, probe,
-    in-list rerank — are identical and are what must scale).
+    Codebook: FIXED-K hash-ranked sample (``_codebook_rows``) — a
+    deterministic stand-in for a trained k-means codebook (training
+    is kmeans_codebook's job; the IVF *mechanics* — assignment,
+    inverted lists, probe, in-list rerank — are identical and are
+    what must scale).
 
     Scale shape (the reason IVF beats brute force at 100 TB):
-    - codebook is collected + unit-normalized driver-side (K vectors,
-      bounded like the chunker's boundary list) and folded into ONE
-      JVM projection per corpus row: argmax_c dot(v, c_hat), which
-      equals argmax cosine — NO shuffle and no K-times row blowup for
-      the corpus assignment.
+    - codebook is K driver-side vectors REGARDLESS of corpus rows;
+      corpus assignment is a single folded JVM projection for
+      K <= FOLD_MAX_K (argmax_c dot(v, c_hat) == argmax cosine — NO
+      shuffle, no K-times row blowup), a broadcast join + window
+      above (see ``assign_centroids``).
     - queries (small side) probe their ``nprobe`` nearest centroids
       via a broadcast join; candidates come from an equi-join on
       centroid id — never an all-pairs cross join.
     """
-    cent_src = corpus.where(F.col(id_col) % centroid_mod == 0)
-    cent_rows = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in cent_src.select(id_col, vec_col).collect()
-    )
+    cent_rows = _codebook_rows(corpus, n_centroids, id_col, vec_col)
     cents = _normalize_codebook(cent_rows)
     corp = corpus.select(F.col(id_col).alias("qb"), F.col(vec_col).alias("vb"))
-    best = _fold_assignment(F.col("vb"), cents)
-    assign = corp.select("qb", "vb", best["cid"].alias("cid"))
+    assign = assign_centroids(corp, "qb", "vb", cents, out="cid")
 
-    centdf = cent_src.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    centdf = queries.sparkSession.createDataFrame(
+        [(cid, v) for cid, v in cent_rows], "cid long, cv array<double>"
+    )
     q = queries.select(F.col(id_col).alias("qa"), F.col(vec_col).alias("va"))
     qsims = q.join(F.broadcast(centdf)).select(
         "qa", "cid", "va", cosine(F.col("va"), F.col("cv")).alias("sim")
@@ -309,23 +365,20 @@ def pq_codebooks(
     corpus: DataFrame,
     n_sub: int = 4,
     dim: int = 64,
-    centroid_mod: int = 20,
+    n_centroids: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict[int, list[tuple[int, list[float]]]]:
     """Per-subspace PQ codebooks (Jegou et al., "Product Quantization
     for Nearest Neighbor Search"): the dim axis is split into ``n_sub``
     contiguous subspaces; each subspace gets its own codebook. Init is
-    the engine's deterministic rule (every ``centroid_mod``-th vector's
-    subvector — the same seeding kmeans_codebook/ivf_topk use), so both
-    engines derive identical codebooks with no RNG."""
+    the engine's deterministic FIXED-K rule (the hash-ranked sample's
+    subvectors — the same seeding kmeans_codebook/ivf_topk use), so
+    both engines derive identical codebooks with no RNG. K is a
+    parameter (PQ codes are conventionally bytes, so K <= 256 is the
+    useful regime) and never scales with corpus rows."""
     d0 = dim // n_sub
-    rows = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.where(F.col(id_col) % centroid_mod == 0)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    rows = _codebook_rows(corpus, n_centroids, id_col, vec_col)
     return {
         m: [(cid, vec[m * d0 : (m + 1) * d0]) for cid, vec in rows] for m in range(n_sub)
     }
@@ -363,7 +416,7 @@ def pq_codes(
     corpus: DataFrame,
     n_sub: int = 4,
     dim: int = 64,
-    centroid_mod: int = 20,
+    n_centroids: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -374,7 +427,7 @@ def pq_codes(
     posexplode to long form. A 64-dim vector compresses to n_sub bytes
     of codes; at 1e9 vectors the codes table is ~4 GB vs 256 GB of
     float32 — the whole point of PQ at 100 TB."""
-    books = pq_codebooks(corpus, n_sub, dim, centroid_mod, id_col, vec_col)
+    books = pq_codebooks(corpus, n_sub, dim, n_centroids, id_col, vec_col)
     d0 = dim // n_sub
     per_m = F.array(
         *[
@@ -394,7 +447,7 @@ def pq_topk(
     corpus: DataFrame,
     n_sub: int = 4,
     dim: int = 64,
-    centroid_mod: int = 20,
+    n_centroids: int = 256,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -410,7 +463,7 @@ def pq_topk(
     per-query top-k); query count and codebook size bound the broadcast.
     This is the ADC search loop of an IVFPQ index, minus the coarse
     IVF routing already shown in ivf_topk."""
-    books = pq_codebooks(corpus, n_sub, dim, centroid_mod, id_col, vec_col)
+    books = pq_codebooks(corpus, n_sub, dim, n_centroids, id_col, vec_col)
     d0 = dim // n_sub
     qrows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
@@ -433,7 +486,7 @@ def pq_topk(
             per_sub.append(ent)
         tables[qa] = per_sub
 
-    codes = pq_codes(corpus, n_sub, dim, centroid_mod, id_col, vec_col)
+    codes = pq_codes(corpus, n_sub, dim, n_centroids, id_col, vec_col)
     wide = codes.groupBy(id_col).pivot("m", list(range(n_sub))).agg(F.first("code"))
     score_structs = []
     for qa, per_sub in tables.items():
@@ -465,7 +518,7 @@ def pq_topk(
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    centroid_mod: int = 20,
+    n_centroids: int = 256,
     nprobe: int = 3,
     n_sub: int = 4,
     dim: int = 64,
@@ -489,14 +542,9 @@ def ivfpq_topk(
     identical float behavior on both engines."""
     import math
 
-    cent_rows = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.where(F.col(id_col) % centroid_mod == 0)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    cent_rows = _codebook_rows(corpus, n_centroids, id_col, vec_col)
     cents_norm = _normalize_codebook(cent_rows)
-    books = pq_codebooks(corpus, n_sub, dim, centroid_mod, id_col, vec_col)
+    books = pq_codebooks(corpus, n_sub, dim, n_centroids, id_col, vec_col)
     d0 = dim // n_sub
 
     corp = corpus.select(F.col(id_col).alias("qb"), F.col(vec_col).alias("vb"))

@@ -838,7 +838,8 @@ def q_kmeans_codebook() -> str:
     # dims are joined positionally via range(1,65) (1-based lists).
     return """
     with cents0 as (
-      select vec_id as cid, embedding as cv from embeddings where vec_id % 20 = 0
+      select vec_id as cid, embedding as cv from embeddings where vec_id in (select vec_id from embeddings
+        order by md5(cast(vec_id as varchar)), vec_id limit 25)
     ),
     score1 as (
       select va, cid, s_ab / sqrt(s_cc) as score from (
@@ -900,13 +901,14 @@ def q_kmeans_codebook() -> str:
 
 
 def q_ivf_topk() -> str:
-    # Independent IVF restatement: codebook = vec_id % 20 == 0; assign
+    # Independent IVF restatement: codebook = fixed-K hash-ranked sample (md5 order, K=25); assign
     # each vector to its max-cosine centroid (tie: min cid); queries
     # probe their 3 nearest centroids; exact top-5 rerank inside the
     # probed inverted lists. Membership set only (rank order is
     # float-sum-order sensitive cross-engine; membership is not).
     return """
-    with cent as (select vec_id, embedding from embeddings where vec_id % 20 = 0),
+    with cent as (select vec_id, embedding from embeddings where vec_id in (select vec_id from embeddings
+        order by md5(cast(vec_id as varchar)), vec_id limit 25)),
     cent_sims as (
       select va, cid, s_ab / (sqrt(s_aa) * sqrt(s_bb)) as sim from (
         select va, cid, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
@@ -2049,7 +2051,7 @@ def q_repo_revert_merge_snapshot() -> str:
 def q_pq_codes() -> str:
     # PQ encode restated relationally: per (vector, subspace), code =
     # argmax_c dot(v_m, c_m) - ||c_m||^2/2 (== argmin L2), tie -> min
-    # cid; codebook = every 20th vector's subvectors (deterministic)
+    # cid; codebook = the K=25 md5-ranked vectors' subvectors (deterministic)
     return """
     with cb as (
       select vec_id as cid,
@@ -2057,7 +2059,8 @@ def q_pq_codes() -> str:
              r.j as j,
              cast(embedding[r.j] as double) as val
       from embeddings cross join range(1, 65) r(j)
-      where vec_id % 20 = 0
+      where vec_id in (select vec_id from embeddings
+        order by md5(cast(vec_id as varchar)), vec_id limit 25)
     ),
     cnorm as (select m, cid, sum(val * val) / 2.0 as h from cb group by m, cid),
     scores as (
@@ -2088,7 +2091,8 @@ def q_pq_topk() -> str:
              r.j as j,
              cast(embedding[r.j] as double) as val
       from embeddings cross join range(1, 65) r(j)
-      where vec_id % 20 = 0
+      where vec_id in (select vec_id from embeddings
+        order by md5(cast(vec_id as varchar)), vec_id limit 25)
     ),
     cnorm as (select m, cid, sum(val * val) / 2.0 as h from cb group by m, cid),
     scores as (
@@ -2171,7 +2175,8 @@ def q_ivfpq_topk() -> str:
     # IVFPQ: coarse probes (top-3 cosine centroids per query) restrict
     # the candidate lists; scoring is the PQ/ADC fixed-order lookup sum
     return """
-    with cent as (select vec_id, embedding from embeddings where vec_id % 20 = 0),
+    with cent as (select vec_id, embedding from embeddings where vec_id in (select vec_id from embeddings
+        order by md5(cast(vec_id as varchar)), vec_id limit 25)),
     cent_sims as (
       select va, ccid, s_ab / (sqrt(s_aa) * sqrt(s_bb)) as sim from (
         select va, ccid, sum(xa * xb) as s_ab, sum(xa * xa) as s_aa, sum(xb * xb) as s_bb
@@ -2201,7 +2206,8 @@ def q_ivfpq_topk() -> str:
              r.j as j,
              cast(embedding[r.j] as double) as val
       from embeddings cross join range(1, 65) r(j)
-      where vec_id % 20 = 0
+      where vec_id in (select vec_id from embeddings
+        order by md5(cast(vec_id as varchar)), vec_id limit 25)
     ),
     cnorm as (select m, cid, sum(val * val) / 2.0 as h from cb group by m, cid),
     scores as (

@@ -92,7 +92,7 @@ def test_ivf_assignment_is_shuffle_free(spark, emb):
 
     # build only the assignment stage: corpus side of the operator
     q = emb.where(F.col("vec_id") < 8)
-    df = ivf_topk(q, emb, centroid_mod=5, nprobe=2, k=3)
+    df = ivf_topk(q, emb, n_centroids=100, nprobe=2, k=3)
     # full operator needs shuffles (windows, joins) — but no cartesian
     assert "CartesianProduct" not in _plan(df)
 

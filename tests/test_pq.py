@@ -23,7 +23,7 @@ def test_pq_codes_shape_and_range(spark):
     codes = SIM.pq_codes(emb)
     rows = codes.collect()
     assert len(rows) == n_vec * 4, "one code per (vector, subspace)"
-    cids = {int(r["vec_id"]) for r in emb.where(F.col("vec_id") % 20 == 0).collect()}
+    cids = {cid for cid, _ in SIM.pq_codebooks(emb)[0]}
     assert all(r["code"] in cids for r in rows), "codes must be centroid ids"
     assert {r["m"] for r in rows} == {0, 1, 2, 3}
 
@@ -34,7 +34,8 @@ def test_pq_codebook_vectors_encode_to_themselves(spark):
     among exact duplicates)."""
     emb = _emb(spark)
     codes = SIM.pq_codes(emb)
-    cents = codes.where(F.col("vec_id") % 20 == 0)
+    cids = [cid for cid, _ in SIM.pq_codebooks(emb)[0]]
+    cents = codes.where(F.col("vec_id").isin(cids))
     mismatches = cents.where(F.col("code") != F.col("vec_id")).collect()
     # identical subvectors across centroids are legal (tie -> min cid);
     # verify any mismatch is an exact subvector duplicate
@@ -57,6 +58,47 @@ def test_pq_topk_finds_exact_duplicate(spark):
     q = emb.where(F.col("vec_id") == 0)
     got = {(r["qa"], r["qb"]) for r in SIM.pq_topk(q, corpus, k=5).collect()}
     assert (0, 100000) in got
+
+
+def test_codebook_is_fixed_k_regardless_of_corpus_rows(spark):
+    """The VERDICT r4 scale fix: codebook size is exactly K however
+    large the corpus — the hash-ranked sample replaces the every-Nth
+    rule whose K grew linearly with rows."""
+    emb = _emb(spark)
+    small = emb.limit(120)
+    big = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    for corpus in (small, emb, big):
+        rows = SIM._codebook_rows(corpus, 16)
+        assert len(rows) == 16
+    # deterministic: same corpus -> same codebook, and K caps at corpus size
+    assert SIM._codebook_rows(emb, 16) == SIM._codebook_rows(emb, 16)
+    assert len(SIM._codebook_rows(emb.limit(5), 16)) == 5
+    # membership is the md5-ranked prefix (what the oracle restates)
+    import hashlib
+
+    ids = [int(r["vec_id"]) for r in emb.select("vec_id").collect()]
+    want = sorted(sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:16])
+    assert [cid for cid, _ in SIM._codebook_rows(emb, 16)] == want
+
+
+def test_assign_centroids_broadcast_path_matches_fold(spark, monkeypatch):
+    """K > FOLD_MAX_K switches assignment to the broadcast-join +
+    window plan; both paths must produce identical (id, cid) pairs
+    (including the sim-desc, cid-asc tie-break)."""
+    emb = _emb(spark).select(
+        F.col("vec_id").alias("qb"), F.col("embedding").alias("vb")
+    )
+    cents = SIM._normalize_codebook(SIM._codebook_rows(_emb(spark), 40))
+    folded = {
+        (r["qb"], r["cid"])
+        for r in SIM.assign_centroids(emb, "qb", "vb", cents).collect()
+    }
+    monkeypatch.setattr(SIM, "FOLD_MAX_K", 8)  # force the join path
+    joined = {
+        (r["qb"], r["cid"])
+        for r in SIM.assign_centroids(emb, "qb", "vb", cents).collect()
+    }
+    assert folded == joined
 
 
 def test_list_objects_v1_pages_partition_the_listing(spark, tmp_path):

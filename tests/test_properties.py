@@ -212,7 +212,7 @@ def test_ivf_topk_recall_vs_brute_force(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 8)
-    ivf = {(r["qa"], r["qb"]) for r in ivf_topk(q, emb, centroid_mod=5, nprobe=3, k=5).collect()}
+    ivf = {(r["qa"], r["qb"]) for r in ivf_topk(q, emb, n_centroids=100, nprobe=3, k=5).collect()}
     exact = {
         (r["qa"], r["qb"]) for r in brute_force_topk(q, emb, k=5).collect()
     }
