@@ -1,13 +1,25 @@
 #!/usr/bin/env python
-"""Load harness: the reference's loadtest scenario mix on this engine.
+"""Load harness: the reference's loadtest scenario mix + abuse modes.
 
-Per iteration (pkg/loadtest/scenario.go:19-50 — 20 uploads + commit +
-branch + 20 uploads + commit + merge + list(100) + list(1000) + diff),
-against a repo seeded from $SPARK_GRAFT_SF_DIR lineitem keys. Reports
-per-op latencies and results/sec like `lakectl abuse`
-(cmd/lakectl/cmd/abuse_*.go).
+Modes (``--mode``):
+- ``scenario`` (default): per iteration, the vegeta scenario mix of
+  pkg/loadtest/scenario.go:19-50 — 20 uploads + commit + branch + 20
+  uploads + commit + merge + list(100) + list(1000) + diff.
+- ``random-read``: ``--amount`` random stat-object point lookups over
+  the seeded keys with ``--parallelism`` worker threads
+  (cmd/lakectl/cmd/abuse_random_read.go:18-50).
+- ``link-same-object``: ``--amount`` parallel
+  getPhysicalAddress + linkPhysicalAddress rounds on ONE key — the
+  server-side write path without any byte upload
+  (cmd/lakectl/cmd/abuse_link_same_object.go).
+- ``create-branches``: delete then create ``--amount`` branches from
+  main in parallel (cmd/lakectl/cmd/abuse_create_branches.go).
 
-Usage: python tools/loadtest.py [--iterations N] [--files-per-commit N]
+Seeded from $SPARK_GRAFT_SF_DIR lineitem keys. Reports per-op
+latencies + results/sec, the `lakectl abuse` output shape.
+
+Usage: python tools/loadtest.py [--mode M] [--iterations N]
+       [--files-per-commit N] [--amount N] [--parallelism N]
 """
 
 from __future__ import annotations
@@ -15,21 +27,50 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import random
 import sys
 import tempfile
 import shutil
 import time
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _run_parallel(op_name, lat, inputs, fn, parallelism):
+    """stress.Generator analog: feed ``inputs`` to ``parallelism``
+    worker threads, recording per-op latency (driver ops are
+    thread-safe; Spark schedules concurrent jobs fairly)."""
+    def one(x):
+        t0 = time.time()
+        try:
+            fn(x)
+            err = None
+        except Exception as e:  # noqa: BLE001 — abuse harness records failures
+            err = repr(e)
+        lat[op_name].append(time.time() - t0)
+        return err
+    with ThreadPoolExecutor(max_workers=parallelism) as ex:
+        errs = [e for e in ex.map(one, inputs) if e]
+    return errs
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mode",
+        choices=["scenario", "random-read", "link-same-object", "create-branches"],
+        default="scenario",
+    )
     ap.add_argument("--iterations", type=int, default=5)
     ap.add_argument("--files-per-commit", type=int, default=20)
+    ap.add_argument("--amount", type=int, default=100)
+    ap.add_argument("--parallelism", type=int, default=8)
+    ap.add_argument("--key", default="load/00000000000011")
+    ap.add_argument("--branch-prefix", default="abuse-")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -67,6 +108,64 @@ def main() -> None:
         repo = Repository.create(spark, root)
         repo.import_entries("main", base, message="seed")
 
+        if args.mode != "scenario":
+            errors = []
+            t_start = time.time()
+            if args.mode == "random-read":
+                keys = [r["key"] for r in base.select("key").collect()]
+                rng = random.Random(42)
+                picks = [keys[rng.randrange(len(keys))] for _ in range(args.amount)]
+                errors = _run_parallel(
+                    "stat_object", lat, picks,
+                    lambda k: repo.get("main", k), args.parallelism,
+                )
+            elif args.mode == "link-same-object":
+                from lakefs_spark.catalog import Catalog
+
+                cat = Catalog(repo)
+
+                def get_and_link(_i):
+                    loc = cat.get_physical_address("main", args.key)
+                    cat.link_physical_address(
+                        "main", args.key, loc["physical_address"],
+                        size=1, checksum="abuse", content_type="application/octet-stream",
+                    )
+
+                errors = _run_parallel(
+                    "get_and_link", lat, range(args.amount),
+                    get_and_link, args.parallelism,
+                )
+            else:  # create-branches: clean pass, then parallel creates
+                stale = [b for b in repo.branches() if b.startswith(args.branch_prefix)]
+                _run_parallel(
+                    "delete_branch", lat, stale, repo.delete_branch, args.parallelism
+                )
+                errors = _run_parallel(
+                    "create_branch", lat,
+                    [f"{args.branch_prefix}{i:06d}" for i in range(args.amount)],
+                    lambda b: repo.create_branch(b, "main"), args.parallelism,
+                )
+            wall = time.time() - t_start
+            n_ops = sum(len(v) for v in lat.values())
+            print(json.dumps({
+                "mode": args.mode,
+                "amount": args.amount,
+                "parallelism": args.parallelism,
+                "wall_sec": round(wall, 2),
+                "results_per_sec": round(n_ops / wall, 2),
+                "errors": len(errors),
+                "ops": {
+                    op: {
+                        "n": len(v),
+                        "mean_ms": round(1000 * sum(v) / len(v), 1),
+                        "max_ms": round(1000 * max(v), 1),
+                    }
+                    for op, v in sorted(lat.items())
+                },
+                "sf": SF_DIR,
+            }))
+            return
+
         t_start = time.time()
         for it in range(args.iterations):
             n = args.files_per_commit
@@ -89,6 +188,7 @@ def main() -> None:
 
         n_ops = sum(len(v) for v in lat.values())
         report = {
+            "mode": args.mode,
             "iterations": args.iterations,
             "files_per_commit": args.files_per_commit,
             "wall_sec": round(wall, 2),
