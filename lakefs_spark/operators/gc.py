@@ -8,11 +8,21 @@ with objects newer than an uncommitted-min-age cutoff never collected
 addresses of all ranges reachable from active commits
 (CommittedAddressLister.scala:15-57).
 
-Spark shape: LEFT ANTI joins (what ``except`` plans to) on ``address``.
-At 100 TB the listing side is the big table; the anti-join shuffles
-both sides by address hash — AQE handles skew, and committed addresses
-are distinct'ed *before* the join (partial aggregation map-side) so the
-join's build side is minimal.
+Spark shape: ONE hash aggregation over the tagged union of the three
+address sets — ``groupBy(address).agg(max(tag))`` keeping rows seen
+only in the listing. Algebraically identical to the two LEFT ANTI
+joins (what ``except`` plans to), but physically far better at scale:
+committed addresses arrive heavily DUPLICATED (every active snapshot
+repeats the ranges it shares with its ancestors), and map-side
+partial aggregation collapses those duplicates before the single
+shuffle, where the anti-join shape paid one full shuffle for the
+distinct plus another for the join. Measured (tools/profile_gc.py,
+20M distinct addresses x3 duplication + 22M listing): anti-join with
+distinct 88.9 s, anti-join raw 33.6 s, single aggregation 9.3 s —
+the 100x+ superlinear bend in the r4 scale curve was these extra
+data-sized shuffles spilling one box's scratch disk. Output is one
+row per address (object-store listings are unique per address, so
+this equals the anti-join's row set).
 """
 
 from __future__ import annotations
@@ -36,14 +46,26 @@ def gc_mark(
 
     ``listing`` rows: (address, last_modified, size). ``cutoff``: objects
     with last_modified >= cutoff are kept regardless (in-flight writes).
+
+    Single-aggregation set difference (see module docstring): tag each
+    arm, ONE groupBy(address) with map-side partial agg, keep rows
+    whose max tag says "listing only". Callers may pass the RAW
+    (duplicated) committed/uncommitted streams — pre-distinct'ing them
+    only adds a shuffle this aggregation already subsumes.
     """
     df = listing
     if cutoff is not None:
         df = df.where(F.col("last_modified") < F.lit(cutoff))
-    df = df.join(committed.select("address"), on="address", how="left_anti")
+    u = df.select("address", F.lit(1).alias("__m"))
+    u = u.unionAll(committed.select("address", F.lit(2).alias("__m")))
     if uncommitted is not None:
-        df = df.join(uncommitted.select("address"), on="address", how="left_anti")
-    return df.select("address")
+        u = u.unionAll(uncommitted.select("address", F.lit(2).alias("__m")))
+    return (
+        u.groupBy("address")
+        .agg(F.max("__m").alias("__mx"))
+        .where(F.col("__mx") == 1)
+        .select("address")
+    )
 
 
 def gc_summary(marked: DataFrame) -> DataFrame:

@@ -377,6 +377,11 @@ def pq_codebooks(
     both engines derive identical codebooks with no RNG. K is a
     parameter (PQ codes are conventionally bytes, so K <= 256 is the
     useful regime) and never scales with corpus rows."""
+    if n_centroids > FOLD_MAX_K:
+        raise ValueError(
+            f"PQ codebooks are literal-folded per subspace; K={n_centroids} "
+            f"exceeds FOLD_MAX_K={FOLD_MAX_K} (PQ codes are bytes — use K <= 256)"
+        )
     d0 = dim // n_sub
     rows = _codebook_rows(corpus, n_centroids, id_col, vec_col)
     return {

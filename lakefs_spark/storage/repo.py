@@ -1153,9 +1153,11 @@ class Repository:
             cutoffs[head] = min(c, cutoffs.get(head, c))
         return active_commit_set(self.commits, cutoffs, list(self.tags().values()))
 
-    def reachable_addresses(self, commit_ids: set[str]) -> DataFrame:
-        """Distinct physical addresses referenced by the given commits'
-        snapshots (CommittedAddressLister.scala:15-57 analog)."""
+    def _reachable_addresses_raw(self, commit_ids: set[str]) -> DataFrame:
+        """Physical addresses of the given commits' snapshots, WITH
+        duplicates (shared ranges repeat across snapshots) — feed this
+        to aggregation consumers like gc_mark, which collapse the
+        duplicates map-side instead of paying a distinct shuffle."""
         range_ids: set[str] = set()
         for cid in commit_ids:
             mid = self.commits.get(cid).metarange_id
@@ -1163,9 +1165,14 @@ class Repository:
                 continue
             range_ids.update(R.read_manifest(self.store, mid)["range_id"])
         rows = R.read_ranges(self.spark, self.store, sorted(range_ids))
-        return rows.select("address").where(F.col("address").isNotNull()).distinct()
+        return rows.select("address").where(F.col("address").isNotNull())
 
-    def uncommitted_addresses(self) -> DataFrame:
+    def reachable_addresses(self, commit_ids: set[str]) -> DataFrame:
+        """Distinct physical addresses referenced by the given commits'
+        snapshots (CommittedAddressLister.scala:15-57 analog)."""
+        return self._reachable_addresses_raw(commit_ids).distinct()
+
+    def _uncommitted_addresses_raw(self) -> DataFrame:
         dfs = []
         for branch in self.branches():
             raw = self._staged_raw(branch)
@@ -1176,7 +1183,10 @@ class Repository:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
-        return out.distinct()
+        return out
+
+    def uncommitted_addresses(self) -> DataFrame:
+        return self._uncommitted_addresses_raw().distinct()
 
     def gc_mark(
         self,
@@ -1189,8 +1199,10 @@ class Repository:
         from lakefs_spark.operators.gc import gc_mark as _mark
 
         active = self.active_commits(retention_days_default, per_branch, now)
-        committed = self.reachable_addresses(active)
-        uncommitted = self.uncommitted_addresses()
+        # RAW address streams: gc_mark's single aggregation collapses
+        # duplicates map-side; a distinct here would just add shuffles
+        committed = self._reachable_addresses_raw(active)
+        uncommitted = self._uncommitted_addresses_raw()
         return _mark(listing, committed, uncommitted, cutoff)
 
     def gc_range_files(
