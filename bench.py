@@ -143,8 +143,11 @@ def main() -> None:
         # B7: GC mark, ~10% orphans
         heads = {h for h in repo.branches().values() if h}
         reachable = repo.reachable_addresses(repo.active_commits(7.0))
-        orphans = ents.where(key_mod < 10).select(
-            F.concat(F.lit("data/orphan/"), F.md5("key")).alias("address")
+        # a real object-store listing has exactly one row per address
+        orphans = (
+            ents.where(key_mod < 10)
+            .select(F.concat(F.lit("data/orphan/"), F.md5("key")).alias("address"))
+            .distinct()
         )
         listing = reachable.unionByName(orphans)
         with timed("b7_gc_mark"):

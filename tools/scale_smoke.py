@@ -138,8 +138,11 @@ def main() -> None:
         assert len(page) == 1000, len(page)
 
         reachable = repo.reachable_addresses(repo.active_commits(7.0))
-        orphans = ents.where(key_mod < 10).select(
-            F.concat(F.lit("data/orphan/"), F.md5("key")).alias("address")
+        # a real object-store listing has exactly one row per address
+        orphans = (
+            ents.where(key_mod < 10)
+            .select(F.concat(F.lit("data/orphan/"), F.md5("key")).alias("address"))
+            .distinct()
         )
         listing = reachable.unionByName(orphans)
         t0 = time.time()
