@@ -351,3 +351,26 @@ def test_ivfpq_corpus_side_shuffles_only_for_topk(spark):
     q = emb.where(F.col("vec_id") < 4)
     plan = _plan(ivfpq_topk(q, emb))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_gc_mark_single_aggregation_one_exchange(spark):
+    """GC mark is ONE hash aggregation over the tagged union of the
+    listing and the (raw, duplicated) committed/uncommitted address
+    streams: exactly one Exchange in the plan, partial aggregation
+    below it collapsing snapshot-shared duplicates map-side, and no
+    join operator anywhere — the two-anti-join shape paid a distinct
+    shuffle plus a join shuffle and bent the 100x scale curve."""
+    from lakefs_spark.operators.gc import gc_mark
+
+    listing = spark.range(0, 1000).select(
+        F.concat(F.lit("data/g1/"), F.md5(F.col("id").cast("string"))).alias("address")
+    )
+    committed = spark.range(0, 2700).select(
+        F.concat(F.lit("data/g1/"), F.md5((F.col("id") % 900).cast("string"))).alias(
+            "address"
+        )
+    )
+    plan = _plan(gc_mark(listing, committed))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "BatchEvalPython" not in plan, plan
+    assert "partial_max" in plan or "HashAggregate" in plan, plan
