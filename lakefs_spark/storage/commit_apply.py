@@ -37,8 +37,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakefs_spark.operators.overlay import overlay, with_layer
-from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS, assign_chunks, boundary_keys
+from lakefs_spark.plans.chunker import (
+    DEFAULT_RAGGEDNESS,
+    assign_chunks,
+    boundary_flag,
+)
 from lakefs_spark.schema import ENTRY_COLS
 from lakefs_spark.storage import ranges as R
 
@@ -85,6 +88,27 @@ def ranges_containing_keys(
     return set(mfs.iloc[hit_pos]["range_id"])
 
 
+def cow_overlay(base_rows: DataFrame, changes: DataFrame) -> DataFrame:
+    """Overlay a deduped change stream onto touched base rows.
+
+    The change stream carries one row per key (apply_changes' contract;
+    every caller guarantees it), so "leftmost layer wins" degenerates
+    to an anti-join: base rows whose key is changed or deleted drop
+    out, surviving (non-tombstone) change rows union in. This replaces
+    the window-over-union overlay used before, whose partitionBy(key)
+    shuffled AND sorted the full payload — here the big side flows
+    map-side through a hash anti-join (Catalyst/AQE broadcasts the
+    change-key side at typical churn; a huge change stream degrades
+    gracefully to a shuffled join, never worse than the window was).
+    The reference's sorted-merge applyAll
+    (pkg/graveler/committed/commit.go:116-239) makes the same
+    single-winner assumption of its change iterator.
+    """
+    return base_rows.join(changes.select("key"), "key", "left_anti").unionByName(
+        changes.where(~F.col("is_tombstone")).select(*ENTRY_COLS)
+    )
+
+
 def apply_changes(
     spark: SparkSession,
     root: str,
@@ -105,8 +129,9 @@ def apply_changes(
         entries = changes.where(~F.col("is_tombstone")).select(*ENTRY_COLS)
         return R.write_ranges(entries, root, raggedness)
 
-    # the change stream is read twice (driver key-assignment + overlay);
-    # cache it so an expensive upstream plan (e.g. merge diffs) runs once
+    # the change stream is read several times (touched-position scan,
+    # anti-join build side, boundary pass, union); cache it so an
+    # expensive upstream plan (e.g. merge diffs) runs once
     changes = changes.persist()
     try:
         return _apply_cow(spark, root, base_manifest, changes, raggedness)
@@ -164,35 +189,35 @@ def _apply_cow(
     touched_ids = mf.iloc[touched_sorted]["range_id"].tolist()
     base_rows = R.read_ranges(spark, root, touched_ids)
 
-    # persist the overlay: it is evaluated twice downstream (boundary-key
-    # collect + the range write), and its plan embeds a window + union
-    merged = overlay(
-        [
-            with_layer(changes.select("is_tombstone", *ENTRY_COLS), 0, is_tombstone_col="is_tombstone"),
-            with_layer(base_rows, 1),
-        ]
-    ).persist()
-    try:
-        # a rebuilt chunk must never span an untouched range's interval,
-        # so each contiguous touched run's interval edge (its last
-        # range's max_key) is injected as an extra chunk boundary.
-        # Chunk i covers (b[i-1], b[i]] (assign_chunks side='left'), and
-        # every row of the run satisfies key <= that max_key, so the
-        # split lands exactly at run membership — the same partition of
-        # rows the previous per-row group tagging produced, without a
-        # second pandas-UDF pass over the full payload.
-        last = len(max_keys) - 1
-        edge_keys = {
-            max_keys[p]
-            for i, p in enumerate(touched_sorted)
-            if p != last
-            and (i + 1 == len(touched_sorted) or touched_sorted[i + 1] != p + 1)
-        }
-        bks = sorted(set(boundary_keys(merged, "key", raggedness)) | edge_keys)
-        chunked = assign_chunks(merged, "key", raggedness, boundaries=bks)
-        new_rows = R.write_ranges_prechunked(chunked, root)
-    finally:
-        merged.unpersist()
+    merged = cow_overlay(base_rows, changes)
+
+    # a rebuilt chunk must never span an untouched range's interval,
+    # so each contiguous touched run's interval edge (its last
+    # range's max_key) is injected as an extra chunk boundary.
+    # Chunk i covers (b[i-1], b[i]] (assign_chunks side='left'), and
+    # every row of the run satisfies key <= that max_key, so the
+    # split lands exactly at run membership — the same partition of
+    # rows the previous per-row group tagging produced, without a
+    # second pandas-UDF pass over the full payload.
+    last = len(max_keys) - 1
+    edge_keys = {
+        max_keys[p]
+        for i, p in enumerate(touched_sorted)
+        if p != last
+        and (i + 1 == len(touched_sorted) or touched_sorted[i + 1] != p + 1)
+    }
+    # Boundary keys: the chunker's rule is a pure per-key predicate, so
+    # it commutes with the per-key overlay decision — evaluate it on
+    # the hash-filtered 1/raggedness slice of the overlay instead of
+    # persisting the full merged payload for a second data-sized pass
+    # (the previous shape here). Column pruning cuts this pass to a
+    # key-column parquet scan plus the (tiny-side) anti-join.
+    bflag = boundary_flag(F.col("key"), raggedness)
+    bks = sorted(
+        {r[0] for r in merged.where(bflag).select("key").collect()} | edge_keys
+    )
+    chunked = assign_chunks(merged, "key", raggedness, boundaries=bks)
+    new_rows = R.write_ranges_prechunked(chunked, root)
 
     untouched = mf[~mf.index.isin(touched)]
     out = pd.concat([untouched[R.MANIFEST_COLS], new_rows], ignore_index=True)
@@ -293,18 +318,30 @@ def _write_segmented(
             np.searchsorted(bc.value, keys.to_numpy(dtype=object), side="right").astype("int32")
         )
 
-    rows = rows.withColumn("grp", _segment(F.col("key"))).persist()
-    try:
-        return _write_grouped_ranges(rows, root, raggedness)
-    finally:
-        rows.unpersist()
+    rows = rows.withColumn("grp", _segment(F.col("key")))
+    # boundary keys from the hash-filtered 1/raggedness slice, not a
+    # data-sized persist: the import payload was previously cached in
+    # full only so the boundary pass and the write pass would share one
+    # evaluation. The chunker's rule is a pure key predicate, so this
+    # pass prunes to a key-only scan of the source (the unused segment
+    # UDF column is projected away by Catalyst) — the write pass is the
+    # single full evaluation.
+    bks = sorted(
+        r[0]
+        for r in rows.where(boundary_flag(F.col("key"), raggedness))
+        .select("key")
+        .collect()
+    )
+    return _write_grouped_ranges(rows, root, raggedness, boundaries=bks)
 
 
-def _write_grouped_ranges(merged: DataFrame, root: str, raggedness: int) -> pd.DataFrame:
+def _write_grouped_ranges(
+    merged: DataFrame, root: str, raggedness: int, boundaries: list[str] | None = None
+) -> pd.DataFrame:
     """Chunk rows by (group, global-boundary bucket) and write ranges."""
     from lakefs_spark.plans.chunker import assign_chunks
 
-    chunked = assign_chunks(merged, "key", raggedness)
+    chunked = assign_chunks(merged, "key", raggedness, boundaries=boundaries)
     big = 1 << 32
     chunked = chunked.withColumn(
         "chunk_idx", (F.col("grp").cast("long") * big + F.col("chunk_idx")).cast("long")

@@ -374,3 +374,38 @@ def test_gc_mark_single_aggregation_one_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan and "BatchEvalPython" not in plan, plan
     assert "partial_max" in plan or "HashAggregate" in plan, plan
+
+
+def test_commit_apply_overlay_is_broadcast_anti_join(spark):
+    """The COW overlay (commit-apply step 3) must not shuffle or sort
+    the touched base rows: the deduped change stream turns layer
+    precedence into an anti-join whose small (change-key) side
+    broadcasts, and the surviving change rows union in plan-side. A
+    regression back to the window-over-union shape re-introduces a
+    full shuffle+sort of every touched range's payload per commit."""
+    from lakefs_spark.storage.commit_apply import cow_overlay
+    from lakefs_spark.schema import ENTRY_COLS
+
+    def entries(n, tag):
+        return spark.range(0, n).select(
+            F.concat(F.lit("k/"), F.lpad("id", 8, "0")).alias("key"),
+            F.md5(F.concat(F.lit(tag), F.col("id").cast("string"))).alias("identity"),
+            F.md5(F.concat(F.lit("a"), "id")).alias("address"),
+            F.lit("RELATIVE").alias("address_type"),
+            F.col("id").alias("size"),
+            F.md5(F.concat(F.lit("e"), "id")).alias("etag"),
+            F.lit(None).cast("timestamp").alias("last_modified"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+            F.lit("application/octet-stream").alias("content_type"),
+        )
+
+    base = entries(5000, "b")
+    changes = entries(50, "c").select(
+        (F.col("size") % 7 == 0).alias("is_tombstone"), *ENTRY_COLS
+    )
+    plan = _plan(cow_overlay(base, changes))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # no data shuffle, no window, no sort of the base payload
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan and "Sort " not in plan, plan
