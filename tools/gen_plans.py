@@ -95,10 +95,32 @@ def main() -> None:
     sections.append(
         (
             "GC mark (listing ∖ committed ∖ uncommitted)",
-            "The reference's own Spark algebra (GarbageCollection.scala:"
-            "205-210): two left-anti hash joins over the address sets; AQE "
-            "handles skewed addresses at scale.",
+            "Same algebra as the reference's Spark job (GarbageCollection."
+            "scala:205-210) but as ONE tagged-union hash aggregation "
+            "instead of two anti-joins: every stream contributes "
+            "(address, tag) rows, max(tag) per address decides the "
+            "verdict, and map-side partial aggregation collapses "
+            "snapshot-shared duplicates before the single exchange — no "
+            "join, no distinct pre-pass.",
             trim(formatted(mark)),
+        )
+    )
+
+    # 3b. commit-apply COW overlay: broadcast anti-join, no window
+    from lakefs_spark.storage.commit_apply import cow_overlay
+    from lakefs_spark.schema import ENTRY_COLS
+
+    base_rows = repo.snapshot("main")
+    ch = sa.limit(500).select("is_tombstone", *ENTRY_COLS)
+    sections.append(
+        (
+            "Commit-apply COW overlay (anti-join, not window)",
+            "The deduped change stream turns layer precedence into a "
+            "left-anti join: touched base rows flow map-side past a "
+            "broadcast of the change keys, surviving change rows union "
+            "in — no partitionBy(key) shuffle+sort of the touched "
+            "payload, no Window operator.",
+            trim(formatted(cow_overlay(base_rows, ch))),
         )
     )
 
