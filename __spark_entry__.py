@@ -411,6 +411,14 @@ def q_repetition_scores(spark, sf_dir):
     return TX.repetition_scores(_docs(spark, sf_dir))
 
 
+def q_unigram_nll(spark, sf_dir):
+    """Corpus-trained unigram-LM mean negative log-likelihood per
+    document — the distributed analog of the CCNet/KenLM perplexity
+    filter (operators/text.unigram_nll): fixed-K vocabulary with an
+    OOV one-count floor, broadcast back over the token stream."""
+    return TX.unigram_nll(_docs(spark, sf_dir), vocab_size=1024)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: per training doc (doc_id < 450), the
     fraction of its distinct 3-grams appearing anywhere in the eval
@@ -2123,6 +2131,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel": q_corpus_funnel,
         "length_percentiles": q_length_percentiles,
         "repetition_scores": q_repetition_scores,
+        "unigram_nll": q_unigram_nll,
         "pii_counts": q_pii_counts,
         "sampling_weights": q_sampling_weights,
         "sequence_packing": q_sequence_packing,

@@ -79,6 +79,7 @@ GATES: dict[str, list[str]] = {
         "doc_fingerprints",
         "repetition_scores",
         "contamination",
+        "unigram_nll",
     ],
     "minhash_pipeline": [
         "minhash_candidates",
@@ -292,6 +293,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "range_stats": [("chunk_idx", "bigint"), ("n_keys", "bigint"), ("min_key", "string"), ("max_key", "string"), ("total_size", "bigint")],
     "ref_resolve": [("expr", "string"), ("commit_id", "string")],
     "repetition_scores": [("doc_id", "bigint"), ("n_windows", "bigint"), ("n_distinct", "bigint"), ("rep_ratio", "double")],
+    "unigram_nll": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("mean_nll", "double")],
     "repo_cherry_pick_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "repo_commit_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "repo_compact_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],

@@ -142,6 +142,49 @@ def vocab_stats(
     return out.orderBy(F.col("n_total").desc(), F.col("token")).limit(top_k)
 
 
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1024,
+) -> DataFrame:
+    """CCNet/KenLM-style quality signal, distributed: train a top-K
+    unigram LM on the corpus itself and score every document by its
+    mean negative log-likelihood under that model (out-of-vocabulary
+    tokens get a one-count floor). High NLL = far from the corpus
+    distribution (gibberish, boilerplate, wrong language); low =
+    prototypical text. Sorting documents by this column is the
+    standard perplexity-filter ranking, with the corpus itself as the
+    reference model instead of an external KenLM binary.
+
+    Scale shape: one token hash-aggregation with map-side partial
+    combine (token skew collapses map-side), a TakeOrdered top-K cut
+    whose K is FIXED regardless of corpus size (same lesson as the
+    fixed-K ANN codebooks), a broadcast join of the tiny vocab back
+    onto the token stream, and one per-document aggregation. No
+    per-row Python anywhere.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0] or 1  # driver scalar
+    vocab = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(vocab_size)
+    scored = tok.join(F.broadcast(vocab), "tok", "left").select(
+        F.col(id_col),
+        (
+            -F.log(
+                F.coalesce(F.col("cnt"), F.lit(1)).cast("double")
+                / F.lit(float(total))
+            )
+        ).alias("nll"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("mean_nll"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set. Two documents with the same bag of unique

@@ -356,6 +356,31 @@ def q_repetition_scores() -> str:
     """
 
 
+def q_unigram_nll() -> str:
+    # corpus-trained unigram LM, fixed-K vocab (cnt desc, tok asc cut),
+    # OOV one-count floor; identical arithmetic shape to the Spark
+    # side: p = cnt/total as double, -ln(p), avg, round 6
+    return """
+    with tok as (
+      select doc_id, tok from (
+        select doc_id, unnest(string_split(text, ' ')) as tok from documents
+      ) t where tok <> ''
+    ),
+    counts as (select tok, count(*) as cnt from tok group by tok),
+    total as (select cast(sum(cnt) as double) as n from counts),
+    vocab as (select tok, cnt from counts order by cnt desc, tok limit 1024),
+    scored as (
+      select t.doc_id,
+             -ln(cast(coalesce(v.cnt, 1) as double) / (select n from total)) as nll
+      from tok t left join vocab v on v.tok = t.tok
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_tokens,
+           round(avg(nll), 6) as mean_nll
+    from scored group by doc_id
+    """
+
+
 def q_contamination() -> str:
     return f"""
     with tr as ({_SHINGLE3.format(where="where doc_id < 450")}),
@@ -2358,6 +2383,7 @@ def part_oracles() -> dict[str, str]:
                 "corpus_funnel": q_corpus_funnel(),
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),
+                "unigram_nll": q_unigram_nll(),
                 "pull_requests": q_pull_requests(),
                 "branch_listing": q_branch_listing(),
                 "hook_runs": q_hook_runs(),

@@ -409,3 +409,17 @@ def test_commit_apply_overlay_is_broadcast_anti_join(spark):
     # no data shuffle, no window, no sort of the base payload
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Window" not in plan and "Sort " not in plan, plan
+
+
+def test_unigram_nll_fixed_vocab_broadcasts(spark):
+    """The unigram-LM scorer must keep its vocabulary bounded and
+    broadcast: the top-K cut plans TakeOrdered (never a global sort)
+    and the vocab joins back onto the token stream via a broadcast
+    hash join — no cartesian product, no Python."""
+    from lakefs_spark.operators.text import unigram_nll
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(unigram_nll(docs, vocab_size=64))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
