@@ -347,6 +347,16 @@ def q_label_centroids(spark, sf_dir):
     return label_centroids(spark.table("embeddings"))
 
 
+def q_prototypicality(spark, sf_dir):
+    """Data-pruning metric (SSL-prototypes / SemDeDup family): cosine
+    of each vector to its own label centroid + within-label rank
+    (operators/similarity.prototypicality)."""
+    from lakefs_spark.operators.similarity import prototypicality
+
+    _fixtures(spark, sf_dir)
+    return prototypicality(spark.table("embeddings"))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampler realizing the alpha=0.7
     temperature mix via the portable md5 hash family
@@ -2139,6 +2149,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "length_band_filter": q_length_band_filter,
         "label_centroids": q_label_centroids,
+        "prototypicality": q_prototypicality,
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
         "train_val_split": q_train_val_split,

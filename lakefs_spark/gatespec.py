@@ -96,6 +96,7 @@ GATES: dict[str, list[str]] = {
         "stratified_sample",
         "train_val_split",
         "label_centroids",
+        "prototypicality",
     ],
     "packing_gates": [
         "sequence_packing",
@@ -259,6 +260,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "pq_topk": [("qa", "bigint"), ("qb", "bigint")],
     "ivfpq_topk": [("qa", "bigint"), ("qb", "bigint")],
     "label_centroids": [("label", "bigint"), ("dim", "bigint"), ("centroid", "double"), ("n_vectors", "bigint")],
+    "prototypicality": [("vec_id", "bigint"), ("label", "bigint"), ("proto_cos", "double"), ("proto_rank", "bigint")],
     "lang_id": [("doc_id", "bigint"), ("lang_pred", "string")],
     "length_band_filter": [("doc_id", "bigint"), ("value", "bigint"), ("q_lo", "double"), ("q_hi", "double"), ("in_band", "boolean")],
     "length_percentiles": [("lang_pred", "string"), ("pos", "bigint"), ("val", "double")],

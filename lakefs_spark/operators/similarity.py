@@ -358,6 +358,56 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = 
     )
 
 
+def prototypicality(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Data-pruning metric (SSL-prototypes / SemDeDup family): cosine
+    similarity of every vector to its OWN label's centroid, plus the
+    within-label rank by that score. Curation drops the tail (least
+    prototypical = likely noise/mislabeled) or the head (most
+    prototypical = redundant near-duplicates of the class mode),
+    depending on the pruning strategy.
+
+    Shape: the centroid aggregation collapses map-side to
+    |labels| x dim rows (see label_centroids), joins back onto the
+    exploded vector stream as the tiny side of an equi-join, and ONE
+    per-vector aggregation forms dot and norms. The only per-label
+    sort is the rank window — inherent to the ranking semantics.
+    Centroids are rounded to 6 dp BEFORE the dot product and the rank
+    orders by the rounded score with an id tiebreak, so the output
+    (including ranks) is bit-stable across engines and partitionings.
+    """
+    cents = label_centroids(df, vec_col, label_col).select(
+        "label", "dim", F.col("centroid").alias("c")
+    )
+    dims = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    ).select(id_col, "label", F.col("dim").cast("long").alias("dim"), F.col("x").cast("double").alias("x"))
+    agg = (
+        dims.join(cents, ["label", "dim"])
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("n1"),
+            F.sum(F.col("c") * F.col("c")).alias("n2"),
+        )
+    )
+    scored = agg.select(
+        F.col(id_col).cast("long").alias(id_col),
+        "label",
+        F.round(
+            F.col("dot") / F.nullif(F.sqrt("n1") * F.sqrt("n2"), F.lit(0.0)), 6
+        ).alias("proto_cos"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("proto_cos").desc(), F.col(id_col))
+    return scored.withColumn("proto_rank", F.row_number().over(w).cast("long"))
+
+
 # -- product quantization ---------------------------------------------------
 
 

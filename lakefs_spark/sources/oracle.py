@@ -2008,6 +2008,42 @@ def q_label_centroids() -> str:
     """
 
 
+def q_prototypicality() -> str:
+    # centroids rounded to 6dp BEFORE the dot product (matches the
+    # Spark side exactly); rank orders by the rounded score with a
+    # vec_id tiebreak so ordering is engine-independent
+    return """
+    with e as (
+      select vec_id, cast(label as bigint) as label,
+             cast(unnest(embedding) as double) as x,
+             unnest(range(len(embedding))) as i
+      from embeddings
+    ),
+    cent as (
+      select label, i, round(avg(x), 6) as c
+      from e group by 1, 2
+    ),
+    agg as (
+      select e.vec_id, e.label,
+             sum(e.x * c.c) as dot,
+             sum(e.x * e.x) as n1,
+             sum(c.c * c.c) as n2
+      from e join cent c on c.label = e.label and c.i = e.i
+      group by 1, 2
+    ),
+    scored as (
+      select cast(vec_id as bigint) as vec_id, label,
+             round(dot / nullif(sqrt(n1) * sqrt(n2), 0), 6) as proto_cos
+      from agg
+    )
+    select vec_id, label, proto_cos,
+           cast(row_number() over (
+             partition by label order by proto_cos desc, vec_id
+           ) as bigint) as proto_rank
+    from scored
+    """
+
+
 def q_stratified_sample() -> str:
     from lakefs_spark.functions.hashfam import X_MOD
 
@@ -2399,6 +2435,7 @@ def part_oracles() -> dict[str, str]:
                 "boilerplate_strip": q_boilerplate_strip(),
                 "length_band_filter": q_length_band_filter(),
                 "label_centroids": q_label_centroids(),
+                "prototypicality": q_prototypicality(),
                 "stratified_sample": q_stratified_sample(),
                 "contamination": q_contamination(),
                 "train_val_split": q_train_val_split(),

@@ -423,3 +423,17 @@ def test_unigram_nll_fixed_vocab_broadcasts(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_prototypicality_broadcasts_centroids(spark, emb):
+    """The prototypicality score joins each exploded vector dim to its
+    label centroid via a broadcast hash join (the centroid side is
+    |labels| x dim rows), aggregates dot/norms with map-side partial
+    sums, and sorts only inside the per-label rank window — no
+    cartesian product, no Python."""
+    from lakefs_spark.operators.similarity import prototypicality
+
+    plan = _plan(prototypicality(emb))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
