@@ -1905,6 +1905,126 @@ def q_webhook_deliveries(spark, sf_dir):
     )
 
 
+_ACTION_TASKS: dict = {}
+
+
+def q_action_task_results(spark, sf_dir):
+    """Declarative actions end-to-end (storage/actions.py;
+    pkg/actions/action.go Validate/Match + service.go:300-430 run loop +
+    airflow.go DAG-run POST + lua.go script surface): YAML specs with
+    branch globs, a script hook writing output, an airflow hook
+    delivering a DAG run, an ``if: failure()`` cleanup hook, a
+    feature-branch guard that vetoes, and a post-commit failure that is
+    recorded but does not abort. The per-hook task-result log is the
+    query output. Asserted in-gate: airflow URL/dag_run_id shape, the
+    vetoed head does not move, the post-failure head does."""
+    key = _session_tag(spark)
+    rows = _ACTION_TASKS.get(key)
+    if rows is None:
+        import tempfile
+
+        from lakefs_spark.storage.actions import ActionsService
+        from lakefs_spark.storage.repo import HookAbortError, Repository
+
+        dag_posts: list[tuple] = []
+
+        def transport(url, data, headers, timeout):
+            import json as _json
+
+            dag_posts.append((url, _json.loads(data)))
+            return 200
+
+        repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_act_"))
+        svc = ActionsService(
+            repo, env_getter={"MIN_SIZE": "1"}.get, transport=transport
+        )
+        svc.add_action(
+            """
+name: size gate
+on:
+  pre-commit:
+    branches: ["main"]
+hooks:
+  - id: check_size
+    type: script
+    properties:
+      script: "output('min_size=' + args['min_size'])"
+      args: {min_size: "{{ ENV.MIN_SIZE }}"}
+  - id: notify
+    type: airflow
+    properties:
+      url: "http://airflow.local"
+      dag_id: "corpus_refresh"
+      username: "svc"
+      password: "pw"
+      dag_conf: {team: data}
+  - id: cleanup
+    type: script
+    if: "failure()"
+    properties:
+      script: "output('cleanup ran')"
+"""
+        )
+        svc.add_action(
+            """
+name: feature guard
+on:
+  pre-commit:
+    branches: ["feature-*"]
+hooks:
+  - id: deny
+    type: script
+    properties:
+      script: "fail('no direct commits to ' + action['branch_id'])"
+"""
+        )
+        svc.add_action(
+            """
+name: audit
+on:
+  post-commit: null
+hooks:
+  - id: boom
+    type: script
+    properties:
+      script: "fail('audit sink down')"
+"""
+        )
+        repo.set_entry("main", {"key": "a/1", "identity": "i1", "size": 1, "etag": "e1"})
+        c1 = repo.commit("main", "ok commit")
+        if repo.resolve("main").commit_id != c1.commit_id:
+            raise RuntimeError("post-commit hook failure moved/blocked the head")
+        url, body = dag_posts[0]
+        if url != "http://airflow.local/api/v1/dags/corpus_refresh/dagRuns":
+            raise RuntimeError(f"airflow DAG-run URL wrong: {url}")
+        if not body["dag_run_id"].startswith("lakeFS_hook_notify_"):
+            raise RuntimeError("dag_run_id missing the lakeFS_hook prefix")
+        if body["conf"]["team"] != "data" or "lakeFS_event" not in body["conf"]:
+            raise RuntimeError("dag conf merge wrong")
+        repo.create_branch("feature-x", "main")
+        repo.set_entry(
+            "feature-x", {"key": "a/2", "identity": "i2", "size": 2, "etag": "e2"}
+        )
+        try:
+            repo.commit("feature-x", "blocked")
+            raise RuntimeError("feature guard failed to veto")
+        except HookAbortError:
+            pass
+        if repo.resolve("feature-x").commit_id != c1.commit_id:
+            raise RuntimeError("vetoed commit moved the feature head")
+        tasks = list(reversed(svc.task_results()))  # oldest first
+        rows = [
+            (i + 1, t["action"], t["hook_id"], t["hook_type"], t["event"], t["status"])
+            for i, t in enumerate(tasks)
+        ]
+        _ACTION_TASKS[key] = rows
+    return spark.createDataFrame(
+        rows,
+        "pos long, action string, hook_id string, hook_type string, "
+        "event string, status string",
+    )
+
+
 # -- commit DAG (storage.refs over the shared dagspec DAG) -----------------
 
 _DAG_STORE = None
@@ -2201,6 +2321,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_listing": q_branch_listing,
         "hook_runs": q_hook_runs,
         "webhook_deliveries": q_webhook_deliveries,
+        "action_task_results": q_action_task_results,
         "point_lookup_branch": q_point_lookup_branch,
         "list_page_probe": q_list_page_probe,
         "run_ttl_expiry": q_run_ttl_expiry,

@@ -69,7 +69,13 @@ GATES: dict[str, list[str]] = {
     "export_payloads": ["delta_log_actions", "glue_partition_batches", "unity_table_payload"],
     "external_listing_gates": ["s3_list_pages", "s3_list_v1_pages", "walker_entries"],
     "governance_objects": ["pull_requests", "branch_listing"],
-    "hook_gates": ["hook_runs", "webhook_deliveries", "run_ttl_expiry", "expectation_gate"],
+    "hook_gates": [
+        "hook_runs",
+        "webhook_deliveries",
+        "run_ttl_expiry",
+        "expectation_gate",
+        "action_task_results",
+    ],
     "event_windows_extra": ["sliding_event_counts", "event_time_rollup"],
     "token_gates": ["token_counts", "bpe_token_counts", "vocab_stats", "length_percentiles"],
     "text_signals": [
@@ -218,6 +224,7 @@ def oracle_gate(parts, colspecs, sqls) -> str:
 # -- static column specs (captured from live part schemas) ------------------
 
 COLSPECS: dict[str, list[tuple[str, str]]] = {
+    "action_task_results": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string")],
     "active_commits": [("commit_id", "string")],
     "ann_recall": [("qa", "bigint"), ("n_hits", "bigint"), ("recall", "double")],
     "ann_topk": [("qa", "bigint"), ("qb", "bigint"), ("sim", "double")],

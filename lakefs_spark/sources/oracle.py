@@ -1879,6 +1879,22 @@ def q_webhook_deliveries() -> str:
     """
 
 
+def q_action_task_results() -> str:
+    # the declarative-actions scenario's task log, oldest first
+    # (__spark_entry__.q_action_task_results): the main commit runs
+    # "size gate" (script + airflow + skipped failure()-cleanup) then
+    # the post-commit "audit" fails without aborting; the feature-x
+    # commit is vetoed by "feature guard"
+    return """
+    select cast(1 as bigint) as pos, 'size gate' as action, 'check_size' as hook_id,
+           'script' as hook_type, 'pre-commit' as event, 'completed' as status
+    union all select 2, 'size gate', 'notify', 'airflow', 'pre-commit', 'completed'
+    union all select 3, 'size gate', 'cleanup', 'script', 'pre-commit', 'skipped'
+    union all select 4, 'audit', 'boom', 'script', 'post-commit', 'failed'
+    union all select 5, 'feature guard', 'deny', 'script', 'pre-commit', 'failed'
+    """
+
+
 def q_pii_counts() -> str:
     from lakefs_spark.operators.pipeline import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -2424,6 +2440,7 @@ def part_oracles() -> dict[str, str]:
                 "branch_listing": q_branch_listing(),
                 "hook_runs": q_hook_runs(),
                 "webhook_deliveries": q_webhook_deliveries(),
+                "action_task_results": q_action_task_results(),
                 "point_lookup_branch": q_point_lookup_branch(),
                 "list_page_probe": q_list_page_probe(),
                 "run_ttl_expiry": q_run_ttl_expiry(),

@@ -1,0 +1,533 @@
+"""Declarative actions: validated action specs (YAML/JSON) with
+webhook / airflow / script runners, matched per event + branch glob,
+``if``-expression gating, and per-hook task results.
+
+Re-expresses the reference's actions service:
+
+- ``pkg/actions/action.go:16-106`` — Action/ActionHook spec shape and
+  ``Validate`` (name regex, hook-id regex, duplicate ids, event
+  validation, ``branches`` rejected on tag events, per-type property
+  validators).
+- ``pkg/actions/action.go`` Match — event-type + branch ``path.Match``
+  globs.
+- ``pkg/actions/service.go:300-430`` — the run loop: hooks of one
+  action run sequentially; a failed hook marks the action failed but
+  later hooks still get their ``if`` expression evaluated (default
+  run-condition is "no error so far"; env exposes ``success()`` /
+  ``failure()``; non-bool result is an error); pre-* failures abort
+  the surrounding operation, post-* failures are recorded only.
+- ``pkg/actions/airflow.go`` — the Airflow runner is a specialized
+  webhook: POST ``{dag_run_id, conf}`` to
+  ``<url>/api/v1/dags/<dag_id>/dagRuns`` with basic auth, where
+  ``dag_run_id = "lakeFS_hook_<hook_id>_<run_id>"`` and ``conf`` merges
+  ``dag_conf`` under the event payload as ``lakeFS_event``.
+- ``pkg/actions/lua.go:38-75,105-171`` — the script runner injects the
+  event record as global ``action``, the expanded properties ``args``,
+  and an output writer; ``pkg/actions/lua.go:187-227`` DescendArgs —
+  ``{{ ENV.NAME }}`` placeholders in string properties resolve through
+  an environment getter, missing vars are errors.
+- ``pkg/actions/hook_output_writer.go`` — per-hook output captured
+  under the run id.
+
+The reference embeds a Lua VM for ``type: lua``; this engine's
+equivalent is ``type: script``: a sandboxed Python mini-script (AST
+whitelist: no imports, no dunder/underscore access, fixed builtins)
+with the same injected surface. Specs declaring ``type: lua`` validate
+(so reference action files load), but binding them raises with a
+pointer to ``type: script`` — Lua source is not executed here.
+"""
+
+from __future__ import annotations
+
+import ast
+import base64
+import fnmatch
+import json
+import re
+import time
+import urllib.parse
+
+from lakefs_spark.storage.repo import HookAbortError
+from lakefs_spark.storage.webhook import (
+    DEFAULT_TIMEOUT_SECONDS,
+    _urllib_transport,
+    event_payload,
+    webhook_hook,
+)
+
+# action.go:67-68
+ACTION_NAME_RE = re.compile(r"^\w[\w\-. ]+$")
+HOOK_ID_RE = re.compile(r"^[_a-zA-Z][\-_a-zA-Z0-9]{1,255}$")
+
+# graveler.go EventType* constants (the hook events Repository._fire emits)
+EVENT_TYPES = frozenset(
+    {
+        "prepare-commit",
+        "pre-commit",
+        "post-commit",
+        "pre-merge",
+        "post-merge",
+        "pre-create-branch",
+        "post-create-branch",
+        "pre-delete-branch",
+        "post-delete-branch",
+        "pre-create-tag",
+        "post-create-tag",
+        "pre-delete-tag",
+        "post-delete-tag",
+        "pre-revert",
+        "post-revert",
+        "pre-cherry-pick",
+        "post-cherry-pick",
+    }
+)
+
+HOOK_TYPES = frozenset({"webhook", "airflow", "script", "lua"})
+
+# {{ ENV.NAME }} placeholder (DescendArgs, lua.go:187-227)
+_ENV_RE = re.compile(r"\{\{\s*ENV\.([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+
+
+class InvalidActionError(ValueError):
+    """Spec fails action.go Validate rules."""
+
+
+class MissingEnvVarError(KeyError):
+    """{{ ENV.X }} placeholder with no such variable (errMissingEnvVar)."""
+
+
+# -- spec parsing + validation ----------------------------------------------
+
+
+def parse_action(spec) -> dict:
+    """Parse + validate an action spec.
+
+    Accepts a dict, a JSON string, or a YAML string (YAML via an
+    import-guarded pyyaml — JSON is a YAML subset, so JSON always
+    works even without the lib).
+    """
+    if isinstance(spec, (str, bytes)):
+        text = spec.decode() if isinstance(spec, bytes) else spec
+        try:
+            import yaml  # type: ignore
+
+            spec = yaml.safe_load(text)
+        except ImportError:  # pragma: no cover - yaml present in CI image
+            spec = json.loads(text)
+    if not isinstance(spec, dict):
+        raise InvalidActionError("action spec must be a mapping")
+    # pyyaml is YAML 1.1: a bare `on:` key loads as boolean True; the
+    # reference's yaml.v3 is YAML 1.2 where it stays the string "on".
+    if True in spec and "on" not in spec:
+        spec = dict(spec)
+        spec["on"] = spec.pop(True)
+    validate_action(spec)
+    return spec
+
+
+def validate_action(spec: dict) -> None:
+    """action.go:71-106 Validate."""
+    name = spec.get("name") or ""
+    if not name:
+        raise InvalidActionError("'name' is required")
+    if not ACTION_NAME_RE.match(name):
+        raise InvalidActionError(f"'name' is invalid: {name!r}")
+    on = spec.get("on") or {}
+    if not on:
+        raise InvalidActionError("'on' is required")
+    for event, params in on.items():
+        if event not in EVENT_TYPES:
+            raise InvalidActionError(f"event '{event}' is not supported")
+        if params and params.get("branches") and event.endswith("-tag"):
+            raise InvalidActionError(
+                "'branches' is not supported in tag event types"
+            )
+    ids: set[str] = set()
+    for i, hook in enumerate(spec.get("hooks") or []):
+        hid = hook.get("id") or ""
+        if not HOOK_ID_RE.match(hid):
+            raise InvalidActionError(f"hook[{i}] missing or invalid ID")
+        if hid in ids:
+            raise InvalidActionError(f"hook[{i}] duplicate ID '{hid}'")
+        ids.add(hid)
+        htype = hook.get("type")
+        if htype not in HOOK_TYPES:
+            raise InvalidActionError(f"hook[{i}] type '{htype}' unknown")
+        props = hook.get("properties") or {}
+        required = {
+            "webhook": ("url",),
+            "airflow": ("url", "dag_id", "username", "password"),
+            "script": ("script",),
+            "lua": ("script",),
+        }[htype]
+        for key in required:
+            val = props.get(key)
+            if not isinstance(val, str) or val == "":
+                raise InvalidActionError(
+                    f"hook[{i}] type '{htype}': key {key}: missing or not a string"
+                )
+
+
+def action_matches(spec: dict, event: str, branch: str) -> bool:
+    """MatchSpec (action.go Match): event key present; if the event
+    declares branch globs, the branch must match one (path.Match ->
+    fnmatch here; both are glob-with-[]-classes, no **)."""
+    params = (spec.get("on") or {}).get(event)
+    if params is None and event not in (spec.get("on") or {}):
+        return False
+    globs = (params or {}).get("branches") or []
+    if not globs:
+        return True
+    return any(fnmatch.fnmatchcase(branch, g) for g in globs)
+
+
+def expand_args(value, env_getter):
+    """DescendArgs (lua.go:187-227): resolve ``{{ ENV.NAME }}``
+    placeholders in every string, recursively through maps/lists.
+    A missing variable is an error, not an empty string."""
+    if isinstance(value, str):
+
+        def _sub(m: re.Match) -> str:
+            got = env_getter(m.group(1))
+            if got is None:
+                raise MissingEnvVarError(f"missing env var {m.group(1)}")
+            return got
+
+        return _ENV_RE.sub(_sub, value)
+    if isinstance(value, dict):
+        return {k: expand_args(v, env_getter) for k, v in value.items()}
+    if isinstance(value, list):
+        return [expand_args(v, env_getter) for v in value]
+    return value
+
+
+# -- sandboxed script runner (the Lua-VM analog) -----------------------------
+
+_SAFE_BUILTINS = {
+    f.__name__: f
+    for f in (
+        abs, all, any, bool, dict, enumerate, filter, float, int, len,
+        list, map, max, min, range, reversed, round, set, sorted, str,
+        sum, tuple, zip,
+    )
+}
+_FORBIDDEN_NODES = (ast.Import, ast.ImportFrom, ast.Global, ast.Nonlocal)
+
+
+def _vet(tree: ast.AST) -> None:
+    for node in ast.walk(tree):
+        if isinstance(node, _FORBIDDEN_NODES):
+            raise InvalidActionError(
+                f"script: {type(node).__name__} is not allowed"
+            )
+        bad = None
+        if isinstance(node, ast.Name) and node.id.startswith("_"):
+            bad = node.id
+        elif isinstance(node, ast.Attribute) and node.attr.startswith("_"):
+            bad = node.attr
+        elif isinstance(node, ast.keyword) and (node.arg or "").startswith("_"):
+            bad = node.arg
+        if bad is not None:
+            raise InvalidActionError(
+                f"script: underscore-prefixed name {bad!r} is not allowed"
+            )
+
+
+def compile_script(code: str, name: str = "<hook-script>"):
+    """Parse + vet a hook script: no imports, no identifier or
+    attribute starting with an underscore (cuts off dunder escape
+    routes), builtins limited to the arithmetic/collection whitelist.
+    Returns a code object for :func:`run_script`."""
+    tree = ast.parse(code, filename=name, mode="exec")
+    _vet(tree)
+    return compile(tree, name, "exec")
+
+
+def run_script(code, globals_: dict) -> None:
+    glb = {"__builtins__": dict(_SAFE_BUILTINS)}
+    glb.update(globals_)
+    exec(code, glb)  # noqa: S102 - sandboxed: vetted AST + fixed builtins
+
+
+def script_hook(
+    script: str,
+    *,
+    action_name: str = "script",
+    hook_id: str = "script",
+    args: dict | None = None,
+    output_sink=None,
+):
+    """Hook callable running a sandboxed mini-script with the
+    lua.go:38-75 injected surface: global ``action`` (the event
+    record), ``args`` (expanded properties), ``output(line)`` and
+    ``fail(msg)``. Raising — or calling ``fail`` — aborts pre-events."""
+    code = compile_script(script, name=f"{action_name}/{hook_id}")
+
+    def _fail(msg: str = "hook failed"):
+        raise HookAbortError(f"script {hook_id}: {msg}")
+
+    def _hook(repo, event: str, ctx: dict) -> None:
+        record = event_payload(repo, event, ctx, action_name, hook_id)
+        record["pre"] = event.startswith("pre") or event == "prepare-commit"
+        record["run_id"] = ctx.get("run_id", "")
+        sink = output_sink or (lambda line: None)
+        run_script(
+            code,
+            {
+                "action": record,
+                "args": dict(args or {}),
+                "output": lambda line: sink(str(line)),
+                "fail": _fail,
+            },
+        )
+
+    return _hook
+
+
+# -- airflow runner (a specialized webhook) ----------------------------------
+
+
+def airflow_hook(
+    url: str,
+    dag_id: str,
+    username: str,
+    password: str,
+    *,
+    dag_conf: dict | None = None,
+    action_name: str = "airflow",
+    hook_id: str = "airflow",
+    timeout: float = DEFAULT_TIMEOUT_SECONDS,
+    transport=None,
+):
+    """POST a DAG run (airflow.go:131-185): body
+    ``{dag_run_id: "lakeFS_hook_<id>_<run_id>", conf: {lakeFS_event:
+    <event payload>, **dag_conf}}`` to
+    ``<url>/api/v1/dags/<dag_id>/dagRuns`` with basic auth; non-2xx
+    aborts like any webhook. ``wait_for_dag`` polling is not modeled —
+    delivery is the contract here, DAG completion belongs to Airflow."""
+    send = transport or _urllib_transport
+    dag_run_url = url.rstrip("/") + "/api/v1/dags/%s/dagRuns" % urllib.parse.quote(
+        dag_id, safe=""
+    )
+    token = base64.b64encode(f"{username}:{password}".encode()).decode()
+    headers = {
+        "Content-Type": "application/json",
+        "Authorization": f"Basic {token}",
+    }
+
+    def _hook(repo, event: str, ctx: dict) -> None:
+        run_id = ctx.get("run_id", "")
+        body = {
+            "dag_run_id": f"lakeFS_hook_{hook_id}_{run_id}",
+            "conf": {
+                "lakeFS_event": event_payload(repo, event, ctx, action_name, hook_id),
+                **(dag_conf or {}),
+            },
+        }
+        try:
+            status = send(dag_run_url, json.dumps(body).encode(), headers, timeout)
+        except Exception as e:
+            raise HookAbortError(f"airflow {hook_id} request failed: {e}") from e
+        if not (200 <= status < 300):
+            raise HookAbortError(
+                f"airflow {hook_id} request failed (status code: {status})"
+            )
+
+    return _hook
+
+
+# -- if-expression gating (service.go:403-419) -------------------------------
+
+
+def run_hook_if_eval(if_expr: str, action_err) -> bool:
+    """Default run-condition: no error so far. A non-empty ``if``
+    expression overrides it; env exposes success()/failure(); a
+    non-bool result is an error."""
+    if not if_expr:
+        return action_err is None
+    tree = ast.parse(if_expr, mode="eval")
+    _vet(tree)
+    glb = {
+        "__builtins__": dict(_SAFE_BUILTINS),
+        "success": lambda: action_err is None,
+        "failure": lambda: action_err is not None,
+    }
+    out = eval(compile(tree, "<if>", "eval"), glb)  # noqa: S307 - sandboxed
+    if not isinstance(out, bool):
+        raise InvalidActionError("'if' expression must evaluate to a boolean")
+    return out
+
+
+# -- the service --------------------------------------------------------------
+
+
+class ActionsService:
+    """Store-backed action registry + event dispatcher.
+
+    ``add_action`` validates, persists the spec (one store doc per
+    action name, so a re-add replaces), and binds a dispatcher on each
+    referenced event via ``Repository.on``. On dispatch, matching
+    actions run in name order; each hook appends one task-result row
+    (service.go buildRunManifestFromTasks shape) and its output lines;
+    a pre-* event with any failed action aborts the operation."""
+
+    def __init__(self, repo, *, env_getter=None, transport=None):
+        import os
+
+        self.repo = repo
+        self.env_getter = env_getter or os.environ.get
+        self.transport = transport
+        self._bound_events: set[str] = set()
+        self._rebind()
+
+    # -- registry ------------------------------------------------------------
+
+    def add_action(self, spec) -> dict:
+        spec = parse_action(spec)
+        self.repo.store.put_doc(f"actions/{spec['name']}", spec)
+        self._bind_events(spec)
+        return spec
+
+    def delete_action(self, name: str) -> None:
+        self.repo.store.delete_doc(f"actions/{name}")
+
+    def actions(self) -> list[dict]:
+        out = []
+        for key in sorted(self.repo.store.list_docs("actions/")):
+            got = self.repo.store.get_doc(key)
+            if got:
+                out.append(got[0])
+        return out
+
+    def _rebind(self) -> None:
+        for spec in self.actions():
+            self._bind_events(spec)
+
+    def _bind_events(self, spec: dict) -> None:
+        for event in spec.get("on") or {}:
+            if event not in self._bound_events:
+                self._bound_events.add(event)
+                self.repo.on(event, self._dispatch)
+
+    # -- dispatch --------------------------------------------------------------
+
+    def _dispatch(self, repo, event: str, ctx: dict) -> None:
+        branch = ctx.get("branch") or ctx.get("dest") or ctx.get("tag") or ""
+        matched = [
+            a for a in self.actions() if action_matches(a, event, branch)
+        ]
+        if not matched:
+            return
+        run_id = f"{int(time.time() * 1e6):016x}"
+        ctx = dict(ctx, run_id=run_id)
+        first_err: Exception | None = None
+        for a_idx, spec in enumerate(matched):
+            action_err: Exception | None = None
+            for h_idx, hook in enumerate(spec.get("hooks") or []):
+                hook_run_id = f"{run_id}_{a_idx:04d}_{h_idx:04d}"
+                try:
+                    should_run = run_hook_if_eval(hook.get("if") or "", action_err)
+                except Exception as e:
+                    should_run, action_err = False, action_err or e
+                if not should_run:
+                    self._log_task(run_id, hook_run_id, spec, hook, event, "skipped", None)
+                    continue
+                started = time.time()
+                try:
+                    fn = self._build_hook(spec, hook, run_id, hook_run_id)
+                    fn(repo, event, ctx)
+                    status, err = "completed", None
+                except Exception as e:
+                    status, err = "failed", e
+                    if action_err is None:
+                        action_err = e
+                self._log_task(
+                    run_id, hook_run_id, spec, hook, event, status,
+                    None if err is None else f"{type(err).__name__}: {err}",
+                    started=started,
+                )
+            if action_err is not None and first_err is None:
+                first_err = action_err
+        if first_err is not None and (
+            event.startswith("pre") or event == "prepare-commit"
+        ):
+            raise first_err
+
+    def _build_hook(self, spec: dict, hook: dict, run_id: str, hook_run_id: str):
+        props = expand_args(hook.get("properties") or {}, self.env_getter)
+        htype, hid, name = hook["type"], hook["id"], spec["name"]
+        if htype == "webhook":
+            return webhook_hook(
+                props["url"],
+                action_name=name,
+                hook_id=hid,
+                timeout=float(props.get("timeout", DEFAULT_TIMEOUT_SECONDS)),
+                headers=props.get("headers"),
+                query_params=props.get("query_params"),
+                transport=self.transport,
+            )
+        if htype == "airflow":
+            return airflow_hook(
+                props["url"],
+                props["dag_id"],
+                props["username"],
+                props["password"],
+                dag_conf=props.get("dag_conf"),
+                action_name=name,
+                hook_id=hid,
+                timeout=float(props.get("timeout", DEFAULT_TIMEOUT_SECONDS)),
+                transport=self.transport,
+            )
+        if htype == "script":
+            return script_hook(
+                props["script"],
+                action_name=name,
+                hook_id=hid,
+                args=props.get("args"),
+                output_sink=lambda line: self._log_output(run_id, hook_run_id, line),
+            )
+        raise InvalidActionError(
+            "type 'lua' validates for spec portability but does not run here; "
+            "port the hook to type 'script' (sandboxed mini-script)"
+        )
+
+    # -- task results + output (kv_task_results_iterator / output writer) -----
+
+    def _log_task(
+        self, run_id, hook_run_id, spec, hook, event, status, err, started=None
+    ) -> None:
+        rec = {
+            "run_id": run_id,
+            "hook_run_id": hook_run_id,
+            "action": spec["name"],
+            "hook_id": hook["id"],
+            "hook_type": hook["type"],
+            "event": event,
+            "status": status,
+            "error": err,
+            "start_time": started if started is not None else time.time(),
+        }
+        self.repo.store.append_line("tasks", json.dumps(rec))
+
+    def _log_output(self, run_id: str, hook_run_id: str, line: str) -> None:
+        self.repo.store.append_line(
+            "hook_outputs",
+            json.dumps({"run_id": run_id, "hook_run_id": hook_run_id, "line": line}),
+        )
+
+    def task_results(self, run_id: str | None = None) -> list[dict]:
+        """Per-hook task rows, newest first (ListRunTaskResults shape)."""
+        rows = [json.loads(s) for s in self.repo.store.read_lines("tasks")]
+        rows.reverse()
+        if run_id is not None:
+            rows = [r for r in rows if r["run_id"] == run_id]
+        return rows
+
+    def hook_output(self, run_id: str, hook_run_id: str | None = None) -> list[str]:
+        rows = [json.loads(s) for s in self.repo.store.read_lines("hook_outputs")]
+        return [
+            r["line"]
+            for r in rows
+            if r["run_id"] == run_id
+            and (hook_run_id is None or r["hook_run_id"] == hook_run_id)
+        ]
