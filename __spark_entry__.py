@@ -439,6 +439,30 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_bloom_decontamination(spark, sf_dir):
+    """Bloom-prefiltered decontamination (operators/text.
+    bloom_decontaminate): the eval slice folds into a 2^18-bit Bloom
+    bitmap; the training shingle stream is probed via k=3 broadcast
+    joins + bit tests (the corpus never shuffles) and only candidates
+    reach the exact equi-join. n_exact must equal the plain semi-join's
+    n_hit (no false negatives); n_candidates >= n_exact bounds the FP
+    tail — both hashed against an oracle that rebuilds the identical
+    bitmap."""
+    docs = _docs(spark, sf_dir)
+    return TX.bloom_decontaminate(
+        docs.where(F.col("doc_id") < 450), docs.where(F.col("doc_id") >= 450)
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (operators/pipeline.
+    doc_chunks): 32-token windows every 24 tokens (8-token overlap),
+    one JVM projection + posexplode — the RAG/context-prep shape."""
+    from lakefs_spark.operators import pipeline as P
+
+    return P.doc_chunks(_docs(spark, sf_dir).where(F.col("doc_id") < 450), size=32, stride=24)
+
+
 def q_length_percentiles(spark, sf_dir):
     """Exact per-language length percentiles (quality-filter
     thresholds): one groupBy with a multi-percentile aggregate —
@@ -2265,6 +2289,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts": q_pii_counts,
         "sampling_weights": q_sampling_weights,
         "sequence_packing": q_sequence_packing,
+        "doc_chunks": q_doc_chunks,
         "passage_dedup": q_passage_dedup,
         "boilerplate_strip": q_boilerplate_strip,
         "length_band_filter": q_length_band_filter,
@@ -2272,6 +2297,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototypicality": q_prototypicality,
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
+        "bloom_decontamination": q_bloom_decontamination,
         "train_val_split": q_train_val_split,
         "text_quality": q_text_quality,
         "incremental_text_stats": q_incremental_text_stats,

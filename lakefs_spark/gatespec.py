@@ -85,6 +85,7 @@ GATES: dict[str, list[str]] = {
         "doc_fingerprints",
         "repetition_scores",
         "contamination",
+        "bloom_decontamination",
         "unigram_nll",
     ],
     "minhash_pipeline": [
@@ -106,6 +107,7 @@ GATES: dict[str, list[str]] = {
     ],
     "packing_gates": [
         "sequence_packing",
+        "doc_chunks",
         "packing_efficiency",
         "passage_dedup",
         "boilerplate_strip",
@@ -230,6 +232,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "ann_topk": [("qa", "bigint"), ("qb", "bigint"), ("sim", "double")],
     "asof_click_attribution": [("purchase_id", "bigint"), ("user_id", "bigint"), ("purchase_ts_s", "bigint"), ("click_id", "bigint"), ("click_ts_s", "bigint")],
     "binary_file_source": [("name", "string"), ("n_bytes", "bigint"), ("payload_md5", "string")],
+    "bloom_decontamination": [("doc_id", "bigint"), ("n_sh", "bigint"), ("n_candidates", "bigint"), ("n_exact", "bigint"), ("contamination", "double")],
     "boilerplate_strip": [("doc_id", "bigint"), ("n_windows", "bigint"), ("n_boiler", "bigint"), ("clean_tokens", "bigint"), ("clean_ratio", "double")],
     "bpe_token_counts": [("doc_id", "bigint"), ("n_bpe_tokens", "bigint")],
     "branch_listing": [("name", "string"), ("kind", "string"), ("n_entries", "bigint"), ("is_protected", "boolean")],
@@ -248,6 +251,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "delta_log_actions": [("path", "string"), ("size", "bigint")],
     "diff_refs": [("key", "string"), ("diff_type", "string"), ("left_identity", "string"), ("identity", "string")],
     "diff_summary": [("diff_type", "string"), ("n", "bigint")],
+    "doc_chunks": [("doc_id", "bigint"), ("chunk_idx", "bigint"), ("n_tokens", "bigint"), ("chunk", "string")],
     "doc_fingerprints": [("doc_id", "bigint"), ("fp", "string")],
     "event_time_rollup": [("day", "string"), ("hour", "string"), ("grain", "string"), ("n_events", "bigint"), ("total_value", "double")],
     "expectation_gate": [("pos", "bigint"), ("event", "string"), ("rule", "string"), ("observed", "bigint"), ("passed", "boolean")],

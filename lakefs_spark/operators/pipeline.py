@@ -157,6 +157,46 @@ def passage_windows(
     )
 
 
+def doc_chunks(
+    df: DataFrame,
+    size: int = 5,
+    stride: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window
+    prep shape): windows of ``size`` tokens starting every ``stride``
+    tokens, so consecutive chunks share ``size - stride`` tokens.
+    The final window is the first one that reaches the end of the
+    document (no trailing sub-stride fragments), and a document
+    shorter than ``size`` yields exactly one whole-document chunk.
+
+    Like :func:`passage_windows`, built as ONE JVM projection
+    (sequence/transform/slice) + posexplode — no groupBy, no Python
+    in the row path; chunk parallelism equals input row parallelism.
+    Output: (id, chunk_idx, n_tokens, chunk).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    # number of stride starts before (or at) the last full window
+    n_chunk = F.greatest(
+        F.ceil((n_tok - F.lit(size)) / F.lit(stride)).cast("int") + F.lit(1),
+        F.lit(1),
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), n_chunk - 1),
+        lambda i: F.slice(toks, i * stride + 1, size),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(arr).alias("chunk_idx", "__c")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__c").cast("long").alias("n_tokens"),
+        F.array_join("__c", " ").alias("chunk"),
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     w: int = 3,

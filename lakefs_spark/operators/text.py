@@ -228,6 +228,102 @@ def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom-filter pre-pass: the
+    100 TB shape of :func:`contamination_scores`.
+
+    The plain semi-join shuffles the full training shingle stream on
+    the shingle key. Here the eval set is folded into an ``m_bits``
+    Bloom bitmap (32-bit words, <= m/32 rows), and the corpus-side
+    probe is ``k`` BROADCAST hash joins + bit tests — the corpus never
+    shuffles; only Bloom *candidates* (true hits + the bounded
+    false-positive tail) reach the exact shingle equi-join. With
+    k=3 / m=2^18 and an eval set of ~1e4 shingles the FP rate is
+    ~(k*|ev|/m)^k ~ 1e-3; m scales to the eval set, never the corpus.
+
+    Hash family: the same engine-portable md5-derived affine family as
+    MinHash (functions/hashfam.py), so a DuckDB oracle rebuilds the
+    identical bitmap and candidate set. Words are 32-bit inside int64
+    to keep shift semantics identical on both engines (no sign bit).
+
+    Output per training doc: (id, n_sh, n_candidates, n_exact,
+    contamination) — n_exact matches contamination_scores' n_hit
+    exactly (a Bloom filter has no false negatives).
+    """
+    from functools import reduce
+
+    from lakefs_spark.functions.hashfam import MERSENNE31, affine_constants
+    from lakefs_spark.operators.dedup import _base_hash, shingles
+
+    consts = affine_constants(k)
+    ev = shingles(eval_set, text_col, id_col, n).select("shingle").distinct()
+    ev_x = ev.select(_base_hash(F.col("shingle")).alias("x"))
+
+    def _pos(x, a: int, b: int):
+        return F.pmod(F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE31)), F.lit(m_bits))
+
+    words = (
+        ev_x.select(
+            F.explode(F.array(*[_pos(F.col("x"), a, b) for a, b in consts])).alias("pos")
+        )
+        .select(
+            F.expr("pos div 32").alias("bucket"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pmod(pos, 32) as int))").alias("bit"),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+    tr = shingles(train, text_col, id_col, n)
+    probe = tr.withColumn("x", _base_hash(F.col("shingle")))
+    hit_tests = []
+    for i, (a, b) in enumerate(consts):
+        probe = probe.withColumn(f"__p{i}", _pos(F.col("x"), a, b))
+        wi = words.select(
+            F.col("bucket").alias(f"__bk{i}"), F.col("word").alias(f"__w{i}")
+        )
+        probe = probe.join(
+            F.broadcast(wi), F.expr(f"__p{i} div 32") == F.col(f"__bk{i}"), "left"
+        )
+        mask = F.expr(
+            f"shiftleft(cast(1 as bigint), cast(pmod(__p{i}, 32) as int))"
+        )
+        hit_tests.append(
+            (F.coalesce(F.col(f"__w{i}"), F.lit(0)).bitwiseAND(mask) != 0)
+        )
+    bloom_hit = reduce(lambda p, q: p & q, hit_tests)
+    cand = probe.where(bloom_hit).select(id_col, "shingle")
+
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    n_cand = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_exact = (
+        cand.join(ev, "shingle", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        totals.join(n_cand, id_col, "left")
+        .join(n_exact, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_sh").cast("long").alias("n_sh"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
+            F.round(
+                F.coalesce(F.col("n_exact"), F.lit(0)) / F.col("n_sh"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
 def contamination_scores(
     train: DataFrame,
     eval_set: DataFrame,

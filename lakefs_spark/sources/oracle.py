@@ -401,6 +401,84 @@ def q_contamination() -> str:
     """
 
 
+def q_bloom_decontamination() -> str:
+    # independent rebuild of the Bloom prefilter: same md5-affine hash
+    # family, same 2^18-bit bitmap in 32-bit words, same k=3 bit tests;
+    # candidates then verified against the exact eval shingle set
+    from lakefs_spark.functions.hashfam import MERSENNE31, X_MOD, affine_constants
+
+    m_bits = 1 << 18
+    consts = affine_constants(3)
+    base = "cast(concat('0x', substr(md5(shingle), 1, 15)) as bigint) % " + str(X_MOD)
+    pos = [f"(({a} * x + {b}) % {MERSENNE31}) % {m_bits}" for a, b in consts]
+    tests = " and ".join(
+        f"(coalesce(w{i}.word, 0) & (1::bigint << cast(p{i} % 32 as int))) <> 0"
+        for i in range(3)
+    )
+    return f"""
+    with tr as ({_SHINGLE3.format(where="where doc_id < 450")}),
+    ev as (
+      select distinct shingle from ({_SHINGLE3.format(where="where doc_id >= 450")}) e
+    ),
+    evx as (select {base} as x from ev),
+    bits as (select unnest([{", ".join(pos)}]) as pos from evx),
+    words as (select pos // 32 as bucket,
+                     bit_or(1::bigint << cast(pos % 32 as int)) as word
+              from bits group by 1),
+    probe as (
+      select doc_id, shingle, {", ".join(f"p{i}" for i in range(3))}
+      from (select doc_id, shingle,
+                   {", ".join(f"{p} as p{i}" for i, p in enumerate(pos))}
+            from (select doc_id, shingle, {base} as x from tr) b) q
+    ),
+    cand as (
+      select probe.doc_id, probe.shingle from probe
+      left join words w0 on probe.p0 // 32 = w0.bucket
+      left join words w1 on probe.p1 // 32 = w1.bucket
+      left join words w2 on probe.p2 // 32 = w2.bucket
+      where {tests}
+    ),
+    totals as (select doc_id, count(*) as n_sh from tr group by doc_id),
+    ncand as (select doc_id, count(*) as n_candidates from cand group by doc_id),
+    nexact as (
+      select doc_id, count(*) as n_exact from cand
+      where exists (select 1 from ev where ev.shingle = cand.shingle)
+      group by doc_id
+    )
+    select t.doc_id,
+           cast(t.n_sh as bigint) as n_sh,
+           cast(coalesce(c.n_candidates, 0) as bigint) as n_candidates,
+           cast(coalesce(x.n_exact, 0) as bigint) as n_exact,
+           round(coalesce(x.n_exact, 0) / cast(t.n_sh as double), 6) as contamination
+    from totals t
+    left join ncand c on c.doc_id = t.doc_id
+    left join nexact x on x.doc_id = t.doc_id
+    """
+
+
+def q_doc_chunks() -> str:
+    # overlapping 32-token windows every 24 tokens; the chunk count is
+    # ceil((n_tok - size) / stride) + 1 floored at one, the last chunk
+    # reaches the document end (list slicing truncates on both engines)
+    return """
+    with t as (
+      select doc_id, string_split(text, ' ') as toks
+      from documents where doc_id < 450
+    ),
+    n as (
+      select doc_id, toks,
+             greatest(cast(ceil((len(toks) - 32) / 24.0) as int) + 1, 1) as n_chunk
+      from t
+    ),
+    c as (select doc_id, toks, unnest(range(0, n_chunk)) as chunk_idx from n)
+    select doc_id,
+           cast(chunk_idx as bigint) as chunk_idx,
+           cast(len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) as bigint) as n_tokens,
+           array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') as chunk
+    from c
+    """
+
+
 def q_corpus_funnel() -> str:
     # composed funnel over the training slice: each stage's predicate
     # compares the same ROUNDED values as the individual gated queries
@@ -2448,6 +2526,7 @@ def part_oracles() -> dict[str, str]:
                 "pii_counts": q_pii_counts(),
                 "sampling_weights": q_sampling_weights(),
                 "sequence_packing": q_sequence_packing(),
+                "doc_chunks": q_doc_chunks(),
                 "passage_dedup": q_passage_dedup(),
                 "boilerplate_strip": q_boilerplate_strip(),
                 "length_band_filter": q_length_band_filter(),
@@ -2455,6 +2534,7 @@ def part_oracles() -> dict[str, str]:
                 "prototypicality": q_prototypicality(),
                 "stratified_sample": q_stratified_sample(),
                 "contamination": q_contamination(),
+                "bloom_decontamination": q_bloom_decontamination(),
                 "train_val_split": q_train_val_split(),
                 "text_quality": q_text_quality(),
                 "incremental_text_stats": q_incremental_text_stats(),

@@ -172,3 +172,60 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     # oversized first doc occupies bin 0 alone; the next doc opens bin 1
     assert out[0]["seq_id"] == 0 and out[0]["n_tokens"] == 600
     assert out[1]["seq_id"] == 1 and out[2]["seq_id"] == 1
+
+
+def test_doc_chunks_overlap_and_coverage(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk"])
+        for r in P.doc_chunks(docs, size=5, stride=3).collect()
+    }
+    # doc 1: 8 tokens -> starts 0 and 3; the second window reaches the end
+    assert rows[(1, 0)] == (5, "a b c d e")
+    assert rows[(1, 1)] == (5, "d e f g h")
+    # doc 2: shorter than size -> one whole-doc chunk
+    assert rows[(2, 0)] == (2, "x y")
+    # doc 3: exactly size -> one chunk
+    assert rows[(3, 0)] == (5, "p q r s t")
+    assert len(rows) == 4
+    # consecutive chunks share size - stride tokens
+    a, b = rows[(1, 0)][1].split(" "), rows[(1, 1)][1].split(" ")
+    assert a[-2:] == b[:2]
+
+
+def test_bloom_decontaminate_matches_exact_semi_join(spark):
+    from lakefs_spark.operators.text import bloom_decontaminate, contamination_scores
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    train = docs.where(F.col("doc_id") < 40)
+    ev = docs.where(F.col("doc_id") >= 40)
+    bl = {
+        r["doc_id"]: (r["n_sh"], r["n_candidates"], r["n_exact"])
+        for r in bloom_decontaminate(train, ev).collect()
+    }
+    ex = {
+        r["doc_id"]: (r["n_sh"], r["n_hit"])
+        for r in contamination_scores(train, ev).collect()
+    }
+    assert set(bl) == set(ex)
+    for did, (n_sh, n_cand, n_exact) in bl.items():
+        # no false negatives: exact hits agree with the plain semi-join,
+        # and the Bloom candidate set contains every exact hit
+        assert (n_sh, n_exact) == ex[did]
+        assert n_cand >= n_exact
+
+
+def test_bloom_decontaminate_probe_is_broadcast_only(spark):
+    from lakefs_spark.operators.text import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = bloom_decontaminate(
+        docs.where(F.col("doc_id") < 40), docs.where(F.col("doc_id") >= 40)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # the k probe joins
