@@ -1432,6 +1432,68 @@ def q_tombstone_alert_stream(spark, sf_dir):
     return spark.createDataFrame(rows, "branch string, n_crossings long, threshold long")
 
 
+_STREAM_SESSIONS: dict = {}
+
+
+def q_stream_session_stats(spark, sf_dir):
+    """Stateful streaming sessionization (streaming/sessions.py):
+    events replayed across microbatches in RANDOMIZED order (md5-
+    shuffled files, no watermark); per-user mergeable-interval state
+    makes the final session set exactly the batch gaps-and-islands
+    result for any batching and any arrival disorder — the oracle IS
+    the batch session SQL."""
+    key = (_session_tag(spark), sf_dir)
+    rows = _STREAM_SESSIONS.get(key)
+    if rows is None:
+        import tempfile
+
+        from lakefs_spark.streaming.sessions import (
+            latest_sessions,
+            session_stats_stream,
+        )
+
+        _fixtures(spark, sf_dir)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        feed = spark.table("events").select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+        )
+        src = tempfile.mkdtemp(prefix="lakefs_sess_src_")
+        # event-time disorder across batches: rows land in files by an
+        # md5 shuffle, one file per microbatch
+        feed.orderBy(F.md5(F.concat_ws("|", "user_id", "ts_us"))).coalesce(
+            4
+        ).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        name = f"sess_stream_{abs(hash(key)) % (1 << 30)}"
+        q = (
+            session_stats_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="lakefs_sess_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        rows = [
+            (r["user_id"], r["session_start_s"], r["session_end_s"], r["n_events"], r["total_value"])
+            for r in latest_sessions(spark.table(name)).collect()
+        ]
+        _STREAM_SESSIONS[key] = rows
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start_s long, session_end_s long, "
+        "n_events long, total_value double",
+    )
+
+
 _STREAM_DEDUP: dict = {}
 
 
@@ -2357,6 +2419,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commit_ordered": q_commit_ordered,
         "stream_ingest_snapshot": q_stream_ingest_snapshot,
         "tombstone_alert_stream": q_tombstone_alert_stream,
+        "stream_session_stats": q_stream_session_stats,
         "stream_dedup_hashes": q_stream_dedup_hashes,
         "csv_source": q_csv_source,
         "json_source": q_json_source,

@@ -495,6 +495,62 @@ class Catalog:
         interrupted mid-flight, matching a completed-or-failed import)."""
         self._imports.pop(import_id, None)
 
+    # -- actions / runs API (swagger listRepositoryRuns .. getRunHookOutput) --
+
+    def list_repository_runs(
+        self, branch: str = "", after: str = "", amount: int = 100
+    ) -> dict:
+        """listRepositoryRuns: hook runs newest first, filtered by
+        branch, with the standard pagination envelope."""
+        runs = self.repo.hook_runs()
+        if branch:
+            runs = [r for r in runs if r.get("branch", "") == branch]
+        if after:
+            runs = [r for r in runs if r["run_id"] < after]
+        page, has_more = runs[:amount], len(runs) > amount
+        return {
+            "results": page,
+            "pagination": {
+                "has_more": has_more,
+                "next_offset": page[-1]["run_id"] if has_more and page else "",
+                "results": len(page),
+                "max_per_page": amount,
+            },
+        }
+
+    def get_run(self, run_id: str) -> dict:
+        """getRun: one run-result record."""
+        for r in self.repo.hook_runs():
+            if r["run_id"] == run_id:
+                return r
+        raise KeyError(f"run not found: {run_id}")
+
+    def list_run_hooks(self, run_id: str, after: str = "", amount: int = 100) -> dict:
+        """listRunHooks: the per-hook task results of one actions run
+        (requires declarative actions — storage/actions.ActionsService
+        logs task rows under the same store)."""
+        from lakefs_spark.storage.actions import ActionsService
+
+        tasks = ActionsService(self.repo).task_results(run_id)
+        if after:
+            tasks = [t for t in tasks if t["hook_run_id"] > after]
+        page, has_more = tasks[:amount], len(tasks) > amount
+        return {
+            "results": page,
+            "pagination": {
+                "has_more": has_more,
+                "next_offset": page[-1]["hook_run_id"] if has_more and page else "",
+                "results": len(page),
+                "max_per_page": amount,
+            },
+        }
+
+    def get_run_hook_output(self, run_id: str, hook_run_id: str) -> str:
+        """getRunHookOutput: captured output lines of one hook run."""
+        from lakefs_spark.storage.actions import ActionsService
+
+        return "\n".join(ActionsService(self.repo).hook_output(run_id, hook_run_id))
+
     def expire_tracking(self, ttl_seconds: float, now: float | None = None) -> int:
         """TTL cleanup of finished import records + the hook run log
         (expired imports/tasks cleanup, pkg/catalog/catalog.go:3177-3208).

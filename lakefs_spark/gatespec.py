@@ -64,7 +64,7 @@ GATES: dict[str, list[str]] = {
         "repo_squash_merge_snapshot",
         "repo_revert_merge_snapshot",
     ],
-    "stream_ops": ["stream_dedup_hashes", "tombstone_alert_stream"],
+    "stream_ops": ["stream_dedup_hashes", "tombstone_alert_stream", "stream_session_stats"],
     "manifest_exports": ["symlink_manifest", "hive_partitions"],
     "export_payloads": ["delta_log_actions", "glue_partition_batches", "unity_table_payload"],
     "external_listing_gates": ["s3_list_pages", "s3_list_v1_pages", "walker_entries"],
@@ -332,6 +332,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "snapshot_listing": [("key", "string"), ("identity", "string"), ("address", "string"), ("size", "bigint"), ("etag", "string")],
     "stratified_sample": [("doc_id", "bigint"), ("lang", "string"), ("is_kept", "boolean")],
     "stream_dedup_hashes": [("fp", "string")],
+    "stream_session_stats": [("user_id", "bigint"), ("session_start_s", "bigint"), ("session_end_s", "bigint"), ("n_events", "bigint"), ("total_value", "double")],
     "stream_ingest_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "symlink_manifest": [("dir", "string"), ("n_objects", "bigint"), ("content", "string")],
     "sync_plan": [("path", "string"), ("op", "string")],

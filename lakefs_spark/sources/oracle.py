@@ -479,6 +479,12 @@ def q_doc_chunks() -> str:
     """
 
 
+def q_stream_session_stats() -> str:
+    # the streaming sessionizer's batch-invariance contract: its final
+    # state must equal the batch gaps-and-islands sessions exactly
+    return q_session_event_stats()
+
+
 def q_corpus_funnel() -> str:
     # composed funnel over the training slice: each stage's predicate
     # compares the same ROUNDED values as the individual gated queries
@@ -2569,6 +2575,7 @@ def part_oracles() -> dict[str, str]:
                 "gc_key_match": q_gc_key_match(),
                 "windowed_event_counts": q_windowed_event_counts(),
                 "session_event_stats": q_session_event_stats(),
+                "stream_session_stats": q_stream_session_stats(),
                 "asof_click_attribution": q_asof_click_attribution(),
                 "range_join_acctbal": q_range_join_acctbal(),
                 "sliding_event_counts": q_sliding_event_counts(),

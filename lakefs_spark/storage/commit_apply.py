@@ -217,7 +217,7 @@ def _apply_cow(
         {r[0] for r in merged.where(bflag).select("key").collect()} | edge_keys
     )
     chunked = assign_chunks(merged, "key", raggedness, boundaries=bks)
-    new_rows = R.write_ranges_prechunked(chunked, root)
+    new_rows = R.write_ranges_prechunked(chunked, root, n_chunks=len(bks) + 1)
 
     untouched = mf[~mf.index.isin(touched)]
     out = pd.concat([untouched[R.MANIFEST_COLS], new_rows], ignore_index=True)
@@ -332,11 +332,17 @@ def _write_segmented(
         .select("key")
         .collect()
     )
-    return _write_grouped_ranges(rows, root, raggedness, boundaries=bks)
+    return _write_grouped_ranges(
+        rows, root, raggedness, boundaries=bks, n_groups=len(flat) + 1
+    )
 
 
 def _write_grouped_ranges(
-    merged: DataFrame, root: str, raggedness: int, boundaries: list[str] | None = None
+    merged: DataFrame,
+    root: str,
+    raggedness: int,
+    boundaries: list[str] | None = None,
+    n_groups: int = 1,
 ) -> pd.DataFrame:
     """Chunk rows by (group, global-boundary bucket) and write ranges."""
     from lakefs_spark.plans.chunker import assign_chunks
@@ -346,7 +352,11 @@ def _write_grouped_ranges(
     chunked = chunked.withColumn(
         "chunk_idx", (F.col("grp").cast("long") * big + F.col("chunk_idx")).cast("long")
     ).drop("grp")
-    return R.write_ranges_prechunked(chunked, root)
+    # composite (grp, idx) count: every global boundary starts a chunk
+    # and each group adds at most one partial chunk — a small overshoot
+    # only costs empty shuffle partitions
+    n_chunks = (len(boundaries) + 1 if boundaries is not None else 1) + n_groups
+    return R.write_ranges_prechunked(chunked, root, n_chunks=n_chunks)
 
 
 def _assert_sorted_disjoint(mf: pd.DataFrame) -> None:

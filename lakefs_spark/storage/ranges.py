@@ -94,8 +94,19 @@ def write_ranges(
     return write_ranges_prechunked(chunked, root)
 
 
-def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
+def write_ranges_prechunked(
+    chunked: DataFrame, root: str, n_chunks: int | None = None
+) -> pd.DataFrame:
     """Write ranges for rows already carrying a ``chunk_idx`` column.
+
+    ``n_chunks`` (when the caller knows the boundary count) sizes the
+    shuffle so each task holds ~one chunk: per-task sort memory is then
+    O(chunk size) — constant at any corpus scale — instead of
+    O(data / fixed-partition-count), which grew linearly with scale
+    under the default partition count and tipped the external sort
+    into disk spill past ~30x bench scale (the measured superlinear
+    bend in import/commit). Parallelism equals chunk count, which is
+    also the write's natural maximum (one file per chunk).
 
     Fully JVM-side — the earlier applyInPandas writer shuffled every
     entry through Arrow into Python (the whole payload, each commit);
@@ -151,7 +162,11 @@ def write_ranges_prechunked(chunked: DataFrame, root: str) -> pd.DataFrame:
     # manifest aggregation instead re-reads the files just written,
     # column-pruned to (key, identity, size) + the chunk_idx partition
     # column, with map-side partial aggregation per chunk file.
-    staged = staged.repartition("chunk_idx").sortWithinPartitions("chunk_idx", "key")
+    if n_chunks is not None and n_chunks > 0:
+        staged = staged.repartition(int(n_chunks), "chunk_idx")
+    else:
+        staged = staged.repartition("chunk_idx")
+    staged = staged.sortWithinPartitions("chunk_idx", "key")
     # temp dirs live under root/tmp (never read as a table; a dot/
     # underscore prefix instead would make Spark's overwrite-mode path
     # resolution warn "All paths were ignored" on every commit).

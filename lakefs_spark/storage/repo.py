@@ -185,6 +185,7 @@ class Repository:
             "hook_index": hook_idx,
             "status": status,
             "error": err,
+            "branch": ctx.get("branch") or ctx.get("dest") or "",
             "context_keys": sorted(ctx),
             "start_time": time.time(),
         }

@@ -266,3 +266,42 @@ def test_update_object_user_metadata(cat, spark):
     assert after["identity"] != before["identity"]
     with pytest.raises(KeyError):
         cat.update_object_user_metadata("main", "raw/absent.bin", {"x": "1"})
+
+
+def test_runs_api_surface(spark, tmp_path):
+    """listRepositoryRuns / getRun / listRunHooks / getRunHookOutput
+    (swagger.yml:5727-5841) over the hook run log + declarative-action
+    task results."""
+    from lakefs_spark.catalog import Catalog
+    from lakefs_spark.storage.actions import ActionsService
+    from lakefs_spark.storage.repo import HookAbortError
+
+    cat = Catalog.create_repository(spark, str(tmp_path / "runsrepo"))
+    svc = ActionsService(cat.repo)
+    svc.add_action(
+        {
+            "name": "trace",
+            "on": {"pre-commit": None},
+            "hooks": [
+                {"id": "say", "type": "script",
+                 "properties": {"script": "output('hello ' + action['branch_id'])"}},
+            ],
+        }
+    )
+    cat.upload_object("main", "a/1", address="data/x1", size=1, checksum="c1")
+    cat.commit("main", "one")
+    cat.create_branch("dev", "main")
+    cat.upload_object("dev", "a/2", address="data/x2", size=2, checksum="c2")
+    cat.commit("dev", "two")
+
+    got = cat.list_repository_runs(branch="dev")
+    assert got["results"] and all(r["branch"] == "dev" for r in got["results"])
+    any_run = got["results"][0]
+    assert cat.get_run(any_run["run_id"])["run_id"] == any_run["run_id"]
+
+    # task results + output of the script hook
+    task = svc.task_results()[0]
+    hooks = cat.list_run_hooks(task["run_id"])
+    assert [h["hook_id"] for h in hooks["results"]] == ["say"]
+    out = cat.get_run_hook_output(task["run_id"], task["hook_run_id"])
+    assert out.startswith("hello ")

@@ -1224,3 +1224,31 @@ def test_range_id_partition_order_independent_and_content_sensitive(spark, tmp_p
     ]
     assert len(changed) == 1
     assert mf_a["min_key"].iloc[changed[0]] <= victim <= mf_a["max_key"].iloc[changed[0]]
+
+
+def test_writer_chunk_sized_shuffle_manifest_identical(spark, tmp_path):
+    """write_ranges_prechunked with a caller-supplied n_chunks (one
+    shuffle partition per chunk — constant per-task sort memory at any
+    corpus scale) must produce byte-identical manifests and one file
+    per chunk, same as the default partition count."""
+    from lakefs_spark.plans.chunker import assign_chunks, boundary_flag
+
+    create_fixture_views(spark, SF_SMOKE)
+    ents = _entries(spark).where(F.abs(F.xxhash64("key")) % 4 == 0)
+    bks = sorted(
+        r[0]
+        for r in ents.where(boundary_flag(F.col("key"), RAGGEDNESS))
+        .select("key")
+        .collect()
+    )
+    chunked = assign_chunks(ents, "key", RAGGEDNESS, boundaries=bks)
+    mf_default = R.write_ranges_prechunked(chunked, str(tmp_path / "d"))
+    mf_sized = R.write_ranges_prechunked(
+        chunked, str(tmp_path / "s"), n_chunks=len(bks) + 1
+    )
+    assert list(mf_default["range_id"]) == list(mf_sized["range_id"])
+    assert list(mf_default["count"]) == list(mf_sized["count"])
+    import os as _os
+
+    files = _os.listdir(_os.path.join(str(tmp_path / "s"), "ranges"))
+    assert len(files) == len(mf_sized)

@@ -253,3 +253,51 @@ def test_late_data_dropped_behind_watermark(spark, tmp_path):
     # 10:02 row (value 99) is absent everywhere
     assert (0, 2, 2.0) in rows, rows
     assert not any(v == 99.0 or v == 101.0 for _, _, v in rows), rows
+
+
+def test_session_stream_merges_islands_out_of_order(spark, tmp_path):
+    """The interval-state sessionizer (streaming/sessions.py) must
+    reproduce batch gaps-and-islands sessions under adversarial batch
+    order: a bridging event arrives in a LATER microbatch and must
+    fuse two already-recorded sessions into one."""
+    from lakefs_spark.streaming.sessions import latest_sessions, session_stats_stream
+
+    M = 1_000_000
+    gap = 1_800_000_000  # 30 min in us
+    # user 7: events at t=0s and t=3000s (two sessions: 3000s >= 1800s
+    # apart), then a bridge at t=1500s arrives in the LAST batch ->
+    # one merged session [0, 3000].
+    # user 8: single event; exactly-gap pair stays two sessions.
+    batches = [
+        [(7, 0 * M, 1.0), (8, 50 * M, 5.0)],
+        [(7, 3000 * M, 2.0), (8, 50 * M + gap, 6.0)],  # exactly gap apart
+        [(7, 1500 * M, 4.0)],
+    ]
+    src = tmp_path / "sess_src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "user_id long, ts_us long, value double"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        session_stats_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = {
+        (r["user_id"], r["session_start_s"], r["session_end_s"], r["n_events"], r["total_value"])
+        for r in latest_sessions(spark.table("sess_test")).collect()
+    }
+    assert final == {
+        (7, 0, 3000 + 1800, 3, 7.0),        # bridged into ONE session
+        (8, 50, 50 + 1800, 1, 5.0),         # exactly-gap pair: two sessions
+        (8, 50 + 1800, 50 + 3600, 1, 6.0),
+    }, final
