@@ -358,6 +358,68 @@ def run_hook_if_eval(if_expr: str, action_err) -> bool:
     return out
 
 
+# -- in-repo action source (catalog/actions_source.go) ------------------------
+
+ACTIONS_PREFIX = "_lakefs_actions/"
+
+
+class RepoActionSource:
+    """Action specs stored as objects of the repository itself under
+    ``_lakefs_actions/`` (``pkg/catalog/actions_source.go:14`` +
+    ``pkg/actions/action.go:164-196`` LoadActions): the spec set is
+    VERSIONED and BRANCH-SCOPED — listing happens at the event's ref,
+    and for pre-* events that is the in-flight (staged) view, so a
+    commit that adds or edits a spec is already governed by it, exactly
+    like the reference.
+
+    The engine stores entry metadata; payload bytes live at the
+    entry's ``address`` in the object store. ``content_loader(entry)
+    -> bytes`` makes that pluggable; the default reads
+    ``<data_root>/<address>`` for RELATIVE addresses (the layout the
+    catalog's physical-address flow mints).
+    """
+
+    def __init__(self, repo, content_loader=None):
+        self.repo = repo
+        self._load = content_loader or self._default_loader
+
+    @staticmethod
+    def _field(entry, name, default=None):
+        # listing rows arrive as pyspark Rows (no .get); dicts in tests
+        try:
+            v = entry[name]
+        except (KeyError, ValueError, IndexError):
+            return default
+        return v
+
+    def _default_loader(self, entry) -> bytes:
+        import os
+
+        if self._field(entry, "address_type") not in (None, "RELATIVE"):
+            raise InvalidActionError(
+                f"cannot load spec at non-relative address "
+                f"{self._field(entry, 'address')!r} without a content_loader"
+            )
+        rel = self._field(entry, "address")
+        with open(os.path.join(self.repo.store.data_root, rel), "rb") as f:
+            return f.read()
+
+    def load_specs(self, ref: str) -> list[dict]:
+        """Parse + validate every spec at ``ref``; duplicate action
+        names across files are an error (action.go validateActions)."""
+        entries, _ = self.repo.list_page(ref, prefix=ACTIONS_PREFIX, amount=1000)
+        specs, names = [], set()
+        for e in entries:
+            spec = parse_action(self._load(e))
+            if spec["name"] in names:
+                raise InvalidActionError(
+                    f"duplicate action name {spec['name']!r} in {ACTIONS_PREFIX}"
+                )
+            names.add(spec["name"])
+            specs.append(spec)
+        return specs
+
+
 # -- the service --------------------------------------------------------------
 
 
@@ -371,14 +433,23 @@ class ActionsService:
     (service.go buildRunManifestFromTasks shape) and its output lines;
     a pre-* event with any failed action aborts the operation."""
 
-    def __init__(self, repo, *, env_getter=None, transport=None):
+    def __init__(self, repo, *, env_getter=None, transport=None, source=None):
         import os
 
         self.repo = repo
         self.env_getter = env_getter or os.environ.get
         self.transport = transport
+        self.source = source
         self._bound_events: set[str] = set()
         self._rebind()
+        if source is not None:
+            # in-repo specs can appear on any branch at any time, so the
+            # dispatcher watches every event (cheap no-op when nothing
+            # matches)
+            for event in EVENT_TYPES:
+                if event not in self._bound_events:
+                    self._bound_events.add(event)
+                    self.repo.on(event, self._dispatch)
 
     # -- registry ------------------------------------------------------------
 
@@ -413,9 +484,21 @@ class ActionsService:
 
     def _dispatch(self, repo, event: str, ctx: dict) -> None:
         branch = ctx.get("branch") or ctx.get("dest") or ctx.get("tag") or ""
-        matched = [
-            a for a in self.actions() if action_matches(a, event, branch)
-        ]
+        specs = self.actions()
+        source_ref = ctx.get("branch") or ctx.get("dest")
+        if self.source is not None and source_ref:
+            # the event's ref: the branch overlay (staged view) — a spec
+            # uploaded in the in-flight commit already governs it
+            from lakefs_spark.storage.refs import RefError
+
+            try:
+                repo_specs = self.source.load_specs(source_ref)
+            except (FileNotFoundError, RefError):
+                # e.g. pre-create-branch fires before the ref exists
+                repo_specs = []
+            seen = {a["name"] for a in specs}
+            specs = specs + [a for a in repo_specs if a["name"] not in seen]
+        matched = [a for a in specs if action_matches(a, event, branch)]
         if not matched:
             return
         run_id = f"{int(time.time() * 1e6):016x}"

@@ -290,3 +290,68 @@ def test_actions_persist_across_service_instances(spark):
     A.ActionsService(repo).add_action(_spec())
     svc2 = A.ActionsService(Repository.open(spark, repo.root))
     assert [a["name"] for a in svc2.actions()] == ["quality gate"]
+
+
+# -- in-repo _lakefs_actions/ source (catalog/actions_source.go) -------------
+
+
+def _put_spec(repo, branch, name, yaml_text):
+    import os
+
+    rel = f"data/ac/{name}"
+    path = os.path.join(repo.store.data_root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(yaml_text)
+    repo.set_entry(
+        branch,
+        {"key": f"_lakefs_actions/{name}", "identity": name, "size": len(yaml_text),
+         "etag": name, "address": rel, "address_type": "RELATIVE"},
+    )
+
+
+def test_in_repo_actions_branch_scoped_and_staged(spark):
+    repo = _repo(spark)
+    svc = A.ActionsService(repo, source=A.RepoActionSource(repo))
+    # staged spec governs the very commit that introduces it
+    _put_spec(
+        repo, "main", "deny.yaml",
+        "name: deny all\n"
+        "on:\n  pre-commit: null\n"
+        "hooks:\n  - id: deny\n    type: script\n"
+        "    properties: {script: \"fail('in-repo veto')\"}\n",
+    )
+    with pytest.raises(HookAbortError, match="in-repo veto"):
+        repo.commit("main", "spec commits itself")
+    assert repo._read_branch("main")["head"] is None
+    assert svc.task_results()[0]["action"] == "deny all"
+
+    # a branch without the spec file is not governed by it
+    repo2 = _repo(spark)
+    svc2 = A.ActionsService(repo2, source=A.RepoActionSource(repo2))
+    repo2.set_entry("main", _entry("a/1"))
+    repo2.commit("main", "ungoverned")  # no spec anywhere -> no veto
+    repo2.create_branch("gov", "main")
+    _put_spec(
+        repo2, "gov", "deny.yaml",
+        "name: deny all\non:\n  pre-commit: null\n"
+        "hooks:\n  - id: deny\n    type: script\n"
+        "    properties: {script: \"fail('gov only')\"}\n",
+    )
+    with pytest.raises(HookAbortError):
+        repo2.commit("gov", "blocked on gov")
+    repo2.set_entry("main", _entry("a/2", "i2"))
+    repo2.commit("main", "main still ungoverned")
+    assert svc2.task_results()[0]["event"] == "pre-commit"
+
+
+def test_in_repo_duplicate_action_names_rejected(spark):
+    repo = _repo(spark)
+    A.ActionsService(repo, source=A.RepoActionSource(repo))
+    spec = ("name: same name\non:\n  pre-commit: null\n"
+            "hooks:\n  - id: h1\n    type: script\n"
+            "    properties: {script: \"x = 1\"}\n")
+    _put_spec(repo, "main", "a.yaml", spec)
+    _put_spec(repo, "main", "b.yaml", spec)
+    with pytest.raises(A.InvalidActionError, match="duplicate action name"):
+        repo.commit("main", "two files, one name")
