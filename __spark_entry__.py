@@ -463,6 +463,20 @@ def q_doc_chunks(spark, sf_dir):
     return P.doc_chunks(_docs(spark, sf_dir).where(F.col("doc_id") < 450), size=32, stride=24)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Fixed-weight logistic quality filter (operators/text.
+    quality_score): deterministic fastText-filter analog over the
+    rounded quality ratios; keep decision on the rounded score."""
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+def q_token_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (operators/text.
+    token_fertility): chars per whitespace / BPE-ish token, one
+    map-side-combined groupBy."""
+    return TX.token_fertility(_docs(spark, sf_dir))
+
+
 def q_length_percentiles(spark, sf_dir):
     """Exact per-language length percentiles (quality-filter
     thresholds): one groupBy with a multi-percentile aggregate —
@@ -2360,6 +2374,8 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
         "bloom_decontamination": q_bloom_decontamination,
+        "quality_classifier": q_quality_classifier,
+        "token_fertility": q_token_fertility,
         "train_val_split": q_train_val_split,
         "text_quality": q_text_quality,
         "incremental_text_stats": q_incremental_text_stats,

@@ -77,7 +77,7 @@ GATES: dict[str, list[str]] = {
         "action_task_results",
     ],
     "event_windows_extra": ["sliding_event_counts", "event_time_rollup"],
-    "token_gates": ["token_counts", "bpe_token_counts", "vocab_stats", "length_percentiles"],
+    "token_gates": ["token_counts", "bpe_token_counts", "vocab_stats", "length_percentiles", "token_fertility"],
     "text_signals": [
         "text_quality",
         "incremental_text_stats",
@@ -86,6 +86,7 @@ GATES: dict[str, list[str]] = {
         "repetition_scores",
         "contamination",
         "bloom_decontamination",
+        "quality_classifier",
         "unigram_nll",
     ],
     "minhash_pipeline": [
@@ -301,6 +302,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "pii_counts": [("id", "bigint"), ("n_email", "bigint"), ("n_ipv4", "bigint"), ("n_phone", "bigint"), ("has_pii", "boolean"), ("redacted_len", "bigint")],
     "point_lookup": [("key", "string"), ("identity", "string"), ("address", "string"), ("size", "bigint"), ("etag", "string")],
     "point_lookup_branch": [("pos", "bigint"), ("kind", "string"), ("key", "string"), ("identity", "string"), ("size", "bigint")],
+    "quality_classifier": [("doc_id", "bigint"), ("q_score", "double"), ("is_kept", "boolean")],
     "pull_requests": [("pos", "bigint"), ("status", "string"), ("source", "string"), ("destination", "string"), ("n_diff", "bigint")],
     "range_join_acctbal": [("s_suppkey", "bigint"), ("c_custkey", "bigint"), ("nationkey", "int")],
     "range_stats": [("chunk_idx", "bigint"), ("n_keys", "bigint"), ("min_key", "string"), ("max_key", "string"), ("total_size", "bigint")],
@@ -338,6 +340,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "sync_plan": [("path", "string"), ("op", "string")],
     "text_quality": [("doc_id", "bigint"), ("n_chars", "int"), ("n_tokens", "bigint"), ("n_spaces", "bigint"), ("n_alpha", "bigint"), ("alpha_ratio", "double"), ("stopword_hits", "bigint"), ("stopword_ratio", "double")],
     "incremental_text_stats": [("doc_id", "bigint"), ("n_tokens", "bigint")],
+    "token_fertility": [("lang", "string"), ("n_docs", "bigint"), ("total_chars", "bigint"), ("total_tokens", "bigint"), ("total_bpe_tokens", "bigint"), ("chars_per_token", "double"), ("chars_per_bpe_token", "double")],
     "token_counts": [("doc_id", "bigint"), ("n_tokens", "bigint")],
     "tombstone_alert_stream": [("branch", "string"), ("n_crossings", "bigint"), ("threshold", "bigint")],
     "train_val_split": [("doc_id", "bigint"), ("bucket", "bigint"), ("split", "string")],

@@ -110,6 +110,70 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fixed-weight logistic quality classifier — the fastText /
+    CCNet-style quality-filter analog with deterministic, auditable
+    weights instead of a learned model:
+
+        z = -3 + 4*alpha_ratio + 6*stopword_ratio + 0.35*ln(1+n_tokens)
+        q_score = sigmoid(z),  kept iff round(q_score, 6) >= threshold
+
+    Inputs are :func:`quality_features`' ROUNDED ratios, so the score
+    is a pure function both engines compute identically; the keep
+    decision applies to the rounded score (no hidden-precision flips).
+    One fused projection per doc — no shuffle, stays in codegen.
+    """
+    q = quality_features(df, text_col, id_col)
+    z = (
+        F.lit(-3.0)
+        + F.lit(4.0) * F.col("alpha_ratio")
+        + F.lit(6.0) * F.col("stopword_ratio")
+        + F.lit(0.35) * F.log1p(F.col("n_tokens"))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return q.select(
+        F.col(id_col),
+        score.alias("q_score"),
+        (score >= F.lit(threshold)).alias("is_kept"),
+    )
+
+
+def token_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language tokenizer fertility: characters per whitespace
+    token and per BPE-ish token — the standard multilinguality
+    diagnostic for tokenizer budgeting (a high chars/BPE-token ratio
+    means the tokenizer under-serves that language). ONE groupBy with
+    map-side partial aggregation."""
+    t = F.col(text_col)
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.length(t).alias("nc"),
+            token_count(t).alias("nt"),
+            bpe_token_count(t).alias("nb"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").cast("long").alias("total_chars"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.sum("nb").cast("long").alias("total_bpe_tokens"),
+            F.round(F.sum("nc") / F.sum("nt"), 6).alias("chars_per_token"),
+            F.round(F.sum("nc") / F.sum("nb"), 6).alias("chars_per_bpe_token"),
+        )
+    )
+
+
 def vocab_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 200
 ) -> DataFrame:

@@ -264,6 +264,54 @@ def q_bpe_token_counts() -> str:
     """
 
 
+def q_quality_classifier() -> str:
+    # the fixed-weight logistic over the SAME rounded ratios as
+    # q_text_quality; keep decision on the rounded score
+    sw = _sw_hits_sql("text", "en")
+    return f"""
+    with feats as (
+      select doc_id,
+             round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                   / greatest(length(text), 1), 4) as alpha_ratio,
+             round({sw} / greatest(cast(length(split(text, ' ')) as double), 1.0), 4)
+               as stopword_ratio,
+             cast(length(split(text, ' ')) as bigint) as n_tokens
+      from documents
+    ),
+    scored as (
+      select doc_id,
+             round(1.0 / (1.0 + exp(-( -3.0 + 4.0 * alpha_ratio
+                                       + 6.0 * stopword_ratio
+                                       + 0.35 * ln(1 + n_tokens)))), 6) as q_score
+      from feats
+    )
+    select doc_id, q_score, q_score >= 0.5 as is_kept from scored
+    """
+
+
+def q_token_fertility() -> str:
+    from lakefs_spark.operators.text import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+    with t as (
+      select lang,
+             length(text) as nc,
+             cast(length(split(text, ' ')) as bigint) as nt,
+             cast(length(regexp_extract_all(text, '{pat}')) as bigint) as nb
+      from documents
+    )
+    select lang,
+           count(*) as n_docs,
+           cast(sum(nc) as bigint) as total_chars,
+           cast(sum(nt) as bigint) as total_tokens,
+           cast(sum(nb) as bigint) as total_bpe_tokens,
+           round(sum(nc) / cast(sum(nt) as double), 6) as chars_per_token,
+           round(sum(nc) / cast(sum(nb) as double), 6) as chars_per_bpe_token
+    from t group by lang
+    """
+
+
 def _sw_hits_sql(text_expr: str, lang: str) -> str:
     padded = f"(' ' || {text_expr} || ' ')"
     terms = []
@@ -2541,6 +2589,8 @@ def part_oracles() -> dict[str, str]:
                 "stratified_sample": q_stratified_sample(),
                 "contamination": q_contamination(),
                 "bloom_decontamination": q_bloom_decontamination(),
+                "quality_classifier": q_quality_classifier(),
+                "token_fertility": q_token_fertility(),
                 "train_val_split": q_train_val_split(),
                 "text_quality": q_text_quality(),
                 "incremental_text_stats": q_incremental_text_stats(),
