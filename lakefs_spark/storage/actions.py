@@ -498,7 +498,10 @@ class ActionsService:
                 repo_specs = []
             seen = {a["name"] for a in specs}
             specs = specs + [a for a in repo_specs if a["name"] not in seen]
-        matched = [a for a in specs if action_matches(a, event, branch)]
+        matched = sorted(
+            (a for a in specs if action_matches(a, event, branch)),
+            key=lambda a: a["name"],
+        )
         if not matched:
             return
         run_id = f"{int(time.time() * 1e6):016x}"

@@ -503,6 +503,19 @@ class Repository:
             if n >= thr:
                 self._fire("delete-threshold", branch=branch, tombstones=n)
 
+    def enable_auto_compaction(self, threshold: int) -> None:
+        """Wire the delete sensor to :meth:`compact`: once a branch
+        accumulates ``threshold`` staged tombstones, it is compacted
+        automatically — the reference's intended sensor->callback loop
+        (pkg/graveler/delete_sensor.go:48-125 triggering the compaction
+        the graveler registers). Compaction empties staging into the
+        compacted base, so the sensor naturally re-arms."""
+        self.set_delete_sensor(threshold)
+        self.on(
+            "delete-threshold",
+            lambda repo_, event, ctx: repo_.compact(ctx["branch"]),
+        )
+
     def compact(self, branch: str) -> str:
         """Fold staging into a compacted base metarange
         (CompactedBaseMetaRangeID — graveler.go:541-542,2213).

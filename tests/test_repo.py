@@ -1252,3 +1252,22 @@ def test_writer_chunk_sized_shuffle_manifest_identical(spark, tmp_path):
 
     files = _os.listdir(_os.path.join(str(tmp_path / "s"), "ranges"))
     assert len(files) == len(mf_sized)
+
+
+def test_auto_compaction_on_delete_threshold(repo, spark):
+    """enable_auto_compaction: the delete sensor's compact callback
+    (delete_sensor.go:48-125 + the graveler's registered compaction):
+    crossing the staged-tombstone threshold compacts the branch
+    in-place; the visible snapshot is unchanged and staging folds into
+    the compacted base."""
+    for i in range(6):
+        repo.set_entry("main", {"key": f"ac/{i}", "identity": f"i{i}", "size": 1, "etag": f"e{i}"})
+    repo.commit("main", "seed")
+    repo.enable_auto_compaction(threshold=3)
+    assert repo._read_branch("main").get("compacted_mid") is None
+    repo.stage_deletes("main", ["ac/0", "ac/1"])
+    assert repo._read_branch("main").get("compacted_mid") is None  # below threshold
+    repo.stage_deletes("main", ["ac/2"])  # third tombstone -> sensor fires -> compact
+    assert repo._read_branch("main").get("compacted_mid") is not None
+    keys = {r["key"] for r in repo.list_entries("main", prefix="ac/").collect()}
+    assert keys == {f"ac/{i}" for i in range(3, 6)}

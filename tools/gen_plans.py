@@ -140,6 +140,24 @@ def main() -> None:
         )
     )
 
+    # 4b. bloom decontamination probe: broadcast joins + bit tests
+    from lakefs_spark.operators.text import bloom_decontaminate
+
+    bl = bloom_decontaminate(
+        docs, E._docs(spark, SF).where(F.col("doc_id") >= 450)
+    )
+    sections.append(
+        (
+            "Bloom-prefiltered decontamination (corpus never shuffles)",
+            "The eval shingle set folds into a 2^18-bit bitmap (<= 8k "
+            "32-bit words); the training shingle stream is probed by k=3 "
+            "BROADCAST hash joins + JVM bit tests, so the corpus side "
+            "reaches no exchange before the filter — only Bloom "
+            "candidates enter the exact verify join.",
+            trim(formatted(bl)),
+        )
+    )
+
     # 5. as-of join: single shuffle merge-scan
     from lakefs_spark.operators.asof import asof_join
 
