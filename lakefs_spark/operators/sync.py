@@ -57,6 +57,97 @@ def local_diff(local: DataFrame, remote: DataFrame, path_col: str = "path") -> D
     )
 
 
+class SyncConflictError(Exception):
+    """A path changed on both sides (pkg/local/sync.go conflict abort)."""
+
+
+def apply_sync_plan(
+    repo,
+    branch: str,
+    plan: DataFrame,
+    local_root: str,
+    key_prefix: str = "",
+    on_conflict: str = "abort",
+) -> dict:
+    """Execute a sync plan against a local directory and a branch —
+    the ``lakectl local`` apply step (pkg/local/sync.go syncManager:
+    upload/delete-remote mutate branch staging, download/delete-local
+    mutate the working tree; a conflict aborts unless told to skip).
+
+    Byte movement is client-side BY NATURE: ``lakectl local`` is one
+    client against its own filesystem, so Spark distributes the
+    PLANNING (walker listing + the two full-outer joins), and this
+    loop runs over the plan — which is changed-paths-sized, never
+    repo-sized. Uploads copy bytes to a content-addressed RELATIVE
+    address under the repo's data root (md5 etag, like the gateway
+    single-part flow); downloads resolve RELATIVE or FULL addresses.
+    Returns per-op counts; staged changes are left uncommitted, like
+    the reference (commit is a separate step).
+    """
+    import hashlib
+    import os
+
+    if on_conflict not in ("abort", "skip"):
+        raise ValueError(f"on_conflict must be abort|skip, got {on_conflict!r}")
+    rows = plan.collect()
+    conflicts = [r["path"] for r in rows if r["op"] == CONFLICT]
+    if conflicts and on_conflict == "abort":
+        raise SyncConflictError(
+            f"{len(conflicts)} conflicting paths, first: {conflicts[0]!r}"
+        )
+    counts = {UPLOAD: 0, DOWNLOAD: 0, DELETE_REMOTE: 0, DELETE_LOCAL: 0, CONFLICT: len(conflicts)}
+    data_root = repo.store.data_root
+    to_delete_remote: list[str] = []
+    for r in rows:
+        path, op = r["path"], r["op"]
+        key = key_prefix + path
+        lpath = os.path.join(local_root, path)
+        if op == UPLOAD:
+            with open(lpath, "rb") as f:
+                payload = f.read()
+            etag = hashlib.md5(payload).hexdigest()
+            rel = os.path.join("data", "sy", etag)
+            dst = os.path.join(data_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(dst):  # content-addressed: dedup free
+                with open(dst, "wb") as f:
+                    f.write(payload)
+            repo.set_entry(
+                branch,
+                {"key": key, "identity": etag, "address": rel,
+                 "address_type": "RELATIVE", "size": len(payload), "etag": etag},
+            )
+            counts[UPLOAD] += 1
+        elif op == DELETE_REMOTE:
+            to_delete_remote.append(key)
+        elif op == DOWNLOAD:
+            ent = repo.get(branch, key)
+            if ent is None:
+                raise FileNotFoundError(f"remote object missing: {key}")
+            try:  # repo.get may return a pyspark Row (no .get)
+                addr_type = ent["address_type"]
+            except (KeyError, ValueError):
+                addr_type = None
+            src = (
+                ent["address"]
+                if addr_type == "FULL"
+                else os.path.join(data_root, ent["address"])
+            )
+            src = src.removeprefix("file:")
+            os.makedirs(os.path.dirname(lpath), exist_ok=True)
+            with open(src, "rb") as f_in, open(lpath, "wb") as f_out:
+                f_out.write(f_in.read())
+            counts[DOWNLOAD] += 1
+        elif op == DELETE_LOCAL:
+            if os.path.exists(lpath):
+                os.remove(lpath)
+            counts[DELETE_LOCAL] += 1
+    if to_delete_remote:
+        repo.stage_deletes(branch, to_delete_remote)
+        counts[DELETE_REMOTE] = len(to_delete_remote)
+    return counts
+
+
 def sync_plan(local_changes: DataFrame, remote_changes: DataFrame) -> DataFrame:
     """Merge two change lists into sync operations (Changes.MergeWith).
 

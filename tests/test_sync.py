@@ -159,3 +159,77 @@ def test_duplicate_clusters_components(spark):
         for r in duplicate_clusters(pairs, driver_threshold=0).collect()
     }
     assert dist == got
+
+
+def test_apply_sync_plan_converges(spark, tmp_path):
+    """apply_sync_plan (pkg/local/sync.go syncManager): uploads /
+    remote-deletes land in branch staging, downloads / local-deletes
+    mutate the working tree; after apply + commit both sides agree."""
+    import hashlib
+    import os
+    import tempfile
+
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_sync_"))
+    data_root = repo.store.data_root
+
+    def put_remote(key, payload: bytes):
+        etag = hashlib.md5(payload).hexdigest()
+        rel = os.path.join("data", "sy", etag)
+        os.makedirs(os.path.join(data_root, "data", "sy"), exist_ok=True)
+        with open(os.path.join(data_root, rel), "wb") as f:
+            f.write(payload)
+        repo.set_entry("main", {"key": key, "identity": etag, "address": rel,
+                                "address_type": "RELATIVE", "size": len(payload),
+                                "etag": etag})
+
+    # base: a, b, c on both sides
+    local = tmp_path / "worktree"
+    local.mkdir()
+    for name, body in [("a.txt", b"A1"), ("b.txt", b"B1"), ("c.txt", b"C1")]:
+        (local / name).write_bytes(body)
+        put_remote(name, body)
+    repo.commit("main", "base")
+
+    # remote side moves: adds e.txt, deletes c.txt (committed)
+    put_remote("e.txt", b"E1")
+    repo.stage_deletes("main", ["c.txt"])
+    repo.commit("main", "remote changes")
+
+    # local side moves: modifies a, deletes b, adds d
+    (local / "a.txt").write_bytes(b"A2-modified")
+    (local / "b.txt").unlink()
+    (local / "d.txt").write_bytes(b"D1")
+
+    local_changes = spark.createDataFrame(
+        [("a.txt", "changed"), ("b.txt", "removed"), ("d.txt", "added")],
+        "path string, change string",
+    )
+    remote_changes = spark.createDataFrame(
+        [("e.txt", "added"), ("c.txt", "removed")], "path string, change string"
+    )
+    plan = SY.sync_plan(local_changes, remote_changes)
+    counts = SY.apply_sync_plan(repo, "main", plan, str(local))
+    assert counts == {"upload": 2, "download": 1, "delete_remote": 1,
+                      "delete_local": 1, "conflict": 0}
+
+    repo.commit("main", "local changes synced up")
+    remote_keys = {r["key"]: r["size"] for r in repo.list_entries("main").collect()}
+    assert set(remote_keys) == {"a.txt", "d.txt", "e.txt"}
+    assert remote_keys["a.txt"] == len(b"A2-modified")
+    assert sorted(p.name for p in local.iterdir()) == ["a.txt", "d.txt", "e.txt"]
+    assert (local / "e.txt").read_bytes() == b"E1"
+
+    # conflict: both sides changed the same path -> abort by default
+    bad = SY.sync_plan(
+        spark.createDataFrame([("x", "changed")], "path string, change string"),
+        spark.createDataFrame([("x", "changed")], "path string, change string"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(SY.SyncConflictError):
+        SY.apply_sync_plan(repo, "main", bad, str(local))
+    assert SY.apply_sync_plan(repo, "main", bad, str(local), on_conflict="skip")[
+        "conflict"
+    ] == 1
