@@ -211,29 +211,82 @@ class Repository:
         self.store.replace_lines("runs", [json.dumps(r) for r in kept])
         return len(runs) - len(kept)
 
+    # -- repository-level settings (pkg/graveler/settings/manager.go) --------
+
+    def get_setting_latest(self, key: str):
+        """GetLatest (settings/manager.go:117): the setting value plus
+        its version token — pass the token back to :meth:`save_setting`
+        for a conditional write. None if unset."""
+        got = self.store.get_doc(f"settings/{key}")
+        return (got[0]["value"], got[1]) if got else None
+
+    def get_setting(self, key: str, default=None):
+        got = self.get_setting_latest(key)
+        return got[0] if got else default
+
+    def save_setting(self, key: str, value, last_known: str | None = None) -> str:
+        """Save (settings/manager.go:66): unconditional when
+        ``last_known`` is None; otherwise a conditional put that raises
+        ``CASConflictError`` if the setting moved (the SetMsgIf
+        semantics the reference runs on its KV)."""
+        doc = {"value": value}
+        if last_known is None:
+            return self.store.put_doc(f"settings/{key}", doc)
+        return self.store.put_doc_if(f"settings/{key}", doc, last_known)
+
+    def update_setting(self, key: str, fn, default=None):
+        """Read-modify-CAS with bounded retry (the Update loop every
+        reference settings consumer runs): ``fn(current) -> new``.
+        Returns the value that won."""
+        for _ in range(16):
+            got = self.get_setting_latest(key)
+            cur, ver = (got[0], got[1]) if got else (default, None)
+            new = fn(cur)
+            try:
+                if ver is None:
+                    # create-if-absent: races resolve through the doc CAS
+                    if self.store.doc_exists(f"settings/{key}"):
+                        continue
+                    self.save_setting(key, new)
+                else:
+                    self.save_setting(key, new, last_known=ver)
+                return new
+            except CASConflictError:
+                continue
+        raise TooManyTriesError(f"settings/{key} update kept losing the CAS race")
+
     # -- branch protection ---------------------------------------------------
 
     def protection_rules(self) -> list[dict]:
-        got = self.store.get_doc("protected_branches")
-        return got[0]["rules"] if got else []
+        # legacy doc location kept for repos written before the
+        # settings manager unification
+        legacy = self.store.get_doc("protected_branches")
+        if legacy:
+            return legacy[0]["rules"]
+        return self.get_setting("protected_branches", {"rules": []})["rules"]
 
     def protect_branch(self, pattern: str, blocked: tuple[str, ...] = ("staging_write", "commit")) -> None:
         """Add a protection rule: fnmatch ``pattern`` over branch names,
-        blocking the given ops (pkg/graveler/branch/protection_manager.go).
-        Merges into a protected branch stay allowed — that is the rule's
-        point (changes land via merge, not direct commit)."""
+        blocking the given ops (pkg/graveler/branch/protection_manager.go
+        — itself a settings-manager consumer, mirrored here: the rule
+        list lives in the repo settings store and concurrent adds both
+        land through the CAS update loop). Merges into a protected
+        branch stay allowed — that is the rule's point (changes land
+        via merge, not direct commit)."""
+        if self.store.get_doc("protected_branches"):  # migrate legacy doc
+            legacy = self.store.get_doc("protected_branches")[0]["rules"]
+            self.update_setting(
+                "protected_branches",
+                lambda cur: {"rules": (cur or {"rules": []})["rules"] + legacy},
+                default={"rules": []},
+            )
+            self.store.delete_doc("protected_branches")
         new_rule = {"pattern": pattern, "blocked": list(blocked)}
-        for _ in range(16):  # read-merge-CAS so concurrent adds both land
-            got = self.store.get_doc("protected_branches")
-            rules, ver = (got[0]["rules"], got[1]) if got else ([], None)
-            try:
-                self.store.put_doc_if(
-                    "protected_branches", {"rules": rules + [new_rule]}, ver
-                )
-                return
-            except CASConflictError:
-                continue
-        raise TooManyTriesError("protected_branches update kept losing the CAS race")
+        self.update_setting(
+            "protected_branches",
+            lambda cur: {"rules": (cur or {"rules": []})["rules"] + [new_rule]},
+            default={"rules": []},
+        )
 
     def _check_protected(self, branch: str, op: str) -> None:
         from fnmatch import fnmatch

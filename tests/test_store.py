@@ -291,3 +291,58 @@ def test_cas_merges_over_concurrent_seq_bump(spark, tmp_path):
     final = repo._read_branch("main")
     assert final["head"] == "h1"
     assert final["staging_seq"] == st["staging_seq"] + 1  # bump preserved
+
+
+def test_settings_manager_cas_and_update(spark):
+    """Repository-level settings (pkg/graveler/settings/manager.go):
+    GetLatest returns a version token, conditional Save CAS-fails on a
+    moved setting, and the Update retry loop makes concurrent
+    read-modify-write adds both land."""
+    import tempfile
+
+    from lakefs_spark.storage.repo import Repository
+    from lakefs_spark.storage.store import CASConflictError
+
+    repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_set_"))
+    assert repo.get_setting("gc_policy") is None
+    repo.save_setting("gc_policy", {"days": 7})
+    val, tok = repo.get_setting_latest("gc_policy")
+    assert val == {"days": 7}
+
+    repo.save_setting("gc_policy", {"days": 14}, last_known=tok)
+    with pytest.raises(CASConflictError):
+        repo.save_setting("gc_policy", {"days": 30}, last_known=tok)  # stale token
+    assert repo.get_setting("gc_policy") == {"days": 14}
+
+    # interleaved update loop: simulate a racer by mutating inside fn
+    calls = {"n": 0}
+
+    def bump(cur):
+        if calls["n"] == 0:
+            # another writer lands between our read and our CAS
+            v, t = repo.get_setting_latest("counter") or (None, None)
+            if t is None:
+                repo.save_setting("counter", {"n": 100})
+            else:
+                repo.save_setting("counter", {"n": cur["n"] + 100}, last_known=t)
+        calls["n"] += 1
+        return {"n": ((cur or {"n": 0})["n"]) + 1}
+
+    got = repo.update_setting("counter", bump, default={"n": 0})
+    assert got == {"n": 101}  # retried over the racer's write, both landed
+
+
+def test_protection_rules_on_settings_store(spark):
+    import tempfile
+
+    from lakefs_spark.storage.repo import Repository, ProtectedBranchError
+
+    repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_prot_"))
+    repo.protect_branch("rel-*", blocked=("commit",))
+    repo.protect_branch("main")
+    assert len(repo.protection_rules()) == 2
+    assert repo.get_setting("protected_branches")["rules"][0]["pattern"] == "rel-*"
+    repo.create_branch("rel-1", "main")
+    repo.set_entry("rel-1", {"key": "k", "identity": "i", "size": 1, "etag": "e"})
+    with pytest.raises(ProtectedBranchError):
+        repo.commit("rel-1", "nope")
