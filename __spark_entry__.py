@@ -1602,6 +1602,17 @@ def q_repo_restore_snapshot(spark, sf_dir):
     )
 
 
+def q_repo_annotate(spark, sf_dir):
+    """Per-object blame over the e2e repo's history (lakectl annotate;
+    storage/repo.annotate): every key upserted WITH a new identity by
+    c2 attributes to 'apply staged_active', everything else visible on
+    main attributes to the 'base import' root — one manifest-pruned
+    diff per log step, attribution by semi/anti joins (no key stream
+    on the driver)."""
+    repo = _e2e_repo(spark, sf_dir)
+    return repo.annotate("main").select("key", "message")
+
+
 def q_repo_log_paths(spark, sf_dir):
     """Path-filtered log, manifest-range-pruned (§2.9;
     pkg/catalog/catalog.go:1772-1800): a row per (probe path, log
@@ -2451,6 +2462,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_compact_snapshot": q_repo_compact_snapshot,
         "repo_restore_snapshot": q_repo_restore_snapshot,
         "repo_log_paths": q_repo_log_paths,
+        "repo_annotate": q_repo_annotate,
         # Spark-only (no SQL-expressible oracle): rows-only checks
         "ann_topk": q_ann_topk,
         "ann_recall": q_ann_recall,

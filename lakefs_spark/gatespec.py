@@ -61,6 +61,7 @@ GATES: dict[str, list[str]] = {
     "repo_lifecycle_extras": [
         "repo_restore_snapshot",
         "repo_log_paths",
+        "repo_annotate",
         "repo_squash_merge_snapshot",
         "repo_revert_merge_snapshot",
     ],
@@ -309,6 +310,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "ref_resolve": [("expr", "string"), ("commit_id", "string")],
     "repetition_scores": [("doc_id", "bigint"), ("n_windows", "bigint"), ("n_distinct", "bigint"), ("rep_ratio", "double")],
     "unigram_nll": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("mean_nll", "double")],
+    "repo_annotate": [("key", "string"), ("message", "string")],
     "repo_cherry_pick_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "repo_commit_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "repo_compact_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],

@@ -1890,6 +1890,30 @@ def q_repo_log_paths() -> str:
     """
 
 
+def q_repo_annotate() -> str:
+    # blame over the 2-commit e2e history: the visible snapshot is the
+    # COW overlay; a key attributes to c2 iff staged_active upserted it
+    # with a different identity (diff semantics), else to the import
+    return with_views("entries", "staged_active") + """
+    , upserts as (select key, identity from staged_active where not is_tombstone),
+    visible as (
+      select key, identity from upserts
+      union all
+      select e.key, e.identity from entries e
+      where not exists (select 1 from staged_active s where s.key = e.key)
+    ),
+    changed as (
+      select u.key from upserts u
+      where not exists (select 1 from entries e
+                        where e.key = u.key and e.identity = u.identity)
+    )
+    select v.key,
+           case when exists (select 1 from changed c where c.key = v.key)
+                then 'apply staged_active' else 'base import' end as message
+    from visible v
+    """
+
+
 def q_pull_requests() -> str:
     # pr1 merged (diff collapses: source head becomes the merge base);
     # pr2 open: dev changed every entries row under b5/ plus one added
@@ -2662,6 +2686,7 @@ def part_oracles() -> dict[str, str]:
                 "repo_compact_snapshot": q_repo_compact_snapshot(),
                 "repo_restore_snapshot": q_repo_restore_snapshot(),
                 "repo_log_paths": q_repo_log_paths(),
+                "repo_annotate": q_repo_annotate(),
                 "usage_report": q_usage_report(),
                 "multipart_etags": q_multipart_etags(),
                 "point_lookup": q_point_lookup(),

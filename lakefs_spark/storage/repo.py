@@ -1130,6 +1130,62 @@ class Repository:
             return []
         return log_commits(self.commits, cid, first_parent, since, limit, after)
 
+    def annotate(self, ref: str, prefix: str = "") -> DataFrame:
+        """Per-object blame (``lakectl annotate`` /
+        cmd/lakectl/cmd/annotate.go): for every visible object under
+        ``prefix`` at ``ref``, the most recent first-parent commit
+        whose diff against its parent touched the object. Returns
+        (key, commit_id, message, pos) with pos the 1-based log
+        position of the attributed commit.
+
+        Shape: a driver loop over the COMMIT LOG (metadata-sized), one
+        manifest-pruned diff per step; attribution is DataFrame
+        algebra — each step semi-joins the still-unattributed keys
+        against that step's changed keys and anti-joins them out of
+        the remainder, so no key stream ever reaches the driver. The
+        loop early-exits once every key is attributed, so shallow
+        blames over deep histories stop after the few commits that
+        matter (the reference instead runs one log-with-path per
+        object — O(objects x history) round trips).
+        """
+        kl = prefix or None
+        ku = None
+        if prefix:
+            from lakefs_spark.functions.prefix import upper_bound_for_prefix
+
+            ku = upper_bound_for_prefix(prefix)
+        remaining = self.snapshot(ref, key_lower=kl, key_upper=ku).select("key")
+        commits = self.log(ref, first_parent=True)
+        parts: list[DataFrame] = []
+        for pos, c in enumerate(commits, start=1):
+            if remaining.isEmpty():
+                break
+            parent = c.parents[0] if c.parents else None
+            if parent is None:
+                touched = self.snapshot(c.commit_id, key_lower=kl, key_upper=ku).select("key")
+            else:
+                touched = (
+                    self.diff(parent, c.commit_id)
+                    .where(F.col("diff_type") != "removed")
+                    .select("key")
+                )
+            hit = remaining.join(touched, "key", "semi").select(
+                "key",
+                F.lit(c.commit_id).alias("commit_id"),
+                F.lit(c.message).alias("message"),
+                F.lit(pos).cast("long").alias("pos"),
+            )
+            parts.append(hit)
+            remaining = remaining.join(touched, "key", "left_anti")
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "key string, commit_id string, message string, pos long"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def log_with_paths(self, ref: str, paths: list[str], limit: int | None = None) -> list[Commit]:
         """History filtered to commits that changed any of the paths —
         pruned by comparing manifest range_ids covering each path before

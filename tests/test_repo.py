@@ -1271,3 +1271,37 @@ def test_auto_compaction_on_delete_threshold(repo, spark):
     assert repo._read_branch("main").get("compacted_mid") is not None
     keys = {r["key"] for r in repo.list_entries("main", prefix="ac/").collect()}
     assert keys == {f"ac/{i}" for i in range(3, 6)}
+
+
+def test_annotate_attributes_latest_touch(spark):
+    """annotate (lakectl annotate): each visible key blames the most
+    recent first-parent commit whose diff touched it; rewritten keys
+    move forward, re-added keys blame the re-add, untouched keys blame
+    the root; prefix scoping prunes the walk's key set."""
+    import tempfile
+
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_blame_"))
+    def e(k, ident):
+        return {"key": k, "identity": ident, "size": 1, "etag": ident}
+    for k in ("a/1", "a/2", "b/1", "b/2"):
+        repo.set_entry("main", e(k, "v0"))
+    c1 = repo.commit("main", "c1 root")
+    repo.set_entry("main", e("a/1", "v1"))
+    repo.stage_deletes("main", ["b/1"])
+    c2 = repo.commit("main", "c2 rewrite+delete")
+    repo.set_entry("main", e("a/1", "v2"))       # rewritten again
+    repo.set_entry("main", e("b/1", "back"))     # re-added after delete
+    repo.set_entry("main", e("b/2", "v0"))       # SAME identity: not a change
+    c3 = repo.commit("main", "c3 more")
+
+    got = {r["key"]: (r["message"], r["pos"]) for r in repo.annotate("main").collect()}
+    assert got == {
+        "a/1": ("c3 more", 1),
+        "b/1": ("c3 more", 1),
+        "a/2": ("c1 root", 3),
+        "b/2": ("c1 root", 3),   # identity-equal restage is no change
+    }, got
+    scoped = {r["key"] for r in repo.annotate("main", prefix="a/").collect()}
+    assert scoped == {"a/1", "a/2"}
