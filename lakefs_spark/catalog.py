@@ -519,21 +519,31 @@ class Catalog:
         }
 
     def get_run(self, run_id: str) -> dict:
-        """getRun: one run-result record."""
-        for r in self.repo.hook_runs():
+        """getRun: one run-result record. Accepts the run-log id
+        ("<hex>-<idx>") or the bare event id ("<hex>", what actions
+        task rows carry) — the latter returns the newest row of that
+        event."""
+        runs = self.repo.hook_runs()
+        for r in runs:
             if r["run_id"] == run_id:
+                return r
+        for r in runs:
+            if r["run_id"].split("-")[0] == run_id:
                 return r
         raise KeyError(f"run not found: {run_id}")
 
     def list_run_hooks(self, run_id: str, after: str = "", amount: int = 100) -> dict:
-        """listRunHooks: the per-hook task results of one actions run
-        (requires declarative actions — storage/actions.ActionsService
-        logs task rows under the same store)."""
-        from lakefs_spark.storage.actions import ActionsService
+        """listRunHooks: the per-hook task results of one actions run.
+        Accepts either a run-log id ("<hex>-<idx>", what
+        listRepositoryRuns returns) or the bare actions run id — task
+        rows are keyed by the shared base id, so the swagger drill-down
+        chains."""
+        from lakefs_spark.storage.actions import read_task_results
 
-        tasks = ActionsService(self.repo).task_results(run_id)
+        tasks = read_task_results(self.repo, run_id)
         if after:
-            tasks = [t for t in tasks if t["hook_run_id"] > after]
+            # newest-first listing: resume strictly below the cursor
+            tasks = [t for t in tasks if t["hook_run_id"] < after]
         page, has_more = tasks[:amount], len(tasks) > amount
         return {
             "results": page,
@@ -547,9 +557,9 @@ class Catalog:
 
     def get_run_hook_output(self, run_id: str, hook_run_id: str) -> str:
         """getRunHookOutput: captured output lines of one hook run."""
-        from lakefs_spark.storage.actions import ActionsService
+        from lakefs_spark.storage.actions import read_hook_output
 
-        return "\n".join(ActionsService(self.repo).hook_output(run_id, hook_run_id))
+        return "\n".join(read_hook_output(self.repo, run_id, hook_run_id))
 
     def expire_tracking(self, ttl_seconds: float, now: float | None = None) -> int:
         """TTL cleanup of finished import records + the hook run log

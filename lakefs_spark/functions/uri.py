@@ -74,7 +74,14 @@ def parse(s: str) -> URI:
     """parser.go:167-196 Parse: scheme must be lakefs, no userinfo,
     host = repository, first path level = ref, rest = path."""
     u = urlsplit(s)
-    if u.scheme != SCHEME or u.username is not None or not u.hostname:
+    if u.scheme != SCHEME or u.username is not None or not u.netloc:
+        raise MalformedURIError(f"malformed lakefs URI: {s!r}")
+    # urlsplit().hostname LOWERCASES — use the raw netloc so invalid
+    # uppercase repository names are preserved for the validators to
+    # reject (Go's url.Hostname() keeps case); the port part is
+    # stripped like the reference's Hostname()
+    repository = u.netloc.rsplit(":", 1)[0] if ":" in u.netloc else u.netloc
+    if not repository:
         raise MalformedURIError(f"malformed lakefs URI: {s!r}")
     ref, path = "", None
     if u.path:
@@ -84,7 +91,7 @@ def parse(s: str) -> URI:
         ref = levels[0]
         if len(levels) == 2:
             path = levels[1]
-    return URI(repository=u.hostname, ref=ref, path=path)
+    return URI(repository=repository, ref=ref, path=path)
 
 
 def parse_with_base_uri(s: str, base_uri: str = "") -> URI:

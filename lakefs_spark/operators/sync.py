@@ -98,6 +98,7 @@ def apply_sync_plan(
     counts = {UPLOAD: 0, DOWNLOAD: 0, DELETE_REMOTE: 0, DELETE_LOCAL: 0, CONFLICT: len(conflicts)}
     data_root = repo.store.data_root
     to_delete_remote: list[str] = []
+    to_upload: list[dict] = []
     for r in rows:
         path, op = r["path"], r["op"]
         key = key_prefix + path
@@ -112,10 +113,9 @@ def apply_sync_plan(
             if not os.path.exists(dst):  # content-addressed: dedup free
                 with open(dst, "wb") as f:
                     f.write(payload)
-            repo.set_entry(
-                branch,
+            to_upload.append(
                 {"key": key, "identity": etag, "address": rel,
-                 "address_type": "RELATIVE", "size": len(payload), "etag": etag},
+                 "address_type": "RELATIVE", "size": len(payload), "etag": etag}
             )
             counts[UPLOAD] += 1
         elif op == DELETE_REMOTE:
@@ -142,6 +142,21 @@ def apply_sync_plan(
             if os.path.exists(lpath):
                 os.remove(lpath)
             counts[DELETE_LOCAL] += 1
+    if to_upload:
+        # ONE staging batch + ONE pointer bump for all uploads — per-file
+        # set_entry would launch a single-row Spark write per object
+        rows = [
+            (u["key"], u["identity"], u["address"], u["address_type"],
+             u["size"], u["etag"], None, None, None)
+            for u in to_upload
+        ]
+        df = repo.spark.createDataFrame(
+            rows,
+            "key string, identity string, address string, address_type string, "
+            "size long, etag string, last_modified timestamp, "
+            "metadata map<string,string>, content_type string",
+        )
+        repo.stage_entries(branch, df)
     if to_delete_remote:
         repo.stage_deletes(branch, to_delete_remote)
         counts[DELETE_REMOTE] = len(to_delete_remote)

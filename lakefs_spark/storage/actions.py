@@ -407,7 +407,15 @@ class RepoActionSource:
     def load_specs(self, ref: str) -> list[dict]:
         """Parse + validate every spec at ``ref``; duplicate action
         names across files are an error (action.go validateActions)."""
-        entries, _ = self.repo.list_page(ref, prefix=ACTIONS_PREFIX, amount=1000)
+        entries, after = [], ""
+        while True:
+            page, more = self.repo.list_page(
+                ref, prefix=ACTIONS_PREFIX, after=after, amount=1000
+            )
+            entries.extend(page)
+            if not more:
+                break
+            after = page[-1]["key"]
         specs, names = [], set()
         for e in entries:
             spec = parse_action(self._load(e))
@@ -418,6 +426,32 @@ class RepoActionSource:
             names.add(spec["name"])
             specs.append(spec)
         return specs
+
+
+# -- task-result / output readers (no dispatcher side effects) ----------------
+
+
+def read_task_results(repo, run_id: str | None = None) -> list[dict]:
+    """Per-hook task rows, newest first (ListRunTaskResults shape).
+    Read-only: safe for API surfaces — constructing an ActionsService
+    just to read would bind a second dispatcher onto the repo."""
+    rows = [json.loads(s) for s in repo.store.read_lines("tasks")]
+    rows.reverse()
+    if run_id is not None:
+        base = run_id.split("-")[0]
+        rows = [r for r in rows if r["run_id"] == base]
+    return rows
+
+
+def read_hook_output(repo, run_id: str, hook_run_id: str | None = None) -> list[str]:
+    base = run_id.split("-")[0]
+    rows = [json.loads(s) for s in repo.store.read_lines("hook_outputs")]
+    return [
+        r["line"]
+        for r in rows
+        if r["run_id"] == base
+        and (hook_run_id is None or r["hook_run_id"] == hook_run_id)
+    ]
 
 
 # -- the service --------------------------------------------------------------
@@ -504,7 +538,10 @@ class ActionsService:
         )
         if not matched:
             return
-        run_id = f"{int(time.time() * 1e6):016x}"
+        # one id per event, shared with Repository._log_run's run rows
+        # (theirs add a "-<hook_idx>" suffix) so the swagger drill-down
+        # listRepositoryRuns -> listRunHooks chains on the same id
+        run_id = (ctx.get("run_id") or f"{int(time.time() * 1e6):016x}").split("-")[0]
         ctx = dict(ctx, run_id=run_id)
         first_err: Exception | None = None
         for a_idx, spec in enumerate(matched):
@@ -514,7 +551,12 @@ class ActionsService:
                 try:
                     should_run = run_hook_if_eval(hook.get("if") or "", action_err)
                 except Exception as e:
-                    should_run, action_err = False, action_err or e
+                    action_err = action_err or e
+                    self._log_task(
+                        run_id, hook_run_id, spec, hook, event, "failed",
+                        f"{type(e).__name__}: {e}",
+                    )
+                    continue
                 if not should_run:
                     self._log_task(run_id, hook_run_id, spec, hook, event, "skipped", None)
                     continue
@@ -603,17 +645,7 @@ class ActionsService:
 
     def task_results(self, run_id: str | None = None) -> list[dict]:
         """Per-hook task rows, newest first (ListRunTaskResults shape)."""
-        rows = [json.loads(s) for s in self.repo.store.read_lines("tasks")]
-        rows.reverse()
-        if run_id is not None:
-            rows = [r for r in rows if r["run_id"] == run_id]
-        return rows
+        return read_task_results(self.repo, run_id)
 
     def hook_output(self, run_id: str, hook_run_id: str | None = None) -> list[str]:
-        rows = [json.loads(s) for s in self.repo.store.read_lines("hook_outputs")]
-        return [
-            r["line"]
-            for r in rows
-            if r["run_id"] == run_id
-            and (hook_run_id is None or r["hook_run_id"] == hook_run_id)
-        ]
+        return read_hook_output(self.repo, run_id, hook_run_id)

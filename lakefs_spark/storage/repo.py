@@ -168,6 +168,10 @@ class Repository:
         fns = self.hooks.get(event, [])
         if not fns:
             return
+        # one id per event; run-log rows suffix it with the hook index,
+        # and the actions dispatcher reuses the base id for its task
+        # rows so the runs API chains run -> hooks on the same id
+        ctx = dict(ctx, run_id=f"{int(time.time() * 1e6):016x}")
         for i, fn in enumerate(fns):
             status, err = "completed", None
             try:
@@ -180,7 +184,7 @@ class Repository:
 
     def _log_run(self, event: str, hook_idx: int, status: str, err: str | None, ctx: dict) -> None:
         rec = {
-            "run_id": f"{int(time.time() * 1e6):016x}-{hook_idx}",
+            "run_id": f"{ctx.get('run_id') or f'{int(time.time() * 1e6):016x}'}-{hook_idx}",
             "event": event,
             "hook_index": hook_idx,
             "status": status,
@@ -243,13 +247,9 @@ class Repository:
             cur, ver = (got[0], got[1]) if got else (default, None)
             new = fn(cur)
             try:
-                if ver is None:
-                    # create-if-absent: races resolve through the doc CAS
-                    if self.store.doc_exists(f"settings/{key}"):
-                        continue
-                    self.save_setting(key, new)
-                else:
-                    self.save_setting(key, new, last_known=ver)
+                # ver None -> put_doc_if(..., None) = atomic must-be-absent
+                # create; exactly one concurrent creator wins, losers retry
+                self.store.put_doc_if(f"settings/{key}", {"value": new}, ver)
                 return new
             except CASConflictError:
                 continue
@@ -1149,13 +1149,16 @@ class Repository:
         object — O(objects x history) round trips).
         """
         kl = prefix or None
-        ku = None
-        if prefix:
-            from lakefs_spark.functions.prefix import upper_bound_for_prefix
-
-            ku = upper_bound_for_prefix(prefix)
-        remaining = self.snapshot(ref, key_lower=kl, key_upper=ku).select("key")
-        commits = self.log(ref, first_parent=True)
+        ku = upper_bound_for_prefix(prefix) if prefix else None
+        head = self.resolve(ref).commit_id
+        if head is None:
+            return self.spark.createDataFrame(
+                [], "key string, commit_id string, message string, pos long"
+            )
+        # pin the COMMITTED snapshot: staged-uncommitted keys belong to
+        # no commit and could never be attributed
+        remaining = self.snapshot(head, key_lower=kl, key_upper=ku).select("key")
+        commits = self.log(head, first_parent=True)
         parts: list[DataFrame] = []
         for pos, c in enumerate(commits, start=1):
             if remaining.isEmpty():
@@ -1175,8 +1178,10 @@ class Repository:
                 F.lit(c.message).alias("message"),
                 F.lit(pos).cast("long").alias("pos"),
             )
-            parts.append(hit)
-            remaining = remaining.join(touched, "key", "left_anti")
+            parts.append(hit.localCheckpoint())
+            # checkpoint: each step's isEmpty()/diff must not re-run the
+            # whole stacked anti-join lineage (quadratic in history)
+            remaining = remaining.join(touched, "key", "left_anti").localCheckpoint()
         if not parts:
             return self.spark.createDataFrame(
                 [], "key string, commit_id string, message string, pos long"

@@ -305,3 +305,79 @@ def test_runs_api_surface(spark, tmp_path):
     assert [h["hook_id"] for h in hooks["results"]] == ["say"]
     out = cat.get_run_hook_output(task["run_id"], task["hook_run_id"])
     assert out.startswith("hello ")
+
+
+def test_runs_api_id_chain_and_pagination(spark, tmp_path):
+    """Review regressions: (a) listRepositoryRuns ids chain into
+    listRunHooks (shared base id), (b) hook pagination walks newest->
+    oldest without repeats, (c) reading the runs API must NOT bind a
+    second dispatcher (hooks still run exactly once per event)."""
+    from lakefs_spark.catalog import Catalog
+    from lakefs_spark.storage.actions import ActionsService
+
+    cat = Catalog.create_repository(spark, str(tmp_path / "chainrepo"))
+    svc = ActionsService(cat.repo)
+    svc.add_action(
+        {
+            "name": "multi",
+            "on": {"pre-commit": None},
+            "hooks": [
+                {"id": f"h{i}", "type": "script", "properties": {"script": "x = 1"}}
+                for i in range(3)
+            ],
+        }
+    )
+    cat.upload_object("main", "a/1", address="data/x1", size=1, checksum="c1")
+    cat.commit("main", "one")
+
+    # (a) chain: the run-log id resolves the same event's task rows
+    rid = cat.list_repository_runs()["results"][0]["run_id"]
+    hooks = cat.list_run_hooks(rid)
+    assert [h["hook_id"] for h in hooks["results"]] == ["h2", "h1", "h0"]
+    assert cat.get_run(hooks["results"][0]["run_id"])["event"] in (
+        "pre-commit", "prepare-commit", "post-commit",
+    )
+
+    # (b) pagination: newest-first pages, no repeats, full coverage
+    page1 = cat.list_run_hooks(rid, amount=2)
+    assert page1["pagination"]["has_more"]
+    page2 = cat.list_run_hooks(rid, after=page1["pagination"]["next_offset"], amount=2)
+    seen = [h["hook_run_id"] for h in page1["results"] + page2["results"]]
+    assert len(seen) == 3 and len(set(seen)) == 3
+
+    # (c) the reads above must not have registered another dispatcher
+    n_before = len(svc.task_results())
+    cat.upload_object("main", "a/2", address="data/x2", size=2, checksum="c2")
+    cat.commit("main", "two")
+    assert len(svc.task_results()) - n_before == 3  # once per hook, not twice
+
+
+def test_annotate_ignores_staged_uncommitted(spark, tmp_path):
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "blamerepo"))
+    repo.set_entry("main", {"key": "a", "identity": "i", "size": 1, "etag": "e"})
+    repo.commit("main", "c1")
+    repo.set_entry("main", {"key": "staged-only", "identity": "s", "size": 1, "etag": "s"})
+    got = {r["key"] for r in repo.annotate("main").collect()}
+    assert got == {"a"}  # committed view only; staged key is unattributable
+
+
+def test_if_eval_error_logged_as_failed(spark, tmp_path):
+    from lakefs_spark.storage.actions import ActionsService
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "ifrepo"))
+    svc = ActionsService(repo)
+    svc.add_action(
+        {
+            "name": "badif",
+            "on": {"post-commit": None},
+            "hooks": [{"id": "h1", "type": "script", "if": "1 + 1",
+                       "properties": {"script": "x = 1"}}],
+        }
+    )
+    repo.set_entry("main", {"key": "a", "identity": "i", "size": 1, "etag": "e"})
+    repo.commit("main", "ok")
+    t = svc.task_results()[0]
+    assert t["status"] == "failed" and "boolean" in t["error"]
