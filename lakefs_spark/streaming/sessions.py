@@ -47,6 +47,25 @@ _STATE_SCHEMA = (
 )
 
 
+def merge_event(ivals: list[list], t: int, v: float, gap: int) -> list[list]:
+    """Fold one event into a session-interval set: the event founds a
+    new interval or absorbs/bridges every interval within STRICT gap
+    distance. Each interval is ``[lo, hi, n, sum]``. This fold is
+    order-insensitive (same final set for any event permutation or
+    grouping), which is the operator's whole batch-invariance
+    contract — property-tested in tests/test_streaming.py."""
+    lo, hi, n, s = t, t, 1, v
+    keep = []
+    for iv in ivals:
+        if iv[0] - t < gap and t - iv[1] < gap:
+            lo, hi = min(lo, iv[0]), max(hi, iv[1])
+            n, s = n + iv[2], s + iv[3]
+        else:
+            keep.append(iv)
+    keep.append([lo, hi, n, s])
+    return keep
+
+
 def session_stats_stream(
     events: DataFrame,
     gap_us: int = 1_800_000_000,
@@ -72,18 +91,7 @@ def session_stats_stream(
             version, ivals = 0, []
         for pdf in pdfs:
             for t, v in zip(pdf[ts_col], pdf[value_col]):
-                t, v = int(t), float(v)
-                lo, hi, n, s = t, t, 1, v
-                keep = []
-                for iv in ivals:
-                    # strict-gap merge: |distance| < gap (overlap incl.)
-                    if iv[0] - t < gap and t - iv[1] < gap:
-                        lo, hi = min(lo, iv[0]), max(hi, iv[1])
-                        n, s = n + iv[2], s + iv[3]
-                    else:
-                        keep.append(iv)
-                keep.append([lo, hi, n, s])
-                ivals = keep
+                ivals = merge_event(ivals, int(t), float(v), gap)
         ivals.sort()
         version += 1
         state.update(

@@ -223,3 +223,65 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert all(n <= 5 for n in per_q.values())
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.3, recall
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50), st.integers(min_value=1, max_value=9)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=200, deadline=None)
+def test_session_interval_fold_is_order_insensitive(events, rnd):
+    """The streaming sessionizer's interval fold must yield the batch
+    gaps-and-islands sessions for ANY arrival order — the operator's
+    batch-invariance contract (streaming/sessions.merge_event)."""
+    from lakefs_spark.streaming.sessions import merge_event
+
+    gap = 5
+
+    def fold(seq):
+        ivals = []
+        for t, v in seq:
+            ivals = merge_event(ivals, t, float(v), gap)
+        return sorted((iv[0], iv[1], iv[2], round(iv[3], 9)) for iv in ivals)
+
+    # reference: sorted-order gaps-and-islands
+    ref_sessions = []
+    for t, v in sorted(events):
+        if ref_sessions and t - ref_sessions[-1][1] < gap:
+            ref_sessions[-1][1] = max(ref_sessions[-1][1], t)
+            ref_sessions[-1][2] += 1
+            ref_sessions[-1][3] += v
+        else:
+            ref_sessions.append([t, t, 1, float(v)])
+    ref = sorted((a, b, n, round(s, 9)) for a, b, n, s in ref_sessions)
+
+    shuffled = list(events)
+    rnd.shuffle(shuffled)
+    assert fold(shuffled) == ref
+    assert fold(list(reversed(events))) == ref
+
+
+@given(st.text(alphabet="abcdefghij-/.: _~^$@0123456789", max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_uri_parse_round_trip(s):
+    """Any string lakefs://<s> either fails to parse or round-trips
+    byte-identically through str(parse(...)) (pkg/uri/parser.go
+    Parse/String symmetry)."""
+    from lakefs_spark.functions import uri as U
+
+    full = "lakefs://" + s
+    try:
+        u = U.parse(full)
+    except U.MalformedURIError:
+        return
+    # str(parse(x)) is a canonical form: parsing it again is identity,
+    # and it equals the input byte-for-byte unless a port was stripped
+    # (the reference's url.Hostname() drops ports the same way)
+    again = U.parse(str(u))
+    assert again == u and str(again) == str(u)
+    if ":" not in s.split("/", 1)[0]:
+        assert str(u) == full
