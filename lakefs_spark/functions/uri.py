@@ -80,7 +80,13 @@ def parse(s: str) -> URI:
     # uppercase repository names are preserved for the validators to
     # reject (Go's url.Hostname() keeps case); the port part is
     # stripped like the reference's Hostname()
-    repository = u.netloc.rsplit(":", 1)[0] if ":" in u.netloc else u.netloc
+    repository = u.netloc
+    if ":" in repository:
+        repository, _, port = repository.rpartition(":")
+        # only a well-formed numeric port may be stripped (Go's
+        # url.Parse rejects other colon placements as bad hosts)
+        if ":" in repository or not port.isdigit():
+            raise MalformedURIError(f"malformed lakefs URI: {s!r}")
     if not repository:
         raise MalformedURIError(f"malformed lakefs URI: {s!r}")
     ref, path = "", None

@@ -282,6 +282,15 @@ def test_uri_parse_round_trip(s):
     # and it equals the input byte-for-byte unless a port was stripped
     # (the reference's url.Hostname() drops ports the same way)
     again = U.parse(str(u))
-    assert again == u and str(again) == str(u)
-    if ":" not in s.split("/", 1)[0]:
+    # the string form is a stable canonicalization; full structural
+    # identity additionally holds whenever the ref is non-empty (a
+    # degenerate empty-ref URI canonicalizes to the bare repo form,
+    # collapsing path "" to no-path, like the reference's String)
+    assert str(again) == str(u)
+    if u.ref:
+        assert again == u
+    # byte identity additionally holds unless the input had a port
+    # (stripped) or an empty ref segment (trailing-slash forms
+    # canonicalize to the bare repo URI, like the reference's String)
+    if ":" not in s.split("/", 1)[0] and (u.ref or "/" not in s):
         assert str(u) == full
