@@ -437,3 +437,38 @@ def test_prototypicality_broadcasts_centroids(spark, emb):
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_quality_score_python_free_no_exchange(spark):
+    """The fixed-weight logistic quality filter is ONE fused JVM
+    projection over the scan: no Python eval nodes, no Exchange."""
+    from lakefs_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(quality_score(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_token_fertility_single_aggregation(spark):
+    """Per-language fertility: one partial+final aggregation pair over
+    one exchange, all JVM."""
+    from lakefs_spark.operators.text import token_fertility
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(token_fertility(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # one exchange (+AQE read)
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_doc_chunks_no_shuffle_no_python(spark):
+    """Overlapping chunking is a projection + generator — chunk
+    parallelism equals input parallelism, nothing crosses to Python."""
+    from lakefs_spark.operators.pipeline import doc_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(doc_chunks(docs, size=32, stride=24))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Generate" in plan, plan  # the posexplode
