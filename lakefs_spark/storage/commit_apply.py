@@ -286,7 +286,27 @@ def import_apply(
     skip_pred = skip_prefix_predicate(F.col("key"), list(replace_prefixes))
     if boundary_ids:
         brows = R.read_ranges(spark, root, sorted(boundary_ids)).where(skip_pred)
-        pieces.append(_write_segmented(brows, intervals, root, raggedness))
+        # Survivor blocks from two different boundary ranges share a
+        # keyspace segment with KEPT ranges between them (e.g. replace
+        # a/ and c/ with kept b-ranges in the middle). Normally the
+        # chunker's own invariant forces the split — every non-tail
+        # range ENDS at a hash-boundary key, and when a range straddles
+        # an interval end that key is itself a survivor — but that
+        # invariant silently breaks if ``raggedness`` ever differs from
+        # the one the base was written with (old max_keys stop being
+        # boundaries), and one rebuilt chunk would then span a kept
+        # range's interval and corrupt manifest ordering. Injecting the
+        # boundary ranges' max_keys as explicit chunk boundaries makes
+        # the no-span guarantee unconditional — the same edge-injection
+        # _apply_cow uses for touched runs.
+        edge_keys = set(
+            mf[mf["range_id"].isin(boundary_ids)]["max_key"].tolist()
+        )
+        pieces.append(
+            _write_segmented(
+                brows, intervals, root, raggedness, extra_boundaries=edge_keys
+            )
+        )
     pieces.append(_write_segmented(source.where(~skip_pred), intervals, root, raggedness))
 
     out = pd.concat(pieces, ignore_index=True).sort_values("min_key").reset_index(drop=True)
@@ -300,7 +320,11 @@ def import_apply(
 
 
 def _write_segmented(
-    rows: DataFrame, intervals: list[tuple[str, str | None]], root: str, raggedness: int
+    rows: DataFrame,
+    intervals: list[tuple[str, str | None]],
+    root: str,
+    raggedness: int,
+    extra_boundaries: set[str] | None = None,
 ) -> pd.DataFrame:
     """Chunk + write rows, grouped by keyspace segment so a chunk never
     crosses an interval boundary (and hence never overlaps a kept
@@ -327,10 +351,13 @@ def _write_segmented(
     # UDF column is projected away by Catalyst) — the write pass is the
     # single full evaluation.
     bks = sorted(
-        r[0]
-        for r in rows.where(boundary_flag(F.col("key"), raggedness))
-        .select("key")
-        .collect()
+        {
+            r[0]
+            for r in rows.where(boundary_flag(F.col("key"), raggedness))
+            .select("key")
+            .collect()
+        }
+        | (extra_boundaries or set())
     )
     return _write_grouped_ranges(
         rows, root, raggedness, boundaries=bks, n_groups=len(flat) + 1
@@ -345,8 +372,6 @@ def _write_grouped_ranges(
     n_groups: int = 1,
 ) -> pd.DataFrame:
     """Chunk rows by (group, global-boundary bucket) and write ranges."""
-    from lakefs_spark.plans.chunker import assign_chunks
-
     chunked = assign_chunks(merged, "key", raggedness, boundaries=boundaries)
     big = 1 << 32
     chunked = chunked.withColumn(
@@ -360,11 +385,15 @@ def _write_grouped_ranges(
 
 
 def _assert_sorted_disjoint(mf: pd.DataFrame) -> None:
+    # manifest integrity gate — explicit raises, NOT bare asserts:
+    # python -O strips asserts and a violation here must fail the
+    # commit, never silently persist a corrupt (overlapping) manifest
     prev_max = None
     for _, row in mf.iterrows():
-        assert row["min_key"] <= row["max_key"], "range min>max"
-        if prev_max is not None:
-            assert row["min_key"] > prev_max, (
+        if not row["min_key"] <= row["max_key"]:
+            raise RuntimeError(f"range min>max: {row['range_id']}")
+        if prev_max is not None and not row["min_key"] > prev_max:
+            raise RuntimeError(
                 f"overlapping manifest ranges at {row['min_key']!r} (prev max {prev_max!r})"
             )
         prev_max = row["max_key"]

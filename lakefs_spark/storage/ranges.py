@@ -3,9 +3,11 @@
 Mirrors the reference's committed store (SURVEY.md §1.2/§1.3):
 - Range  = immutable sorted run of entries. Reference: Pebble SSTable
   with content-derived ID (pkg/graveler/sstable/writer.go:101-135).
-  Ours: one sorted Parquet file, named by the sha256 of its
-  (key, identity) stream — same content => same file => structural
-  sharing across commits, dedup for free.
+  Ours: one sorted Parquet file, named by the sha256 of an
+  order-independent multiset hash over its FULL rows (every persisted
+  column) — same content => same file => structural sharing across
+  commits, dedup for free; content differing only in, say, a physical
+  address never collapses.
 - MetaRange = the snapshot manifest: one row per range with
   (range_id, min_key, max_key, count, estimated_size). Reference:
   pkg/graveler/committed/meta_range_writer.go:149-182. Ours: one
@@ -35,30 +37,18 @@ import hashlib
 import os
 
 import pandas as pd
-import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS, assign_chunks
+from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS, assign_chunks, boundary_flag
 from lakefs_spark.schema import ENTRY_COLS
 from lakefs_spark.storage.store import as_store, data_root_of
 
-# Parquet-side schema: metadata map stored as canonical JSON text
-# (cross-tool safe); decoded back to map<string,string> on read.
-_PA_SCHEMA = pa.schema(
-    [
-        ("key", pa.string()),
-        ("identity", pa.string()),
-        ("address", pa.string()),
-        ("address_type", pa.string()),
-        ("size", pa.int64()),
-        ("etag", pa.string()),
-        ("last_modified", pa.timestamp("us")),
-        ("metadata_json", pa.string()),
-        ("content_type", pa.string()),
-    ]
-)
-
+# Parquet-side row layout (what write_ranges_prechunked persists):
+#   key, identity, address, address_type, size int64, etag,
+#   last_modified timestamp[us], metadata_json (the metadata map as
+#   canonical sorted-keys JSON — cross-tool safe, decoded back to
+#   map<string,string> on read), content_type.
 MANIFEST_COLS = ["range_id", "min_key", "max_key", "count", "estimated_size"]
 
 
@@ -90,8 +80,14 @@ def write_ranges(
     # a genuinely expensive non-scan plan (commit-apply) persist their
     # own bounded change stream and call write_ranges_prechunked.
     entries = entries.select(*ENTRY_COLS)
-    chunked = assign_chunks(entries, "key", raggedness)
-    return write_ranges_prechunked(chunked, root)
+    bks = sorted(
+        r[0]
+        for r in entries.where(boundary_flag(F.col("key"), raggedness))
+        .select("key")
+        .collect()
+    )
+    chunked = assign_chunks(entries, "key", raggedness, boundaries=bks)
+    return write_ranges_prechunked(chunked, root, n_chunks=len(bks) + 1)
 
 
 def write_ranges_prechunked(
@@ -114,13 +110,13 @@ def write_ranges_prechunked(
       1. one hash shuffle on chunk_idx + native parquet write with
          ``partitionBy(chunk_idx)`` (rows pre-sorted per chunk, one
          file per chunk because the shuffle co-locates each chunk);
-      2. one aggregation job over the files just written (column-pruned
-         to key/identity/size, map-side partial agg) computing, per
-         chunk, the manifest row and the content address — sha256 over
-         an order-independent multiset hash of the length-tagged
-         (key, identity) rows (the reference's content-derived SSTable
-         ID idea, sstable/writer.go:101-135, with O(1) aggregation
-         state: see the inline note below);
+      2. one aggregation job over the files just written (map-side
+         partial agg) computing, per chunk, the manifest row and the
+         content address — sha256 over an order-independent multiset
+         hash of the length-tagged FULL rows, every persisted column
+         (the reference's content-derived SSTable ID idea,
+         sstable/writer.go:101-135, with O(1) aggregation state: see
+         the inline note below);
       3. driver publishes chunk files to ``ranges/<range_id>.parquet``
          through the store's put-if-absent blob publication —
          O(#ranges) metadata ops, no data movement. A pre-existing
@@ -159,9 +155,9 @@ def write_ranges_prechunked(
     # persist — caching the full-width post-shuffle rows spilled ~data
     # size to disk a second time, which is what broke 300x runs on one
     # box (a cluster spreads it, but it is pure waste there too): the
-    # manifest aggregation instead re-reads the files just written,
-    # column-pruned to (key, identity, size) + the chunk_idx partition
-    # column, with map-side partial aggregation per chunk file.
+    # manifest aggregation instead re-reads the files just written
+    # (full rows — every column is hashed into the content address),
+    # with map-side partial aggregation per chunk file.
     if n_chunks is not None and n_chunks > 0:
         staged = staged.repartition(int(n_chunks), "chunk_idx")
     else:
@@ -216,13 +212,26 @@ def write_ranges_prechunked(
         # so they cannot overflow under ANSI mode (2^60 per row x 2^60
         # rows < 10^38); same content => same address (structural
         # sharing) is preserved with 240 bits of collision margin.
-        frame = F.concat(  # f"{len(k)}:{k}{len(i)}:{i}"
-            F.length("key").cast("string"),
-            F.lit(":"),
-            F.col("key"),
-            F.length("identity").cast("string"),
-            F.lit(":"),
-            F.col("identity"),
+        # EVERY persisted column enters the frame: the reference's
+        # SSTable id hashes the file's actual bytes (sstable/writer.go),
+        # so two ranges that differ only in, say, an entry's physical
+        # address must NOT collapse to one content address — identity
+        # deliberately excludes the address (entry.go:28-33), and a
+        # re-link of identical content at a new address is exactly the
+        # case where a (key, identity)-only hash would silently keep
+        # the old file. Nulls get a length-unambiguous sentinel.
+        def _tagged(name: str):
+            v = F.coalesce(F.col(name).cast("string"), F.lit("\x00null"))
+            return F.concat(F.length(v).cast("string"), F.lit(":"), v)
+
+        frame = F.concat(
+            *[
+                _tagged(n)
+                for n in (
+                    "key", "identity", "address", "address_type", "size",
+                    "etag", "last_modified", "metadata_json", "content_type",
+                )
+            ]
         )
         digest = F.sha2(frame, 256)
         _MOD64 = F.lit("18446744073709551616").cast("decimal(38,0)")  # 2^64
@@ -259,7 +268,8 @@ def write_ranges_prechunked(
         for r in mf_rows:
             cdir = os.path.join(tmp_dir, f"chunk_idx={r['chunk_idx']}")
             parts = [p for p in os.listdir(cdir) if p.endswith(".parquet")]
-            assert len(parts) == 1, f"expected one file per chunk, got {parts}"
+            if len(parts) != 1:  # integrity check — must survive python -O
+                raise RuntimeError(f"expected one file per chunk, got {parts}")
             # put-if-absent publication: a content-address hit keeps the
             # existing blob (same bytes by construction)
             store.publish_blob(
@@ -338,10 +348,6 @@ def manifest_cache_clear() -> None:
 
 
 EMPTY_METARANGE = "empty"
-
-
-def write_empty_manifest(root: str) -> str:
-    return EMPTY_METARANGE
 
 
 def _range_paths(root: str, range_ids) -> list[str]:

@@ -277,12 +277,13 @@ def log_commits(
     while heap:
         _, cid = heapq.heappop(heap)
         c = commits.get(cid)
-        if since is not None and c.creation_date < since:
-            continue
+        # `since` and `after` are EMISSION filters only — they must not
+        # prune traversal: creation_date is backdatable (clock skew, GC
+        # tests), so an old commit can hide newer ancestors behind it
         if skipping:
             if cid == after:
                 skipping = False
-        else:
+        elif since is None or c.creation_date >= since:
             out.append(c)
         if limit is not None and len(out) >= limit:
             break

@@ -158,12 +158,16 @@ def test_minhash_signatures_python_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
-def test_range_write_manifest_agg_prunes_written_columns(spark, tmp_path):
+def test_range_write_manifest_agg_partial_combines(spark, tmp_path):
     """The manifest aggregation re-reads the chunk files just written
     (write_ranges_prechunked does not persist — caching the full-width
     post-shuffle rows would spill ~data size to disk per commit). The
-    re-read must be column-pruned to exactly key/identity/size, with
-    map-side partial aggregation so only per-chunk partials shuffle."""
+    content address hashes EVERY persisted column (the reference's
+    SSTable id covers the file's actual bytes — a range differing only
+    in an entry's physical address must not collapse), so the re-read
+    is full-width by design; the scale property that must hold is
+    map-side PARTIAL aggregation, so only O(1)-state per-chunk partials
+    cross the exchange."""
     df = spark.range(500).select(
         (F.col("id") % 5).alias("chunk_idx"),
         F.col("id").cast("string").alias("key"),
@@ -175,17 +179,13 @@ def test_range_write_manifest_agg_prunes_written_columns(spark, tmp_path):
     df.repartition("chunk_idx").write.partitionBy("chunk_idx").parquet(out)
     written = spark.read.parquet(out)
     agg = written.groupBy("chunk_idx").agg(
-        F.bit_xor(F.xxhash64(F.concat("key", "identity"))).alias("x0"),
+        F.bit_xor(F.xxhash64(F.concat("key", "identity", "etag"))).alias("x0"),
         F.min("key").alias("min_key"),
         F.max("key").alias("max_key"),
         F.count(F.lit(1)).alias("count"),
         F.sum("size").alias("estimated_size"),
     )
     plan = _plan(agg)
-    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
-    assert "etag" not in rs, plan  # unused payload columns pruned
-    for col in ("key", "identity", "size"):
-        assert col in rs, plan
     # partial agg below the Exchange: only per-chunk partials shuffle
     # (SortAggregate — string min/max buffers are not hash-agg eligible)
     assert "partial_bit_xor" in plan.split("Exchange")[1], plan

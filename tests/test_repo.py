@@ -1305,3 +1305,66 @@ def test_annotate_attributes_latest_touch(spark):
     }, got
     scoped = {r["key"] for r in repo.annotate("main", prefix="a/").collect()}
     assert scoped == {"a/1", "a/2"}
+
+
+def test_log_since_does_not_prune_traversal(repo, spark):
+    """`since` is an emission filter, not a traversal filter: a
+    backdated commit (clock skew / GC fixtures) must not hide newer
+    ancestors behind it (review regression)."""
+    repo.set_entry("main", {"key": "s/1", "identity": "i1", "size": 1, "etag": "e"})
+    c_old = repo.commit("main", "P2 newer-than-since", date=50.0)
+    repo.set_entry("main", {"key": "s/2", "identity": "i2", "size": 1, "etag": "e"})
+    repo.commit("main", "P1 backdated", date=10.0)
+    repo.set_entry("main", {"key": "s/3", "identity": "i3", "size": 1, "etag": "e"})
+    c_head = repo.commit("main", "H head", date=100.0)
+    msgs = [c.message for c in repo.log("main", since=40.0)]
+    assert msgs == ["H head", "P2 newer-than-since"], msgs
+    assert [c.commit_id for c in repo.log("main", since=40.0)] == [
+        c_head.commit_id, c_old.commit_id,
+    ]
+
+
+def test_import_multi_prefix_survivors_never_span_kept_ranges(spark):
+    """Import segmentation safety: with two replaced prefixes and kept
+    ranges between them, survivor blocks from the flanking boundary
+    ranges must never merge into a chunk spanning the kept ranges.
+    (The chunker's range-ends-at-boundary invariant covers the common
+    case; the injected interval edges make it unconditional — e.g.
+    under raggedness drift between imports.) Correctness pinned as the
+    full visible overlay + the sorted-disjoint manifest check inside
+    import_entries."""
+    import tempfile
+
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_imp2_"))
+    repo.raggedness = 31
+    base_keys = [f"{p}/{j:03d}" for p in ("aa", "bb", "cc", "dd", "ee") for j in range(80)]
+    def full(rows_df):
+        return rows_df.select(
+            "key", "identity",
+            F.lit(None).cast("string").alias("address"),
+            F.lit("RELATIVE").alias("address_type"),
+            "size", "etag",
+            F.lit(None).cast("timestamp").alias("last_modified"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+            F.lit(None).cast("string").alias("content_type"),
+        )
+
+    base = full(spark.createDataFrame(
+        [(k, f"old-{k}", 1, "e") for k in base_keys],
+        "key string, identity string, size long, etag string",
+    ))
+    repo.import_entries("main", base, message="base")
+    new_keys = [f"{p}/{j:03d}" for p in ("aa", "dd") for j in range(0, 160, 2)]
+    new = full(spark.createDataFrame(
+        [(k, f"new-{k}", 2, "e2") for k in new_keys],
+        "key string, identity string, size long, etag string",
+    ))
+    repo.import_entries(
+        "main", new, message="replace aa/ and dd/", replace_prefixes=["aa/", "dd/"]
+    )
+    got = {r["key"]: r["identity"] for r in repo.snapshot("main").collect()}
+    expect = {k: f"old-{k}" for k in base_keys if not (k.startswith("aa/") or k.startswith("dd/"))}
+    expect.update({k: f"new-{k}" for k in new_keys})
+    assert got == expect
