@@ -178,13 +178,20 @@ def merge_changes_from_diffs(
     """
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown merge strategy {strategy!r}")
+    # removed rows null the identity AND the payload: diff() fills a
+    # removed row's payload from the base side, and a resolver must not
+    # see that stale payload (e.g. prefer_newer comparing the deleted
+    # entry's old timestamp would silently resolve a delete-vs-change
+    # conflict its contract says stays a conflict)
+    removed = F.col("diff_type") == "removed"
     qual = lambda df, p: df.select(  # noqa: E731
         F.col("key"),
-        F.when(F.col("diff_type") == "removed", F.lit(None))
-        .otherwise(F.col("identity"))
-        .alias(f"{p}_identity"),
+        F.when(removed, F.lit(None)).otherwise(F.col("identity")).alias(f"{p}_identity"),
         F.lit(True).alias(f"{p}_present"),
-        *[F.col(c).alias(f"{p}_{c}") for c in _PAYLOAD],
+        *[
+            F.when(removed, F.lit(None)).otherwise(F.col(c)).alias(f"{p}_{c}")
+            for c in _PAYLOAD
+        ],
     )
     j = qual(sdiff, "s").join(qual(ddiff, "d"), on="key", how="full_outer")
     s_id, d_id = F.col("s_identity"), F.col("d_identity")

@@ -172,13 +172,19 @@ class Repository:
         # and the actions dispatcher reuses the base id for its task
         # rows so the runs API chains run -> hooks on the same id
         ctx = dict(ctx, run_id=f"{int(time.time() * 1e6):016x}")
+        abortable = event.startswith("pre") or event == "prepare-commit"
         for i, fn in enumerate(fns):
             status, err = "completed", None
             try:
                 fn(self, event, ctx)
             except Exception as e:
-                status, err = "aborted", f"{type(e).__name__}: {e}"
-                raise
+                status = "aborted" if abortable else "failed"
+                err = f"{type(e).__name__}: {e}"
+                # post-* hooks run AFTER the operation landed: a flaky
+                # post-commit webhook must not make a succeeded commit
+                # look failed (the reference records and moves on)
+                if abortable:
+                    raise
             finally:
                 self._log_run(event, i, status, err, ctx)
 
@@ -258,12 +264,19 @@ class Repository:
     # -- branch protection ---------------------------------------------------
 
     def protection_rules(self) -> list[dict]:
-        # legacy doc location kept for repos written before the
-        # settings manager unification
+        # union of the settings store and the legacy doc location
+        # (pre-settings repos), deduped — a migration interrupted
+        # between the settings write and the legacy delete must not
+        # hide rules or double-apply them
+        rules = list(self.get_setting("protected_branches", {"rules": []})["rules"])
         legacy = self.store.get_doc("protected_branches")
         if legacy:
-            return legacy[0]["rules"]
-        return self.get_setting("protected_branches", {"rules": []})["rules"]
+            seen = {json.dumps(r, sort_keys=True) for r in rules}
+            rules += [
+                r for r in legacy[0]["rules"]
+                if json.dumps(r, sort_keys=True) not in seen
+            ]
+        return rules
 
     def protect_branch(self, pattern: str, blocked: tuple[str, ...] = ("staging_write", "commit")) -> None:
         """Add a protection rule: fnmatch ``pattern`` over branch names,
@@ -275,10 +288,16 @@ class Repository:
         via merge, not direct commit)."""
         if self.store.get_doc("protected_branches"):  # migrate legacy doc
             legacy = self.store.get_doc("protected_branches")[0]["rules"]
+
+            def _merge_legacy(cur):
+                cur_rules = (cur or {"rules": []})["rules"]
+                seen = {json.dumps(r, sort_keys=True) for r in cur_rules}
+                return {"rules": cur_rules + [
+                    r for r in legacy if json.dumps(r, sort_keys=True) not in seen
+                ]}
+
             self.update_setting(
-                "protected_branches",
-                lambda cur: {"rules": (cur or {"rules": []})["rules"] + legacy},
-                default={"rules": []},
+                "protected_branches", _merge_legacy, default={"rules": []}
             )
             self.store.delete_doc("protected_branches")
         new_rule = {"pattern": pattern, "blocked": list(blocked)}
@@ -391,6 +410,9 @@ class Repository:
         self._fire("post-create-branch", branch=name, head=head)
 
     def delete_branch(self, name: str) -> None:
+        if name == self.default_branch:
+            raise RefError("cannot delete the repository's default branch")
+        self._check_protected(name, "delete")
         self._fire("pre-delete-branch", branch=name)
         self.store.delete_doc(self._branch_key(name))
         shutil.rmtree(os.path.join(self.root, "staging", name), ignore_errors=True)
@@ -743,8 +765,22 @@ class Repository:
         if cmid is None:
             if staged is None:
                 return diff_ops.diff(R.empty_entries(self.spark), R.empty_entries(self.spark))
-            committed = R.read_snapshot(self.spark, self.store, head_mid)
-            return diff_ops.uncommitted_diff(staged, committed)
+            # prune to ranges covering any staged key: a one-key staged
+            # change on a 10^4-range snapshot reads one range file, not
+            # the repo (same executor-side interval probe as the
+            # compacted path below)
+            hm = (
+                R.read_manifest(self.store, head_mid)
+                if head_mid != R.EMPTY_METARANGE
+                else pd.DataFrame(columns=R.MANIFEST_COLS)
+            )
+            staged = staged.persist()
+            try:
+                touched = commit_apply.ranges_containing_keys(self.spark, hm, staged)
+                committed = R.read_ranges(self.spark, self.store, sorted(touched))
+                return diff_ops.uncommitted_diff(staged, committed)
+            finally:
+                staged.unpersist()
         # compacted branch: 2-way diff head -> overlay(staged, compacted),
         # pruned to (a) ranges whose id differs between the two manifests
         # and (b) ranges covering any staged key (sound: a range selected
@@ -901,7 +937,9 @@ class Repository:
             for r in actions.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         if counts.get("conflict"):
-            raise ConflictError(actions.where(F.col("action") == "conflict"))
+            conflicts = actions.where(F.col("action") == "conflict")
+            actions.unpersist()  # the conflicts df recomputes from lineage
+            raise ConflictError(conflicts)
         changes = actions.where(F.col("action") != "conflict").select(
             (F.col("action") == "delete").alias("is_tombstone"),
             F.col("key"),
@@ -1008,6 +1046,11 @@ class Repository:
             raise DirtyBranchError(f"branch {branch!r} has uncommitted changes")
         cid = self.resolve(ref).commit_id
         c = self.commits.get(cid)
+        if c.parents and not 1 <= parent_number <= len(c.parents):
+            raise RefError(
+                f"commit {cid[:12]} has {len(c.parents)} parent(s); "
+                f"parent_number {parent_number} is out of range"
+            )
         parent = c.parents[parent_number - 1] if c.parents else None
         self._fire("pre-revert", branch=branch, ref=cid)
 
@@ -1043,6 +1086,11 @@ class Repository:
             raise DirtyBranchError(f"branch {branch!r} has uncommitted changes")
         cid = self.resolve(ref).commit_id
         c = self.commits.get(cid)
+        if c.parents and not 1 <= parent_number <= len(c.parents):
+            raise RefError(
+                f"commit {cid[:12]} has {len(c.parents)} parent(s); "
+                f"parent_number {parent_number} is out of range"
+            )
         parent = c.parents[parent_number - 1] if c.parents else None
         self._fire("pre-cherry-pick", branch=branch, ref=cid)
 
@@ -1083,11 +1131,17 @@ class Repository:
         from lakefs_spark.operators.overlay import dedup_entries
         from lakefs_spark.storage.commit_apply import import_apply
 
+        self._check_protected(branch, "commit")
         ents = dedup_entries(entries.select(*ENTRY_COLS))
 
         def attempt() -> Commit:
-            head = self._read_branch(branch)["head"]
-            head_mid = self._metarange_of(head)
+            st = self._read_branch(branch)
+            head = st["head"]
+            # a pending compacted base IS the branch's committed view —
+            # importing over head_mid alone would orphan it (reads
+            # prefer compacted_mid, the next commit would rebuild from
+            # it and silently drop the import)
+            head_mid = st.get("compacted_mid") or self._metarange_of(head)
             base_manifest = (
                 R.read_manifest(self.store, head_mid) if head_mid != R.EMPTY_METARANGE else None
             )
@@ -1110,7 +1164,9 @@ class Repository:
                 committer=committer,
                 creation_date=date,
             )
-            self._cas_update(branch, head, {"head": commit.commit_id})
+            self._cas_update(
+                branch, head, {"head": commit.commit_id}, drop=("compacted_mid",)
+            )
             return commit
 
         return self._retry_branch_update(branch, attempt)
@@ -1306,6 +1362,16 @@ class Repository:
             raw = self._staged_raw(branch)
             if raw is not None:
                 dfs.append(raw.where(~F.col("is_tombstone")).select("address"))
+            # a pending compacted base is uncommitted state too: compact()
+            # folds staging into compacted_mid and CLEARS the staging dir,
+            # so its addresses appear in no active commit and no staging —
+            # without this they would be marked unreachable and swept,
+            # and the branch's next commit would reference deleted data
+            cmid = self._read_branch(branch).get("compacted_mid")
+            if cmid and cmid != R.EMPTY_METARANGE:
+                dfs.append(
+                    R.read_snapshot(self.spark, self.store, cmid).select("address")
+                )
         if not dfs:
             return self.spark.createDataFrame([], "address string")
         out = dfs[0]
@@ -1404,7 +1470,10 @@ class Repository:
         self._check_protected(branch, "commit")
         cid = self.resolve(ref).commit_id
         st = self._read_branch(branch)
-        self._write_branch(branch, {**st, "head": cid})
+        # conditional PUT like every other pointer mutation: an
+        # unconditional write could silently undo a concurrent
+        # staging_seq bump and hand two stagers the same directory
+        self._cas_update(branch, st["head"], {"head": cid})
         self.reset_branch(branch)
 
     # -- dump / restore refs -------------------------------------------------

@@ -1368,3 +1368,75 @@ def test_import_multi_prefix_survivors_never_span_kept_ranges(spark):
     expect = {k: f"old-{k}" for k in base_keys if not (k.startswith("aa/") or k.startswith("dd/"))}
     expect.update({k: f"new-{k}" for k in new_keys})
     assert got == expect
+
+
+def test_gc_keeps_pending_compacted_addresses(repo, spark):
+    """Review regression: addresses referenced only by a pending
+    compacted base (compact() clears staging) must stay out of the GC
+    mark set — sweeping them would break the branch's next commit."""
+    repo.set_entry("main", {"key": "g/1", "identity": "i1", "size": 1, "etag": "e",
+                            "address": "data/gc/committed"})
+    repo.commit("main", "base")
+    repo.set_entry("main", {"key": "g/2", "identity": "i2", "size": 1, "etag": "e",
+                            "address": "data/gc/pending"})
+    repo.compact("main")  # folds staging into compacted_mid, clears staging
+    listing = spark.createDataFrame(
+        [("data/gc/committed",), ("data/gc/pending",), ("data/gc/orphan",)],
+        "address string",
+    )
+    marked = {r["address"] for r in repo.gc_mark(listing, 365.0).collect()}
+    assert marked == {"data/gc/orphan"}, marked
+
+
+def test_import_over_pending_compaction_folds_base(repo, spark):
+    """Review regression: import_entries on a branch with a pending
+    compacted base must fold it in (and clear the pointer) — not
+    orphan it, which made the import invisible and then lost."""
+    repo.set_entry("main", {"key": "c/1", "identity": "i1", "size": 1, "etag": "e"})
+    repo.commit("main", "base")
+    repo.set_entry("main", {"key": "c/2", "identity": "i2", "size": 1, "etag": "e"})
+    repo.compact("main")
+    imported = spark.createDataFrame(
+        [("c/3", "i3", None, "RELATIVE", 1, "e", None, None, None)],
+        "key string, identity string, address string, address_type string, "
+        "size long, etag string, last_modified timestamp, "
+        "metadata map<string,string>, content_type string",
+    )
+    repo.import_entries("main", imported, message="import over compaction")
+    assert repo._read_branch("main").get("compacted_mid") is None
+    keys = {r["key"] for r in repo.snapshot("main").collect()}
+    assert keys == {"c/1", "c/2", "c/3"}, keys
+    assert repo.get("main", "c/3") is not None  # visible immediately
+    repo.set_entry("main", {"key": "c/4", "identity": "i4", "size": 1, "etag": "e"})
+    repo.commit("main", "next commit keeps the import")
+    keys2 = {r["key"] for r in repo.snapshot("main").collect()}
+    assert keys2 == {"c/1", "c/2", "c/3", "c/4"}, keys2
+
+
+def test_post_hook_failure_does_not_fail_the_commit(repo, spark):
+    """Review regression: a post-commit hook exception is recorded
+    (status=failed) but must not make the landed commit raise."""
+    repo.on("post-commit", lambda r, e, c: 1 / 0)
+    repo.set_entry("main", {"key": "p/1", "identity": "i1", "size": 1, "etag": "e"})
+    c = repo.commit("main", "lands despite flaky post hook")
+    assert repo._read_branch("main")["head"] == c.commit_id
+    run = repo.hook_runs("post-commit")[0]
+    assert run["status"] == "failed" and "ZeroDivisionError" in run["error"]
+
+
+def test_delete_default_branch_refused(repo, spark):
+    from lakefs_spark.storage.refs import RefError
+
+    with pytest.raises(RefError, match="default branch"):
+        repo.delete_branch("main")
+
+
+def test_revert_parent_number_out_of_range(repo, spark):
+    from lakefs_spark.storage.refs import RefError
+
+    repo.set_entry("main", {"key": "r/1", "identity": "i1", "size": 1, "etag": "e"})
+    c = repo.commit("main", "single parentless-parent commit")
+    repo.set_entry("main", {"key": "r/2", "identity": "i2", "size": 1, "etag": "e"})
+    repo.commit("main", "child")
+    with pytest.raises(RefError, match="out of range"):
+        repo.revert("main", "main", parent_number=2)

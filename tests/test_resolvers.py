@@ -123,3 +123,38 @@ def test_repository_merge_with_resolvers(spark, tmp_path):
     assert repo.branches()["main"] == c.commit_id
     row = repo.get("main", "k")
     assert row["identity"] == "v-src"
+
+
+def test_prefer_newer_keeps_delete_vs_change_conflict_on_engine_path(spark, tmp_path):
+    """Review regression: on the diff-based engine merge path, removed
+    rows must not leak the base entry's payload to resolvers —
+    prefer_newer would otherwise compare the DELETED side's stale
+    timestamp and silently resolve a delete-vs-change conflict."""
+    import datetime
+
+    from lakefs_spark.operators.merge import (
+        merge_changes_from_diffs,
+        prefer_newer_resolver,
+    )
+
+    def ts(h):
+        return datetime.datetime(2026, 1, 1, h)
+
+    # source deleted k; dest changed k (with a newer timestamp)
+    schema = (
+        "key string, diff_type string, identity string, left_identity string, "
+        "address string, address_type string, size long, etag string, "
+        "last_modified timestamp, metadata map<string,string>, content_type string"
+    )
+    sdiff = spark.createDataFrame(
+        [("k", "removed", "base-id", None, None, "RELATIVE", 1, "e", ts(1), None, None)],
+        schema,
+    )
+    ddiff = spark.createDataFrame(
+        [("k", "changed", "dest-id", "base-id", None, "RELATIVE", 1, "e", ts(9), None, None)],
+        schema,
+    )
+    out = merge_changes_from_diffs(
+        sdiff, ddiff, "none", resolvers=[prefer_newer_resolver()]
+    ).collect()
+    assert [r["action"] for r in out] == ["conflict"], out
