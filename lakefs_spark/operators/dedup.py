@@ -49,11 +49,16 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     start offsets -> slice+concat -> explode distinct.
     """
     toks = F.split(F.col(text_col), " ")
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    count = F.size(toks) - F.lit(n - 1)
+    # a doc with < n tokens has ZERO shingles: sequence(1, 0) would
+    # descend ([1, 0]) and slice(toks, 0, n) throws — guard to empty
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
@@ -155,13 +160,16 @@ def minhash_bands(
 ) -> DataFrame:
     """LSH banding: (id, band_id, band_hash). Docs sharing any band
     bucket are near-dup candidates."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    out = None
-    for b in range(bands):
-        band = sig.select(
-            F.col(id_col),
-            F.lit(b).alias("band_id"),
+    # ONE projection + posexplode — a bands-way union would embed the
+    # whole signature-aggregation plan once per band
+    band_arr = F.array(
+        *[
             F.md5(
                 F.array_join(
                     F.transform(
@@ -170,10 +178,13 @@ def minhash_bands(
                     ),
                     ",",
                 )
-            ).alias("band_hash"),
-        )
-        out = band if out is None else out.unionByName(band)
-    return out
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_hash")
+    ).select(F.col(id_col), F.col("band_id").cast("int").alias("band_id"), "band_hash")
 
 
 def minhash_candidates(
@@ -326,7 +337,14 @@ def duplicate_clusters(
         labels = new
         if changed == 0:
             break
-    out = labels.select(F.col("node").alias("member"), F.col("label").alias("rep"))
+    out = (
+        labels.select(F.col("node").alias("member"), F.col("label").alias("rep"))
+        # materialize BEFORE dropping the caches: the caller's first
+        # action would otherwise replay the full multi-round
+        # propagation (with the expensive candidate plan embedded per
+        # round) completely uncached
+        .localCheckpoint()
+    )
     labels.unpersist()
     und.unpersist()
     e.unpersist()
@@ -341,9 +359,15 @@ def simhash_near_dups(
     max_hamming: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs from SimHash signatures: candidates share at
-    least one of ``bands`` equal-width signature bands (pigeonhole: any
-    pair within 64/bands - 1 flipped bits per band must collide on some
-    band), verified by exact Hamming distance <= ``max_hamming``.
+    least one of ``bands`` equal-width signature bands, then exact
+    Hamming distance <= ``max_hamming`` verifies the pair.
+
+    Recall contract (pigeonhole): a colliding band is GUARANTEED only
+    for pairs with fewer than ``bands`` differing bits — pairs with
+    Hamming distance in [bands, max_hamming] are found only when their
+    flipped bits happen to leave some band untouched. Raise ``bands``
+    toward ``max_hamming + 1`` for guaranteed recall (at quadratically
+    more candidate collisions).
 
     Scale shape: the (band, band_val) equi-join replaces the all-pairs
     comparison — the same banding trick as MinHash LSH but over one
@@ -351,6 +375,10 @@ def simhash_near_dups(
     is fill-independent ((sig >> s) & mask strips arithmetic-shift fill
     bits), so the SQL oracle reproduces it on two's-complement BIGINTs.
     """
+    if not (2 <= bands <= 32 and 64 % bands == 0):
+        # bands=1 would need a 64-bit all-ones literal (overflows the
+        # int64 lit); non-divisors would silently drop the top bits
+        raise ValueError(f"bands must divide 64 and be in [2, 32], got {bands}")
     width = 64 // bands
     mask = (1 << width) - 1
     band_arr = F.array(

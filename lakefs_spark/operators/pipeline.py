@@ -290,12 +290,17 @@ def band_filter(
         F.percentile(v, F.lit(lo_q)).alias("q_lo"),
         F.percentile(v, F.lit(hi_q)).alias("q_hi"),
     )
+    # decide on the ROUNDED bounds (round-before-decide, like
+    # quality_score): the emitted q_lo/q_hi and the keep decision must
+    # agree, and last-ulp differences between Spark percentile and the
+    # oracle's quantile_cont must not flip rows
+    qlo, qhi = F.round("q_lo", 6), F.round("q_hi", 6)
     return df.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
         v.cast("long").alias("value"),
-        F.round("q_lo", 6).alias("q_lo"),
-        F.round("q_hi", 6).alias("q_hi"),
-        ((v >= F.col("q_lo")) & (v <= F.col("q_hi"))).alias("in_band"),
+        qlo.alias("q_lo"),
+        qhi.alias("q_hi"),
+        ((v >= qlo) & (v <= qhi)).alias("in_band"),
     )
 
 

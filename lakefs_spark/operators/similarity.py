@@ -217,8 +217,7 @@ def _normalize_codebook(cent_rows: list[tuple[int, list[float]]]) -> list[tuple[
 def _fold_assignment(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """argmax_c dot(vec, c) over a unit-normalized driver-side codebook,
     folded into ONE JVM projection (no shuffle, no K-times row blowup);
-    strictly-greater replacement == (sim desc, cid asc) tie-break.
-    Returns a struct (cid, s)."""
+    (sim desc, cid asc) tie-break. Returns a struct (cid, s)."""
     cent_arr = F.array(
         *[
             F.struct(
@@ -228,17 +227,18 @@ def _fold_assignment(vec: Column, cents: list[tuple[int, list[float]]]) -> Colum
             for cid, v in cents
         ]
     )
-    return F.aggregate(
+    # ONE dot per centroid: higher-order lambdas are interpreted (no
+    # codegen CSE), so a when(dot > acc.s, struct(dot, ...)) shape
+    # evaluates the O(dim) fold twice per centroid — score once into
+    # (s, -cid) structs, then array_max picks (s desc, cid asc)
+    scored = F.transform(
         cent_arr,
-        F.struct(
-            F.lit(-1).cast("long").alias("cid"),
-            F.lit(float("-inf")).cast("double").alias("s"),
+        lambda c: F.struct(
+            _dot(vec, c["cv"]).alias("s"), (-c["cid"]).alias("ncid")
         ),
-        lambda acc, c: F.when(
-            _dot(vec, c["cv"]) > acc["s"],
-            F.struct(c["cid"].alias("cid"), _dot(vec, c["cv"]).alias("s")),
-        ).otherwise(acc),
     )
+    best = F.array_max(scored)
+    return F.struct((-best["ncid"]).alias("cid"), best["s"].alias("s"))
 
 
 def kmeans_codebook(
@@ -432,6 +432,11 @@ def pq_codebooks(
             f"PQ codebooks are literal-folded per subspace; K={n_centroids} "
             f"exceeds FOLD_MAX_K={FOLD_MAX_K} (PQ codes are bytes — use K <= 256)"
         )
+    if dim % n_sub:
+        raise ValueError(
+            f"dim ({dim}) must be divisible by n_sub ({n_sub}) — a remainder "
+            "would silently drop the trailing dimensions from every code"
+        )
     d0 = dim // n_sub
     rows = _codebook_rows(corpus, n_centroids, id_col, vec_col)
     return {
@@ -441,9 +446,9 @@ def pq_codebooks(
 
 def _fold_l2_assignment(subvec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """argmin_c ||v - c||^2 == argmax_c dot(v,c) - ||c||^2/2, folded
-    into ONE JVM projection; strictly-greater replacement == tie -> min
-    cid. ||c||^2/2 is a Python-computed literal (sequential sum, the
-    same add order the oracle's SQL sum uses)."""
+    into ONE JVM projection; ties -> min cid. ||c||^2/2 is a
+    Python-computed literal (sequential sum, the same add order the
+    oracle's SQL sum uses)."""
     cent_arr = F.array(
         *[
             F.struct(
@@ -454,17 +459,15 @@ def _fold_l2_assignment(subvec: Column, cents: list[tuple[int, list[float]]]) ->
             for cid, v in cents
         ]
     )
-    return F.aggregate(
+    # same single-evaluation shape as _fold_assignment
+    scored = F.transform(
         cent_arr,
-        F.struct(
-            F.lit(-1).cast("long").alias("cid"),
-            F.lit(float("-inf")).cast("double").alias("s"),
+        lambda c: F.struct(
+            (_dot(subvec, c["cv"]) - c["h"]).alias("s"), (-c["cid"]).alias("ncid")
         ),
-        lambda acc, c: F.when(
-            _dot(subvec, c["cv"]) - c["h"] > acc["s"],
-            F.struct(c["cid"].alias("cid"), (_dot(subvec, c["cv"]) - c["h"]).alias("s")),
-        ).otherwise(acc),
     )
+    best = F.array_max(scored)
+    return F.struct((-best["ncid"]).alias("cid"), best["s"].alias("s"))
 
 
 def pq_codes(

@@ -57,8 +57,16 @@ def occurrence_count(text: Column, needle: str) -> Column:
 
 
 def stopword_hits(text: Column, lang: str = "en") -> Column:
-    """Count of stopword occurrences (space-delimited) for a language."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    """Count of stopword occurrences (space-delimited) for a language.
+
+    Case-insensitive (title-case sentence starts count), and spaces are
+    doubled before matching so ADJACENT repeats each count — with
+    single spacing, non-overlapping replace of " the " consumes the
+    delimiter the next occurrence needs ("the the the" would count 2,
+    not 3, systematically under-scoring repetitive text)."""
+    padded = F.concat(
+        F.lit(" "), F.replace(F.lower(text), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
     hits = None
     for w in STOPWORDS[lang]:
         c = occurrence_count(padded, f" {w} ")
@@ -96,7 +104,8 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n_chars = F.length(t)
     n_tokens = token_count(t)
     n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
-    alpha = F.length(F.regexp_replace(t, "[^a-z]", ""))
+    # case-insensitive: all-caps / title-case text is alphabetic too
+    alpha = F.length(F.regexp_replace(F.lower(t), "[^a-z]", ""))
     sw = stopword_hits(t, "en")
     return df.select(
         F.col(id_col),

@@ -271,7 +271,7 @@ def q_quality_classifier() -> str:
     return f"""
     with feats as (
       select doc_id,
-             round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+             round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
                    / greatest(length(text), 1), 4) as alpha_ratio,
              round({sw} / greatest(cast(length(split(text, ' ')) as double), 1.0), 4)
                as stopword_ratio,
@@ -313,7 +313,9 @@ def q_token_fertility() -> str:
 
 
 def _sw_hits_sql(text_expr: str, lang: str) -> str:
-    padded = f"(' ' || {text_expr} || ' ')"
+    # case-insensitive + doubled spaces so adjacent repeats each count
+    # (mirrors operators/text.stopword_hits)
+    padded = f"(' ' || replace(lower({text_expr}), ' ', '  ') || ' ')"
     terms = []
     for w in STOPWORDS[lang]:
         needle = f" {w} "
@@ -330,8 +332,8 @@ def q_text_quality() -> str:
            length(text) as n_chars,
            cast(length(split(text, ' ')) as bigint) as n_tokens,
            cast(length(text) - length(replace(text, ' ', '')) as bigint) as n_spaces,
-           cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as bigint) as n_alpha,
-           round(length(regexp_replace(text, '[^a-z]', '', 'g')) / greatest(length(text), 1), 4) as alpha_ratio,
+           cast(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as bigint) as n_alpha,
+           round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(length(text), 1), 4) as alpha_ratio,
            cast({sw} as bigint) as stopword_hits,
            round({sw} / greatest(cast(length(split(text, ' ')) as double), 1.0), 4) as stopword_ratio
     from documents
@@ -549,7 +551,7 @@ def q_corpus_funnel() -> str:
     band as (select quantile_cont(n_chars, 0.05) as lo,
                     quantile_cont(n_chars, 0.95) as hi from t),
     q as (select doc_id,
-                 round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                 round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
                        / greatest(length(text), 1), 4) as alpha_ratio
           from t),
     base_rep as (select doc_id,
@@ -575,13 +577,13 @@ def q_corpus_funnel() -> str:
              from totals tt left join hits h on h.doc_id = tt.doc_id),
     flags as (
       select t.doc_id, t.n_toks,
-             (t.n_chars >= band.lo and t.n_chars <= band.hi) as s1,
-             (t.n_chars >= band.lo and t.n_chars <= band.hi)
+             (t.n_chars >= round(band.lo, 6) and t.n_chars <= round(band.hi, 6)) as s1,
+             (t.n_chars >= round(band.lo, 6) and t.n_chars <= round(band.hi, 6))
                and q.alpha_ratio >= 0.75 as s2,
-             (t.n_chars >= band.lo and t.n_chars <= band.hi)
+             (t.n_chars >= round(band.lo, 6) and t.n_chars <= round(band.hi, 6))
                and q.alpha_ratio >= 0.75
                and coalesce(rep.rep_ratio, 0.0) <= 0.2 as s3,
-             (t.n_chars >= band.lo and t.n_chars <= band.hi)
+             (t.n_chars >= round(band.lo, 6) and t.n_chars <= round(band.hi, 6))
                and q.alpha_ratio >= 0.75
                and coalesce(rep.rep_ratio, 0.0) <= 0.2
                and coalesce(cont.contamination, 0.0) <= 0.05 as s4
@@ -2243,7 +2245,7 @@ def q_length_band_filter() -> str:
                from documents)
     select doc_id, cast(n_chars as bigint) as value,
            round(q_lo, 6) as q_lo, round(q_hi, 6) as q_hi,
-           n_chars >= q_lo and n_chars <= q_hi as in_band
+           n_chars >= round(q_lo, 6) and n_chars <= round(q_hi, 6) as in_band
     from documents, q
     """
 

@@ -229,3 +229,71 @@ def test_bloom_decontaminate_probe_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # the k probe joins
+
+
+def test_shingles_short_docs_yield_zero_not_crash(spark):
+    """Review regression: a doc with fewer than n tokens must produce
+    ZERO shingles (sequence(1,0) used to descend and slice(…,0,…)
+    crashed the stage — one short doc killed every dedup operator)."""
+    from lakefs_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(1, "just two"), (2, "one"), (3, "a b c d")], "doc_id long, text string"
+    )
+    rows = shingles(docs, n=3).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert {r["shingle"] for r in rows} == {"a b c", "b c d"}
+
+
+def test_stopword_hits_adjacent_repeats_and_case(spark):
+    """Review regressions: adjacent repeated stopwords each count
+    (space-doubling), and matching is case-insensitive."""
+    from lakefs_spark.operators.text import quality_features, stopword_hits
+
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "THE QUICK BROWN FOX"), (3, "The end of The road")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", stopword_hits(F.col("text")).alias("h")).collect()
+    }
+    assert got[1] == 3          # was 2 under single-space padding
+    assert got[2] == 1          # 'THE' counts case-insensitively
+    assert got[3] == 3          # The, of, The
+    qf = {r["doc_id"]: r["alpha_ratio"] for r in quality_features(docs).collect()}
+    assert qf[2] > 0.7          # all-caps text is alphabetic
+
+
+def test_simhash_bands_guard_and_minhash_divisibility(spark):
+    import pytest as _pytest
+
+    from lakefs_spark.operators.dedup import minhash_bands, simhash_near_dups
+
+    sigs = spark.createDataFrame([(1, 0), (2, 3)], "doc_id long, simhash long")
+    with _pytest.raises(ValueError, match="bands"):
+        simhash_near_dups(sigs, bands=1)
+    with _pytest.raises(ValueError, match="bands"):
+        simhash_near_dups(sigs, bands=7)
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_bands(docs, num_hashes=10, bands=3)
+
+
+def test_pq_dim_divisibility_guard(spark):
+    import pytest as _pytest
+
+    from lakefs_spark.operators.similarity import pq_codebooks
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, n_sub=7, dim=64)
+
+
+def test_band_filter_decides_on_rounded_bounds(spark):
+    docs = spark.createDataFrame(
+        [(i, i) for i in range(1, 101)], "doc_id long, n_chars long"
+    )
+    rows = P.band_filter(docs, "n_chars", 0.05, 0.95).collect()
+    for r in rows:
+        assert r["in_band"] == (r["q_lo"] <= r["value"] <= r["q_hi"]), r
