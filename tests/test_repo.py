@@ -1440,3 +1440,38 @@ def test_revert_parent_number_out_of_range(repo, spark):
     repo.commit("main", "child")
     with pytest.raises(RefError, match="out of range"):
         repo.revert("main", "main", parent_number=2)
+
+
+def test_uncommitted_diff_prunes_to_touched_ranges(spark):
+    """Review regression: one staged key on a many-range snapshot must
+    read only the range(s) covering it, not the whole repo."""
+    import tempfile
+
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_prune_"))
+    repo.raggedness = 16
+    ents = spark.createDataFrame(
+        [(f"k/{i:04d}", f"i{i}", 1, "e") for i in range(400)],
+        "key string, identity string, size long, etag string",
+    ).select(
+        "key", "identity",
+        F.lit(None).cast("string").alias("address"),
+        F.lit("RELATIVE").alias("address_type"),
+        "size", "etag",
+        F.lit(None).cast("timestamp").alias("last_modified"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("string").alias("content_type"),
+    )
+    repo.import_entries("main", ents, message="base")
+    mid = repo._metarange_of(repo._read_branch("main")["head"])
+    from lakefs_spark.storage import ranges as R
+
+    n_ranges = len(R.read_manifest(repo.store, mid))
+    assert n_ranges >= 5, n_ranges  # multi-range snapshot
+    repo.set_entry("main", {"key": "k/0200", "identity": "new", "size": 2, "etag": "e2"})
+    d = repo.uncommitted("main")
+    range_files = [f for f in d.inputFiles() if "/ranges/" in f]
+    assert len(range_files) <= 2, range_files  # touched range(s) only
+    rows = {(r["key"], r["diff_type"]) for r in d.collect()}
+    assert rows == {("k/0200", "changed")}, rows
