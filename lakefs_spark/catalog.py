@@ -257,17 +257,35 @@ class Catalog:
         (updateObjectUserMetadata — api/swagger.yml; the reference
         restages the entry with new metadata and a recomputed
         identity). 404s via KeyError if the object is not visible."""
+        import json as _json
+
+        from lakefs_spark.functions.ident import typed_hash_hex
+
         cur = self.get_object(branch, path)
         if cur is None:
             raise KeyError(f"{path!r} not found on {branch!r}")
-        self.upload_object(
+        # restage IN PLACE: upload_object would reset address_type to
+        # RELATIVE (corrupting zero-copy FULL-address imports) and drop
+        # last_modified; only metadata and the identity may change
+        ctype = cur["content_type"] or "application/octet-stream"
+        parts = [
+            str(cur["size"]), cur["etag"],
+            _json.dumps(dict(sorted(metadata.items())), separators=(",", ":")),
+            ctype,
+        ]
+        self.repo.set_entry(
             branch,
-            path,
-            cur["address"],
-            cur["size"],
-            cur["etag"],
-            content_type=cur["content_type"] or "application/octet-stream",
-            metadata=metadata,
+            {
+                "key": path,
+                "identity": typed_hash_hex(parts),
+                "address": cur["address"],
+                "address_type": cur["address_type"],
+                "size": cur["size"],
+                "etag": cur["etag"],
+                "last_modified": cur["last_modified"],
+                "metadata": dict(metadata),
+                "content_type": ctype,
+            },
         )
 
     def delete_object(self, branch: str, path: str) -> None:
@@ -477,10 +495,13 @@ class Catalog:
         status = ImportStatus(import_id)
         self._imports[import_id] = status
         try:
+            # count first: counting AFTER the commit re-runs the input
+            # plan, and a failure there would mark a LANDED import as
+            # errored (inviting a double-applying retry)
+            status.ingested_objects = entries.count()
             status.commit = self.repo.import_entries(
                 branch, entries, replace_prefixes=replace_prefixes, message=message
             )
-            status.ingested_objects = entries.count()
             status.completed = True
         except Exception as e:  # recorded, surfaced via import_status
             status.error = f"{type(e).__name__}: {e}"

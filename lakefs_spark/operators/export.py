@@ -31,9 +31,15 @@ def symlink_manifest(entries: DataFrame) -> DataFrame:
     newline-joined sorted physical addresses — exactly the bytes of
     that directory's ``symlink.txt``.
     """
+    key = F.col("key")
     return (
         entries.select(
-            F.regexp_replace(F.col("key"), "/[^/]*$", "").alias("dir"),
+            # a key without '/' lives in the ROOT manifest (dir "") —
+            # the unanchored regexp would leave it unchanged and turn
+            # the file name into a bogus partition directory
+            F.when(
+                key.contains("/"), F.regexp_replace(key, "/[^/]*$", "")
+            ).otherwise(F.lit("")).alias("dir"),
             "address",
         )
         .groupBy("dir")
@@ -75,10 +81,13 @@ def hive_partitions(entries: DataFrame, table_prefix: str) -> DataFrame:
     inventory: ``(part_value, n_objects, total_size)`` — one shuffled
     row per partition after map-side partial aggregation.
     """
-    sfx = F.substring(F.col("key"), len(table_prefix) + 1, 1_000_000)
+    # component boundary: 'tables/animals' must not match sibling
+    # 'tables/animals_v2/...' rows as a bogus '_v2' partition
+    prefix = table_prefix.rstrip("/") + "/"
+    sfx = F.substring(F.col("key"), len(prefix) + 1, 1_000_000)
     pos = F.instr(sfx, "/")
     return (
-        entries.where(F.col("key").startswith(table_prefix) & (pos > 0))
+        entries.where(F.col("key").startswith(prefix) & (pos > 0))
         .select(sfx.substr(F.lit(1), pos - 1).alias("part_value"), "size")
         .groupBy("part_value")
         .agg(
@@ -175,6 +184,7 @@ def delta_log_export(
     schema_json: str | None = None,
     table_name: str = "exported",
     version: int = 0,
+    prev_entries: DataFrame | None = None,
 ) -> str:
     """Write a Delta Lake transaction-log version file for a snapshot.
 
@@ -184,20 +194,37 @@ def delta_log_export(
     log format per the Delta Lake VLDB'20 paper, PAPERS.md). The table
     id is content-derived so re-exporting the same snapshot is
     idempotent. Returns the log file path.
+
+    ``version > 0`` requires ``prev_entries`` (the previously exported
+    snapshot): Delta log replay is union-of-adds minus removes, so an
+    incremental version must emit ``remove`` actions for paths that
+    left the snapshot and adds ONLY for paths that entered — a full
+    re-add would leave deleted files visible and duplicate the rest.
     """
+    if version > 0 and prev_entries is None:
+        raise ValueError(
+            "version > 0 needs prev_entries: without removes, objects "
+            "deleted since the previous export stay visible to readers"
+        )
+    sel = ["key", "address", "size", "last_modified"]
+    removed = None
+    if prev_entries is not None:
+        cur, prev = entries.select(*sel), prev_entries.select(*sel)
+        removed = prev.join(cur.select("address"), "address", "left_anti")
+        entries = cur.join(prev.select("address"), "address", "left_anti")
     # content-derived table id, computed distributively (order-independent
     # xor of per-object hashes + count): never materializes the listing
     # on the driver, unlike a sorted-concat re-hash
-    ent = entries.select("key", "address", "size", "last_modified").persist()
+    ent = entries.select(*sel).persist()
     try:
-        return _write_delta_log(ent, out_dir, version, table_name, schema_json)
+        return _write_delta_log(ent, out_dir, version, table_name, schema_json, removed)
     finally:
         # always drop the cache: CacheManager matches by plan, so a leaked
         # entry would serve stale rows to later reads of the same source
         ent.unpersist()
 
 
-def _write_delta_log(ent, out_dir, version, table_name, schema_json):
+def _write_delta_log(ent, out_dir, version, table_name, schema_json, removed=None):
     agg = ent.agg(
         F.bit_xor(F.xxhash64(F.concat_ws(":", "address", "size"))).alias("x"),
         F.count(F.lit(1)).alias("n"),
@@ -255,6 +282,25 @@ def _write_delta_log(ent, out_dir, version, table_name, schema_json):
         )
         for row in act_lines.toLocalIterator():
             f.write(row["line"] + "\n")
+        if removed is not None:
+            rm_lines = (
+                removed.select(
+                    "key",
+                    F.to_json(
+                        F.struct(
+                            F.struct(
+                                F.col("address").alias("path"),
+                                F.lit(0).cast("long").alias("deletionTimestamp"),
+                                F.lit(True).alias("dataChange"),
+                            ).alias("remove")
+                        )
+                    ).alias("line"),
+                )
+                .orderBy("key")
+                .select("line")
+            )
+            for row in rm_lines.toLocalIterator():
+                f.write(row["line"] + "\n")
     return path
 
 
@@ -326,6 +372,17 @@ def delta_checkpoint(
         if "add" in cols
         else None
     )
+    if adds is not None:
+        # Delta reconciliation: the NEWEST add per path wins — a
+        # re-added path must not appear twice in the checkpoint
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(F.col("add.path")).orderBy(F.col("__v").desc())
+        adds = (
+            adds.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     if adds is not None and "remove" in cols:
         removes = df.where(F.col("remove").isNotNull()).select(
             F.col("remove.path").alias("rpath"), F.col("__v").alias("rv")

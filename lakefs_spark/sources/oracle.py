@@ -1817,13 +1817,24 @@ def q_stream_ingest_snapshot() -> str:
     # mechanics (epoch skip, CAS pointer swap) produce exactly the union
     # of the batches = this projection
     return """
+    with tagged as (
+      select *,
+             length(coalesce(cast(event_id as varchar), chr(0) || 'null')) || ':'
+               || coalesce(cast(event_id as varchar), chr(0) || 'null') as t_id,
+             length(coalesce(event_type, chr(0) || 'null')) || ':'
+               || coalesce(event_type, chr(0) || 'null') as t_type,
+             length(coalesce(cast(cast(value as decimal(30,6)) as varchar), chr(0) || 'null')) || ':'
+               || coalesce(cast(cast(value as decimal(30,6)) as varchar), chr(0) || 'null') as t_val,
+             length(coalesce(props, chr(0) || 'null')) || ':'
+               || coalesce(props, chr(0) || 'null') as t_props
+      from events where event_id % 10 = 0
+    )
     select 'events/date=' || strftime(ts, '%Y-%m-%d') || '/'
              || lpad(cast(event_id as varchar), 12, '0') as key,
-           md5(concat_ws('|', event_id, event_type,
-                         cast(cast(value as decimal(18,6)) as varchar))) as identity,
+           md5(t_id || t_type || t_val) as identity,
            cast(octet_length(encode(coalesce(props, ''))) as bigint) as size,
-           md5(concat_ws('|', event_id, props)) as etag
-    from events where event_id % 10 = 0
+           md5(t_id || t_props) as etag
+    from tagged
     """
 
 

@@ -190,7 +190,9 @@ class Repository:
 
     def _log_run(self, event: str, hook_idx: int, status: str, err: str | None, ctx: dict) -> None:
         rec = {
-            "run_id": f"{ctx.get('run_id') or f'{int(time.time() * 1e6):016x}'}-{hook_idx}",
+            # %04d: lexicographic run-id cursors must order by index
+            # ('-9' > '-10' unpadded breaks pagination past 10 hooks)
+            "run_id": f"{ctx.get('run_id') or f'{int(time.time() * 1e6):016x}'}-{hook_idx:04d}",
             "event": event,
             "hook_index": hook_idx,
             "status": status,
@@ -357,7 +359,16 @@ class Repository:
                     f"branch {name!r} moved: expected head {expected_head!r}, "
                     f"found {cur['head']!r}"
                 )
-            new = {k: v for k, v in {**cur, **update}.items() if k not in drop}
+            merged_update = {
+                # dict-valued fields deep-merge over the current state
+                # (stream_epochs: concurrent queries each own one key;
+                # a whole-map overwrite would regress the other's epoch)
+                k: {**cur[k], **v}
+                if isinstance(v, dict) and isinstance(cur.get(k), dict)
+                else v
+                for k, v in update.items()
+            }
+            new = {k: v for k, v in {**cur, **merged_update}.items() if k not in drop}
             try:
                 self.store.put_doc_if(self._branch_key(name), new, ver)
                 return new

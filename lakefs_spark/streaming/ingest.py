@@ -52,10 +52,12 @@ def commit_batch(
     if batch_id <= last_applied_batch(repo, branch, query_name):
         return False  # replayed microbatch — already committed
     repo.stage_entries(branch, entries)
-    epochs = {
-        **repo._read_branch(branch).get("stream_epochs", {}),
-        query_name: batch_id,
-    }
+    # ONLY this query's epoch: the branch CAS deep-merges dict-valued
+    # fields over the CURRENT state, so a concurrent query's newer
+    # epoch is never clobbered by our pre-commit snapshot (commit
+    # retries recompute against the fresh head, and the merge happens
+    # at CAS time either way)
+    epochs = {query_name: batch_id}
     try:
         # the epoch rides the SAME atomic pointer CAS as the head swap
         # (pointer_extra): no window exists where the commit landed but
@@ -77,9 +79,10 @@ def commit_batch(
 
         for _ in range(16):  # conditional PUT, merged over current state
             st, ver = repo._get_branch(branch)
+            merged = {**st.get("stream_epochs", {}), query_name: batch_id}
             try:
                 repo.store.put_doc_if(
-                    repo._branch_key(branch), {**st, "stream_epochs": epochs}, ver
+                    repo._branch_key(branch), {**st, "stream_epochs": merged}, ver
                 )
                 break
             except CASConflictError:
@@ -114,10 +117,21 @@ def entries_from_events(events: DataFrame, prefix: str = "events/") -> DataFrame
     """
     # value rides through a fixed-scale decimal, not raw double->string:
     # float shortest-repr differs across engines (1e-4 vs 0.0001), and a
-    # content identity must not depend on a printer's notation choice
+    # content identity must not depend on a printer's notation choice.
+    # Fields are LENGTH-TAGGED (functions/ident framing): an untagged
+    # null-skipping concat_ws collides ("a|b","c") with ("a","b|c") and
+    # (x, NULL) with (NULL-printed x) — and a silent overflow-to-NULL
+    # would give two different huge values the SAME identity, turning a
+    # corrected re-ingest into a no-op commit (lost update)
+    def _tag(c):
+        v = F.coalesce(c.cast("string"), F.lit("\x00null"))
+        return F.concat(F.length(v).cast("string"), F.lit(":"), v)
+
     ident = F.md5(
-        F.concat_ws(
-            "|", "event_id", "event_type", F.col("value").cast("decimal(18,6)").cast("string")
+        F.concat(
+            _tag(F.col("event_id")),
+            _tag(F.col("event_type")),
+            _tag(F.col("value").cast("decimal(30,6)")),
         )
     )
     return events.select(
@@ -130,7 +144,7 @@ def entries_from_events(events: DataFrame, prefix: str = "events/") -> DataFrame
         F.concat(F.lit("data/events/"), F.md5(F.col("event_id").cast("string"))).alias("address"),
         F.lit("RELATIVE").alias("address_type"),
         F.octet_length(F.coalesce(F.col("props"), F.lit(""))).cast("long").alias("size"),
-        F.md5(F.concat_ws("|", "event_id", "props")).alias("etag"),
+        F.md5(F.concat(_tag(F.col("event_id")), _tag(F.col("props")))).alias("etag"),
         F.col("ts").alias("last_modified"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
         F.lit("application/json").alias("content_type"),

@@ -40,6 +40,10 @@ def tombstone_alerts(changes: DataFrame, threshold: int) -> DataFrame:
     the repeated-trigger behavior of the reference's sensor between
     compactions).
     """
+    if threshold <= 0:
+        # fail at plan-build time, not as a ZeroDivisionError inside the
+        # stateful UDF on the first microbatch
+        raise ValueError(f"threshold must be positive, got {threshold}")
 
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

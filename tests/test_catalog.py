@@ -381,3 +381,22 @@ def test_if_eval_error_logged_as_failed(spark, tmp_path):
     repo.commit("main", "ok")
     t = svc.task_results()[0]
     assert t["status"] == "failed" and "boolean" in t["error"]
+
+
+def test_update_metadata_preserves_address_type(spark, tmp_path):
+    """Review regression: metadata update restages IN PLACE — a
+    zero-copy FULL-address import must keep its address_type and
+    last_modified."""
+    from lakefs_spark.catalog import Catalog
+
+    cat = Catalog.create_repository(spark, str(tmp_path / "metarepo"))
+    cat.repo.set_entry(
+        "main",
+        {"key": "imported/x", "identity": "i1", "address": "s3://bkt/abs/x",
+         "address_type": "FULL", "size": 5, "etag": "e1"},
+    )
+    cat.update_object_user_metadata("main", "imported/x", {"team": "data"})
+    got = cat.get_object("main", "imported/x")
+    assert got["address_type"] == "FULL"
+    assert got["address"] == "s3://bkt/abs/x"
+    assert dict(got["metadata"]) == {"team": "data"}

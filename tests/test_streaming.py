@@ -301,3 +301,42 @@ def test_session_stream_merges_islands_out_of_order(spark, tmp_path):
         (8, 50, 50 + 1800, 1, 5.0),         # exactly-gap pair: two sessions
         (8, 50 + 1800, 50 + 3600, 1, 6.0),
     }, final
+
+
+def test_commit_batch_epoch_merge_no_clobber(spark, tmp_path):
+    """Review regression: two streaming queries on one branch — a
+    query's commit must not regress the OTHER query's epoch (the epoch
+    map deep-merges at CAS time instead of being written wholesale
+    from a pre-commit snapshot)."""
+    from lakefs_spark.storage.repo import Repository
+    from lakefs_spark.streaming.ingest import commit_batch, last_applied_batch
+
+    repo = Repository.create(spark, str(tmp_path / "epochrepo"))
+
+    def ent(key, ident):
+        return spark.createDataFrame(
+            [(key, ident, None, "RELATIVE", 1, "e", None, None, None)],
+            "key string, identity string, address string, address_type string, "
+            "size long, etag string, last_modified timestamp, "
+            "metadata map<string,string>, content_type string",
+        )
+
+    assert commit_batch(repo, "main", ent("a/1", "i1"), 4, query_name="q1")
+    assert commit_batch(repo, "main", ent("b/1", "j1"), 8, query_name="q2")
+    # q1 commits again: its epoch map contribution must merge, not
+    # overwrite the branch's {q2: 8}
+    assert commit_batch(repo, "main", ent("a/2", "i2"), 5, query_name="q1")
+    assert last_applied_batch(repo, "main", "q1") == 5
+    assert last_applied_batch(repo, "main", "q2") == 8
+    # q2 replaying batch 8 must still skip
+    assert not commit_batch(repo, "main", ent("b/1", "j1"), 8, query_name="q2")
+
+
+def test_tombstone_alerts_threshold_guard(spark):
+    import pytest as _pytest
+
+    from lakefs_spark.streaming.sensors import tombstone_alerts
+
+    df = spark.createDataFrame([("b", True)], "branch string, is_tombstone boolean")
+    with _pytest.raises(ValueError, match="positive"):
+        tombstone_alerts(df, threshold=0)
