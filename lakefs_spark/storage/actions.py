@@ -35,6 +35,16 @@ whitelist: no imports, no dunder/underscore access, fixed builtins)
 with the same injected surface. Specs declaring ``type: lua`` validate
 (so reference action files load), but binding them raises with a
 pointer to ``type: script`` — Lua source is not executed here.
+
+Sandbox threat model: the vet is an AST allowlist (no imports, no
+underscore-prefixed names/attributes/keywords, fixed builtins) plus a
+deny on the ``str.format``/``format_map``/``vars`` reflection sinks,
+whose field syntax can traverse into dunder attributes at runtime
+(``"{0.__class__}".format(x)``). This blocks the known
+attribute-traversal routes for *info disclosure*; it is a
+belt-and-braces hook sandbox for trusted-author specs, not a security
+boundary against adversarial code — same stance as the reference's
+embedded Lua stdlib subset (pkg/actions/lua.go:38-171).
 """
 
 from __future__ import annotations
@@ -214,6 +224,13 @@ _SAFE_BUILTINS = {
 _FORBIDDEN_NODES = (ast.Import, ast.ImportFrom, ast.Global, ast.Nonlocal)
 
 
+# Reflection sinks that reach dunder attributes at runtime even though
+# the AST shows no underscore: str.format's field syntax traverses
+# attributes ('{0.__class__.__mro__}'.format(x)). Denied by name.
+_FORBIDDEN_ATTRS = frozenset({"format", "format_map"})
+_FORBIDDEN_NAMES = frozenset({"format", "format_map", "vars", "getattr"})
+
+
 def _vet(tree: ast.AST) -> None:
     for node in ast.walk(tree):
         if isinstance(node, _FORBIDDEN_NODES):
@@ -221,15 +238,19 @@ def _vet(tree: ast.AST) -> None:
                 f"script: {type(node).__name__} is not allowed"
             )
         bad = None
-        if isinstance(node, ast.Name) and node.id.startswith("_"):
+        if isinstance(node, ast.Name) and (
+            node.id.startswith("_") or node.id in _FORBIDDEN_NAMES
+        ):
             bad = node.id
-        elif isinstance(node, ast.Attribute) and node.attr.startswith("_"):
+        elif isinstance(node, ast.Attribute) and (
+            node.attr.startswith("_") or node.attr in _FORBIDDEN_ATTRS
+        ):
             bad = node.attr
         elif isinstance(node, ast.keyword) and (node.arg or "").startswith("_"):
             bad = node.arg
         if bad is not None:
             raise InvalidActionError(
-                f"script: underscore-prefixed name {bad!r} is not allowed"
+                f"script: name {bad!r} is not allowed"
             )
 
 
@@ -457,6 +478,16 @@ def read_hook_output(repo, run_id: str, hook_run_id: str | None = None) -> list[
 # -- the service --------------------------------------------------------------
 
 
+def _service_dispatch(repo, event: str, ctx: dict) -> None:
+    """Per-repo dispatch trampoline: Repository.on registers this one
+    module-level callable (deduped via the repo's bound-events set) and
+    it delegates to whichever ActionsService currently owns the repo —
+    so N service instances never multiply hook executions."""
+    svc = getattr(repo, "_actions_service", None)
+    if svc is not None:
+        svc._dispatch(repo, event, ctx)
+
+
 class ActionsService:
     """Store-backed action registry + event dispatcher.
 
@@ -474,7 +505,16 @@ class ActionsService:
         self.env_getter = env_getter or os.environ.get
         self.transport = transport
         self.source = source
-        self._bound_events: set[str] = set()
+        # Registration is idempotent per repo: the repo carries one
+        # bound-events set and one trampoline target, so constructing a
+        # second service on the same Repository (one for writing, one
+        # for reading) re-routes dispatch instead of double-firing every
+        # matching action (duplicate webhook deliveries / task rows).
+        # Latest service wins — it sees the same store-backed registry.
+        repo._actions_service = self
+        self._bound_events = repo.__dict__.setdefault(
+            "_actions_bound_events", set()
+        )
         self._rebind()
         if source is not None:
             # in-repo specs can appear on any branch at any time, so the
@@ -483,7 +523,7 @@ class ActionsService:
             for event in EVENT_TYPES:
                 if event not in self._bound_events:
                     self._bound_events.add(event)
-                    self.repo.on(event, self._dispatch)
+                    self.repo.on(event, _service_dispatch)
 
     # -- registry ------------------------------------------------------------
 
@@ -512,7 +552,7 @@ class ActionsService:
         for event in spec.get("on") or {}:
             if event not in self._bound_events:
                 self._bound_events.add(event)
-                self.repo.on(event, self._dispatch)
+                self.repo.on(event, _service_dispatch)
 
     # -- dispatch --------------------------------------------------------------
 

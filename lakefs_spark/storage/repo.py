@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -64,6 +65,35 @@ from lakefs_spark.storage.refs import (
     resolve_ref,
 )
 from lakefs_spark.storage.store import CASConflictError, LocalStore, Store
+
+
+# Ref-name validation (pkg/validator/validate.go:11 ReValidBranchID,
+# pkg/graveler/validate.go:36-81 ValidateBranchID/ValidateTagID). A
+# slash-named branch would otherwise write a nested store doc that a
+# naive lister misses — reachability roots must never be creatable
+# under names the listing contract can't see.
+_BRANCH_ID_RE = re.compile(r"^\w[-\w]*$")
+
+
+def _validate_branch_id(name: str) -> None:
+    if not name or not _BRANCH_ID_RE.fullmatch(name):
+        raise RefError(f"invalid branch name: {name!r}")
+
+
+def _validate_tag_id(name: str) -> None:
+    # git-check-ref-format subset the reference enforces ('~' allowed)
+    if (
+        not name
+        or name == "@"
+        or name.endswith(".")
+        or name.endswith(".lock")
+        or ".." in name
+        or "/" in name
+        or "@{" in name
+        or any(c in name for c in "^:?*[\\")
+        or any(ord(c) <= 0x20 for c in name)
+    ):
+        raise RefError(f"invalid tag name: {name!r}")
 
 
 class ConflictError(Exception):
@@ -301,7 +331,11 @@ class Repository:
             self.update_setting(
                 "protected_branches", _merge_legacy, default={"rules": []}
             )
-            self.store.delete_doc("protected_branches")
+            try:
+                self.store.delete_doc("protected_branches")
+            except FileNotFoundError:
+                pass  # concurrent migrator already deleted the legacy doc;
+                # the settings merge above is idempotent (dedup set)
         new_rule = {"pattern": pattern, "blocked": list(blocked)}
         self.update_setting(
             "protected_branches",
@@ -408,6 +442,7 @@ class Repository:
         }
 
     def create_branch(self, name: str, source_ref: str) -> None:
+        _validate_branch_id(name)
         if self.store.doc_exists(self._branch_key(name)):
             raise RefError(f"branch exists: {name!r}")
         self._fire("pre-create-branch", branch=name, source=source_ref)
@@ -430,6 +465,7 @@ class Repository:
         self._fire("post-delete-branch", branch=name)
 
     def create_tag(self, name: str, ref: str) -> None:
+        _validate_tag_id(name)
         if self.store.doc_exists(f"refs/tags/{name}"):
             raise RefError(f"tag exists: {name!r}")
         self._fire("pre-create-tag", tag=name, ref=ref)

@@ -220,14 +220,26 @@ class LocalStore(Store):
         return os.path.exists(self._doc_path(key))
 
     def list_docs(self, prefix: str) -> list[str]:
-        d = os.path.join(self.data_root, prefix)
-        if not os.path.isdir(d):
+        # Walk recursively from the deepest directory containing the
+        # prefix: the Store contract is MemStore's plain string-prefix
+        # match over keys, so a doc written at a nested key (one whose
+        # name contains '/') must still be listed. A one-level
+        # os.listdir here silently hid such docs from branches()/tags()
+        # — and GC reachability roots with them.
+        base = os.path.join(self.data_root, os.path.dirname(prefix))
+        if not os.path.isdir(base):
             return []
-        return sorted(
-            prefix + p[: -len(".json")]
-            for p in os.listdir(d)
-            if p.endswith(".json")
-        )
+        out = []
+        for dirpath, _dirs, files in os.walk(base):
+            rel = os.path.relpath(dirpath, self.data_root)
+            rel = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+            for p in files:
+                if not p.endswith(".json"):
+                    continue  # .lock / .tmp.* / .jsonl live alongside docs
+                key = rel + p[: -len(".json")]
+                if key.startswith(prefix):
+                    out.append(key)
+        return sorted(out)
 
     def _log_path(self, key: str) -> str:
         return os.path.join(self.data_root, key + ".jsonl")

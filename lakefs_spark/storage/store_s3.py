@@ -1,0 +1,471 @@
+"""S3-API conditional-PUT metadata store driver + loopback fake server.
+
+The commit protocol above :class:`~lakefs_spark.storage.store.Store`
+needs exactly one primitive from its backend: conditional PUT with a
+version predicate (the reference's kv ``SetIf``,
+pkg/kv/store.go:96-111). Amazon S3 — and every serious S3-compatible
+store (MinIO, GCS XML API, R2) — exposes exactly that primitive on the
+public HTTP surface:
+
+- ``PUT`` with ``If-None-Match: *`` — write only if the key does not
+  exist (put-if-absent; AWS GA August 2024).
+- ``PUT`` with ``If-Match: <etag>`` — write only while the stored
+  object's ETag still matches (compare-and-swap; AWS GA November 2024).
+- ``412 Precondition Failed`` / ``409 ConditionalRequestConflict`` when
+  the predicate loses — mapped to :class:`CASConflictError`, which the
+  repository's bounded retry loop already handles.
+
+So this driver makes the engine multi-host deployable: branch pointers,
+commits, tags, settings and run logs ride an S3 bucket; the version
+token IS the object ETag. Blobs (ranges/manifests) either ride the same
+bucket (pure object-store deployment — ``blob_path`` returns HTTP URLs)
+or a shared filesystem Spark mounts (``local_blob_root=...`` — the
+reference's split of KV metadata + block-adapter data,
+pkg/block/adapter.go:187-226). Blob publication is put-if-absent: an
+existing content address always wins, same bytes by construction.
+
+Design notes for 100 TB / 1000 executors:
+
+- Only *control-plane* records ride this driver: branch pointers, one
+  JSON doc per commit, settings. Data never does — Spark reads range
+  Parquet straight from the object store/namespace, so doc traffic is
+  O(commits), not O(rows).
+- ``append_line`` is a read-modify-CAS loop (S3 has no append). Run
+  logs are low-rate control-plane appends (one row per hook run); the
+  reference stores them as individual KV rows
+  (pkg/actions/kv_run_results_iterator.go) which is the same O(writes)
+  under contention, minus the rewrite amplification — acceptable here
+  because hook runs are orders of magnitude rarer than object writes.
+- Listing paginates with ``list-type=2`` continuation tokens, so a
+  10⁶-commit repo never materializes one giant response.
+
+ETag-as-version caveat (shared with LocalStore's sha256 tokens):
+content-derived tokens make ABA theoretically possible, but every
+mutable doc field (head, staging_seq) is forward-only, so a recurrence
+of identical bytes is a semantic no-op.
+
+:class:`FakeS3Server` is the in-process integration target: a loopback
+``ThreadingHTTPServer`` implementing the exact subset above with one
+mutex around every mutation (conditional evaluation + write are
+atomic, as S3 guarantees for conditional requests). It exists because
+this sandbox has no real S3 endpoint; the driver itself speaks plain
+S3 REST and needs no code change to point at one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import http.client
+import json
+import os
+import threading
+import time
+import xml.etree.ElementTree as ET
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, quote, unquote, urlsplit
+from xml.sax.saxutils import escape
+
+from lakefs_spark.storage.store import CASConflictError, Store
+
+
+class S3StoreError(Exception):
+    """Unexpected HTTP status from the S3 endpoint."""
+
+
+def _unquote_etag(etag: str | None) -> str | None:
+    if etag is None:
+        return None
+    return etag.strip().strip('"')
+
+
+class S3ConditionalStore(Store):
+    """Store driver speaking S3 REST conditional writes.
+
+    Layout under ``s3://<bucket>/<key_prefix>``::
+
+        docs/<doc_key>.json    versioned control records (ETag = token)
+        logs/<log_key>.jsonl   append-only line logs (CAS-rewritten)
+        data/<rel>             immutable content-addressed blobs
+
+    ``local_blob_root`` keeps blobs on a Spark-readable filesystem
+    while docs ride the remote CAS — the reference's KV+block split.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        bucket: str,
+        *,
+        key_prefix: str = "",
+        local_blob_root: str | None = None,
+        timeout: float = 10.0,
+        cas_retries: int = 64,
+        list_page_size: int = 1000,
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        parts = urlsplit(self.endpoint)
+        if parts.scheme != "http":
+            raise ValueError(
+                "only http:// endpoints are wired here (the sandbox has "
+                "no TLS target); an https endpoint needs HTTPSConnection"
+            )
+        self._host = parts.hostname
+        self._port = parts.port or 80
+        self.bucket = bucket
+        kp = key_prefix.strip("/")
+        self.key_prefix = kp + "/" if kp else ""
+        self.timeout = timeout
+        self.cas_retries = cas_retries
+        self.list_page_size = list_page_size
+        self._local_blob_root = local_blob_root
+        self.data_root = (
+            local_blob_root
+            if local_blob_root is not None
+            else f"{self.endpoint}/{bucket}/{self.key_prefix}data"
+        )
+
+    # -- HTTP plumbing ------------------------------------------------------
+
+    def _request(
+        self,
+        method: str,
+        key: str | None,
+        *,
+        body: bytes | None = None,
+        headers: dict | None = None,
+        query: str = "",
+    ) -> tuple[int, dict, bytes]:
+        path = f"/{self.bucket}"
+        if key is not None:
+            path += "/" + quote(key)
+        if query:
+            path += "?" + query
+        conn = http.client.HTTPConnection(self._host, self._port, timeout=self.timeout)
+        try:
+            conn.request(method, path, body=body, headers=headers or {})
+            resp = conn.getresponse()
+            data = resp.read()
+            return resp.status, {k.lower(): v for k, v in resp.getheaders()}, data
+        finally:
+            conn.close()
+
+    def _list_keys(self, prefix: str) -> list[tuple[str, int]]:
+        """All (key, size) under ``prefix``, paginating continuation
+        tokens so no single response bounds the result."""
+        out: list[tuple[str, int]] = []
+        token = None
+        while True:
+            query = (
+                f"list-type=2&prefix={quote(prefix, safe='')}"
+                f"&max-keys={self.list_page_size}"
+            )
+            if token:
+                query += f"&continuation-token={quote(token, safe='')}"
+            status, _hdrs, data = self._request("GET", None, query=query)
+            if status != 200:
+                raise S3StoreError(f"list {prefix!r}: HTTP {status}")
+            root = ET.fromstring(data)
+            ns = ""
+            if root.tag.startswith("{"):
+                ns = root.tag[: root.tag.index("}") + 1]
+            for c in root.findall(f"{ns}Contents"):
+                out.append(
+                    (c.findtext(f"{ns}Key"), int(c.findtext(f"{ns}Size") or 0))
+                )
+            if root.findtext(f"{ns}IsTruncated") != "true":
+                return out
+            token = root.findtext(f"{ns}NextContinuationToken")
+            if not token:
+                return out
+
+    # -- documents ------------------------------------------------------------
+
+    def _doc_key(self, key: str) -> str:
+        return f"{self.key_prefix}docs/{key}.json"
+
+    def get_doc(self, key: str) -> tuple[dict, str] | None:
+        status, hdrs, data = self._request("GET", self._doc_key(key))
+        if status == 404:
+            return None
+        if status != 200:
+            raise S3StoreError(f"GET doc {key!r}: HTTP {status}")
+        return json.loads(data), _unquote_etag(hdrs.get("etag"))
+
+    def _conditional_put(self, s3_key: str, raw: bytes, expected_version: str | None) -> str:
+        if expected_version is None:
+            headers = {"If-None-Match": "*"}
+        else:
+            headers = {"If-Match": f'"{expected_version}"'}
+        status, hdrs, _ = self._request("PUT", s3_key, body=raw, headers=headers)
+        # 412 = predicate failed; 409 = concurrent conditional writers
+        # (AWS ConditionalRequestConflict — state unknown, re-read);
+        # 404 = If-Match on a now-deleted key. All are lost CAS rounds.
+        if status in (404, 409, 412):
+            raise CASConflictError(
+                f"doc {s3_key!r}: conditional PUT lost (HTTP {status}, "
+                f"expected {expected_version!r})"
+            )
+        if status != 200:
+            raise S3StoreError(f"PUT doc {s3_key!r}: HTTP {status}")
+        return _unquote_etag(hdrs.get("etag"))
+
+    def put_doc_if(self, key: str, doc: dict, expected_version: str | None) -> str:
+        return self._conditional_put(
+            self._doc_key(key), json.dumps(doc).encode(), expected_version
+        )
+
+    def put_doc(self, key: str, doc: dict) -> str:
+        raw = json.dumps(doc).encode()
+        status, hdrs, _ = self._request("PUT", self._doc_key(key), body=raw)
+        if status != 200:
+            raise S3StoreError(f"PUT doc {key!r}: HTTP {status}")
+        return _unquote_etag(hdrs.get("etag"))
+
+    def delete_doc(self, key: str) -> None:
+        # S3 DELETE is idempotent (204 even when absent), but the Store
+        # contract distinguishes missing docs; probe first. The HEAD →
+        # DELETE window is benign for every caller (deletes are
+        # owner-driven: branch/tag/legacy-doc removal).
+        status, _hdrs, _ = self._request("HEAD", self._doc_key(key))
+        if status == 404:
+            raise FileNotFoundError(key)
+        status, _hdrs, _ = self._request("DELETE", self._doc_key(key))
+        if status not in (200, 204):
+            raise S3StoreError(f"DELETE doc {key!r}: HTTP {status}")
+
+    def doc_exists(self, key: str) -> bool:
+        status, _hdrs, _ = self._request("HEAD", self._doc_key(key))
+        return status == 200
+
+    def list_docs(self, prefix: str) -> list[str]:
+        base = f"{self.key_prefix}docs/"
+        out = []
+        for k, _size in self._list_keys(base + prefix):
+            if k.endswith(".json"):
+                out.append(k[len(base) : -len(".json")])
+        return sorted(out)
+
+    # -- line logs (read-modify-CAS; no append primitive on S3) ---------------
+
+    def _log_key(self, key: str) -> str:
+        return f"{self.key_prefix}logs/{key}.jsonl"
+
+    def append_line(self, key: str, line: str) -> None:
+        s3_key = self._log_key(key)
+        for attempt in range(self.cas_retries):
+            status, hdrs, data = self._request("GET", s3_key)
+            if status == 404:
+                cur, ver = b"", None
+            elif status == 200:
+                cur, ver = data, _unquote_etag(hdrs.get("etag"))
+            else:
+                raise S3StoreError(f"GET log {key!r}: HTTP {status}")
+            try:
+                self._conditional_put(s3_key, cur + line.encode() + b"\n", ver)
+                return
+            except CASConflictError:
+                time.sleep(min(0.001 * (2**attempt), 0.05))
+        raise CASConflictError(f"log {key!r}: append kept losing the CAS race")
+
+    def read_lines(self, key: str) -> list[str]:
+        status, _hdrs, data = self._request("GET", self._log_key(key))
+        if status == 404:
+            return []
+        if status != 200:
+            raise S3StoreError(f"GET log {key!r}: HTTP {status}")
+        return [ln for ln in data.decode().split("\n") if ln.strip()]
+
+    def replace_lines(self, key: str, lines: list[str]) -> None:
+        raw = ("".join(ln + "\n" for ln in lines)).encode()
+        status, _hdrs, _ = self._request("PUT", self._log_key(key), body=raw)
+        if status != 200:
+            raise S3StoreError(f"PUT log {key!r}: HTTP {status}")
+
+    # -- blobs ------------------------------------------------------------------
+
+    def _blob_key(self, rel: str) -> str:
+        return f"{self.key_prefix}data/{rel}"
+
+    def blob_path(self, rel: str) -> str:
+        if self._local_blob_root is not None:
+            return os.path.join(self._local_blob_root, rel)
+        return f"{self.endpoint}/{self.bucket}/{self._blob_key(rel)}"
+
+    def blob_exists(self, rel: str) -> bool:
+        if self._local_blob_root is not None:
+            return os.path.exists(self.blob_path(rel))
+        status, _hdrs, _ = self._request("HEAD", self._blob_key(rel))
+        return status == 200
+
+    def publish_blob(self, local_src: str, rel: str) -> None:
+        if self._local_blob_root is not None:
+            return super().publish_blob(local_src, rel)
+        with open(local_src, "rb") as f:
+            raw = f.read()
+        status, _hdrs, _ = self._request(
+            "PUT", self._blob_key(rel), body=raw, headers={"If-None-Match": "*"}
+        )
+        if status not in (200, 412, 409):
+            raise S3StoreError(f"PUT blob {rel!r}: HTTP {status}")
+        # 412/409: the address already exists — same content by
+        # construction, the existing object wins (structural sharing)
+        os.remove(local_src)
+
+    def list_blobs(self, rel_prefix: str) -> list[str]:
+        if self._local_blob_root is not None:
+            return super().list_blobs(rel_prefix)
+        base = self._blob_key(rel_prefix.rstrip("/") + "/")
+        return sorted(k[len(base):] for k, _ in self._list_keys(base))
+
+    def delete_blob(self, rel: str) -> None:
+        if self._local_blob_root is not None:
+            return super().delete_blob(rel)
+        status, _hdrs, _ = self._request("DELETE", self._blob_key(rel))
+        if status not in (200, 204):
+            raise S3StoreError(f"DELETE blob {rel!r}: HTTP {status}")
+
+
+# -- loopback fake S3 (the sandbox's integration target) ----------------------
+
+
+class _FakeS3Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    # every mutation evaluates its precondition and writes under the
+    # server-wide mutex — the atomicity S3 documents for conditional
+    # requests, and the property the exactly-one-winner tests verify
+    def _split(self) -> tuple[str, str, dict]:
+        path, _, query = self.path.partition("?")
+        parts = unquote(path).lstrip("/").split("/", 1)
+        bucket = parts[0]
+        key = parts[1] if len(parts) > 1 else ""
+        return bucket, key, parse_qs(query)
+
+    def _send(self, status: int, body: bytes = b"", etag: str | None = None,
+              content_type: str = "application/octet-stream") -> None:
+        self.send_response(status)
+        if etag is not None:
+            self.send_header("ETag", f'"{etag}"')
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if self.command != "HEAD":
+            self.wfile.write(body)
+
+    def _obj(self):
+        return self.server.objects  # {(bucket, key): bytes}
+
+    @staticmethod
+    def _etag(raw: bytes) -> str:
+        return hashlib.md5(raw).hexdigest()
+
+    def do_GET(self):
+        bucket, key, q = self._split()
+        if not key and q.get("list-type") == ["2"]:
+            return self._do_list(bucket, q)
+        with self.server.mu:
+            raw = self._obj().get((bucket, key))
+        if raw is None:
+            return self._send(404, b"<Error><Code>NoSuchKey</Code></Error>")
+        self._send(200, raw, etag=self._etag(raw))
+
+    do_HEAD = do_GET
+
+    def _do_list(self, bucket: str, q: dict) -> None:
+        prefix = (q.get("prefix") or [""])[0]
+        token = (q.get("continuation-token") or [""])[0]
+        max_keys = int((q.get("max-keys") or ["1000"])[0])
+        with self.server.mu:
+            keys = sorted(
+                k for (b, k) in self._obj() if b == bucket and k.startswith(prefix)
+            )
+            meta = {
+                k: (len(self._obj()[(bucket, k)]), self._etag(self._obj()[(bucket, k)]))
+                for k in keys
+            }
+        if token:
+            keys = [k for k in keys if k > token]
+        page, rest = keys[:max_keys], keys[max_keys:]
+        items = "".join(
+            f"<Contents><Key>{escape(k)}</Key>"
+            f"<ETag>&quot;{meta[k][1]}&quot;</ETag>"
+            f"<Size>{meta[k][0]}</Size></Contents>"
+            for k in page
+        )
+        trunc = "true" if rest else "false"
+        nxt = (
+            f"<NextContinuationToken>{escape(page[-1])}</NextContinuationToken>"
+            if rest
+            else ""
+        )
+        body = (
+            f'<?xml version="1.0"?><ListBucketResult>'
+            f"<IsTruncated>{trunc}</IsTruncated>{nxt}{items}</ListBucketResult>"
+        ).encode()
+        self._send(200, body, content_type="application/xml")
+
+    def do_PUT(self):
+        bucket, key, _q = self._split()
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n)
+        if_match = _unquote_etag(self.headers.get("If-Match"))
+        if_none_match = self.headers.get("If-None-Match")
+        with self.server.mu:
+            cur = self._obj().get((bucket, key))
+            if if_none_match == "*" and cur is not None:
+                return self._send(412, b"<Error><Code>PreconditionFailed</Code></Error>")
+            if if_match is not None:
+                if cur is None:
+                    return self._send(404, b"<Error><Code>NoSuchKey</Code></Error>")
+                if self._etag(cur) != if_match:
+                    return self._send(
+                        412, b"<Error><Code>PreconditionFailed</Code></Error>"
+                    )
+            self._obj()[(bucket, key)] = raw
+        self._send(200, b"", etag=self._etag(raw))
+
+    def do_DELETE(self):
+        bucket, key, _q = self._split()
+        with self.server.mu:
+            self._obj().pop((bucket, key), None)
+        self._send(204)  # idempotent, like real S3
+
+    def log_message(self, *args):  # keep test output clean
+        pass
+
+
+class FakeS3Server:
+    """In-process loopback S3 endpoint with conditional-write support.
+
+    Usage::
+
+        with FakeS3Server() as srv:
+            store = S3ConditionalStore(srv.endpoint, "bucket")
+    """
+
+    def __init__(self):
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3Handler)
+        self._httpd.objects = {}
+        self._httpd.mu = threading.Lock()
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    @property
+    def endpoint(self) -> str:
+        host, port = self._httpd.server_address
+        return f"http://{host}:{port}"
+
+    def start(self) -> "FakeS3Server":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def __enter__(self) -> "FakeS3Server":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

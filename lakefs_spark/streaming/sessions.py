@@ -108,7 +108,7 @@ def session_stats_stream(
                 "user_id": [user] * len(ivals),
                 "version": [version] * len(ivals),
                 "session_start_s": [iv[0] // 1_000_000 for iv in ivals],
-                "session_end_s": [iv[1] // 1_000_000 + gap // 1_000_000 for iv in ivals],
+                "session_end_s": [(iv[1] + gap) // 1_000_000 for iv in ivals],
                 "n_events": [iv[2] for iv in ivals],
                 "total_value": [round(iv[3], 4) for iv in ivals],
             }

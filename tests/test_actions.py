@@ -124,6 +124,13 @@ def test_expand_args_missing_env_errors():
         "x = ().__class__",
         "x = __import__('os')",
         "global x",
+        # str.format field syntax traverses attributes at runtime —
+        # '{0.__class__.__mro__}'.format(x) — so the sinks are denied
+        "x = '{0.n}'.format(action)",
+        "x = str.format('{0}', 1)",
+        "x = {}.format_map({})",
+        "x = vars()",
+        "x = getattr(action, 'keys')",
         "open('/etc/passwd')",  # allowed to parse? open not in builtins -> NameError at run
     ],
 )
@@ -290,6 +297,29 @@ def test_actions_persist_across_service_instances(spark):
     A.ActionsService(repo).add_action(_spec())
     svc2 = A.ActionsService(Repository.open(spark, repo.root))
     assert [a["name"] for a in svc2.actions()] == ["quality gate"]
+
+
+def test_second_service_on_same_repo_does_not_double_fire(spark):
+    """Dispatcher registration is idempotent per repo: constructing a
+    reader service next to the writer must not duplicate hook
+    executions (duplicate webhook deliveries / task rows)."""
+    repo = _repo(spark)
+    svc = A.ActionsService(repo)
+    svc.add_action(
+        {
+            "name": "counter",
+            "on": {"post-commit": {"branches": ["main"]}},
+            "hooks": [
+                {"id": "note", "type": "script",
+                 "properties": {"script": "output('ran')"}},
+            ],
+        }
+    )
+    svc2 = A.ActionsService(repo)  # same Repository instance, re-routes dispatch
+    repo.set_entry("main", _entry("a/1"))
+    repo.commit("main", "c1")
+    tasks = [t for t in svc2.task_results() if t["hook_id"] == "note"]
+    assert len(tasks) == 1  # exactly one execution, not one per service
 
 
 # -- in-repo _lakefs_actions/ source (catalog/actions_source.go) -------------

@@ -27,6 +27,27 @@ def repo(spark, tmp_path):
     return r
 
 
+def test_ref_name_validation(repo):
+    """Branch ids match ``^\\w[-\\w]*$`` and tags follow the
+    git-check-ref-format subset (pkg/validator/validate.go:11,
+    pkg/graveler/validate.go:36-81). A slash-named branch would write a
+    nested pointer doc — a name the GC's reachability walk must never
+    be able to miss, so it is rejected at creation."""
+    repo.set_entry("main", {"key": "a", "identity": "i", "size": 1, "etag": "i"})
+    repo.commit("main", "c1")
+    for bad in ("team/x", "", ".hidden", "a b", "x@y", "-lead", "a.b"):
+        with pytest.raises(RefError, match="invalid branch name"):
+            repo.create_branch(bad, "main")
+    for ok in ("feature-x", "RC_2", "_tmp", "1x"):
+        repo.create_branch(ok, "main")
+    for bad in ("@", "a..b", "a/b", "v1.", "v1.lock", "a@{b}", "a^b",
+                "a:b", "a?b", "a*b", "a[b", "a\\b", "a b", ""):
+        with pytest.raises(RefError, match="invalid tag name"):
+            repo.create_tag(bad, "main")
+    repo.create_tag("v1.0~rc", "main")  # '~' allowed, unlike git
+    assert "v1.0~rc" in repo.tags()
+
+
 def _entries(spark, where=None):
     df = entries_view(spark, "entries")
     return df.where(where) if where is not None else df

@@ -23,14 +23,26 @@ from lakefs_spark.storage.store import (
     MemStore,
     Store,
 )
+from lakefs_spark.storage.store_s3 import FakeS3Server, S3ConditionalStore
 
 
-@pytest.fixture(params=["local", "mem"])
+@pytest.fixture(scope="module")
+def s3_server():
+    with FakeS3Server() as srv:
+        yield srv
+
+
+@pytest.fixture(params=["local", "mem", "s3"])
 def store(request, tmp_path) -> Store:
     root = str(tmp_path / "store")
     if request.param == "local":
         return LocalStore(root)
-    return MemStore(root)
+    if request.param == "mem":
+        return MemStore(root)
+    srv = request.getfixturevalue("s3_server")
+    # fresh bucket per test: same isolation a tmp_path gives the others
+    bucket = f"b-{tmp_path.name.lower()}"
+    return S3ConditionalStore(srv.endpoint, bucket)
 
 
 # -- contract (every driver must pass — pkg/kv/kvtest role) ---------------
@@ -89,6 +101,30 @@ def test_delete_and_list(store):
     ]
     with pytest.raises(FileNotFoundError):
         store.delete_doc("refs/branches/b")
+
+
+def test_list_docs_is_plain_string_prefix_over_nested_keys(store):
+    """The listing contract is MemStore's: every key under the string
+    prefix, including keys whose tail contains '/' (nested store
+    layout). A one-level lister hides such docs — which turned a
+    slash-named branch's commits into GC-unreachable garbage."""
+    store.put_doc("settings/a", {"v": 1})
+    store.put_doc("settings/a/b", {"v": 2})
+    store.put_doc("settings/a/b/c", {"v": 3})
+    store.put_doc("settings2/x", {"v": 4})
+    assert store.list_docs("settings/") == [
+        "settings/a",
+        "settings/a/b",
+        "settings/a/b/c",
+    ]
+    # partial-component prefixes match by string, not by directory
+    assert store.list_docs("settings/a/") == ["settings/a/b", "settings/a/b/c"]
+    assert store.list_docs("settings") == [
+        "settings/a",
+        "settings/a/b",
+        "settings/a/b/c",
+        "settings2/x",
+    ]
 
 
 def test_line_log_append_read_replace(store):
@@ -184,6 +220,47 @@ def test_repo_lifecycle_over_mem_store(spark, tmp_path):
 
     on_disk = set(os.listdir(root))
     assert "repo.json" not in on_disk and "refs" not in on_disk and "commits" not in on_disk
+
+
+def test_repo_lifecycle_over_s3_store(spark, tmp_path, s3_server):
+    """The full commit protocol over the S3 conditional-PUT driver:
+    metadata rides loopback HTTP CAS (If-Match / If-None-Match), blobs
+    stay on a Spark-readable filesystem (the reference's KV + block
+    split). No JSON metadata may touch the local root."""
+    root = str(tmp_path / "repo")
+    s3 = S3ConditionalStore(
+        s3_server.endpoint, "repo-bucket", key_prefix="tenant/x",
+        local_blob_root=root,
+    )
+    repo = Repository.create(spark, root, store=s3)
+    repo.stage_entries("main", _mk_entries(spark, ["a/1", "a/2", "b/1"]))
+    c1 = repo.commit("main", "c1")
+    repo.create_branch("dev", "main")
+    repo.stage_entries("dev", _mk_entries(spark, ["b/2"]))
+    repo.commit("dev", "c2")
+    repo.create_tag("v1", "main")
+    merge_commit = repo.merge("dev", "main")
+    repo2 = Repository.open(spark, root, store=s3)
+    assert repo2.branches()["main"] == merge_commit.commit_id
+    assert repo2.tags() == {"v1": c1.commit_id}
+    keys = [r["key"] for r in repo2.list_entries("main").collect()]
+    assert keys == ["a/1", "a/2", "b/1", "b/2"]
+    import os
+
+    on_disk = set(os.listdir(root))
+    assert "repo.json" not in on_disk and "refs" not in on_disk and "commits" not in on_disk
+
+
+def test_s3_list_docs_paginates_continuation_tokens(tmp_path, s3_server):
+    """A listing larger than one page must walk NextContinuationToken
+    to the end — a 10⁶-commit repo never fits one response."""
+    store = S3ConditionalStore(
+        s3_server.endpoint, f"pg-{tmp_path.name.lower()}", list_page_size=3
+    )
+    want = [f"commits/c{i:03d}" for i in range(10)]
+    for k in want:
+        store.put_doc(k, {"i": k})
+    assert store.list_docs("commits/") == want
 
 
 def test_concurrent_merges_exactly_one_cas_winner_per_round(spark, tmp_path):
@@ -346,3 +423,31 @@ def test_protection_rules_on_settings_store(spark):
     repo.set_entry("rel-1", {"key": "k", "identity": "i", "size": 1, "etag": "e"})
     with pytest.raises(ProtectedBranchError):
         repo.commit("rel-1", "nope")
+
+
+def test_protect_branch_legacy_migration_race(spark):
+    """Two concurrent migrators: the loser's delete of the legacy
+    'protected_branches' doc (already removed by the winner) must not
+    fail an otherwise-successful rule add — the settings merge is
+    idempotent via the dedup set."""
+    import tempfile
+
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_protrace_"))
+    legacy = {"rules": [{"pattern": "rel-*", "blocked": ["commit"]}]}
+    repo.store.put_doc("protected_branches", legacy)
+
+    orig_delete = repo.store.delete_doc
+
+    def losing_delete(key):
+        orig_delete(key)  # the winner's delete lands first...
+        raise FileNotFoundError(key)  # ...so ours finds nothing
+
+    repo.store.delete_doc = losing_delete
+    try:
+        repo.protect_branch("main")  # must not raise
+    finally:
+        repo.store.delete_doc = orig_delete
+    pats = sorted(r["pattern"] for r in repo.protection_rules())
+    assert pats == ["main", "rel-*"]  # legacy rule migrated once, new rule added
