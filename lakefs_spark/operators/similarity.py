@@ -184,10 +184,14 @@ def assign_centroids(
 
     K <= FOLD_MAX_K: ONE folded JVM projection — no shuffle, no
     K-times row blowup. Above that, a broadcast nested-loop join
-    scores all (row, centroid) pairs executor-side and ONE window
-    keeps each row's best — a single shuffle on ``id_col``, which is
-    how a 5e4-centroid IVF assignment stays feasible where the
-    literal fold would not compile."""
+    scores all (row, centroid) pairs executor-side and a
+    ``groupBy(id).agg(max_by(...))`` keeps each row's best: the
+    argmax is a *declarative aggregate*, so partial aggregation
+    collapses the N×K scored rows back to N on the map side — only
+    one winner candidate per row per map partition ever crosses the
+    exchange. (The previous ``Window.partitionBy(id)`` shape shuffled
+    the full N×K scored stream, which at the 5e4-centroid regime this
+    path exists for is a 50 000× shuffle amplification.)"""
     if len(cents) <= FOLD_MAX_K:
         return df.withColumn(out, _fold_assignment(F.col(vec_col), cents)["cid"])
     cdf = df.sparkSession.createDataFrame(
@@ -196,11 +200,21 @@ def assign_centroids(
     scored = df.join(F.broadcast(cdf)).withColumn(
         "__s", _dot(F.col(vec_col), F.col("__cv"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(), F.col("__cid").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(*df.columns, F.col("__cid").alias(out))
+    carry = [c for c in df.columns if c != id_col]
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in carry], F.col("__cid").alias(out)),
+            # (__s, -__cid) is unique per scored row, so the argmax is
+            # deterministic: sim desc, then cid asc — the fold's tie-break
+            F.struct(F.col("__s"), (-F.col("__cid")).alias("__ncid")),
+        ).alias("__best")
+    )
+    return best.select(
+        *[
+            F.col(id_col) if c == id_col else F.col(f"__best.{c}").alias(c)
+            for c in df.columns
+        ],
+        F.col(f"__best.{out}").alias(out),
     )
 
 

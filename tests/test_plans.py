@@ -97,6 +97,27 @@ def test_ivf_assignment_is_shuffle_free(spark, emb):
     assert "CartesianProduct" not in _plan(df)
 
 
+def test_large_k_assignment_partial_aggregates_before_exchange(spark, emb):
+    """Above FOLD_MAX_K the centroid assignment is broadcast-NLJ +
+    max_by argmax: partial aggregation must collapse the N×K scored
+    stream back to N rows on the map side, so the only exchange carries
+    one candidate per row — never the K-times blowup a
+    Window.partitionBy(id) shape would shuffle."""
+    from lakefs_spark.operators.similarity import FOLD_MAX_K, assign_centroids
+
+    k = FOLD_MAX_K + 1
+    cents = [(i, [float((i * j) % 7) for j in range(4)]) for i in range(k)]
+    df = emb.select("vec_id", F.slice("embedding", 1, 4).alias("embedding"))
+    res = assign_centroids(df, "vec_id", "embedding", cents)
+    plan = _plan(res)
+    assert "partial_max_by" in plan
+    assert "Window" not in plan and "row_number" not in plan
+    # the partial aggregate sits below the exchange: map-side combine
+    exch = plan.index("Exchange")
+    assert plan.index("partial_max_by") > exch  # deeper in the tree = below
+    assert "BroadcastNestedLoopJoin" in plan  # codebook rides a broadcast
+
+
 def test_minhash_candidates_no_cartesian(spark):
     from lakefs_spark.operators.dedup import minhash_candidates
 
