@@ -1688,6 +1688,18 @@ def _gov_repo(spark, sf_dir):
         ent = _snap(spark, sf_dir, "entries")
         repo.import_entries("main", ent, message="base import")
 
+        # hidden import work branch (graveler.go:227-267 WithHidden):
+        # committed-to but absent from every listing — the oracle's
+        # expected branch set omitting it is the exclusion proof.
+        # Scripted before hook registration so its commit adds no rows
+        # to the run-log gates.
+        repo.create_branch("_import-work", "main", hidden=True)
+        repo.set_entry(
+            "_import-work",
+            {"key": "tables/zz/hidden-wip", "identity": "hw", "size": 1, "etag": "hw-etag"},
+        )
+        repo.commit("_import-work", "staged on hidden branch")
+
         # hooks registered after the import: the run log captures
         # exactly the scripted events below
         def policy_guard(repo_, event, ctx):

@@ -53,7 +53,7 @@ class PullRequests:
             raise PullRequestError(
                 f"source and destination branches are the same: {source!r}"
             )
-        branches = self.repo.branches()
+        branches = self.repo.branches(show_hidden=True)
         for b in (source, destination):
             if b not in branches:
                 raise PullRequestError(f"branch not found: {b!r}")

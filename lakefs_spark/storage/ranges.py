@@ -51,6 +51,16 @@ from lakefs_spark.storage.store import as_store, data_root_of
 #   map<string,string> on read), content_type.
 MANIFEST_COLS = ["range_id", "min_key", "max_key", "count", "estimated_size"]
 
+# The fixed on-disk schema, passed explicitly to every range read:
+# schema inference over N parquet files is a footer-reading Spark JOB
+# per read — pure overhead on metadata-driven loops (diff per log
+# step), and it grows with file count at scale.
+RANGE_FILE_SCHEMA = (
+    "key string, identity string, address string, address_type string, "
+    "size long, etag string, last_modified timestamp, "
+    "metadata_json string, content_type string"
+)
+
 
 def ranges_dir(root) -> str:
     return os.path.join(data_root_of(root), "ranges")
@@ -359,7 +369,7 @@ def read_ranges(spark: SparkSession, root: str, range_ids) -> DataFrame:
     paths = _range_paths(root, range_ids)
     if not paths:
         return empty_entries(spark)
-    df = spark.read.parquet(*paths)
+    df = spark.read.schema(RANGE_FILE_SCHEMA).parquet(*paths)
     return df.withColumn(
         "metadata", F.from_json(F.col("metadata_json"), "map<string,string>")
     ).select(*ENTRY_COLS)

@@ -133,6 +133,12 @@ class BranchChangedError(Exception):
     :meth:`Repository._retry_branch_update`."""
 
 
+class ReadOnlyRepositoryError(Exception):
+    """Write operation on a read-only repository without force
+    (graveler.ErrReadOnlyRepository; pkg/graveler/graveler.go:417-419
+    ReadOnly flag, enforcement at every write entry e.g. 1309-1347)."""
+
+
 #: bounded optimistic-retry budget for branch-pointer updates
 #: (pkg/graveler/graveler.go BranchUpdateMaxTries)
 BRANCH_UPDATE_MAX_TRIES = 3
@@ -146,6 +152,7 @@ class Repository:
         self.commits = CommitStore(self.store)
         self.hooks: dict[str, list] = {}
         self.raggedness = DEFAULT_RAGGEDNESS
+        self._read_only: bool | None = None  # lazy; immutable after create
 
     @property
     def pulls(self):
@@ -162,13 +169,19 @@ class Repository:
         root: str,
         default_branch: str = "main",
         store: Store | None = None,
+        read_only: bool = False,
     ) -> "Repository":
         os.makedirs(root, exist_ok=True)
         for sub in ("ranges", "manifests", "staging"):
             os.makedirs(os.path.join(root, sub), exist_ok=True)
         repo = Repository(spark, root, store=store)
         repo.store.put_doc(
-            "repo", {"default_branch": default_branch, "created_at": time.time()}
+            "repo",
+            {
+                "default_branch": default_branch,
+                "created_at": time.time(),
+                "read_only": bool(read_only),
+            },
         )
         repo._write_branch(default_branch, {"head": None, "staging_seq": 0})
         return repo
@@ -184,6 +197,26 @@ class Repository:
     def default_branch(self) -> str:
         return self.store.get_doc("repo")[0]["default_branch"]
 
+    @property
+    def read_only(self) -> bool:
+        """Repository-level write lock (pkg/graveler/model.go:127
+        ReadOnly): set at creation, immutable — so cached after the
+        first store read."""
+        if self._read_only is None:
+            got = self.store.get_doc("repo")
+            self._read_only = bool(got and got[0].get("read_only", False))
+        return self._read_only
+
+    def _check_writable(self, op: str, force: bool = False) -> None:
+        """Every write entry point refuses on a read-only repository
+        unless forced (graveler.go:1309-1347 and siblings: ReadOnly &&
+        !options.Force -> ErrReadOnlyRepository). Force is the
+        dump/restore + managed-import escape hatch."""
+        if self.read_only and not force:
+            raise ReadOnlyRepositoryError(
+                f"{op}: repository is read-only (pass force=True to override)"
+            )
+
     # -- hooks -------------------------------------------------------------
 
     def on(self, event: str, fn) -> None:
@@ -197,6 +230,10 @@ class Repository:
         per hook run; pre-hooks raise HookAbortError to abort)."""
         fns = self.hooks.get(event, [])
         if not fns:
+            return
+        if self.read_only:
+            # forced writes on a read-only repo run WITHOUT hooks, like
+            # the reference (graveler.go:1372,1521,... `if !ReadOnly`)
             return
         # one id per event; run-log rows suffix it with the hook index,
         # and the actions dispatcher reuses the base id for its task
@@ -429,11 +466,20 @@ class Repository:
             f"branch {branch!r} update failed after {BRANCH_UPDATE_MAX_TRIES} tries"
         ) from last
 
-    def branches(self) -> dict[str, str | None]:
-        return {
-            k[len("refs/branches/"):]: self.store.get_doc(k)[0]["head"]
-            for k in self.store.list_docs("refs/branches/")
-        }
+    def branches(self, show_hidden: bool = False) -> dict[str, str | None]:
+        """Branch name -> head. Hidden branches (import work branches —
+        graveler.go:227-267 WithHidden) are excluded from the listing by
+        default, like the reference's branch iterator
+        (ref/branch_iterator.go:67); internal consumers that need the
+        complete reachability picture (ref resolution, GC roots,
+        dump/restore) pass ``show_hidden=True``."""
+        out: dict[str, str | None] = {}
+        for k in self.store.list_docs("refs/branches/"):
+            st = self.store.get_doc(k)[0]
+            if st.get("hidden") and not show_hidden:
+                continue
+            out[k[len("refs/branches/"):]] = st["head"]
+        return out
 
     def tags(self) -> dict[str, str]:
         return {
@@ -441,21 +487,29 @@ class Repository:
             for k in self.store.list_docs("refs/tags/")
         }
 
-    def create_branch(self, name: str, source_ref: str) -> None:
+    def create_branch(self, name: str, source_ref: str, force: bool = False,
+                      hidden: bool = False) -> None:
+        """``hidden=True`` creates an import-style work branch
+        (graveler.go:227-267 CreateBranch WithHidden): fully functional
+        — resolvable, committable, mergeable — but invisible to
+        ``branches()`` listings until deleted."""
+        self._check_writable("create_branch", force)
         _validate_branch_id(name)
         if self.store.doc_exists(self._branch_key(name)):
             raise RefError(f"branch exists: {name!r}")
         self._fire("pre-create-branch", branch=name, source=source_ref)
         head = self.resolve(source_ref).commit_id
+        st = {"head": head, "staging_seq": 0}
+        if hidden:
+            st["hidden"] = True
         try:  # put-if-absent closes the check-then-create race
-            self.store.put_doc_if(
-                self._branch_key(name), {"head": head, "staging_seq": 0}, None
-            )
+            self.store.put_doc_if(self._branch_key(name), st, None)
         except CASConflictError:
             raise RefError(f"branch exists: {name!r}") from None
         self._fire("post-create-branch", branch=name, head=head)
 
-    def delete_branch(self, name: str) -> None:
+    def delete_branch(self, name: str, force: bool = False) -> None:
+        self._check_writable("delete_branch", force)
         if name == self.default_branch:
             raise RefError("cannot delete the repository's default branch")
         self._check_protected(name, "delete")
@@ -464,7 +518,8 @@ class Repository:
         shutil.rmtree(os.path.join(self.root, "staging", name), ignore_errors=True)
         self._fire("post-delete-branch", branch=name)
 
-    def create_tag(self, name: str, ref: str) -> None:
+    def create_tag(self, name: str, ref: str, force: bool = False) -> None:
+        self._check_writable("create_tag", force)
         _validate_tag_id(name)
         if self.store.doc_exists(f"refs/tags/{name}"):
             raise RefError(f"tag exists: {name!r}")
@@ -478,7 +533,8 @@ class Repository:
             raise RefError(f"tag exists: {name!r}") from None
         self._fire("post-create-tag", tag=name, commit_id=cid)
 
-    def delete_tag(self, name: str) -> None:
+    def delete_tag(self, name: str, force: bool = False) -> None:
+        self._check_writable("delete_tag", force)
         self._fire("pre-delete-tag", tag=name)
         self.store.delete_doc(f"refs/tags/{name}")
         self._fire("post-delete-tag", tag=name)
@@ -486,7 +542,7 @@ class Repository:
     # -- ref resolution ----------------------------------------------------
 
     def resolve(self, ref: str):
-        return resolve_ref(ref, self.branches(), self.tags(), self.commits)
+        return resolve_ref(ref, self.branches(show_hidden=True), self.tags(), self.commits)
 
     def _metarange_of(self, commit_id: str | None) -> str:
         if commit_id is None:
@@ -514,8 +570,9 @@ class Repository:
                 continue
         raise TooManyTriesError(f"staging_seq bump on {branch!r} kept losing the CAS race")
 
-    def stage_entries(self, branch: str, entries: DataFrame) -> None:
+    def stage_entries(self, branch: str, entries: DataFrame, force: bool = False) -> None:
         """Stage upserts (entry-schema rows) onto a branch."""
+        self._check_writable("stage_entries", force)
         self._check_protected(branch, "staging_write")
         seq = self._next_seq(branch)
         out = entries.select(*ENTRY_COLS).withColumn("is_tombstone", F.lit(False))
@@ -524,8 +581,9 @@ class Repository:
             os.path.join(self._staging_dir(branch), f"seq={seq}")
         )
 
-    def stage_deletes(self, branch: str, keys: DataFrame | list[str]) -> None:
+    def stage_deletes(self, branch: str, keys: DataFrame | list[str], force: bool = False) -> None:
         """Stage tombstones for the given keys."""
+        self._check_writable("stage_deletes", force)
         self._check_protected(branch, "staging_write")
         if isinstance(keys, list):
             keys = self.spark.createDataFrame([(k,) for k in keys], "key string")
@@ -553,6 +611,7 @@ class Repository:
         entry: dict,
         if_absent: bool = False,
         expected_identity: str | None | object = _UNSET,
+        force: bool = False,
     ) -> None:
         """Stage a single entry with optional write predicates
         (graveler.go:1866-2003 Set / SetIfAbsent / safe-replace Update).
@@ -579,7 +638,7 @@ class Repository:
                         f"{key!r}: identity is {cur_ident!r}, expected {expected_identity!r}"
                     )
         row = {c: entry.get(c) for c in ENTRY_COLS}
-        self.stage_entries(branch, self.spark.createDataFrame([row], ENTRY_SCHEMA))
+        self.stage_entries(branch, self.spark.createDataFrame([row], ENTRY_SCHEMA), force=force)
 
     def _staged_raw(self, branch: str) -> DataFrame | None:
         d = self._staging_dir(branch)
@@ -587,7 +646,9 @@ class Repository:
             p.startswith("seq=") for p in os.listdir(d)
         ):
             return None
-        df = self.spark.read.parquet(d)  # partition discovery finds seq=N
+        # partition discovery finds seq=N; the explicit schema skips the
+        # footer-reading schema-inference job every staging read pays
+        df = self.spark.read.schema(STAGED_SCHEMA).parquet(d)
         # newest batch wins: overlay orders seq ascending, so negate
         return df.withColumn("seq", -F.col("seq").cast("long")).select(
             "seq", "is_tombstone", *ENTRY_COLS
@@ -638,7 +699,7 @@ class Repository:
             lambda repo_, event, ctx: repo_.compact(ctx["branch"]),
         )
 
-    def compact(self, branch: str) -> str:
+    def compact(self, branch: str, force: bool = False) -> str:
         """Fold staging into a compacted base metarange
         (CompactedBaseMetaRangeID — graveler.go:541-542,2213).
 
@@ -646,6 +707,7 @@ class Repository:
         branch head commit is unchanged, so the state stays uncommitted
         (and the branch dirty) until the next commit.
         """
+        self._check_writable("compact", force)
         changes = self.staged_changes(branch)
         if changes is None:
             raise NoChangesError(f"nothing to compact on {branch!r}")
@@ -672,10 +734,12 @@ class Repository:
     def _clear_staging(self, branch: str) -> None:
         shutil.rmtree(self._staging_dir(branch), ignore_errors=True)
 
-    def reset_branch(self, branch: str, prefix: str | None = None, key: str | None = None) -> None:
+    def reset_branch(self, branch: str, prefix: str | None = None, key: str | None = None,
+                     force: bool = False) -> None:
         """Drop staged changes: all, one key, or a prefix
         (Reset/ResetKey/ResetPrefix — graveler.go:2576-2828). A full
         reset also discards a pending compacted base."""
+        self._check_writable("reset_branch", force)
         d = self._staging_dir(branch)
         if prefix is None and key is None:
             self._clear_staging(branch)
@@ -878,6 +942,7 @@ class Repository:
         allow_empty: bool = False,
         date: float | None = None,
         pointer_extra: dict | None = None,
+        force: bool = False,
     ) -> Commit:
         """Commit staged changes (copy-on-write apply; graveler.go:2239-2406).
 
@@ -885,6 +950,7 @@ class Repository:
         head swap (used by streaming ingest to bind the microbatch epoch
         to the commit — the Delta txn-version idempotent-sink pattern).
         """
+        self._check_writable("commit", force)
         self._check_protected(branch, "commit")
         # prepare-commit fires while staging is still writable, then the
         # abortable pre-commit (pkg/actions/event.go:16-32 ordering)
@@ -942,7 +1008,7 @@ class Repository:
             return commit
 
         commit = self._retry_branch_update(branch, attempt)
-        self.reset_branch(branch)
+        self.reset_branch(branch, force=force)
         self._fire("post-commit", branch=branch, commit=commit)
         return commit
 
@@ -1036,6 +1102,7 @@ class Repository:
         metadata: dict[str, str] | None = None,
         date: float | None = None,
         resolvers=None,
+        force: bool = False,
     ) -> Commit:
         """3-way merge source into dest (graveler.go:3115-3257).
 
@@ -1047,6 +1114,7 @@ class Repository:
         [dest, source] (dest first — graveler.go:3192), or [dest]
         when squashed.
         """
+        self._check_writable("merge", force)
         if self.has_staged(dest_branch):
             raise DirtyBranchError(f"destination branch {dest_branch!r} has uncommitted changes")
         self._fire("pre-merge", source=source_ref, dest=dest_branch)
@@ -1086,9 +1154,11 @@ class Repository:
         parent_number: int = 1,
         committer: str = "lakefs_spark",
         date: float | None = None,
+        force: bool = False,
     ) -> Commit:
         """Apply the inverse of a commit: 3-way with base=commit,
         source=commit's parent (graveler.go:2829-2960)."""
+        self._check_writable("revert", force)
         if self.has_staged(branch):
             raise DirtyBranchError(f"branch {branch!r} has uncommitted changes")
         cid = self.resolve(ref).commit_id
@@ -1126,9 +1196,11 @@ class Repository:
         parent_number: int = 1,
         committer: str = "lakefs_spark",
         date: float | None = None,
+        force: bool = False,
     ) -> Commit:
         """Apply one commit's change onto branch: base=picked parent,
         source=picked commit (graveler.go:2961-3114)."""
+        self._check_writable("cherry_pick", force)
         if self.has_staged(branch):
             raise DirtyBranchError(f"branch {branch!r} has uncommitted changes")
         cid = self.resolve(ref).commit_id
@@ -1169,6 +1241,7 @@ class Repository:
         message: str = "import",
         committer: str = "lakefs_spark",
         date: float | None = None,
+        force: bool = False,
     ) -> Commit:
         """Bulk import with SkipPrefix semantics, range-granular COW
         (pkg/graveler/committed/manager.go:215-236, skip_prefix_iterator.go):
@@ -1178,6 +1251,7 @@ class Repository:
         from lakefs_spark.operators.overlay import dedup_entries
         from lakefs_spark.storage.commit_apply import import_apply
 
+        self._check_writable("import_entries", force)
         self._check_protected(branch, "commit")
         ents = dedup_entries(entries.select(*ENTRY_COLS))
 
@@ -1218,6 +1292,37 @@ class Repository:
 
         return self._retry_branch_update(branch, attempt)
 
+    def import_via_hidden_branch(
+        self,
+        branch: str,
+        entries: DataFrame,
+        replace_prefixes: list[str] | None = None,
+        message: str = "import",
+        committer: str = "lakefs_spark",
+        date: float | None = None,
+        force: bool = False,
+    ) -> Commit:
+        """The reference's import topology (pkg/catalog import flow +
+        graveler.go:227-267 WithHidden): stage the import on a hidden
+        work branch forked from the target, commit there, then merge
+        back source-wins. Readers of ``branch`` never observe a partial
+        import, listings never show the work branch, and an aborted
+        import leaves the target untouched (the work branch is deleted
+        on every exit path)."""
+        import_branch = f"_import-{int(time.time() * 1e6):016x}-{os.urandom(3).hex()}"
+        self.create_branch(import_branch, branch, force=force, hidden=True)
+        try:
+            self.import_entries(
+                import_branch, entries, replace_prefixes,
+                message=message, committer=committer, date=date, force=force,
+            )
+            return self.merge(
+                import_branch, branch, strategy="src",
+                message=message, committer=committer, date=date, force=force,
+            )
+        finally:
+            self.delete_branch(import_branch, force=True)
+
     # -- log / gc ----------------------------------------------------------
 
     def log(
@@ -1233,7 +1338,7 @@ class Repository:
             return []
         return log_commits(self.commits, cid, first_parent, since, limit, after)
 
-    def annotate(self, ref: str, prefix: str = "") -> DataFrame:
+    def annotate(self, ref: str, prefix: str = "", batch: int = 16) -> DataFrame:
         """Per-object blame (``lakectl annotate`` /
         cmd/lakectl/cmd/annotate.go): for every visible object under
         ``prefix`` at ``ref``, the most recent first-parent commit
@@ -1241,15 +1346,17 @@ class Repository:
         (key, commit_id, message, pos) with pos the 1-based log
         position of the attributed commit.
 
-        Shape: a driver loop over the COMMIT LOG (metadata-sized), one
-        manifest-pruned diff per step; attribution is DataFrame
-        algebra — each step semi-joins the still-unattributed keys
-        against that step's changed keys and anti-joins them out of
-        the remainder, so no key stream ever reaches the driver. The
-        loop early-exits once every key is attributed, so shallow
-        blames over deep histories stop after the few commits that
-        matter (the reference instead runs one log-with-path per
-        object — O(objects x history) round trips).
+        Shape: a driver loop over the COMMIT LOG (metadata-sized) in
+        rounds of ``batch`` commits. Each round unions the commits'
+        manifest-pruned diff key-sets tagged with their log position
+        and runs ONE join+min(pos) aggregation — earliest position (=
+        most recent commit) attributes the key — then anti-joins the
+        attributed keys out of the remainder. So a 10^4-commit history
+        pays ~10^4/batch Spark-job overheads, not 10^4, while no key
+        stream ever reaches the driver. Early-exits once every key is
+        attributed, so shallow blames over deep histories stop after
+        the few rounds that matter (the reference instead runs one
+        log-with-path per object — O(objects x history) round trips).
         """
         kl = prefix or None
         ku = upper_bound_for_prefix(prefix) if prefix else None
@@ -1263,28 +1370,22 @@ class Repository:
         remaining = self.snapshot(head, key_lower=kl, key_upper=ku).select("key")
         commits = self.log(head, first_parent=True)
         parts: list[DataFrame] = []
-        for pos, c in enumerate(commits, start=1):
+        batch = max(1, int(batch))
+        for start in range(0, len(commits), batch):
             if remaining.isEmpty():
                 break
-            parent = c.parents[0] if c.parents else None
-            if parent is None:
-                touched = self.snapshot(c.commit_id, key_lower=kl, key_upper=ku).select("key")
-            else:
-                touched = (
-                    self.diff(parent, c.commit_id)
-                    .where(F.col("diff_type") != "removed")
-                    .select("key")
-                )
-            hit = remaining.join(touched, "key", "semi").select(
-                "key",
-                F.lit(c.commit_id).alias("commit_id"),
-                F.lit(c.message).alias("message"),
-                F.lit(pos).cast("long").alias("pos"),
+            t = self._touched_keys_by_pos(commits, start, batch, prefix, kl, ku)
+            # one aggregation per ROUND: keys tagged by log position,
+            # earliest position in the round (= most recent commit) wins
+            hit = (
+                remaining.join(t, "key", "inner")
+                .groupBy("key")
+                .agg(F.min("pos").alias("pos"))
             )
             parts.append(hit.localCheckpoint())
-            # checkpoint: each step's isEmpty()/diff must not re-run the
-            # whole stacked anti-join lineage (quadratic in history)
-            remaining = remaining.join(touched, "key", "left_anti").localCheckpoint()
+            # checkpoint: each round's isEmpty()/scans must not re-run
+            # the whole stacked anti-join lineage (quadratic in history)
+            remaining = remaining.join(t, "key", "left_anti").localCheckpoint()
         if not parts:
             return self.spark.createDataFrame(
                 [], "key string, commit_id string, message string, pos long"
@@ -1292,34 +1393,154 @@ class Repository:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        # commit metadata joins in once at the end (log-sized, broadcast)
+        meta = self.spark.createDataFrame(
+            [(i + 1, c.commit_id, c.message) for i, c in enumerate(commits)],
+            "pos long, commit_id string, message string",
+        )
+        return out.join(F.broadcast(meta), "pos").select(
+            "key", "commit_id", "message", "pos"
+        )
 
-    def log_with_paths(self, ref: str, paths: list[str], limit: int | None = None) -> list[Commit]:
-        """History filtered to commits that changed any of the paths —
-        pruned by comparing manifest range_ids covering each path before
-        reading any rows (pkg/catalog/catalog.go:1772-1800 analog)."""
+    def _touched_keys_by_pos(
+        self,
+        commits: list,
+        start: int,
+        batch: int,
+        prefix: str,
+        kl: str | None,
+        ku: str | None,
+    ) -> DataFrame:
+        """(key, pos) of every key ADDED or CHANGED by each commit in
+        ``commits[start:start+batch]`` vs its first parent — the
+        batched diff under :meth:`annotate`.
+
+        Instead of one diff subplan per commit (whose broadcast
+        exchanges materialize as one Spark job EACH under AQE), the
+        round compares manifests driver-side (LRU-cached, free) to find
+        each step's added/removed range_ids, prunes them to the prefix
+        window, then runs TWO pruned scans total — all new-side ranges
+        and all old-side ranges across the whole round, rows tagged
+        with their log position via a broadcast (pos, range_id) map —
+        and one anti-join on (pos, key, identity). Rows in rewritten
+        boundary ranges whose (key, identity) also appear on the old
+        side cancel out, which is exactly diff_type != 'removed'."""
+        new_map: list[tuple[int, str]] = []
+        old_map: list[tuple[int, str]] = []
+
+        def window_ids(mid: str) -> set[str]:
+            if mid == R.EMPTY_METARANGE:
+                return set()
+            mf = R.read_manifest(self.store, mid)
+            if kl is not None:
+                mf = mf[mf["max_key"] >= kl]
+            if ku is not None:
+                mf = mf[mf["min_key"] < ku]
+            return set(mf["range_id"])
+
+        for off, c in enumerate(commits[start : start + batch]):
+            pos = start + off + 1
+            pmid = (
+                self.commits.get(c.parents[0]).metarange_id
+                if c.parents
+                else R.EMPTY_METARANGE
+            )
+            ids_new = window_ids(c.metarange_id)
+            ids_old = window_ids(pmid)
+            new_map += [(pos, rid) for rid in sorted(ids_new - ids_old)]
+            old_map += [(pos, rid) for rid in sorted(ids_old - ids_new)]
+
+        def side(rmap: list[tuple[int, str]]) -> DataFrame:
+            if not rmap:
+                return self.spark.createDataFrame(
+                    [], "pos long, key string, identity string"
+                )
+            paths = R._range_paths(self.store, sorted({rid for _, rid in rmap}))
+            scan = self.spark.read.schema(R.RANGE_FILE_SCHEMA).parquet(*paths)
+            if prefix:
+                scan = scan.where(F.col("key").startswith(prefix))
+            tag = self.spark.createDataFrame(rmap, "pos long, range_id string")
+            return (
+                scan.select(
+                    F.regexp_extract(
+                        F.input_file_name(), r"([^/]+)\.parquet", 1
+                    ).alias("range_id"),
+                    "key",
+                    "identity",
+                )
+                .join(F.broadcast(tag), "range_id")
+                .select("pos", "key", "identity")
+            )
+
+        return side(new_map).join(
+            side(old_map), ["pos", "key", "identity"], "left_anti"
+        ).select("key", "pos")
+
+    def log_with_paths(
+        self, ref: str, paths: list[str], limit: int | None = None,
+        probe_batch: int = 32,
+    ) -> list[Commit]:
+        """History filtered to commits that changed any of the paths.
+
+        Two-phase per commit like the reference's GetRangeIDByKey
+        pruning (pkg/catalog/catalog.go:1772-1800): (1) a driver-side
+        manifest compare (LRU-cached, zero Spark jobs) drops every
+        commit whose covering range_ids are identical for all paths;
+        (2) survivors are row-probed in BATCHES — one pruned scan per
+        ``probe_batch`` candidate commits, keys tagged by range — so a
+        deep churn-heavy history pays #candidates/batch Spark-job
+        overheads instead of one job pair per step."""
         out: list[Commit] = []
+        pending: list[tuple] = []  # (commit, cand, cov_a, cov_b)
+
+        def flush() -> bool:
+            """Probe every pending candidate in one job; True = limit hit."""
+            if not pending:
+                return False
+            all_ids: set[str] = set()
+            all_keys: set[str] = set()
+            for _c, cand, cov_a, cov_b in pending:
+                all_keys.update(cand)
+                for cov in (cov_a, cov_b):
+                    for rids in cov.values():
+                        all_ids.update(rids)
+            ident = self._identities_by_range(all_ids, all_keys)
+
+            def side(cov: dict, p: str):
+                for rid in cov.get(p, ()):  # ranges are disjoint: <=1 hit
+                    got = ident.get((rid, p))
+                    if got is not None:
+                        return got
+                return None
+
+            for c, cand, cov_a, cov_b in pending:
+                if any(side(cov_a, p) != side(cov_b, p) for p in cand):
+                    out.append(c)
+                    if limit is not None and len(out) >= limit:
+                        return True
+            pending.clear()
+            return False
+
         for c in self.log(ref):
             parent_mid = (
                 self.commits.get(c.parents[0]).metarange_id if c.parents else R.EMPTY_METARANGE
             )
-            if self._paths_changed(c.metarange_id, parent_mid, paths):
-                out.append(c)
-                if limit is not None and len(out) >= limit:
-                    break
+            step = self._path_probe_candidates(c.metarange_id, parent_mid, paths)
+            if step is None:
+                continue
+            pending.append((c, *step))
+            if len(pending) >= max(1, probe_batch) and flush():
+                return out
+        flush()
         return out
 
-    def _paths_changed(self, mid_a: str, mid_b: str, paths: list[str]) -> bool:
-        """Did any path change between two metaranges?
-
-        Two-phase like the reference's GetRangeIDByKey pruning
-        (pkg/catalog/catalog.go:1772-1800): (1) driver-side manifest
-        compare — a path whose covering range_ids are identical cannot
-        have changed, no rows read; (2) one batched row-level probe for
-        all surviving candidate paths (2 small pruned scans total,
-        regardless of path count)."""
+    def _path_probe_candidates(self, mid_a: str, mid_b: str, paths: list[str]):
+        """Driver-side manifest phase: None when no path can have
+        changed (identical covering range_ids), else the candidate
+        paths plus each side's path -> covering-range_ids map for the
+        batched row probe."""
         if mid_a == mid_b:
-            return False
+            return None
         ma = (
             R.read_manifest(self.store, mid_a)
             if mid_a != R.EMPTY_METARANGE
@@ -1336,30 +1557,38 @@ class Repository:
             return hit["range_id"].tolist()
 
         cand: list[str] = []
-        ids_a: set[str] = set()
-        ids_b: set[str] = set()
+        cov_a: dict[str, list[str]] = {}
+        cov_b: dict[str, list[str]] = {}
         for p in paths:
             ra, rb = covering(ma, p), covering(mb, p)
             if ra != rb:
                 cand.append(p)
-                ids_a.update(ra)
-                ids_b.update(rb)
+                cov_a[p] = ra
+                cov_b[p] = rb
         if not cand:
-            return False
+            return None
+        return cand, cov_a, cov_b
 
-        def identities(range_ids: set[str]) -> dict[str, str]:
-            if not range_ids:
-                return {}
-            rows = (
-                R.read_ranges(self.spark, self.store, sorted(range_ids))
-                .where(F.col("key").isin(cand))
-                .select("key", "identity")
-                .collect()
+    def _identities_by_range(self, range_ids: set[str], keys: set[str]) -> dict:
+        """(range_id, key) -> identity over the given ranges, restricted
+        to ``keys`` — ONE pruned scan; result is (|ranges| x |keys|)-
+        bounded metadata, never a data stream."""
+        if not range_ids or not keys:
+            return {}
+        paths = R._range_paths(self.store, sorted(range_ids))
+        rows = (
+            self.spark.read.schema(R.RANGE_FILE_SCHEMA).parquet(*paths)
+            .where(F.col("key").isin(sorted(keys)))
+            .select(
+                F.regexp_extract(F.input_file_name(), r"([^/]+)\.parquet", 1).alias(
+                    "range_id"
+                ),
+                "key",
+                "identity",
             )
-            return {r["key"]: r["identity"] for r in rows}
-
-        da, db = identities(ids_a), identities(ids_b)
-        return any(da.get(p) != db.get(p) for p in cand)
+            .collect()
+        )
+        return {(r["range_id"], r["key"]): r["identity"] for r in rows}
 
     def active_commits(
         self,
@@ -1376,7 +1605,7 @@ class Repository:
         per_branch = per_branch or {}
         now = time.time() if now is None else now
         cutoffs: dict[str, float] = {}
-        for branch, head in self.branches().items():
+        for branch, head in self.branches(show_hidden=True).items():
             if head is None:
                 continue
             c = now - 86400.0 * per_branch.get(branch, retention_days_default)
@@ -1405,7 +1634,7 @@ class Repository:
 
     def _uncommitted_addresses_raw(self) -> DataFrame:
         dfs = []
-        for branch in self.branches():
+        for branch in self.branches(show_hidden=True):
             raw = self._staged_raw(branch)
             if raw is not None:
                 dfs.append(raw.where(~F.col("is_tombstone")).select("address"))
@@ -1469,7 +1698,7 @@ class Repository:
         live_mids: set[str] = set()
         for cid in active:
             live_mids.add(self.commits.get(cid).metarange_id)
-        for branch in self.branches():
+        for branch in self.branches(show_hidden=True):
             cmid = self._read_branch(branch).get("compacted_mid")
             if cmid:
                 live_mids.add(cmid)
@@ -1499,21 +1728,24 @@ class Repository:
 
     # -- misc write-path operators -----------------------------------------
 
-    def copy_entry(self, src_ref: str, src_key: str, dest_branch: str, dest_key: str) -> None:
+    def copy_entry(self, src_ref: str, src_key: str, dest_branch: str, dest_key: str,
+                   force: bool = False) -> None:
         """Shallow same-repo copy: stage a new entry at ``dest_key``
         pointing at the *same physical address* (no byte copy) —
         pkg/catalog/catalog.go:3064-3176 CopyEntry."""
+        self._check_writable("copy_entry", force)
         row = self.get(src_ref, src_key)
         if row is None:
             raise KeyError(f"{src_key!r} not found at {src_ref!r}")
         src = self.snapshot(src_ref, key_lower=src_key, key_upper=src_key + "\x00").where(
             F.col("key") == src_key
         )
-        self.stage_entries(dest_branch, src.withColumn("key", F.lit(dest_key)))
+        self.stage_entries(dest_branch, src.withColumn("key", F.lit(dest_key)), force=force)
 
-    def reset_hard(self, branch: str, ref: str) -> None:
+    def reset_hard(self, branch: str, ref: str, force: bool = False) -> None:
         """Move the branch head to ``ref`` and drop staging (ResetHard —
         graveler.go:2576-2828)."""
+        self._check_writable("reset_hard", force)
         self._check_protected(branch, "commit")
         cid = self.resolve(ref).commit_id
         st = self._read_branch(branch)
@@ -1521,7 +1753,7 @@ class Repository:
         # unconditional write could silently undo a concurrent
         # staging_seq bump and hand two stagers the same directory
         self._cas_update(branch, st["head"], {"head": cid})
-        self.reset_branch(branch)
+        self.reset_branch(branch, force=force)
 
     # -- dump / restore refs -------------------------------------------------
 
@@ -1542,13 +1774,17 @@ class Repository:
                      "creation_date", "metadata", "generation", "version"],
         ).to_parquet(os.path.join(out_dir, "commits.parquet"), index=False)
         with open(os.path.join(out_dir, "refs.json"), "w") as f:
-            json.dump({"branches": self.branches(), "tags": self.tags(),
+            json.dump({"branches": self.branches(show_hidden=True), "tags": self.tags(),
                        "default_branch": self.default_branch}, f)
 
-    def restore_refs(self, in_dir: str) -> None:
+    def restore_refs(self, in_dir: str, force: bool = False) -> None:
         """Restore a dump into this repository (graveler.go:3552-3659).
         Range/manifest files are content-addressed and assumed present
-        (or restored by file copy); this reinstates the DAG + pointers."""
+        (or restored by file copy); this reinstates the DAG + pointers.
+        On a read-only repository pass ``force=True`` — the reference's
+        dump/restore escape hatch (LoadCommits/LoadBranches run with
+        WriteOptions.Force on read-only repos)."""
+        self._check_writable("restore_refs", force)
         commits_pdf = pd.read_parquet(os.path.join(in_dir, "commits.parquet"))
         for rec in commits_pdf.to_dict("records"):
             rec["parents"] = list(rec["parents"])

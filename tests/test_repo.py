@@ -53,6 +53,113 @@ def _entries(spark, where=None):
     return df.where(where) if where is not None else df
 
 
+def test_hidden_branches_listing_and_reachability(repo, spark):
+    """Hidden branches (graveler.go:227-267 WithHidden) are invisible
+    to listings (ref/branch_iterator.go:67) but fully functional —
+    resolvable, committable, mergeable — and their commits stay
+    GC-reachable (a reachability walk that missed them would collect
+    live import data)."""
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(40), message="base")
+    repo.create_branch("_stage", "main", hidden=True)
+    assert "_stage" not in repo.branches()
+    assert "_stage" in repo.branches(show_hidden=True)
+    assert repo.resolve("_stage").commit_id == repo.resolve("main").commit_id
+
+    repo.set_entry("_stage", {"key": "imp/x", "identity": "ix", "size": 1, "etag": "ex"})
+    c = repo.commit("_stage", "staged import")
+    assert "_stage" not in repo.branches()  # commit must not unhide it
+    assert repo.get("main", "imp/x") is None  # invisible to target until merge
+    assert c.commit_id in repo.active_commits(9999)  # GC root includes hidden
+    repo.merge("_stage", "main")
+    assert repo.get("main", "imp/x")["identity"] == "ix"
+    repo.delete_branch("_stage")
+    assert "_stage" not in repo.branches(show_hidden=True)
+
+
+def test_import_via_hidden_branch_is_atomic_and_invisible(repo, spark):
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(30), message="base")
+    seen: dict = {}
+    repo.on("pre-merge", lambda r, e, ctx: seen.setdefault("branches", set(r.branches())))
+    mc = repo.import_via_hidden_branch("main", ents.limit(60), message="imp")
+    assert repo.branches()["main"] == mc.commit_id
+    assert repo.snapshot("main").count() == 60
+    # the work branch never appeared in listings, and is gone after
+    assert all(not b.startswith("_import-") for b in seen["branches"])
+    assert all(not b.startswith("_import-") for b in repo.branches(show_hidden=True))
+
+
+def test_read_only_repository_blocks_every_write(spark, tmp_path):
+    """A read_only repo refuses every mutating entry point without
+    force (graveler.go:1309-1347 ErrReadOnlyRepository at each write
+    op), force is the dump/restore + managed-import escape hatch, and
+    forced writes run WITHOUT hooks (graveler.go:1372 `if !ReadOnly`)."""
+    from lakefs_spark.storage.repo import ReadOnlyRepositoryError
+
+    create_fixture_views(spark, SF_SMOKE)
+    ents = _entries(spark).limit(20)
+
+    # a donor repo provides a dump to restore through the escape hatch
+    donor = Repository.create(spark, str(tmp_path / "donor"))
+    donor.import_entries("main", ents, message="seed")
+    dump_dir = str(tmp_path / "dump")
+    donor.dump_refs(dump_dir)
+
+    root = str(tmp_path / "ro")
+    repo = Repository.create(spark, root, read_only=True)
+    assert repo.read_only is True
+    assert Repository.open(spark, root).read_only is True
+
+    fired: list[str] = []
+    for ev in ("prepare-commit", "pre-commit", "post-commit", "pre-merge"):
+        repo.on(ev, lambda r, e, c: fired.append(e))
+
+    # seed state through force (the managed-import flow)
+    for rel in ("ranges", "manifests"):  # content-addressed files ride a copy
+        for p in donor.store.list_blobs(rel):
+            import shutil as _sh
+
+            _sh.copy(donor.store.blob_path(os.path.join(rel, p)),
+                     repo.store.blob_path(os.path.join(rel, p)))
+    repo.restore_refs(dump_dir, force=True)
+    repo.create_branch("dev", "main", force=True)
+    repo.create_tag("v1", "main", force=True)
+    assert [r["key"] for r in repo.list_entries("main").limit(3).collect()]
+
+    entry = {"key": "x/new", "identity": "i9", "size": 1, "etag": "e9"}
+    some_key = repo.list_entries("main").limit(1).collect()[0]["key"]
+    blocked = {
+        "stage_entries": lambda: repo.stage_entries("main", ents.limit(1)),
+        "stage_deletes": lambda: repo.stage_deletes("main", [some_key]),
+        "set_entry": lambda: repo.set_entry("main", entry),
+        "copy_entry": lambda: repo.copy_entry("main", some_key, "main", "x/copy"),
+        "commit": lambda: repo.commit("main", "nope"),
+        "merge": lambda: repo.merge("dev", "main"),
+        "revert": lambda: repo.revert("main", "main"),
+        "cherry_pick": lambda: repo.cherry_pick("main", "dev"),
+        "import_entries": lambda: repo.import_entries("main", ents.limit(1)),
+        "compact": lambda: repo.compact("main"),
+        "reset_branch": lambda: repo.reset_branch("main"),
+        "reset_hard": lambda: repo.reset_hard("main", "main"),
+        "create_branch": lambda: repo.create_branch("b2", "main"),
+        "delete_branch": lambda: repo.delete_branch("dev"),
+        "create_tag": lambda: repo.create_tag("v2", "main"),
+        "delete_tag": lambda: repo.delete_tag("v1"),
+        "restore_refs": lambda: repo.restore_refs(dump_dir),
+    }
+    for op, fn in blocked.items():
+        with pytest.raises(ReadOnlyRepositoryError):
+            fn()
+
+    # forced write path works end-to-end and never fires a hook
+    repo.set_entry("dev", entry, force=True)
+    c = repo.commit("dev", "forced", force=True)
+    assert c.commit_id
+    assert repo.get("dev", "x/new")["identity"] == "i9"
+    assert fired == []  # read-only repos run no hooks, even when forced
+
+
 def test_import_commit_list(repo, spark):
     ents = _entries(spark)
     c = repo.import_entries("main", ents, message="initial import")
