@@ -33,8 +33,12 @@ The reference embeds a Lua VM for ``type: lua``; this engine's
 equivalent is ``type: script``: a sandboxed Python mini-script (AST
 whitelist: no imports, no dunder/underscore access, fixed builtins)
 with the same injected surface. Specs declaring ``type: lua`` validate
-(so reference action files load), but binding them raises with a
-pointer to ``type: script`` — Lua source is not executed here.
+(so reference action files load), but dispatching one records an
+explicit ``unsupported`` task result ("unsupported: lua"), never a
+silent reroute; pre-* events abort so a policy gate cannot be bypassed
+by language unavailability. tests/test_lua_ports.py carries ported
+reference Lua scenarios (commit-metadata validator, action logger,
+symlink-exporter trigger) as ``type: script`` fixtures.
 
 Sandbox threat model: the vet is an AST allowlist (no imports, no
 underscore-prefixed names/attributes/keywords, fixed builtins) plus a
@@ -277,6 +281,7 @@ def script_hook(
     hook_id: str = "script",
     args: dict | None = None,
     output_sink=None,
+    extra_globals: dict | None = None,
 ):
     """Hook callable running a sandboxed mini-script with the
     lua.go:38-75 injected surface: global ``action`` (the event
@@ -299,6 +304,7 @@ def script_hook(
                 "args": dict(args or {}),
                 "output": lambda line: sink(str(line)),
                 "fail": _fail,
+                **(extra_globals or {}),
             },
         )
 
@@ -498,13 +504,19 @@ class ActionsService:
     (service.go buildRunManifestFromTasks shape) and its output lines;
     a pre-* event with any failed action aborts the operation."""
 
-    def __init__(self, repo, *, env_getter=None, transport=None, source=None):
+    def __init__(self, repo, *, env_getter=None, transport=None, source=None,
+                 exporters: dict | None = None):
         import os
 
         self.repo = repo
         self.env_getter = env_getter or os.environ.get
         self.transport = transport
         self.source = source
+        # named exporter registry, surfaced to script hooks as the
+        # ``export(name, ...)`` global — the script-runner analog of the
+        # reference's lua/lakefs/catalogexport stdlib (symlink_exporter
+        # .lua etc.), where a post-commit hook triggers a catalog export
+        self.exporters = dict(exporters or {})
         # Registration is idempotent per repo: the repo carries one
         # bound-events set and one trampoline target, so constructing a
         # second service on the same Repository (one for writing, one
@@ -600,6 +612,24 @@ class ActionsService:
                 if not should_run:
                     self._log_task(run_id, hook_run_id, spec, hook, event, "skipped", None)
                     continue
+                if hook["type"] == "lua":
+                    # Explicit, greppable record — never silent
+                    # rerouting: the embedded Lua VM is out of scope
+                    # here. Pre-* events still abort (a policy gate
+                    # must not be bypassed because its language is
+                    # unavailable); post-* events are recorded only.
+                    err = HookAbortError(
+                        f"unsupported: lua — hook {hook['id']!r} declares an "
+                        "embedded-Lua script; port it to type: script "
+                        "(ported reference scenarios: tests/test_lua_ports.py)"
+                    )
+                    if action_err is None:
+                        action_err = err
+                    self._log_task(
+                        run_id, hook_run_id, spec, hook, event,
+                        "unsupported", str(err),
+                    )
+                    continue
                 started = time.time()
                 try:
                     fn = self._build_hook(spec, hook, run_id, hook_run_id)
@@ -647,14 +677,24 @@ class ActionsService:
                 transport=self.transport,
             )
         if htype == "script":
+            extra = {}
+            if self.exporters:
+                def _export(kind, *a, **kw):
+                    fn = self.exporters.get(kind)
+                    if fn is None:
+                        raise HookAbortError(f"unknown exporter {kind!r}")
+                    return fn(self.repo, *a, **kw)
+
+                extra["export"] = _export
             return script_hook(
                 props["script"],
                 action_name=name,
                 hook_id=hid,
                 args=props.get("args"),
                 output_sink=lambda line: self._log_output(run_id, hook_run_id, line),
+                extra_globals=extra or None,
             )
-        raise InvalidActionError(
+        raise InvalidActionError(  # lua is intercepted in _dispatch
             "type 'lua' validates for spec portability but does not run here; "
             "port the hook to type 'script' (sandboxed mini-script)"
         )

@@ -954,8 +954,10 @@ class Repository:
         self._check_protected(branch, "commit")
         # prepare-commit fires while staging is still writable, then the
         # abortable pre-commit (pkg/actions/event.go:16-32 ordering)
-        self._fire("prepare-commit", branch=branch, message=message)
-        self._fire("pre-commit", branch=branch, message=message)
+        self._fire("prepare-commit", branch=branch, message=message,
+                   metadata=metadata or {})
+        self._fire("pre-commit", branch=branch, message=message,
+                   metadata=metadata or {})
 
         def attempt() -> Commit:
             # each try re-reads the head, so a retry after a lost CAS

@@ -47,7 +47,10 @@ def event_payload(repo, event: str, ctx: dict, action_name: str, hook_id: str) -
         "commit_id": getattr(commit, "commit_id", "") or "",
         "commit_message": getattr(commit, "message", "") or ctx.get("message", "") or "",
         "committer": getattr(commit, "committer", "") or "",
-        "commit_metadata": getattr(commit, "metadata", None) or {},
+        # pre-commit carries the PENDING commit's metadata via ctx (the
+        # reference's pre-commit EventInfo does the same), post-commit
+        # reads it off the landed commit record
+        "commit_metadata": getattr(commit, "metadata", None) or ctx.get("metadata") or {},
         "merge_source": ctx.get("source") or "",
     }
 

@@ -274,22 +274,40 @@ def test_branch_glob_scopes_action(spark):
         repo.commit("feature-x", "blocked")
 
 
-def test_lua_type_validates_but_run_points_to_script(spark):
+def test_lua_type_records_explicit_unsupported_result(spark):
+    """A dispatched ``type: lua`` hook records an 'unsupported' task
+    row with an 'unsupported: lua' error — never a silent reroute —
+    and still aborts pre-* events (a policy gate must not be bypassed
+    because its language is unavailable)."""
     repo = _repo(spark)
     svc = A.ActionsService(repo)
     svc.add_action(
         {
             "name": "legacy lua",
-            "on": {"pre-commit": None},
+            "on": {"pre-commit": None, "post-commit": None},
             "hooks": [{"id": "lua1", "type": "lua",
                        "properties": {"script": "print('lua')"}}],
         }
     )
     repo.set_entry("main", _entry("a/1"))
-    with pytest.raises(A.InvalidActionError):
+    with pytest.raises(HookAbortError, match="unsupported: lua"):
         repo.commit("main", "lua hooks must be ported")
-    assert svc.task_results()[0]["status"] == "failed"
-    assert "script" in svc.task_results()[0]["error"]
+    task = svc.task_results()[0]
+    assert task["status"] == "unsupported"
+    assert task["error"].startswith("unsupported: lua")
+    # post-* events record the same result but never abort
+    repo.set_entry("main", _entry("a/1"), force=False)
+    svc.delete_action("legacy lua")
+    svc.add_action(
+        {
+            "name": "legacy lua post",
+            "on": {"post-commit": None},
+            "hooks": [{"id": "lua1", "type": "lua",
+                       "properties": {"script": "print('lua')"}}],
+        }
+    )
+    repo.commit("main", "lands despite the unsupported post hook")
+    assert svc.task_results()[0]["status"] == "unsupported"
 
 
 def test_actions_persist_across_service_instances(spark):
