@@ -62,7 +62,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["scenario", "random-read", "link-same-object", "create-branches"],
+        choices=["scenario", "random-read", "link-same-object",
+                 "create-branches", "gc-sweep"],
         default="scenario",
     )
     ap.add_argument("--iterations", type=int, default=5)
@@ -107,6 +108,62 @@ def main() -> None:
         ).limit(5000)
         repo = Repository.create(spark, root)
         repo.import_entries("main", base, message="seed")
+
+        if args.mode == "gc-sweep":
+            # sweep-path stress: --amount fake content addresses are
+            # materialized as real empty files executor-parallel, then
+            # deleted through gc_sweep's foreachPartition bulk chunks
+            # (the BulkRemoverFactory.scala shape, 1000 per call like
+            # S3 DeleteObjects) — measures end-to-end delete throughput
+            from lakefs_spark.operators.gc import gc_sweep
+
+            scratch = os.path.join(root, "sweep_scratch")
+            addrs = (
+                spark.range(args.amount)
+                .select(
+                    F.concat(
+                        F.lit(scratch + "/"),
+                        F.lpad((F.col("id") % 4096).cast("string"), 4, "0"),
+                        F.lit("/"),
+                        F.md5(F.col("id").cast("string")),
+                    ).alias("address")
+                )
+                .repartition(32)
+                .persist()
+            )
+
+            def touch(rows):
+                import os as _os
+
+                seen_dirs = set()
+                for row in rows:
+                    p = row["address"]
+                    d = p[: p.rfind("/")]
+                    if d not in seen_dirs:
+                        _os.makedirs(d, exist_ok=True)
+                        seen_dirs.add(d)
+                    open(p, "w").close()
+
+            t0 = time.time()
+            addrs.foreachPartition(touch)
+            t_create = time.time() - t0
+            t0 = time.time()
+            deleted = gc_sweep(addrs, bulk_size=1000)
+            t_sweep = time.time() - t0
+            addrs.unpersist()
+            leftovers = sum(len(fs) for _, _, fs in os.walk(scratch))
+            print(json.dumps({
+                "mode": args.mode,
+                "amount": args.amount,
+                "deleted": deleted,
+                "leftover_files": leftovers,
+                "create_sec": round(t_create, 2),
+                "sweep_sec": round(t_sweep, 2),
+                "creates_per_sec": round(args.amount / t_create, 1),
+                "deletes_per_sec": round(deleted / t_sweep, 1),
+                "sf": SF_DIR,
+            }))
+            return
 
         if args.mode != "scenario":
             errors = []
