@@ -1747,6 +1747,25 @@ def _gov_repo(spark, sf_dir):
             raise RuntimeError("protected branch accepted a direct commit")
         except ProtectedBranchError:
             pass
+        # read-only repositories: every write refuses without force,
+        # forced writes land (graveler.go:1309-1347) — asserted in-gate
+        # so a veto regression turns the governance gate red
+        from lakefs_spark.storage.repo import ReadOnlyRepositoryError
+
+        ro = Repository.create(
+            spark, tempfile.mkdtemp(prefix="lakefs_ro_"), read_only=True
+        )
+        try:
+            ro.set_entry("main", {"key": "a", "identity": "i", "size": 1, "etag": "e"})
+            raise RuntimeError("read-only repo accepted a write")
+        except ReadOnlyRepositoryError:
+            pass
+        ro.set_entry("main", {"key": "a", "identity": "i", "size": 1, "etag": "e"},
+                     force=True)
+        ro.commit("main", "forced", force=True)
+        if ro.get("main", "a") is None:
+            raise RuntimeError("forced write did not land on read-only repo")
+
         pr1 = repo.pulls.create("feature", "main", title="feature work")
         pr2 = repo.pulls.create("dev", "main", title="dev work")
         pr3 = repo.pulls.create("wip", "main", title="empty")

@@ -540,12 +540,14 @@ class ActionsService:
     # -- registry ------------------------------------------------------------
 
     def add_action(self, spec) -> dict:
+        self.repo._check_writable("actions.add_action")
         spec = parse_action(spec)
         self.repo.store.put_doc(f"actions/{spec['name']}", spec)
         self._bind_events(spec)
         return spec
 
     def delete_action(self, name: str) -> None:
+        self.repo._check_writable("actions.delete_action")
         self.repo.store.delete_doc(f"actions/{name}")
 
     def actions(self) -> list[dict]:

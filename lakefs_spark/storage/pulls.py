@@ -49,6 +49,7 @@ class PullRequests:
     ) -> str:
         """Open a PR from source branch into destination branch
         (catalog.go:3362-3407: both must exist, and differ)."""
+        self.repo._check_writable("pulls.create")
         if source == destination:
             raise PullRequestError(
                 f"source and destination branches are the same: {source!r}"
@@ -180,6 +181,7 @@ class PullRequests:
         return self.update(pull_id, status=MERGED, merged_commit_id=commit.commit_id)
 
     def close(self, pull_id: str) -> dict:
+        self.repo._check_writable("pulls.close")
         rec = self.get(pull_id)
         if rec["status"] != OPEN:
             raise PullRequestError(

@@ -72,7 +72,7 @@ from lakefs_spark.storage.store import CASConflictError, LocalStore, Store
 # slash-named branch would otherwise write a nested store doc that a
 # naive lister misses — reachability roots must never be creatable
 # under names the listing contract can't see.
-_BRANCH_ID_RE = re.compile(r"^\w[-\w]*$")
+_BRANCH_ID_RE = re.compile(r"^\w[-\w]*$", re.ASCII)  # Go RE2 \w is ASCII-only
 
 
 def _validate_branch_id(name: str) -> None:
@@ -303,20 +303,23 @@ class Repository:
         got = self.get_setting_latest(key)
         return got[0] if got else default
 
-    def save_setting(self, key: str, value, last_known: str | None = None) -> str:
+    def save_setting(self, key: str, value, last_known: str | None = None,
+                     force: bool = False) -> str:
         """Save (settings/manager.go:66): unconditional when
         ``last_known`` is None; otherwise a conditional put that raises
         ``CASConflictError`` if the setting moved (the SetMsgIf
         semantics the reference runs on its KV)."""
+        self._check_writable("save_setting", force)
         doc = {"value": value}
         if last_known is None:
             return self.store.put_doc(f"settings/{key}", doc)
         return self.store.put_doc_if(f"settings/{key}", doc, last_known)
 
-    def update_setting(self, key: str, fn, default=None):
+    def update_setting(self, key: str, fn, default=None, force: bool = False):
         """Read-modify-CAS with bounded retry (the Update loop every
         reference settings consumer runs): ``fn(current) -> new``.
         Returns the value that won."""
+        self._check_writable("update_setting", force)
         for _ in range(16):
             got = self.get_setting_latest(key)
             cur, ver = (got[0], got[1]) if got else (default, None)
@@ -347,7 +350,8 @@ class Repository:
             ]
         return rules
 
-    def protect_branch(self, pattern: str, blocked: tuple[str, ...] = ("staging_write", "commit")) -> None:
+    def protect_branch(self, pattern: str, blocked: tuple[str, ...] = ("staging_write", "commit"),
+                       force: bool = False) -> None:
         """Add a protection rule: fnmatch ``pattern`` over branch names,
         blocking the given ops (pkg/graveler/branch/protection_manager.go
         — itself a settings-manager consumer, mirrored here: the rule
@@ -355,6 +359,7 @@ class Repository:
         land through the CAS update loop). Merges into a protected
         branch stay allowed — that is the rule's point (changes land
         via merge, not direct commit)."""
+        self._check_writable("protect_branch", force)
         if self.store.get_doc("protected_branches"):  # migrate legacy doc
             legacy = self.store.get_doc("protected_branches")[0]["rules"]
 
@@ -366,7 +371,8 @@ class Repository:
                 ]}
 
             self.update_setting(
-                "protected_branches", _merge_legacy, default={"rules": []}
+                "protected_branches", _merge_legacy, default={"rules": []},
+                force=force,
             )
             try:
                 self.store.delete_doc("protected_branches")
@@ -378,6 +384,7 @@ class Repository:
             "protected_branches",
             lambda cur: {"rules": (cur or {"rules": []})["rules"] + [new_rule]},
             default={"rules": []},
+            force=force,
         )
 
     def _check_protected(self, branch: str, op: str) -> None:
@@ -1119,7 +1126,11 @@ class Repository:
         self._check_writable("merge", force)
         if self.has_staged(dest_branch):
             raise DirtyBranchError(f"destination branch {dest_branch!r} has uncommitted changes")
-        self._fire("pre-merge", source=source_ref, dest=dest_branch)
+        # the pending merge commit's message/metadata ride the ctx, like
+        # pre-commit: a metadata-validator hook must see what will land
+        self._fire("pre-merge", source=source_ref, dest=dest_branch,
+                   message=message or f"merge {source_ref} into {dest_branch}",
+                   metadata=metadata or {})
         source_cid = self.resolve(source_ref).commit_id
         if source_cid is None:
             raise RefError("source has no commits")
@@ -1323,7 +1334,14 @@ class Repository:
                 message=message, committer=committer, date=date, force=force,
             )
         finally:
-            self.delete_branch(import_branch, force=True)
+            try:
+                self.delete_branch(import_branch, force=True)
+            except Exception:  # noqa: BLE001
+                # cleanup must never mask the import's own outcome (a
+                # broad protection rule can block the delete — force
+                # bypasses only the read-only check, by design); a
+                # leaked work branch is hidden and harmless
+                pass
 
     # -- log / gc ----------------------------------------------------------
 
@@ -1776,8 +1794,16 @@ class Repository:
                      "creation_date", "metadata", "generation", "version"],
         ).to_parquet(os.path.join(out_dir, "commits.parquet"), index=False)
         with open(os.path.join(out_dir, "refs.json"), "w") as f:
-            json.dump({"branches": self.branches(show_hidden=True), "tags": self.tags(),
-                       "default_branch": self.default_branch}, f)
+            json.dump({
+                "branches": self.branches(show_hidden=True),
+                # hidden flags ride the dump so a restore can't unhide
+                # an in-flight import work branch
+                "hidden": sorted(
+                    set(self.branches(show_hidden=True)) - set(self.branches())
+                ),
+                "tags": self.tags(),
+                "default_branch": self.default_branch,
+            }, f)
 
     def restore_refs(self, in_dir: str, force: bool = False) -> None:
         """Restore a dump into this repository (graveler.go:3552-3659).
@@ -1796,11 +1822,13 @@ class Repository:
             self.commits.put(Commit.from_json(rec))
         with open(os.path.join(in_dir, "refs.json")) as f:
             refs = json.load(f)
+        hidden = set(refs.get("hidden") or ())
         for name, head in refs["branches"].items():
+            flag = {"hidden": True} if name in hidden else {}
             if not self.store.doc_exists(self._branch_key(name)):
-                self._write_branch(name, {"head": head, "staging_seq": 0})
+                self._write_branch(name, {"head": head, "staging_seq": 0, **flag})
             else:
                 st = self._read_branch(name)
-                self._write_branch(name, {**st, "head": head})
+                self._write_branch(name, {**st, "head": head, **flag})
         for name, cid in refs["tags"].items():
             self.store.put_doc(f"refs/tags/{name}", {"commit_id": cid})

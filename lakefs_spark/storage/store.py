@@ -230,9 +230,17 @@ class LocalStore(Store):
         if not os.path.isdir(base):
             return []
         out = []
-        for dirpath, _dirs, files in os.walk(base):
+        for dirpath, dirs, files in os.walk(base):
             rel = os.path.relpath(dirpath, self.data_root)
             rel = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+            # prune subtrees that cannot contain matching keys — without
+            # this, a slash-free prefix would walk the ENTIRE data root,
+            # including the ranges/staging parquet trees
+            dirs[:] = [
+                d for d in dirs
+                if (rel + d + "/").startswith(prefix)  # subtree inside prefix
+                or prefix.startswith(rel + d + "/")  # prefix reaches deeper
+            ]
             for p in files:
                 if not p.endswith(".json"):
                     continue  # .lock / .tmp.* / .jsonl live alongside docs

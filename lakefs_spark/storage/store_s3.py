@@ -17,12 +17,27 @@ public HTTP surface:
 
 So this driver makes the engine multi-host deployable: branch pointers,
 commits, tags, settings and run logs ride an S3 bucket; the version
-token IS the object ETag. Blobs (ranges/manifests) either ride the same
-bucket (pure object-store deployment — ``blob_path`` returns HTTP URLs)
-or a shared filesystem Spark mounts (``local_blob_root=...`` — the
-reference's split of KV metadata + block-adapter data,
-pkg/block/adapter.go:187-226). Blob publication is put-if-absent: an
-existing content address always wins, same bytes by construction.
+token IS the object ETag. Blobs (ranges/manifests) have two modes:
+
+- ``local_blob_root=...`` — blobs live on a namespace Spark reads
+  natively (shared filesystem here; ``s3a://bucket/...`` on a real
+  cluster, where Spark's Hadoop S3 connector reads the same bucket the
+  docs ride). This is the topology that backs a full
+  :class:`~lakefs_spark.storage.repo.Repository` — the reference's
+  split of KV metadata + block-adapter data
+  (pkg/block/adapter.go:187-226) — and the mode the repo-lifecycle
+  test drives end-to-end.
+- no ``local_blob_root`` — the blob API itself (publish/exists/list/
+  delete) speaks pure HTTP against the bucket. That satisfies the
+  Store *contract* (control blobs, GC sweep targets, the contract
+  suite) but canNOT back Repository range I/O in this sandbox:
+  ``blob_path`` returns ``http://`` URLs and vanilla Spark has no
+  http Hadoop filesystem. Deployments wanting one bucket for
+  everything point ``local_blob_root`` at the ``s3a://`` form of the
+  same bucket instead.
+
+Blob publication is put-if-absent: an existing content address always
+wins, same bytes by construction.
 
 Design notes for 100 TB / 1000 executors:
 
@@ -379,13 +394,15 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
             keys = sorted(
                 k for (b, k) in self._obj() if b == bucket and k.startswith(prefix)
             )
+            if token:
+                keys = [k for k in keys if k > token]
+            page, rest = keys[:max_keys], keys[max_keys:]
+            # size/etag only for the page being returned — a paginated
+            # listing must not hash every matching object every page
             meta = {
                 k: (len(self._obj()[(bucket, k)]), self._etag(self._obj()[(bucket, k)]))
-                for k in keys
+                for k in page
             }
-        if token:
-            keys = [k for k in keys if k > token]
-        page, rest = keys[:max_keys], keys[max_keys:]
         items = "".join(
             f"<Contents><Key>{escape(k)}</Key>"
             f"<ETag>&quot;{meta[k][1]}&quot;</ETag>"

@@ -90,6 +90,27 @@ def test_commit_metadata_validator_port(spark):
     assert statuses == ["completed", "failed", "failed"]  # newest first
 
 
+def test_metadata_validator_applies_to_merges(spark):
+    """The Lua original's example declaration is a pre-MERGE gate: the
+    pending merge's metadata must reach the hook ctx just like
+    pre-commit's does."""
+    repo = _repo(spark)
+    svc = A.ActionsService(repo)
+    svc.add_action(METADATA_VALIDATOR_YAML.replace("pre-commit", "pre-merge"))
+    repo.set_entry("main", _entry("a/1"))
+    repo.commit("main", "base")
+    repo.create_branch("dev", "main")
+    repo.set_entry("dev", _entry("a/2", "i2"))
+    repo.commit("dev", "work")
+    with pytest.raises(HookAbortError, match="missing mandatory metadata field"):
+        repo.merge("dev", "main")
+    mc = repo.merge("dev", "main", metadata={
+        "notebook_url": "https://my-jupyter.example.com/user/nb/1",
+        "spark_version": "4.1.2",
+    })
+    assert repo._read_branch("main")["head"] == mc.commit_id
+
+
 # -- 2. action logger (examples/hooks/action_logger.lua) ----------------------
 
 ACTION_LOGGER_YAML = """

@@ -73,6 +73,17 @@ def test_hidden_branches_listing_and_reachability(repo, spark):
     assert c.commit_id in repo.active_commits(9999)  # GC root includes hidden
     repo.merge("_stage", "main")
     assert repo.get("main", "imp/x")["identity"] == "ix"
+
+    # dump/restore must not unhide an in-flight work branch
+    import tempfile
+
+    dump_dir = tempfile.mkdtemp(prefix="lakefs_hidden_dump_")
+    repo.dump_refs(dump_dir)
+    restored = Repository.create(repo.spark, tempfile.mkdtemp(prefix="lakefs_hr_"))
+    restored.restore_refs(dump_dir)
+    assert "_stage" not in restored.branches()
+    assert "_stage" in restored.branches(show_hidden=True)
+
     repo.delete_branch("_stage")
     assert "_stage" not in repo.branches(show_hidden=True)
 
@@ -147,7 +158,23 @@ def test_read_only_repository_blocks_every_write(spark, tmp_path):
         "create_tag": lambda: repo.create_tag("v2", "main"),
         "delete_tag": lambda: repo.delete_tag("v1"),
         "restore_refs": lambda: repo.restore_refs(dump_dir),
+        # control-plane writes are writes too (settings, protection,
+        # pulls, the actions registry)
+        "save_setting": lambda: repo.save_setting("gc_policy", {"days": 7}),
+        "update_setting": lambda: repo.update_setting(
+            "gc_policy", lambda cur: {"days": 7}),
+        "protect_branch": lambda: repo.protect_branch("main"),
+        "pulls.create": lambda: repo.pulls.create("dev", "main", title="x"),
     }
+    from lakefs_spark.storage import actions as actions_mod
+
+    svc = actions_mod.ActionsService(repo)
+    blocked["actions.add_action"] = lambda: svc.add_action({
+        "name": "ro gate",
+        "on": {"pre-commit": None},
+        "hooks": [{"id": "noop", "type": "script",
+                   "properties": {"script": "x = 1"}}],
+    })
     for op, fn in blocked.items():
         with pytest.raises(ReadOnlyRepositoryError):
             fn()

@@ -107,7 +107,6 @@ def main() -> None:
             F.lit("application/octet-stream").alias("content_type"),
         ).limit(5000)
         repo = Repository.create(spark, root)
-        repo.import_entries("main", base, message="seed")
 
         if args.mode == "gc-sweep":
             # sweep-path stress: --amount fake content addresses are
@@ -164,6 +163,10 @@ def main() -> None:
                 "sf": SF_DIR,
             }))
             return
+
+        # seeded repo contents feed every remaining mode (gc-sweep above
+        # never touches them, so it skips the import entirely)
+        repo.import_entries("main", base, message="seed")
 
         if args.mode != "scenario":
             errors = []
