@@ -463,6 +463,15 @@ def q_doc_chunks(spark, sf_dir):
     return P.doc_chunks(_docs(spark, sf_dir).where(F.col("doc_id") < 450), size=32, stride=24)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 for a fixed 4-term query (operators/text.bm25_topk):
+    TF only over the pre-filtered query-term token stream, per-term
+    smoothed idf broadcast back, rounded scores, TakeOrdered cut."""
+    return TX.bm25_topk(
+        _docs(spark, sf_dir), ["vector", "hash", "merge", "query"], k=20
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Fixed-weight logistic quality filter (operators/text.
     quality_score): deterministic fastText-filter analog over the
@@ -2404,6 +2413,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "repetition_scores": q_repetition_scores,
         "unigram_nll": q_unigram_nll,
+        "bm25_topk": q_bm25_topk,
         "pii_counts": q_pii_counts,
         "sampling_weights": q_sampling_weights,
         "sequence_packing": q_sequence_packing,

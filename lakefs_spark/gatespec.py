@@ -89,6 +89,7 @@ GATES: dict[str, list[str]] = {
         "bloom_decontamination",
         "quality_classifier",
         "unigram_nll",
+        "bm25_topk",
     ],
     "minhash_pipeline": [
         "minhash_candidates",
@@ -310,6 +311,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "ref_resolve": [("expr", "string"), ("commit_id", "string")],
     "repetition_scores": [("doc_id", "bigint"), ("n_windows", "bigint"), ("n_distinct", "bigint"), ("rep_ratio", "double")],
     "unigram_nll": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("mean_nll", "double")],
+    "bm25_topk": [("rank", "bigint"), ("doc_id", "bigint"), ("score", "double")],
     "repo_annotate": [("key", "string"), ("message", "string")],
     "repo_cherry_pick_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "repo_commit_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],

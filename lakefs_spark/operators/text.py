@@ -215,6 +215,80 @@ def vocab_stats(
     return out.orderBy(F.col("n_total").desc(), F.col("token")).limit(top_k)
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval over whitespace tokens: the standard
+    lexical relevance score (Robertson/Sparck-Jones, the Lucene
+    default) of every document against a fixed query-term set, top-k
+    by (score desc, id). idf uses the +0.5-smoothed log form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``; scores round to 6 so the
+    rank cut is engine-deterministic.
+
+    Scale shape: the token stream is filtered to the query terms
+    BEFORE any aggregation, so the per-(doc, term) TF agg sees only
+    matching tokens — O(hits), not O(corpus tokens). Document lengths
+    are one map-side-combined groupBy over the same stream; per-term
+    df and idf collapse to |query| rows and broadcast back; N and
+    avgdl are driver scalars. Top-k plans TakeOrderedAndProject, never
+    a global sort.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.count()  # driver scalar
+    avgdl = float(dl.agg(F.avg("dl")).first()[0] or 1.0)
+    tf = (
+        tok.where(F.col("tok").isin(list(query_terms)))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).select(
+        "tok",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("s"),
+        )
+    )
+    top = (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))  # k rows only
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), F.col(id_col), "score"
+    )
+
+
 def unigram_nll(
     df: DataFrame,
     text_col: str = "text",

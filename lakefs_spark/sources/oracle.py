@@ -431,6 +431,46 @@ def q_unigram_nll() -> str:
     """
 
 
+def q_bm25_topk() -> str:
+    # BM25 (k1=1.2, b=0.75, Lucene's +0.5-smoothed idf) for the fixed
+    # 4-term query; TF aggregated only over query-term tokens; rounded
+    # scores make the top-20 cut engine-deterministic
+    return """
+    with tok as (
+      select doc_id, tok from (
+        select doc_id, unnest(string_split(text, ' ')) as tok from documents
+      ) t where tok <> ''
+    ),
+    dl as (select doc_id, count(*) as dl from tok group by doc_id),
+    tf as (
+      select doc_id, tok, count(*) as tf from tok
+      where tok in ('vector', 'hash', 'merge', 'query')
+      group by doc_id, tok
+    ),
+    idf as (
+      select tok,
+             ln(1.0 + ((select count(*) from documents) - count(*) + 0.5)
+                      / (count(*) + 0.5)) as idf
+      from tf group by tok
+    ),
+    scored as (
+      select tf.doc_id,
+             sum(idf.idf * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                   / (select avg(dl) from dl)))) as s
+      from tf join idf using (tok) join dl using (doc_id)
+      group by tf.doc_id
+    ),
+    top as (
+      select doc_id, round(s, 6) as score from scored
+      order by score desc, doc_id limit 20
+    )
+    select cast(row_number() over (order by score desc, doc_id) as bigint) as rank,
+           doc_id, score
+    from top
+    """
+
+
 def q_contamination() -> str:
     return f"""
     with tr as ({_SHINGLE3.format(where="where doc_id < 450")}),
@@ -2605,6 +2645,7 @@ def part_oracles() -> dict[str, str]:
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),
                 "unigram_nll": q_unigram_nll(),
+                "bm25_topk": q_bm25_topk(),
                 "pull_requests": q_pull_requests(),
                 "branch_listing": q_branch_listing(),
                 "hook_runs": q_hook_runs(),

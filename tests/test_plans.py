@@ -118,6 +118,20 @@ def test_large_k_assignment_partial_aggregates_before_exchange(spark, emb):
     assert "BroadcastNestedLoopJoin" in plan  # codebook rides a broadcast
 
 
+def test_bm25_prefilters_terms_and_takeordered(spark):
+    """BM25: the query-term filter sits below the TF aggregation (the
+    token stream reaching the agg is O(hits)); the top-k cut is a
+    TakeOrdered, never a global sort; the idf side broadcasts."""
+    from lakefs_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bm25_topk(docs, ["vector", "hash"], k=10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # idf joins back as a broadcast
+
+
 def test_minhash_candidates_no_cartesian(spark):
     from lakefs_spark.operators.dedup import minhash_candidates
 
