@@ -78,12 +78,26 @@ class Catalog:
     # -- construction ------------------------------------------------------
 
     @classmethod
-    def create_repository(cls, spark: SparkSession, root: str, default_branch: str = "main") -> "Catalog":
-        return cls(Repository.create(spark, root, default_branch))
+    def create_repository(cls, spark: SparkSession, root: str, default_branch: str = "main",
+                          read_only: bool = False) -> "Catalog":
+        # createRepository's read_only flag (api/swagger.yml
+        # RepositoryCreation; pkg/graveler/graveler.go:417-434)
+        return cls(Repository.create(spark, root, default_branch, read_only=read_only))
 
     @classmethod
     def open_repository(cls, spark: SparkSession, root: str) -> "Catalog":
         return cls(Repository.open(spark, root))
+
+    def repository_info(self) -> dict:
+        """getRepository response shape (id, default branch, creation
+        date, read_only — api Repository model)."""
+        doc = self.repo.store.get_doc("repo")[0]
+        return {
+            "id": self.repo.root,
+            "default_branch": doc["default_branch"],
+            "creation_date": doc.get("created_at"),
+            "read_only": bool(doc.get("read_only", False)),
+        }
 
     # -- objects -----------------------------------------------------------
 

@@ -29,6 +29,13 @@ def _seed(cat, spark, n_prefix="tables/orders/b1/"):
     return ents
 
 
+def test_repository_info_shape(cat, spark, tmp_path):
+    info = cat.repository_info()
+    assert info["default_branch"] == "main" and info["read_only"] is False
+    ro = Catalog.create_repository(spark, str(tmp_path / "ro"), read_only=True)
+    assert ro.repository_info()["read_only"] is True
+
+
 def test_object_crud_and_listing(cat, spark):
     _seed(cat, spark)
     cat.upload_object("main", "raw/a.bin", "data/aa/1", 10, "etag-a")
