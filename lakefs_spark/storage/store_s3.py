@@ -141,6 +141,13 @@ class S3ConditionalStore(Store):
 
     # -- HTTP plumbing ------------------------------------------------------
 
+    #: idempotent methods retry transient failures (connection resets,
+    #: timeouts, 5xx). Conditional PUT deliberately does NOT: replaying
+    #: an If-Match PUT whose first attempt actually landed would see
+    #: its own new ETag and report a false lost round — the CAS retry
+    #: loop above the Store is the correct recovery path there.
+    _RETRIABLE = frozenset({"GET", "HEAD", "DELETE"})
+
     def _request(
         self,
         method: str,
@@ -155,14 +162,31 @@ class S3ConditionalStore(Store):
             path += "/" + quote(key)
         if query:
             path += "?" + query
-        conn = http.client.HTTPConnection(self._host, self._port, timeout=self.timeout)
-        try:
-            conn.request(method, path, body=body, headers=headers or {})
-            resp = conn.getresponse()
-            data = resp.read()
-            return resp.status, {k.lower(): v for k, v in resp.getheaders()}, data
-        finally:
-            conn.close()
+        tries = 3 if method in self._RETRIABLE else 1
+        last_exc: Exception | None = None
+        for attempt in range(tries):
+            conn = http.client.HTTPConnection(
+                self._host, self._port, timeout=self.timeout
+            )
+            try:
+                conn.request(method, path, body=body, headers=headers or {})
+                resp = conn.getresponse()
+                data = resp.read()
+                status = resp.status
+                hdrs = {k.lower(): v for k, v in resp.getheaders()}
+            except (OSError, http.client.HTTPException) as e:
+                last_exc = e
+                if attempt + 1 < tries:
+                    time.sleep(0.05 * (2**attempt))
+                    continue
+                raise S3StoreError(f"{method} {path}: {e}") from e
+            finally:
+                conn.close()
+            if status >= 500 and attempt + 1 < tries:
+                time.sleep(0.05 * (2**attempt))
+                continue
+            return status, hdrs, data
+        raise S3StoreError(f"{method} {path}: retries exhausted ({last_exc})")
 
     def _list_keys(self, prefix: str) -> list[tuple[str, int]]:
         """All (key, size) under ``prefix``, paginating continuation
@@ -376,6 +400,10 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         bucket, key, q = self._split()
+        with self.server.mu:  # fault injection for driver retry tests
+            if self.server.inject_500 > 0:
+                self.server.inject_500 -= 1
+                return self._send(500, b"<Error><Code>InternalError</Code></Error>")
         if not key and q.get("list-type") == ["2"]:
             return self._do_list(bucket, q)
         with self.server.mu:
@@ -464,9 +492,16 @@ class FakeS3Server:
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3Handler)
         self._httpd.objects = {}
         self._httpd.mu = threading.Lock()
+        self._httpd.inject_500 = 0
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
+
+    def inject_500(self, n: int) -> None:
+        """Fail the next ``n`` GET/HEAD requests with HTTP 500 — lets
+        tests prove the driver's transient-error retry."""
+        with self._httpd.mu:
+            self._httpd.inject_500 = n
 
     @property
     def endpoint(self) -> str:

@@ -251,6 +251,24 @@ def test_repo_lifecycle_over_s3_store(spark, tmp_path, s3_server):
     assert "repo.json" not in on_disk and "refs" not in on_disk and "commits" not in on_disk
 
 
+def test_s3_idempotent_requests_retry_transient_500s(tmp_path, s3_server):
+    """GET/HEAD retry transient 5xx (bounded); two injected 500s must
+    not surface to the caller. Conditional PUT never blind-retries —
+    replaying a won If-Match round would misread its own write as a
+    lost race."""
+    store = S3ConditionalStore(s3_server.endpoint, f"rt-{tmp_path.name.lower()}")
+    store.put_doc("k", {"n": 1})
+    s3_server.inject_500(2)
+    doc, _ = store.get_doc("k")
+    assert doc == {"n": 1}
+    s3_server.inject_500(3)  # exceeds the retry budget -> surfaced
+    from lakefs_spark.storage.store_s3 import S3StoreError
+
+    with pytest.raises(S3StoreError):
+        store.get_doc("k")
+    assert store.get_doc("k")[0] == {"n": 1}  # budget reset, healthy again
+
+
 def test_s3_list_docs_paginates_continuation_tokens(tmp_path, s3_server):
     """A listing larger than one page must walk NextContinuationToken
     to the end — a 10⁶-commit repo never fits one response."""

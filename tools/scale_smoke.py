@@ -12,7 +12,12 @@ What linearity demonstrates (and what the design predicts):
   random keys every range is touched, so this is the worst case.
 - gc mark: two anti-joins over the address set, ~O(addresses).
 
-Usage: python tools/scale_smoke.py [REPLICAS]
+Usage: python tools/scale_smoke.py [REPLICAS ...]
+
+Multiple replica points run in ONE process/JVM (e.g. `10 30 100`), so
+the printed slopes are within-run — the only comparison the README
+methodology admits on this box (cross-run I/O throughput swings 2-5x).
+One JSON line prints per point, then a final {"slopes": ...} line.
 """
 
 from __future__ import annotations
@@ -29,15 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+def run_point(spark, replicas: int) -> dict:
     from pyspark.sql import functions as F
 
-    from lakefs_spark.session import get_spark
     from lakefs_spark.storage.repo import Repository
-
-    spark = get_spark("scale_smoke")
     # sf0.1 lineitem arrives as ~3 splits; spread the derivation
     # (60M md5s at 100x) across the box instead of 3 tasks — at real
     # scale the input would already have thousands of splits
@@ -153,7 +153,25 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    print(json.dumps(timings))
+    print(json.dumps(timings), flush=True)
+    return timings
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from lakefs_spark.session import get_spark
+
+    points = [int(a) for a in sys.argv[1:]] or [10]
+    spark = get_spark("scale_smoke")
+    results = [run_point(spark, r) for r in points]
+    if len(results) > 1:
+        base = results[0]
+        slopes = {
+            k: [round(r[k] / max(base[k], 0.1), 2) for r in results]
+            for k in ("entries", "import_commit_s", "commit_1pct_s",
+                      "diff_1pct_s", "merge_1pct_s", "list_page_s", "gc_mark_s")
+        }
+        print(json.dumps({"slopes_vs_first_point": slopes}), flush=True)
 
 
 if __name__ == "__main__":
