@@ -123,6 +123,7 @@ class PullRequests:
     ) -> dict:
         """Partial update (graveler.go:3756-3786): closing statuses stamp
         closed_date; an unknown status is rejected."""
+        self.repo._check_writable("pulls.update")
         rec = self.get(pull_id)
         if title is not None:
             rec["title"] = title

@@ -1336,12 +1336,21 @@ class Repository:
         finally:
             try:
                 self.delete_branch(import_branch, force=True)
-            except Exception:  # noqa: BLE001
+            except Exception as cleanup_err:  # noqa: BLE001
                 # cleanup must never mask the import's own outcome (a
                 # broad protection rule can block the delete — force
-                # bypasses only the read-only check, by design); a
-                # leaked work branch is hidden and harmless
-                pass
+                # bypasses only the read-only check, by design). The
+                # leak is NOT free: hidden branches are GC roots, so
+                # the work branch pins its import snapshot until
+                # deleted — record it so an operator can find it.
+                self.store.append_line(
+                    "import_leaks",
+                    json.dumps({
+                        "branch": import_branch,
+                        "error": f"{type(cleanup_err).__name__}: {cleanup_err}",
+                        "time": time.time(),
+                    }),
+                )
 
     # -- log / gc ----------------------------------------------------------
 
@@ -1793,14 +1802,23 @@ class Repository:
             columns=["commit_id", "parents", "metarange_id", "message", "committer",
                      "creation_date", "metadata", "generation", "version"],
         ).to_parquet(os.path.join(out_dir, "commits.parquet"), index=False)
+        # one listing + one get per branch: repeated branches() calls
+        # would multiply ref-store round-trips and could disagree under
+        # concurrent branch creation
+        all_branches: dict[str, str | None] = {}
+        hidden: list[str] = []
+        for bk in self.store.list_docs("refs/branches/"):
+            st = self.store.get_doc(bk)[0]
+            name = bk[len("refs/branches/"):]
+            all_branches[name] = st["head"]
+            if st.get("hidden"):
+                hidden.append(name)
         with open(os.path.join(out_dir, "refs.json"), "w") as f:
             json.dump({
-                "branches": self.branches(show_hidden=True),
+                "branches": all_branches,
                 # hidden flags ride the dump so a restore can't unhide
                 # an in-flight import work branch
-                "hidden": sorted(
-                    set(self.branches(show_hidden=True)) - set(self.branches())
-                ),
+                "hidden": sorted(hidden),
                 "tags": self.tags(),
                 "default_branch": self.default_branch,
             }, f)

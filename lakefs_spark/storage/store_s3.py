@@ -141,13 +141,6 @@ class S3ConditionalStore(Store):
 
     # -- HTTP plumbing ------------------------------------------------------
 
-    #: idempotent methods retry transient failures (connection resets,
-    #: timeouts, 5xx). Conditional PUT deliberately does NOT: replaying
-    #: an If-Match PUT whose first attempt actually landed would see
-    #: its own new ETag and report a false lost round — the CAS retry
-    #: loop above the Store is the correct recovery path there.
-    _RETRIABLE = frozenset({"GET", "HEAD", "DELETE"})
-
     def _request(
         self,
         method: str,
@@ -162,8 +155,17 @@ class S3ConditionalStore(Store):
             path += "/" + quote(key)
         if query:
             path += "?" + query
-        tries = 3 if method in self._RETRIABLE else 1
-        last_exc: Exception | None = None
+        # Idempotent requests retry transient failures (connection
+        # resets, timeouts, 5xx) with bounded backoff: GET/HEAD/DELETE
+        # always, PUT only when UNconditional (same-body replay is
+        # idempotent). A CONDITIONAL PUT never blind-retries — replaying
+        # an If-Match PUT whose first attempt actually landed would see
+        # its own new ETag and report a false lost round; the CAS retry
+        # loop above the Store is the correct recovery path there.
+        conditional = bool(headers) and any(
+            h in headers for h in ("If-Match", "If-None-Match")
+        )
+        tries = 1 if (method == "PUT" and conditional) or method == "POST" else 3
         for attempt in range(tries):
             conn = http.client.HTTPConnection(
                 self._host, self._port, timeout=self.timeout
@@ -175,7 +177,6 @@ class S3ConditionalStore(Store):
                 status = resp.status
                 hdrs = {k.lower(): v for k, v in resp.getheaders()}
             except (OSError, http.client.HTTPException) as e:
-                last_exc = e
                 if attempt + 1 < tries:
                     time.sleep(0.05 * (2**attempt))
                     continue
@@ -185,8 +186,11 @@ class S3ConditionalStore(Store):
             if status >= 500 and attempt + 1 < tries:
                 time.sleep(0.05 * (2**attempt))
                 continue
+            # the final attempt's response (even a 5xx) returns to the
+            # caller, whose status check raises with context; every
+            # iteration either returns or raises, so the loop never
+            # falls through
             return status, hdrs, data
-        raise S3StoreError(f"{method} {path}: retries exhausted ({last_exc})")
 
     def _list_keys(self, prefix: str) -> list[tuple[str, int]]:
         """All (key, size) under ``prefix``, paginating continuation
