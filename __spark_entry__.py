@@ -571,6 +571,17 @@ def q_cosine_pairs(spark, sf_dir):
     return pairs.select("qa", "qb", F.round("sim", 4).alias("sim"))
 
 
+def q_hybrid_rerank(spark, sf_dir):
+    """Hybrid lexical+dense retrieval (operators/similarity.
+    hybrid_rerank): BM25 top-50 -> Rocchio PRF query vector (mean of
+    the top-3 candidates' embeddings, 6dp-rounded before the dot) ->
+    blended rerank 0.5*bm25_norm + 0.5*cosine, rounded 4dp, top-10."""
+    return SIM.hybrid_rerank(
+        _docs(spark, sf_dir), _embeddings(spark, sf_dir),
+        ["vector", "hash", "merge", "query"],
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     # rank dropped from the contract: row order within float-noise ties
     # is engine-specific; (membership, sim@4dp) is not (see ivf_topk)
@@ -2442,6 +2453,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "hybrid_rerank": q_hybrid_rerank,
         "import_prefix_replace": q_import_prefix_replace,
         "symlink_manifest": q_symlink_manifest,
         "hive_partitions": q_hive_partitions,

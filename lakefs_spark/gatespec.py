@@ -125,6 +125,7 @@ GATES: dict[str, list[str]] = {
         "pq_codes",
         "pq_topk",
         "ivfpq_topk",
+        "hybrid_rerank",
     ],
     "embedding_dup_gates": [
         "cosine_pairs",
@@ -312,6 +313,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "repetition_scores": [("doc_id", "bigint"), ("n_windows", "bigint"), ("n_distinct", "bigint"), ("rep_ratio", "double")],
     "unigram_nll": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("mean_nll", "double")],
     "bm25_topk": [("rank", "bigint"), ("doc_id", "bigint"), ("score", "double")],
+    "hybrid_rerank": [("rank", "bigint"), ("doc_id", "bigint"), ("bm25", "double"), ("cosine", "double"), ("final", "double")],
     "repo_annotate": [("key", "string"), ("message", "string")],
     "repo_cherry_pick_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "repo_commit_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],

@@ -218,6 +218,76 @@ def assign_centroids(
     )
 
 
+def hybrid_rerank(
+    docs: DataFrame,
+    embs: DataFrame,
+    query_terms: list[str],
+    n_candidates: int = 50,
+    prf_k: int = 3,
+    k: int = 10,
+    alpha: float = 0.5,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval with Rocchio pseudo-relevance
+    feedback: BM25 selects ``n_candidates`` lexical candidates, the
+    element-wise MEAN embedding of the top ``prf_k`` of them becomes
+    the dense query vector (classic PRF — no external query embedding
+    needed), and candidates re-rank by
+    ``alpha * bm25/max_bm25 + (1-alpha) * cosine(query_vec, emb)``.
+
+    Determinism contract (engine-portable hashing): BM25 scores are
+    pre-rounded (6dp) by :func:`~lakefs_spark.operators.text.bm25_topk`;
+    the PRF vector rounds to 6dp BEFORE the dot product (same trick as
+    prototypicality's centroids); the blended score rounds to 4dp and
+    ties break on doc id.
+
+    Scale shape: BM25 is O(hits); the PRF mean is ``prf_k`` rows
+    exploded to one tiny aggregation; the query vector and its norm
+    are driver-side constants folded into ONE rerank projection over
+    the candidate join — no shuffle beyond BM25's own aggregations and
+    one candidate-sized equi-join with the embeddings table.
+    """
+    import math
+
+    from lakefs_spark.operators.text import bm25_topk
+
+    cand = bm25_topk(docs, query_terms, id_col=doc_id_col, k=n_candidates)
+    evec = embs.select(F.col(vec_id_col), F.col(vec_col))
+    prf_rows = (
+        cand.where(F.col("rank") <= prf_k)
+        .join(evec, cand[doc_id_col] == evec[vec_id_col])
+        .select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    qvec = [round(r["m"], 6) for r in prf_rows]  # dim-sized driver constant
+    nq = math.sqrt(sum(v * v for v in qvec)) or 1.0
+    mx = float(cand.agg(F.max("score")).first()[0] or 1.0)
+    q_col = F.array(*[F.lit(v) for v in qvec])
+    joined = cand.join(evec, cand[doc_id_col] == evec[vec_id_col]).select(
+        cand[doc_id_col].alias("doc_id"), "score", vec_col
+    )
+    cos = _dot(F.col(vec_col), q_col) / (_norm(F.col(vec_col)) * F.lit(nq))
+    scored = joined.select(
+        "doc_id",
+        F.col("score").alias("bm25"),
+        F.round(cos, 6).alias("cosine"),
+        F.round(
+            F.lit(alpha) * F.col("score") / F.lit(mx) + F.lit(1.0 - alpha) * cos, 4
+        ).alias("final"),
+    )
+    top = scored.orderBy(F.col("final").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("final").desc(), F.col("doc_id"))  # k rows only
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "bm25", "cosine", "final",
+    )
+
+
 def _normalize_codebook(cent_rows: list[tuple[int, list[float]]]) -> list[tuple[int, list[float]]]:
     import math
 

@@ -471,6 +471,75 @@ def q_bm25_topk() -> str:
     """
 
 
+def q_hybrid_rerank() -> str:
+    # BM25 top-50 -> Rocchio PRF query vector (mean of top-3 embeddings,
+    # rounded 6dp BEFORE the dot, like prototypicality's centroids) ->
+    # blend 0.5*bm25/max + 0.5*cosine, rounded 4dp, top-10 by
+    # (final desc, doc_id)
+    return """
+    with tok as (
+      select doc_id, tok from (
+        select doc_id, unnest(string_split(text, ' ')) as tok from documents
+      ) t where tok <> ''
+    ),
+    dl as (select doc_id, count(*) as dl from tok group by doc_id),
+    tf as (
+      select doc_id, tok, count(*) as tf from tok
+      where tok in ('vector', 'hash', 'merge', 'query')
+      group by doc_id, tok
+    ),
+    idf as (
+      select tok,
+             ln(1.0 + ((select count(*) from documents) - count(*) + 0.5)
+                      / (count(*) + 0.5)) as idf
+      from tf group by tok
+    ),
+    bscore as (
+      select tf.doc_id,
+             sum(idf.idf * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                   / (select avg(dl) from dl)))) as s
+      from tf join idf using (tok) join dl using (doc_id)
+      group by tf.doc_id
+    ),
+    ranked as (
+      select doc_id, round(s, 6) as score,
+             row_number() over (order by round(s, 6) desc, doc_id) as rank
+      from bscore order by score desc, doc_id limit 50
+    ),
+    e as (
+      select vec_id, cast(unnest(embedding) as double) as x,
+             unnest(range(len(embedding))) as i
+      from embeddings
+    ),
+    qv as (
+      select e.i, round(avg(e.x), 6) as q
+      from e join ranked r on r.doc_id = e.vec_id and r.rank <= 3
+      group by e.i
+    ),
+    qn as (select sqrt(sum(q * q)) as nq from qv),
+    cs as (
+      select r.doc_id, r.score,
+             sum(e.x * qv.q) as dot, sqrt(sum(e.x * e.x)) as ne
+      from ranked r
+      join e on e.vec_id = r.doc_id
+      join qv on qv.i = e.i
+      group by 1, 2
+    ),
+    m as (select max(score) as mx from ranked),
+    fin as (
+      select doc_id, score as bm25,
+             round(dot / nullif(ne * (select nq from qn), 0), 6) as cosine,
+             round(0.5 * score / (select mx from m)
+                   + 0.5 * dot / nullif(ne * (select nq from qn), 0), 4) as final
+      from cs
+    )
+    select cast(row_number() over (order by final desc, doc_id) as bigint) as rank,
+           doc_id, bm25, cosine, final
+    from fin order by final desc, doc_id limit 10
+    """
+
+
 def q_contamination() -> str:
     return f"""
     with tr as ({_SHINGLE3.format(where="where doc_id < 450")}),
@@ -2683,6 +2752,7 @@ def part_oracles() -> dict[str, str]:
                 "pq_codes": q_pq_codes(),
                 "pq_topk": q_pq_topk(),
                 "ivfpq_topk": q_ivfpq_topk(),
+                "hybrid_rerank": q_hybrid_rerank(),
                 "ann_topk": q_ann_topk(),
                 "ann_recall": q_ann_recall(),
                 "lsh_topk": q_lsh_topk(),
