@@ -72,6 +72,12 @@ def main() -> None:
     ap.add_argument("--parallelism", type=int, default=8)
     ap.add_argument("--key", default="load/00000000000011")
     ap.add_argument("--branch-prefix", default="abuse-")
+    ap.add_argument(
+        "--store", choices=["local", "s3"], default="local",
+        help="metadata store driver: local flock CAS or the S3 "
+             "conditional-PUT driver against a loopback fake endpoint "
+             "(blobs stay on a Spark-readable local root)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -90,6 +96,7 @@ def main() -> None:
         lat[op].append(time.time() - t0)
         return out
 
+    srv = None
     try:
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         base = li.select(
@@ -106,7 +113,14 @@ def main() -> None:
             F.lit(None).cast("map<string,string>").alias("metadata"),
             F.lit("application/octet-stream").alias("content_type"),
         ).limit(5000)
-        repo = Repository.create(spark, root)
+        if args.store == "s3":
+            from lakefs_spark.storage.store_s3 import FakeS3Server, S3ConditionalStore
+
+            srv = FakeS3Server().start()
+            store = S3ConditionalStore(srv.endpoint, "loadtest", local_blob_root=root)
+            repo = Repository.create(spark, root, store=store)
+        else:
+            repo = Repository.create(spark, root)
 
         if args.mode == "gc-sweep":
             # sweep-path stress: --amount fake content addresses are
@@ -249,6 +263,7 @@ def main() -> None:
         n_ops = sum(len(v) for v in lat.values())
         report = {
             "mode": args.mode,
+            "store": args.store,
             "iterations": args.iterations,
             "files_per_commit": args.files_per_commit,
             "wall_sec": round(wall, 2),
@@ -265,6 +280,8 @@ def main() -> None:
         }
         print(json.dumps(report))
     finally:
+        if srv is not None:
+            srv.stop()
         shutil.rmtree(root, ignore_errors=True)
 
 
