@@ -19,6 +19,34 @@ keys = st.text(
 )
 
 
+_seg = st.text(alphabet="abc", min_size=1, max_size=3)
+_doc_key = st.builds("/".join, st.lists(_seg, min_size=1, max_size=4))
+
+
+@given(st.lists(_doc_key, min_size=0, max_size=12, unique=True), _doc_key, st.integers(0, 6))
+@settings(max_examples=150, deadline=None)
+def test_local_store_listing_matches_mem_store_contract(doc_keys, probe, cut):
+    """LocalStore.list_docs (recursive walk + subtree pruning) must
+    equal MemStore's plain string-prefix match for ANY key set and ANY
+    prefix — including prefixes that end mid-component, cross '/'
+    boundaries, or name nothing."""
+    import tempfile
+
+    from lakefs_spark.storage.store import LocalStore, MemStore
+
+    local = LocalStore(tempfile.mkdtemp(prefix="lakefs_proplist_"))
+    mem = MemStore(local.data_root + "-mem")
+    for k in doc_keys:
+        local.put_doc(k, {"k": k})
+        mem.put_doc(k, {"k": k})
+    prefix = probe[:cut]  # arbitrary cut: partial components included
+    assert local.list_docs(prefix) == mem.list_docs(prefix)
+    if doc_keys:  # a real key's prefixes must find it in both stores
+        whole = doc_keys[0]
+        for n in (1, len(whole) // 2, len(whole)):
+            assert local.list_docs(whole[:n]) == mem.list_docs(whole[:n])
+
+
 @given(st.lists(keys, min_size=1, max_size=40), keys)
 @settings(max_examples=200, deadline=None)
 def test_chunk_of_key_monotone_and_stable(boundaries, k):
