@@ -252,11 +252,12 @@ def write_ranges_prechunked(
             )
             return F.pmod(F.sum(lane), _MOD64).cast("decimal(20,0)").alias(f"x{i}")
 
-        # explicit schema (+ the chunk_idx partition column): the
+        # explicit schema (+ the chunk_idx partition column — LONG:
+        # the import path bit-packs segment indexes above 2^32): the
         # read-back otherwise runs a schema-inference job that opens
         # EVERY chunk's footer on EVERY range write
         written = chunked.sparkSession.read.schema(
-            RANGE_FILE_SCHEMA + ", chunk_idx int"
+            RANGE_FILE_SCHEMA + ", chunk_idx long"
         ).parquet(tmp_dir)
         mf_rows = (
             written.groupBy("chunk_idx")
