@@ -1059,8 +1059,12 @@ class Repository:
             for r in actions.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         if counts.get("conflict"):
-            conflicts = actions.where(F.col("action") == "conflict")
-            actions.unpersist()  # the conflicts df recomputes from lineage
+            # materialize the conflict set from the still-cached action
+            # stream (cheap) BEFORE dropping the cache: the caller WILL
+            # inspect it (count, list, resolve), and without the
+            # checkpoint every inspection re-runs the whole double-diff
+            conflicts = actions.where(F.col("action") == "conflict").localCheckpoint()
+            actions.unpersist()
             raise ConflictError(conflicts)
         changes = actions.where(F.col("action") != "conflict").select(
             (F.col("action") == "delete").alias("is_tombstone"),
