@@ -243,21 +243,39 @@ def hybrid_rerank(
     prototypicality's centroids); the blended score rounds to 4dp and
     ties break on doc id.
 
-    Scale shape: BM25 is O(hits); the PRF mean is ``prf_k`` rows
-    exploded to one tiny aggregation; the query vector and its norm
-    are driver-side constants folded into ONE rerank projection over
-    the candidate join — no shuffle beyond BM25's own aggregations and
-    one candidate-sized equi-join with the embeddings table.
+    Candidates without an embedding row drop from the rerank (inner
+    join, same as the oracle); embeddings are assumed uniform-dimension
+    like every other operator in this module (zip_with null-pads ragged
+    vectors). Raises ``ValueError`` when the PRF candidates have no
+    embeddings or a zero query vector — silent NULL scores would
+    otherwise masquerade as a ranking.
+
+    Scale shape: BM25 is O(hits) and runs ONCE — its ≤``n_candidates``
+    result rows are collected and re-created locally, so the PRF
+    aggregation, max-score and rerank never re-execute the BM25
+    lineage; the query vector and its norm are driver-side constants
+    folded into ONE rerank projection over the candidate join — no
+    shuffle beyond BM25's own aggregations and one candidate-sized
+    equi-join with the embeddings table.
     """
     import math
 
     from lakefs_spark.operators.text import bm25_topk
 
-    cand = bm25_topk(docs, query_terms, id_col=doc_id_col, k=n_candidates)
+    bdf = bm25_topk(docs, query_terms, id_col=doc_id_col, k=n_candidates)
+    cand_rows = bdf.collect()  # <= n_candidates tiny rows, ONE execution
+    if not cand_rows:
+        return docs.sparkSession.createDataFrame(
+            [], "rank long, doc_id long, bm25 double, cosine double, final double"
+        )
+    spark = docs.sparkSession
+    cand = spark.createDataFrame(cand_rows, bdf.schema)
+    mx = max(float(r["score"]) for r in cand_rows) or 1.0
+    prf_ids = [r["doc_id"] for r in cand_rows if r["rank"] <= prf_k]
+
     evec = embs.select(F.col(vec_id_col), F.col(vec_col))
     prf_rows = (
-        cand.where(F.col("rank") <= prf_k)
-        .join(evec, cand[doc_id_col] == evec[vec_id_col])
+        evec.where(F.col(vec_id_col).isin(prf_ids))
         .select(F.posexplode(vec_col).alias("i", "x"))
         .groupBy("i")
         .agg(F.avg(F.col("x").cast("double")).alias("m"))
@@ -265,8 +283,13 @@ def hybrid_rerank(
         .collect()
     )
     qvec = [round(r["m"], 6) for r in prf_rows]  # dim-sized driver constant
-    nq = math.sqrt(sum(v * v for v in qvec)) or 1.0
-    mx = float(cand.agg(F.max("score")).first()[0] or 1.0)
+    nq = math.sqrt(sum(v * v for v in qvec))
+    if not qvec or nq == 0.0:
+        raise ValueError(
+            "hybrid_rerank: PRF candidates have no embeddings (or a zero "
+            "query vector) — cannot build the dense query; rerank would "
+            "silently be NULL-scored"
+        )
     q_col = F.array(*[F.lit(v) for v in qvec])
     joined = cand.join(evec, cand[doc_id_col] == evec[vec_id_col]).select(
         cand[doc_id_col].alias("doc_id"), "score", vec_col

@@ -30,21 +30,25 @@ def test_local_store_listing_matches_mem_store_contract(doc_keys, probe, cut):
     equal MemStore's plain string-prefix match for ANY key set and ANY
     prefix — including prefixes that end mid-component, cross '/'
     boundaries, or name nothing."""
+    import shutil
     import tempfile
 
     from lakefs_spark.storage.store import LocalStore, MemStore
 
     local = LocalStore(tempfile.mkdtemp(prefix="lakefs_proplist_"))
-    mem = MemStore(local.data_root + "-mem")
-    for k in doc_keys:
-        local.put_doc(k, {"k": k})
-        mem.put_doc(k, {"k": k})
-    prefix = probe[:cut]  # arbitrary cut: partial components included
-    assert local.list_docs(prefix) == mem.list_docs(prefix)
-    if doc_keys:  # a real key's prefixes must find it in both stores
-        whole = doc_keys[0]
-        for n in (1, len(whole) // 2, len(whole)):
-            assert local.list_docs(whole[:n]) == mem.list_docs(whole[:n])
+    try:
+        mem = MemStore(local.data_root + "-mem")
+        for k in doc_keys:
+            local.put_doc(k, {"k": k})
+            mem.put_doc(k, {"k": k})
+        prefix = probe[:cut]  # arbitrary cut: partial components included
+        assert local.list_docs(prefix) == mem.list_docs(prefix)
+        if doc_keys:  # a real key's prefixes must find it in both stores
+            whole = doc_keys[0]
+            for n in (1, len(whole) // 2, len(whole)):
+                assert local.list_docs(whole[:n]) == mem.list_docs(whole[:n])
+    finally:  # one dir per hypothesis example — don't litter /tmp
+        shutil.rmtree(local.data_root, ignore_errors=True)
 
 
 @given(st.lists(keys, min_size=1, max_size=40), keys)
