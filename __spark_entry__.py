@@ -1887,6 +1887,37 @@ def q_list_page_probe(spark, sf_dir):
     return spark.createDataFrame(rows, "key string, page long")
 
 
+def q_path_time_prune(spark, sf_dir):
+    """Time-partitioned physical addresses (functions/pathtime.py, the
+    pkg/upload/path_provider.go analog): mint 40 addresses at scripted
+    half-hour steps + 2 legacy addresses, resolve each path's rotation
+    hour back (in-gate roundtrip assert), and evaluate the GC
+    in-flight-upload guard — "newer than cutoff" as ONE string range
+    predicate over the address column."""
+    import hashlib
+
+    from lakefs_spark.functions import pathtime as PT
+
+    base = 1_700_000_000
+    rows = []
+    for i in range(40):
+        ts = base + i * 1800
+        addr = PT.new_physical_path(hashlib.md5(str(i).encode()).hexdigest(), ts)
+        resolved = PT.resolve_path_time(addr)
+        if resolved != float(int(ts) // 3600 * 3600):  # mint/resolve roundtrip
+            raise RuntimeError(f"path time roundtrip broke: {addr} -> {resolved}")
+        rows.append((i, addr, int(resolved)))
+    rows.append((100, "data/ab/legacy0", None))
+    rows.append((101, "other/x", None))
+    df = spark.createDataFrame(rows, "pos long, address string, resolved_ts long")
+    cutoff = base + 20 * 1800
+    return df.select(
+        "pos", "address",
+        PT.path_newer_than(F.col("address"), cutoff).alias("is_new"),
+        "resolved_ts",
+    )
+
+
 def q_hook_runs(spark, sf_dir):
     """Hook run-results log, newest first: completed pre/post-commit
     pairs, the aborted pre-commit (policy veto), and the
@@ -2463,6 +2494,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
         "gc_key_match": q_gc_key_match,
+        "path_time_prune": q_path_time_prune,
         "windowed_event_counts": q_windowed_event_counts,
         "session_event_stats": q_session_event_stats,
         "asof_click_attribution": q_asof_click_attribution,

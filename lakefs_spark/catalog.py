@@ -318,10 +318,16 @@ class Catalog:
         """Mint a physical address the client may write bytes to
         (getPhysicalAddress — api/swagger.yml StagingLocation). The
         token is single-use by convention; linking happens via
-        :meth:`link_physical_address`."""
+        :meth:`link_physical_address`. Addresses are TIME-PARTITIONED
+        (pkg/upload/path_provider.go analog, functions/pathtime.py):
+        the path encodes reverse rotation-hour time, so uncommitted GC
+        excludes in-flight uploads with one pushed-down string range
+        predicate instead of per-object stat calls."""
+        from lakefs_spark.functions.pathtime import new_physical_path
+
         token = uuid.uuid4().hex
         return {
-            "physical_address": f"data/{token[:2]}/{token}",
+            "physical_address": new_physical_path(token),
             "token": token,
             "expiration": time.time() + 24 * 3600,
         }

@@ -47,7 +47,7 @@ GATES: dict[str, list[str]] = {
     "diff_summary_sync": ["diff_summary", "local_sync_diff", "sync_plan"],
     "merge_gates": ["merge_result_src", "merge_result_dest", "merge_conflicts"],
     "gc_address_sets": ["gc_committed_addresses", "uncommitted_addresses"],
-    "gc_policy_gates": ["gc_summary", "active_commits", "gc_key_match"],
+    "gc_policy_gates": ["gc_summary", "active_commits", "gc_key_match", "path_time_prune"],
     "commit_log_variants": [
         "commit_log",
         "commit_log_since",
@@ -314,6 +314,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "unigram_nll": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("mean_nll", "double")],
     "bm25_topk": [("rank", "bigint"), ("doc_id", "bigint"), ("score", "double")],
     "hybrid_rerank": [("rank", "bigint"), ("doc_id", "bigint"), ("bm25", "double"), ("cosine", "double"), ("final", "double")],
+    "path_time_prune": [("pos", "bigint"), ("address", "string"), ("is_new", "boolean"), ("resolved_ts", "bigint")],
     "repo_annotate": [("key", "string"), ("message", "string")],
     "repo_cherry_pick_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],
     "repo_commit_snapshot": [("key", "string"), ("identity", "string"), ("size", "bigint"), ("etag", "string")],

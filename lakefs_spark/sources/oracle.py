@@ -431,6 +431,38 @@ def q_unigram_nll() -> str:
     """
 
 
+def q_path_time_prune() -> str:
+    # independent restatement: addresses rebuilt from first principles
+    # (reverse-hour hex per pkg/upload/path_provider.go's unixYear4000
+    # anchor), expected resolved_ts derived arithmetically — the Spark
+    # side's hex parse must agree; the newer-than guard is the same
+    # string range compare
+    return """
+    with ids as (select unnest(range(40)) as pos),
+    minted as (
+      select cast(pos as bigint) as pos,
+             'data/t'
+               || printf('%012x', 64060588800 - (1700000000 + pos*1800)//3600*3600)
+               || '/' || md5(cast(pos as varchar)) as address,
+             cast((1700000000 + pos*1800)//3600*3600 as bigint) as resolved_ts
+      from ids
+    ),
+    legacy as (
+      select cast(100 as bigint), 'data/ab/legacy0', cast(null as bigint)
+      union all
+      select cast(101 as bigint), 'other/x', cast(null as bigint)
+    ),
+    u as (select * from minted union all select * from legacy)
+    select pos, address,
+           (address >= 'data/t'
+            and address < 'data/t'
+                || printf('%012x', 64060588800 - (1700000000 + 20*1800)//3600*3600)
+           ) as is_new,
+           resolved_ts
+    from u
+    """
+
+
 def q_bm25_topk() -> str:
     # BM25 (k1=1.2, b=0.75, Lucene's +0.5-smoothed idf) for the fixed
     # 4-term query; TF aggregated only over query-term tokens; rounded
@@ -2771,6 +2803,7 @@ def part_oracles() -> dict[str, str]:
                 "media_features": q_media_features(),
                 "media_resize": q_media_resize(),
                 "gc_key_match": q_gc_key_match(),
+                "path_time_prune": q_path_time_prune(),
                 "windowed_event_counts": q_windowed_event_counts(),
                 "session_event_stats": q_session_event_stats(),
                 "stream_session_stats": q_stream_session_stats(),

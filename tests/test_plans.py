@@ -118,6 +118,23 @@ def test_large_k_assignment_partial_aggregates_before_exchange(spark, emb):
     assert "BroadcastNestedLoopJoin" in plan  # codebook rides a broadcast
 
 
+def test_path_time_prune_pushes_range_to_scan(spark, tmp_path):
+    """The GC in-flight-upload guard is a string RANGE predicate on the
+    address column, so it must reach the parquet scan as PushedFilters
+    — never a per-row UDF or post-scan regex."""
+    from lakefs_spark.functions.pathtime import new_physical_path, prune_new_addresses
+
+    rows = [(new_physical_path(f"t{i:04d}", 1_700_000_000 + i * 3600),) for i in range(50)]
+    p = str(tmp_path / "addrs.parquet")
+    spark.createDataFrame(rows, "address string").write.parquet(p)
+    df = prune_new_addresses(spark.read.parquet(p), 1_700_000_000 + 25 * 3600)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters"):].split("]")[0]
+    assert "address" in pushed and ("LessThan" in pushed or "GreaterThan" in pushed or "Or(" in pushed)
+    assert df.count() == 26  # cutoff hour itself is not "newer"
+
+
 def test_bm25_prefilters_terms_and_takeordered(spark):
     """BM25: the query-term filter sits below the TF aggregation (the
     token stream reaching the agg is O(hits)); the top-k cut is a

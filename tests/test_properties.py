@@ -19,6 +19,34 @@ keys = st.text(
 )
 
 
+@given(st.floats(min_value=0, max_value=60_000_000_000, allow_nan=False),
+       st.floats(min_value=0, max_value=60_000_000_000, allow_nan=False))
+@settings(max_examples=300, deadline=None)
+def test_path_time_roundtrip_and_reverse_ordering(t1, t2):
+    """Time-partitioned addresses: resolve(mint(ts)) == rotation hour,
+    and a strictly newer rotation hour sorts strictly FIRST (the
+    pkg/upload/path_provider.go reverse-time property that lets
+    newest-first listings and range predicates prune by age)."""
+    from lakefs_spark.functions.pathtime import (
+        PART_SECONDS,
+        new_physical_path,
+        resolve_path_time,
+    )
+
+    a1 = new_physical_path("tok", t1)
+    a2 = new_physical_path("tok", t2)
+    assert resolve_path_time(a1) == float(int(t1) // PART_SECONDS * PART_SECONDS)
+    r1, r2 = int(t1) // PART_SECONDS, int(t2) // PART_SECONDS
+    if r1 > r2:  # t1 in a strictly newer rotation hour
+        assert a1 < a2
+    elif r1 < r2:
+        assert a1 > a2
+    else:
+        assert a1 == a2
+    assert resolve_path_time("data/ab/legacy") is None
+    assert resolve_path_time("other/x") is None
+
+
 _seg = st.text(alphabet="abc", min_size=1, max_size=3)
 _doc_key = st.builds("/".join, st.lists(_seg, min_size=1, max_size=4))
 
