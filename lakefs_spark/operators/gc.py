@@ -46,6 +46,12 @@ def gc_mark(
 
     ``listing`` rows: (address, last_modified, size). ``cutoff``: objects
     with last_modified >= cutoff are kept regardless (in-flight writes).
+    Addresses minted by the time-partitioned path provider
+    (functions/pathtime.py) are ALSO guarded by their path's encoded
+    rotation hour — the reference's uncommitted-GC new-partition skip
+    (pkg/catalog/gc_write_uncommitted.go) — so in-flight protection
+    holds even when the listing's mtimes are missing or unreliable
+    (e.g. a listing replayed from an inventory report).
 
     Single-aggregation set difference (see module docstring): tag each
     arm, ONE groupBy(address) with map-side partial agg, keep rows
@@ -56,6 +62,10 @@ def gc_mark(
     df = listing
     if cutoff is not None:
         df = df.where(F.col("last_modified") < F.lit(cutoff))
+        from lakefs_spark.functions.pathtime import path_newer_than
+
+        epoch = cutoff.timestamp() if hasattr(cutoff, "timestamp") else float(cutoff)
+        df = df.where(~path_newer_than(F.col("address"), epoch))
     u = df.select("address", F.lit(1).alias("__m"))
     u = u.unionAll(committed.select("address", F.lit(2).alias("__m")))
     if uncommitted is not None:

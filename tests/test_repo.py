@@ -464,6 +464,30 @@ def test_gc_mark_backdated(repo, spark):
     assert repo.branches()["main"] in active
 
 
+def test_gc_mark_min_age_guards_by_path_time(spark):
+    """The min-age cutoff protects in-flight uploads TWO ways: by the
+    listing's mtime AND by the address's encoded rotation hour — a
+    time-partitioned address newer than the cutoff survives even when
+    the listing's mtime claims it is old (inventory-report replays)."""
+    import datetime
+
+    from lakefs_spark.functions.pathtime import new_physical_path
+    from lakefs_spark.operators.gc import gc_mark
+
+    t0 = 1_700_000_000.0
+    old_mtime = datetime.datetime.fromtimestamp(t0 - 30 * 86400)
+    rows = [
+        ("data/orphan/legacy-old", old_mtime),
+        (new_physical_path("fresh", t0 - 600), old_mtime),  # path says NEW
+        (new_physical_path("stale", t0 - 10 * 86400), old_mtime),
+    ]
+    listing = spark.createDataFrame(rows, "address string, last_modified timestamp")
+    committed = spark.createDataFrame([], "address string")
+    cutoff = datetime.datetime.fromtimestamp(t0 - 3600)
+    marked = {r["address"] for r in gc_mark(listing, committed, cutoff=cutoff).collect()}
+    assert marked == {"data/orphan/legacy-old", new_physical_path("stale", t0 - 10 * 86400)}
+
+
 def test_hooks_abort(repo, spark):
     ents = _entries(spark)
 
