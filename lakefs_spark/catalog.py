@@ -352,12 +352,17 @@ class Catalog:
         """S3-gateway CreateMultipartUpload: mint an upload id + the
         physical address parts are written under
         (pkg/gateway/operations/postobject.go)."""
+        from lakefs_spark.functions.pathtime import new_physical_path
+
         upload_id = uuid.uuid4().hex
         self._multiparts = getattr(self, "_multiparts", {})
         self._multiparts[upload_id] = {
             "branch": branch,
             "path": path,
-            "physical_address": f"data/{upload_id[:2]}/{upload_id}",
+            # time-partitioned like every other mint: multipart uploads
+            # are the LONGEST-lived in-flight writes, so the path-time
+            # GC guard matters most here
+            "physical_address": new_physical_path(upload_id),
             "parts": {},
         }
         return {"upload_id": upload_id,

@@ -15,11 +15,17 @@ out, both load-bearing for uncommitted GC at 100 TB:
    in this engine the predicate pushes down to Parquet min/max stats
    on the address column.
 
-This module is the Spark-side analog: the partition is the
-zero-padded hex of ``unixYear4000 - rotation_hour(ts)`` (hex instead
-of the reference's base32 xid prefix — disclosed deviation; the
-ordering property is identical because the width is fixed), and the
-age resolves from the partition rather than from an embedded xid.
+This module is the Spark-side analog, with two disclosed deviations:
+the partition is the zero-padded hex of
+``unixYear4000 - rotation_hour(ts)`` (hex instead of the reference's
+base32 xid prefix; the ordering property is identical because the
+width is fixed, and the age resolves from the partition rather than
+an embedded xid), and rotation is TIME-ONLY — the reference also
+rotates after 50k ids (DefaultDataPartitionSize) to spread hot-hour
+writes across object-store prefixes. Here all of an hour's mints
+share one ``data/t<hex>/`` prefix with a random token tail; S3-class
+stores auto-split hot prefixes on the tail, so the id-count rotation
+is omitted rather than half-implemented statefully.
 Addresses minted elsewhere (no ``data/t`` prefix) never match the
 "newer" predicate, so they conservatively stay subject to the
 engine's existing mtime-based min-age handling.
@@ -72,12 +78,18 @@ def resolve_path_time(address: str) -> float | None:
 
 
 def path_newer_than(addr: Column, cutoff_ts: float) -> Column:
-    """TRUE for time-partitioned addresses minted strictly after the
+    """TRUE for time-partitioned addresses minted at-or-after the
     cutoff's rotation hour — ONE string range predicate
-    (``'data/t' <= addr < 'data/t' + hex(cutoff)``), pushdown-friendly.
-    Non-time-partitioned addresses are never "newer" (they fall back
-    to mtime-based min-age handling)."""
-    bound = PREFIX + partition_hex(cutoff_ts)
+    (``'data/t' <= addr < 'data/t' + hex(cutoff_hour - 1h)``),
+    pushdown-friendly. The bound is widened ONE rotation so the
+    cutoff's own hour counts as new: the partition only resolves mint
+    time to the hour, and an upload minted minutes after the cutoff
+    instant lands in that same bucket — it must be protected even when
+    the listing's mtimes are unreliable (the reference has no such
+    hole because its xids resolve to the second; the widening errs
+    exactly one hour conservative). Non-time-partitioned addresses are
+    never "newer" (they fall back to mtime-based min-age handling)."""
+    bound = PREFIX + partition_hex(cutoff_ts - PART_SECONDS)
     return (addr >= F.lit(PREFIX)) & (addr < F.lit(bound))
 
 

@@ -62,10 +62,10 @@ def gc_mark(
     df = listing
     if cutoff is not None:
         df = df.where(F.col("last_modified") < F.lit(cutoff))
-        from lakefs_spark.functions.pathtime import path_newer_than
+        from lakefs_spark.functions.pathtime import prune_new_addresses
 
         epoch = cutoff.timestamp() if hasattr(cutoff, "timestamp") else float(cutoff)
-        df = df.where(~path_newer_than(F.col("address"), epoch))
+        df = prune_new_addresses(df, epoch)
     u = df.select("address", F.lit(1).alias("__m"))
     u = u.unionAll(committed.select("address", F.lit(2).alias("__m")))
     if uncommitted is not None:

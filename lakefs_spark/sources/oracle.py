@@ -454,9 +454,12 @@ def q_path_time_prune() -> str:
     ),
     u as (select * from minted union all select * from legacy)
     select pos, address,
+           -- bound widened one rotation: the cutoff's own hour counts
+           -- as new (partition resolves only to the hour)
            (address >= 'data/t'
             and address < 'data/t'
-                || printf('%012x', 64060588800 - (1700000000 + 20*1800)//3600*3600)
+                || printf('%012x',
+                          64060588800 - ((1700000000 + 20*1800)//3600*3600 - 3600))
            ) as is_new,
            resolved_ts
     from u

@@ -103,7 +103,7 @@ class MostlyCorrectOwner:
 
             stop = threading.Event()
 
-            def _refresh(version: str) -> None:
+            def _refresh() -> None:
                 # refresh at half the lease so it never lapses while
                 # the owner is healthy; on ANY surprise (stolen lease,
                 # store error) just stop — never cancel the action
@@ -112,7 +112,7 @@ class MostlyCorrectOwner:
                         got = self.store.get_doc(self._doc_key(key))
                         if got is None or got[0].get("owner") != owner:
                             return  # stolen: the new owner wins by default
-                        version = self.store.put_doc_if(
+                        self.store.put_doc_if(
                             self._doc_key(key),
                             {"owner": owner, "expires": time.time() + self.refresh_interval},
                             got[1],
@@ -120,17 +120,26 @@ class MostlyCorrectOwner:
                     except Exception:  # noqa: BLE001 — advisory only
                         return
 
-            t = threading.Thread(target=_refresh, args=(ver,), daemon=True)
+            t = threading.Thread(target=_refresh, daemon=True)
             t.start()
             try:
                 yield owner
             finally:
                 stop.set()
                 t.join(timeout=self.refresh_interval)
-                try:  # release: delete only while still ours
+                try:
+                    # release by CAS-writing an EXPIRED sentinel, never
+                    # by delete: a get-then-delete could destroy a
+                    # thief's fresh lease written between the two calls
+                    # (the Store has no conditional delete). Losing the
+                    # CAS means someone else owns it now — leave it.
                     got = self.store.get_doc(self._doc_key(key))
                     if got is not None and got[0].get("owner") == owner:
-                        self.store.delete_doc(self._doc_key(key))
+                        self.store.put_doc_if(
+                            self._doc_key(key),
+                            {"owner": owner, "expires": 0.0},
+                            got[1],
+                        )
                 except Exception:  # noqa: BLE001 — lease will expire anyway
                     pass
         finally:

@@ -47,8 +47,11 @@ def test_cross_instance_mutual_exclusion_and_handoff():
     for i in range(0, 8, 2):  # every 'in' is immediately followed by ITS 'out'
         assert events[i][0] == "in" and events[i + 1][0] == "out"
         assert events[i][1] == events[i + 1][1]
-    # release deletes the lease doc
-    assert store.get_doc("mc-ownership/branch/main") is None
+    # release leaves an EXPIRED sentinel (never a delete — a delete
+    # could race a thief's fresh lease), so the key is instantly
+    # re-acquirable
+    got = store.get_doc("mc-ownership/branch/main")
+    assert got is not None and got[0]["expires"] == 0.0
 
 
 def test_expired_lease_is_stolen():
@@ -110,7 +113,11 @@ def test_ownership_removes_branch_cas_retries(spark, tmp_path):
     store.put_doc_if = counting_put_if
     repo_a = Repository.create(spark, root, store=store)
     repo_b = Repository.open(spark, root, store=store)
-    owner = MostlyCorrectOwner(store, acquire_interval=0.05, refresh_interval=30.0)
+    # one owner INSTANCE per committer: sharing one instance would
+    # serialize on its in-process mutex and never exercise the store
+    # lease this test exists to pin
+    owner_a = MostlyCorrectOwner(store, acquire_interval=0.05, refresh_interval=30.0)
+    owner_b = MostlyCorrectOwner(store, acquire_interval=0.05, refresh_interval=30.0)
 
     def entries(keys):
         return spark.createDataFrame(
@@ -125,17 +132,17 @@ def test_ownership_removes_branch_cas_retries(spark, tmp_path):
     barrier = threading.Barrier(2)
     errs = []
 
-    def committer(repo, tag):
+    def committer(repo, own_inst, tag):
         barrier.wait()
         try:
-            with owner.own("branch/main", timeout=30):
+            with own_inst.own("branch/main", timeout=30):
                 repo.stage_entries("main", entries([f"k-{tag}"]))
                 repo.commit("main", f"commit {tag}")
         except Exception as e:  # noqa: BLE001
             errs.append(e)
 
-    ts = [threading.Thread(target=committer, args=(r, t))
-          for r, t in ((repo_a, "a"), (repo_b, "b"))]
+    ts = [threading.Thread(target=committer, args=(r, o, t))
+          for r, o, t in ((repo_a, owner_a, "a"), (repo_b, owner_b, "b"))]
     for t in ts:
         t.start()
     for t in ts:

@@ -132,7 +132,7 @@ def test_path_time_prune_pushes_range_to_scan(spark, tmp_path):
     assert "PushedFilters" in plan
     pushed = plan[plan.index("PushedFilters"):].split("]")[0]
     assert "address" in pushed and ("LessThan" in pushed or "GreaterThan" in pushed or "Or(" in pushed)
-    assert df.count() == 26  # cutoff hour itself is not "newer"
+    assert df.count() == 25  # the cutoff's own hour counts as NEW (protected)
 
 
 def test_bm25_prefilters_terms_and_takeordered(spark):
