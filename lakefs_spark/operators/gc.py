@@ -46,6 +46,8 @@ def gc_mark(
 
     ``listing`` rows: (address, last_modified, size). ``cutoff``: objects
     with last_modified >= cutoff are kept regardless (in-flight writes).
+    A tz-naive datetime cutoff is interpreted as UTC; pass a tz-aware
+    datetime or an epoch float to be explicit.
     Addresses minted by the time-partitioned path provider
     (functions/pathtime.py) are ALSO guarded by their path's encoded
     rotation hour — the reference's uncommitted-GC new-partition skip
@@ -61,10 +63,22 @@ def gc_mark(
     """
     df = listing
     if cutoff is not None:
+        # Naive datetimes are treated as UTC (a naive-local reading
+        # would shift the in-flight guard by the host's UTC offset —
+        # up to ~14h weaker — for utcnow()-derived cutoffs). The SAME
+        # normalized instant feeds both the mtime filter and the
+        # path-encoded-hour guard so they can never diverge.
+        if hasattr(cutoff, "timestamp"):
+            if getattr(cutoff, "tzinfo", None) is None:
+                from datetime import timezone
+
+                cutoff = cutoff.replace(tzinfo=timezone.utc)
+            epoch = cutoff.timestamp()
+        else:
+            epoch = float(cutoff)
         df = df.where(F.col("last_modified") < F.lit(cutoff))
         from lakefs_spark.functions.pathtime import prune_new_addresses
 
-        epoch = cutoff.timestamp() if hasattr(cutoff, "timestamp") else float(cutoff)
         df = prune_new_addresses(df, epoch)
     u = df.select("address", F.lit(1).alias("__m"))
     u = u.unionAll(committed.select("address", F.lit(2).alias("__m")))

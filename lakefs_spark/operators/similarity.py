@@ -20,6 +20,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _round_half_up(x: float, ndigits: int) -> float:
+    """Round half AWAY from zero — the semantics of Spark's F.round and
+    DuckDB's round(), unlike Python's built-in (half-to-even). Used for
+    driver-side constants that must hash-match the SQL oracle."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -282,7 +292,11 @@ def hybrid_rerank(
         .orderBy("i")
         .collect()
     )
-    qvec = [round(r["m"], 6) for r in prf_rows]  # dim-sized driver constant
+    # dim-sized driver constant. Python round() is banker's rounding
+    # (half-to-even) but Spark F.round and the DuckDB oracle both round
+    # half AWAY from zero — an exact half-tie at the 6th decimal would
+    # diverge Spark vs oracle. Match them with ROUND_HALF_UP.
+    qvec = [_round_half_up(r["m"], 6) for r in prf_rows]
     nq = math.sqrt(sum(v * v for v in qvec))
     if not qvec or nq == 0.0:
         raise ValueError(

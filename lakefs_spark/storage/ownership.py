@@ -126,7 +126,13 @@ class MostlyCorrectOwner:
                 yield owner
             finally:
                 stop.set()
-                t.join(timeout=self.refresh_interval)
+                # join WITHOUT a timeout: the refresher exits within
+                # refresh_interval/2 of stop.set(), and joining fully
+                # guarantees no refresh can re-extend the lease after
+                # the sentinel CAS below (a timed-out join left a
+                # window where the lease stayed live up to a full
+                # refresh_interval past release)
+                t.join()
                 try:
                     # release by CAS-writing an EXPIRED sentinel, never
                     # by delete: a get-then-delete could destroy a

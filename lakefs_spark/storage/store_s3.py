@@ -345,14 +345,31 @@ class S3ConditionalStore(Store):
             return super().publish_blob(local_src, rel)
         with open(local_src, "rb") as f:
             raw = f.read()
-        status, _hdrs, _ = self._request(
-            "PUT", self._blob_key(rel), body=raw, headers={"If-None-Match": "*"}
+        key = self._blob_key(rel)
+        # 200 = we won; 412 = the address already exists — same content
+        # by construction, the existing object wins (structural
+        # sharing). 409 (ConditionalRequestConflict) means a CONCURRENT
+        # conditional write was in flight and THIS request's outcome is
+        # unknown: if the concurrent winner aborted, nothing exists and
+        # deleting local_src would silently lose the blob. Resolve by
+        # HEAD-then-retry until the object provably exists (200/412).
+        for _attempt in range(self.cas_retries):
+            status, _hdrs, _ = self._request(
+                "PUT", key, body=raw, headers={"If-None-Match": "*"}
+            )
+            if status in (200, 412):
+                os.remove(local_src)
+                return
+            if status != 409:
+                raise S3StoreError(f"PUT blob {rel!r}: HTTP {status}")
+            head, _h, _ = self._request("HEAD", key)
+            if head == 200:  # the concurrent writer landed — done
+                os.remove(local_src)
+                return
+        raise S3StoreError(
+            f"PUT blob {rel!r}: still HTTP 409 after {self.cas_retries} "
+            "attempts; local copy retained"
         )
-        if status not in (200, 412, 409):
-            raise S3StoreError(f"PUT blob {rel!r}: HTTP {status}")
-        # 412/409: the address already exists — same content by
-        # construction, the existing object wins (structural sharing)
-        os.remove(local_src)
 
     def list_blobs(self, rel_prefix: str) -> list[str]:
         if self._local_blob_root is not None:
@@ -460,6 +477,17 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         if_match = _unquote_etag(self.headers.get("If-Match"))
         if_none_match = self.headers.get("If-None-Match")
         with self.server.mu:
+            # AWS ConditionalRequestConflict: a concurrent conditional
+            # write was in flight; THIS request's outcome is unknown.
+            # inject_409_win controls whether the phantom concurrent
+            # writer "landed" (object materializes) or aborted.
+            if self.server.inject_409 > 0 and (if_match or if_none_match):
+                self.server.inject_409 -= 1
+                if self.server.inject_409_win:
+                    self._obj().setdefault((bucket, key), raw)
+                return self._send(
+                    409, b"<Error><Code>ConditionalRequestConflict</Code></Error>"
+                )
             cur = self._obj().get((bucket, key))
             if if_none_match == "*" and cur is not None:
                 return self._send(412, b"<Error><Code>PreconditionFailed</Code></Error>")
@@ -497,6 +525,8 @@ class FakeS3Server:
         self._httpd.objects = {}
         self._httpd.mu = threading.Lock()
         self._httpd.inject_500 = 0
+        self._httpd.inject_409 = 0
+        self._httpd.inject_409_win = False
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
@@ -506,6 +536,17 @@ class FakeS3Server:
         tests prove the driver's transient-error retry."""
         with self._httpd.mu:
             self._httpd.inject_500 = n
+
+    def inject_409(self, n: int, concurrent_writer_wins: bool = False) -> None:
+        """Answer the next ``n`` CONDITIONAL PUTs with HTTP 409
+        (ConditionalRequestConflict) — outcome unknown, exactly the AWS
+        ambiguity. With ``concurrent_writer_wins`` the phantom
+        concurrent writer's object materializes; otherwise it aborted
+        and nothing exists, so a client that treats 409 as "already
+        there" would silently lose the blob."""
+        with self._httpd.mu:
+            self._httpd.inject_409 = n
+            self._httpd.inject_409_win = concurrent_writer_wins
 
     @property
     def endpoint(self) -> str:

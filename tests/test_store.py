@@ -269,6 +269,51 @@ def test_s3_idempotent_requests_retry_transient_500s(tmp_path, s3_server):
     assert store.get_doc("k")[0] == {"n": 1}  # budget reset, healthy again
 
 
+def test_s3_publish_blob_409_concurrent_winner_aborted(tmp_path, s3_server):
+    """HTTP 409 (ConditionalRequestConflict) means the outcome is
+    UNKNOWN — if the concurrent conditional writer aborted, nothing
+    exists yet, and treating 409 as 'already there' would delete the
+    only copy. The driver must HEAD + retry the PUT until the object
+    provably exists (pkg/block/s3 conditional-write semantics)."""
+    store = S3ConditionalStore(s3_server.endpoint, f"c409a-{tmp_path.name.lower()}")
+    src = tmp_path / "blob"
+    src.write_bytes(b"payload")
+    s3_server.inject_409(2, concurrent_writer_wins=False)
+    store.publish_blob(str(src), "ranges/r1.parquet")
+    assert store.blob_exists("ranges/r1.parquet")
+    assert not src.exists()
+
+
+def test_s3_publish_blob_409_concurrent_winner_landed(tmp_path, s3_server):
+    """When the phantom concurrent writer DID land the object, the
+    post-409 HEAD finds it and the publish resolves without another
+    PUT round (content-addressed: same bytes either way)."""
+    store = S3ConditionalStore(s3_server.endpoint, f"c409b-{tmp_path.name.lower()}")
+    src = tmp_path / "blob"
+    src.write_bytes(b"payload")
+    s3_server.inject_409(1, concurrent_writer_wins=True)
+    store.publish_blob(str(src), "ranges/r1.parquet")
+    assert store.blob_exists("ranges/r1.parquet")
+    assert not src.exists()
+
+
+def test_s3_publish_blob_409_budget_exhausted_keeps_local(tmp_path, s3_server):
+    """If 409s persist past the retry budget the local copy must be
+    RETAINED (never silently lost) and the error surfaced."""
+    from lakefs_spark.storage.store_s3 import S3StoreError
+
+    store = S3ConditionalStore(s3_server.endpoint, f"c409c-{tmp_path.name.lower()}")
+    src = tmp_path / "blob"
+    src.write_bytes(b"payload")
+    s3_server.inject_409(store.cas_retries + 1, concurrent_writer_wins=False)
+    with pytest.raises(S3StoreError):
+        store.publish_blob(str(src), "ranges/r1.parquet")
+    assert src.exists()  # nothing lost; caller can retry
+    s3_server.inject_409(0)
+    store.publish_blob(str(src), "ranges/r1.parquet")
+    assert store.blob_exists("ranges/r1.parquet")
+
+
 def test_s3_list_docs_paginates_continuation_tokens(tmp_path, s3_server):
     """A listing larger than one page must walk NextContinuationToken
     to the end — a 10⁶-commit repo never fits one response."""
