@@ -32,6 +32,9 @@ only some pruning sharpness is lost.
 
 from __future__ import annotations
 
+import math
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -57,16 +60,127 @@ def _assign_positions(keys: pd.Series | np.ndarray, max_keys: list[str]) -> np.n
     return np.minimum(pos, len(max_keys) - 1)
 
 
+#: Manifests up to this many rows ship to executors as a whole-list
+#: broadcast (lowest latency — 2 Spark jobs); above it the bucketed
+#: √n path below takes over. At the reference's design point (20 MiB
+#: ranges) 200k rows ≈ a 4 TB repo; the broadcast there is ~25 MB.
+LARGE_MANIFEST_ROWS = int(os.environ.get("LAKEFS_SPARK_BCAST_MANIFEST_ROWS", "200000"))
+
+
+def _bucketed_positions(
+    spark: SparkSession,
+    mfs: pd.DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    tomb_col: str | None,
+    containment: bool,
+) -> list[int]:
+    """Distinct manifest positions matched by an unbounded key stream,
+    WITHOUT broadcasting the manifest.
+
+    At 100 TB a manifest is ~5M rows; broadcasting its min/max lists is
+    ~0.8 GB pickled and every Python worker pays the unpickle (measured
+    374 s for a 100k-key probe at 5M ranges — tools/profile_manifest.py).
+    Instead: a √n *coarse* boundary sample (≈2.2k strings at 5M) is the
+    only broadcast; both sides shuffle once on the coarse bucket id and
+    a cogrouped applyInPandas runs the exact searchsorted per bucket
+    (~√n manifest rows each). Same two-sided merge-scan idea as the
+    reference's range-granular diff (pkg/graveler/committed/diff.go:151)
+    — cost O(|keys| + n) with no O(n) per-worker state.
+
+    Semantics (identical to the broadcast kernel):
+    - containment=True: emit pos iff min_key[pos] <= key <= max_key[pos]
+      (ranges_containing_keys).
+    - containment=False: emit the clamped assignment position
+      (searchsorted side='left', clamp to n-1); a tombstone exactly on
+      a range's max_key also emits pos+1 (the following range merges in
+      once the chunk boundary dissolves — _apply_cow's rule).
+    """
+    n = len(mfs)
+    width = max(1, int(math.isqrt(n)))
+    max_np = mfs["max_key"].to_numpy(dtype=object)
+    coarse = max_np[width - 1 :: width].tolist()
+    last_bucket = (n - 1) // width
+    bc_coarse = spark.sparkContext.broadcast(coarse)
+
+    @F.pandas_udf("long")
+    def _bucket_of(keys: pd.Series) -> pd.Series:
+        arr = np.array(bc_coarse.value, dtype=object)
+        b = np.searchsorted(arr, keys.to_numpy(dtype=object), side="left")
+        return pd.Series(np.minimum(b, last_bucket).astype("int64"))
+
+    tomb_expr = (
+        F.col(tomb_col).cast("boolean") if tomb_col is not None else F.lit(False)
+    )
+    keys_b = keys_df.select(
+        _bucket_of(F.col(key_col)).alias("b"),
+        F.col(key_col).alias("k"),
+        tomb_expr.alias("t"),
+    )
+    mf_sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "b": (np.arange(n, dtype=np.int64) // width),
+                "pos": np.arange(n, dtype=np.int64),
+                "mn": mfs["min_key"].to_numpy(dtype=object),
+                "mx": max_np,
+            }
+        ),
+        schema="b long, pos long, mn string, mx string",
+    )
+
+    def _merge(keys_pdf: pd.DataFrame, mf_pdf: pd.DataFrame) -> pd.DataFrame:
+        if keys_pdf.empty or mf_pdf.empty:
+            return pd.DataFrame({"pos": pd.Series([], dtype="int64")})
+        mf_local = mf_pdf.sort_values("pos")
+        mx = mf_local["mx"].to_numpy(dtype=object)
+        mn = mf_local["mn"].to_numpy(dtype=object)
+        gpos = mf_local["pos"].to_numpy()
+        ks = keys_pdf["k"].to_numpy(dtype=object)
+        p = np.searchsorted(mx, ks, side="left")
+        out: set[int] = set()
+        if containment:
+            for k, pl in zip(ks, p):
+                pl = int(pl)
+                if pl < len(mx) and mn[pl] <= k:
+                    out.add(int(gpos[pl]))
+        else:
+            ts = keys_pdf["t"].to_numpy()
+            for k, t, pl in zip(ks, ts, p):
+                pl = min(int(pl), len(mx) - 1)
+                gp = int(gpos[pl])
+                out.add(gp)
+                if t and k == mx[pl] and gp + 1 < n:
+                    out.add(gp + 1)
+        return pd.DataFrame({"pos": pd.Series(sorted(out), dtype="int64")})
+
+    hits = (
+        keys_b.groupBy("b")
+        .cogroup(mf_sdf.groupBy("b"))
+        .applyInPandas(_merge, "pos long")
+        .distinct()
+        .collect()
+    )
+    return [int(r["pos"]) for r in hits]
+
+
 def ranges_containing_keys(
     spark: SparkSession, manifest: pd.DataFrame, keys_df: DataFrame, key_col: str = "key"
 ) -> set[str]:
     """range_ids whose [min_key, max_key] interval contains any key of
-    ``keys_df`` — computed on executors (broadcast searchsorted over the
+    ``keys_df`` — computed on executors (searchsorted over the
     manifest), with only DISTINCT matched positions collected. The
-    driver never sees the key stream, so the key count is unbounded."""
+    driver never sees the key stream, so the key count is unbounded.
+    Small manifests broadcast whole; large ones take the √n-bucketed
+    path (no O(n) broadcast — see _bucketed_positions)."""
     if manifest.empty:
         return set()
     mfs = manifest.sort_values("min_key").reset_index(drop=True)
+    if len(mfs) > LARGE_MANIFEST_ROWS:
+        hit_pos = _bucketed_positions(
+            spark, mfs, keys_df, key_col, tomb_col=None, containment=True
+        )
+        return set(mfs.iloc[hit_pos]["range_id"])
     bc_min = spark.sparkContext.broadcast(mfs["min_key"].tolist())
     bc_max = spark.sparkContext.broadcast(mfs["max_key"].tolist())
 
@@ -160,30 +274,39 @@ def _apply_cow(
     # dissolves a chunk boundary (chunker's rule is pure key-hash),
     # so position i+1 is emitted too: the following range merges in
     # and must be rewritten.
-    bc_max = spark.sparkContext.broadcast(max_keys)
-
-    @F.pandas_udf("array<int>")
-    def _touched_positions(keys: pd.Series, tombs: pd.Series) -> pd.Series:
-        mk = bc_max.value
-        n = len(mk)
-        pos = _assign_positions(keys.to_numpy(dtype=object), mk)
-        out = []
-        for k, t, p in zip(keys.to_numpy(dtype=object), tombs.to_numpy(), pos):
-            p = int(p)
-            if t and p + 1 < n and k == mk[p]:
-                out.append([p, p + 1])
-            else:
-                out.append([p])
-        return pd.Series(out)
-
-    touched = {
-        int(r["p"])
-        for r in changes.select(
-            F.explode(_touched_positions("key", "is_tombstone")).alias("p")
+    if len(mf) > LARGE_MANIFEST_ROWS:
+        # 100 TB-scale manifest: √n-bucketed assignment — no O(n)
+        # broadcast (see _bucketed_positions)
+        touched = set(
+            _bucketed_positions(
+                spark, mf, changes, "key", tomb_col="is_tombstone", containment=False
+            )
         )
-        .distinct()
-        .collect()
-    }
+    else:
+        bc_max = spark.sparkContext.broadcast(max_keys)
+
+        @F.pandas_udf("array<int>")
+        def _touched_positions(keys: pd.Series, tombs: pd.Series) -> pd.Series:
+            mk = bc_max.value
+            n = len(mk)
+            pos = _assign_positions(keys.to_numpy(dtype=object), mk)
+            out = []
+            for k, t, p in zip(keys.to_numpy(dtype=object), tombs.to_numpy(), pos):
+                p = int(p)
+                if t and p + 1 < n and k == mk[p]:
+                    out.append([p, p + 1])
+                else:
+                    out.append([p])
+            return pd.Series(out)
+
+        touched = {
+            int(r["p"])
+            for r in changes.select(
+                F.explode(_touched_positions("key", "is_tombstone")).alias("p")
+            )
+            .distinct()
+            .collect()
+        }
 
     touched_sorted = sorted(touched)
     touched_ids = mf.iloc[touched_sorted]["range_id"].tolist()

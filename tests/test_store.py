@@ -8,6 +8,7 @@ PUT alone — no POSIX locking above the interface.
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pytest
@@ -514,3 +515,58 @@ def test_protect_branch_legacy_migration_race(spark):
         repo.store.delete_doc = orig_delete
     pats = sorted(r["pattern"] for r in repo.protection_rules())
     assert pats == ["main", "rel-*"]  # legacy rule migrated once, new rule added
+
+
+def test_two_process_merge_race_over_s3(spark, tmp_path, s3_server):
+    """Two real OS processes (own JVMs, own SparkSessions, no shared
+    memory) race merges into one repo's main through ONE FakeS3Server
+    endpoint — the full seal->apply->If-Match-CAS commit protocol
+    across process boundaries. The thread-based tests above prove the
+    store primitive; this proves the whole stack: every merge either
+    lands and is visible at the final head, or surfaces an error —
+    nothing is silently lost (graveler.go:2422-2475)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "repo")
+    bucket = f"race-{tmp_path.name.lower()}"
+    s3 = S3ConditionalStore(s3_server.endpoint, bucket, local_blob_root=root)
+    repo = Repository.create(spark, root, store=s3)
+    repo.stage_entries("main", _mk_entries(spark, ["seed"]))
+    repo.commit("main", "seed")
+
+    rounds = 2
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(repo_dir, "tests", "_race_child.py")
+    env = dict(os.environ, PYTHONPATH=repo_dir, SPARK_DRIVER_MEMORY="2g")
+    procs = {
+        name: subprocess.Popen(
+            [_sys.executable, child, s3_server.endpoint, bucket, root, name, str(rounds)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=repo_dir,
+            text=True,
+        )
+        for name in ("alpha", "beta")
+    }
+    results = {}
+    for name, p in procs.items():
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"{name} rc={p.returncode}\n{out}\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        results[name] = json.loads(line)
+
+    # no lost updates: every merge commit a child reported is on main's
+    # log, and every child key is visible at the final head
+    log_ids = {c.commit_id for c in repo.log("main")}
+    for name, res in results.items():
+        assert len(res["merged"]) == rounds, res
+        for cid in res["merged"]:
+            assert cid in log_ids, f"{name} merge {cid} missing from main log"
+    keys = {r["key"] for r in repo.list_entries("main").collect()}
+    want = {f"{n}/k{i}" for n in ("alpha", "beta") for i in range(rounds)}
+    assert want <= keys, f"missing keys: {want - keys}"
+    # 1 seed + 2*rounds merge commits + the initial empty head's absence
+    assert len(log_ids) >= 1 + 2 * rounds
