@@ -1,0 +1,771 @@
+"""Host modules for Lua hooks + the ``require`` resolver.
+
+Python ports of the reference's curated Lua stdlib
+(pkg/actions/lua/strings/strings.go, path/path.go, regexp/regexp.go,
+encoding/json, encoding/yaml, net/url, lakefs/client.go,
+storage/aws/s3.go) plus original Lua re-implementations of the
+catalogexport helper modules (pkg/actions/lua/lakefs/catalogexport/
+internal.lua, table_extractor.lua, hive.lua, symlink_exporter.lua —
+same exported surface so unmodified user hooks resolve them; the Lua
+texts here are written fresh for this engine).
+
+``make_hook_env`` assembles the sandboxed globals the reference
+injects (pkg/actions/lua.go:38-171): ``action`` (the event payload),
+``args`` (expanded hook properties), ``print`` routed to the hook's
+output log, and ``require`` over the module registry. No io/os/network
+escape exists: every effectful surface is a shim over the engine's own
+Repository/Catalog.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+import re as _re
+from urllib.parse import urlsplit
+
+from lakefs_spark.lua.interp import (
+    LuaError,
+    LuaTable,
+    LuaUnsupportedFeature,
+    lua_tostring,
+    lua_truthy,
+    run_lua,
+)
+from lakefs_spark.lua.stdlib import make_base_env
+
+# ---------------------------------------------------------------------------
+# value conversion
+# ---------------------------------------------------------------------------
+
+
+def py_to_lua(v):
+    if isinstance(v, dict):
+        t = LuaTable()
+        for k, val in v.items():
+            t.set(k, py_to_lua(val))
+        return t
+    if isinstance(v, (list, tuple)):
+        t = LuaTable()
+        for i, val in enumerate(v, start=1):
+            t.set(i, py_to_lua(val))
+        return t
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def lua_to_py(v, _depth=0):
+    if _depth > 64:
+        raise LuaError("table nesting too deep to convert")
+    if isinstance(v, LuaTable):
+        n = v.length()
+        keys = set(v.hash.keys())
+        if n > 0 and keys == set(range(1, n + 1)):
+            return [lua_to_py(v.get(i), _depth + 1) for i in range(1, n + 1)]
+        if not keys:
+            return {}
+        out = {}
+        for k in v.hash:
+            out[k if isinstance(k, str) else lua_tostring(k)] = lua_to_py(
+                v.hash[k], _depth + 1
+            )
+        return out
+    return v
+
+
+# ---------------------------------------------------------------------------
+# strings / path / regexp / encoding / net-url  (Go-module ports)
+# ---------------------------------------------------------------------------
+
+
+def _mod_strings() -> LuaTable:
+    def split(s, sep):
+        t = LuaTable()
+        parts = s.split(sep) if sep else list(s)
+        for i, p in enumerate(parts, start=1):
+            t.set(i, p)
+        return t
+
+    return LuaTable(
+        {
+            "split": split,
+            "trim": lambda s: s.strip(),
+            "replace": lambda s, old, new, n=-1: s.replace(old, new, int(n) if int(n) >= 0 else -1),
+            "has_prefix": lambda s, p: s.startswith(p),
+            "has_suffix": lambda s, p: s.endswith(p),
+            "contains": lambda s, sub: sub in s,
+        }
+    )
+
+
+def _path_parse(pth: str, sep: str = "/") -> LuaTable:
+    # pkg/actions/lua/path/path.go:59-78 Parse
+    if pth.endswith(sep):
+        pth = pth[: len(pth) - 1]
+    idx = pth.rfind(sep)
+    if idx == -1:
+        return LuaTable({"parent": "", "base_name": pth})
+    return LuaTable({"parent": pth[: idx + 1], "base_name": pth[idx + 1 :]})
+
+
+def _path_join(sep: str, *parts) -> str:
+    # pkg/actions/lua/path/path.go:86-101 Join: keep first part's prefix
+    # sep, ensure a single sep between parts, last part's suffix optional
+    out = []
+    for i, part in enumerate(parts):
+        part = lua_tostring(part)
+        if i != 0 and part.startswith(sep):
+            part = part[len(sep):]
+        out.append(part)
+        if i != len(parts) - 1 and not part.endswith(sep):
+            out.append(sep)
+    return "".join(out)
+
+
+def _path_is_hidden(pth: str, sep: str = "/", prefix: str = "_") -> bool:
+    # pkg/actions/lua/path/path.go:103-113 IsHidden: any path component
+    # starting with the hidden prefix
+    while pth:
+        parsed = _path_parse(pth, sep)
+        if parsed.get("base_name").startswith(prefix):
+            return True
+        pth = parsed.get("parent")
+    return False
+
+
+def _mod_path() -> LuaTable:
+    return LuaTable(
+        {
+            "parse": lambda p, sep="/": _path_parse(p, sep),
+            "join": _path_join,
+            "is_hidden": lambda p, sep="/", prefix="_": _path_is_hidden(p, sep, prefix),
+            "default_separator": lambda: "/",
+            "extract_dir_name": lambda p: _path_parse(p, "/").get("parent").rstrip("/"),
+        }
+    )
+
+
+def _mod_regexp() -> LuaTable:
+    # Go regexp is RE2; Python re is a superset for the constructs hook
+    # scripts use (disclosed deviation: backtracking vs RE2)
+    def compile_(pattern):
+        try:
+            rx = _re.compile(pattern)
+        except _re.error as e:
+            raise LuaError(f"regexp.compile: {e}") from None
+
+        def find_all(s, n=-1):
+            found = rx.findall(s)
+            if int(n) >= 0:
+                found = found[: int(n)]
+            return py_to_lua([f if isinstance(f, str) else list(f) for f in found])
+
+        def find_all_submatch(s, n=-1):
+            out = []
+            for i, m in enumerate(rx.finditer(s)):
+                if int(n) >= 0 and i >= int(n):
+                    break
+                out.append([m.group(0)] + [g if g is not None else "" for g in m.groups()])
+            return py_to_lua(out)
+
+        return LuaTable(
+            {
+                "match": lambda s: rx.search(s) is not None,
+                "find": lambda s: (m.group(0) if (m := rx.search(s)) else ""),
+                "find_all": find_all,
+                "find_all_submatch": find_all_submatch,
+            }
+        )
+
+    def match(pattern, s):
+        try:
+            return _re.search(pattern, s) is not None
+        except _re.error as e:
+            raise LuaError(f"regexp.match: {e}") from None
+
+    return LuaTable(
+        {"match": match, "quote_meta": _re.escape, "compile": compile_}
+    )
+
+
+def _mod_json() -> LuaTable:
+    def marshal(v):
+        return _json.dumps(lua_to_py(v), sort_keys=True)
+
+    def unmarshal(s):
+        try:
+            return py_to_lua(_json.loads(s))
+        except (_json.JSONDecodeError, TypeError) as e:
+            raise LuaError(f"json.unmarshal: {e}") from None
+
+    return LuaTable({"marshal": marshal, "unmarshal": unmarshal})
+
+
+def _mod_yaml() -> LuaTable:
+    def unmarshal(s):
+        try:
+            import yaml
+
+            return py_to_lua(yaml.safe_load(s))
+        except ImportError:  # pragma: no cover — yaml present in CI image
+            return py_to_lua(_json.loads(s))
+        except Exception as e:  # noqa: BLE001
+            raise LuaError(f"yaml.unmarshal: {e}") from None
+
+    def marshal(v):
+        try:
+            import yaml
+
+            return yaml.safe_dump(lua_to_py(v), sort_keys=True)
+        except ImportError:  # pragma: no cover
+            return _json.dumps(lua_to_py(v), sort_keys=True)
+
+    return LuaTable({"marshal": marshal, "unmarshal": unmarshal})
+
+
+def _mod_url() -> LuaTable:
+    def parse(u):
+        parts = urlsplit(u)
+        return LuaTable(
+            {
+                "scheme": parts.scheme,
+                "host": parts.hostname or "",
+                "path": parts.path,
+                "query": parts.query or None,
+                "fragment": parts.fragment or None,
+            }
+        )
+
+    def query_unescape(s):
+        from urllib.parse import unquote_plus
+
+        return unquote_plus(s)
+
+    return LuaTable({"parse": parse, "query_unescape": query_unescape})
+
+
+# ---------------------------------------------------------------------------
+# lakefs client shim (pkg/actions/lua/lakefs/client.go surface, backed
+# by the engine's Catalog — returns (status_code, body) pairs like the
+# reference's in-process HTTP round-trips)
+# ---------------------------------------------------------------------------
+
+
+def _entry_to_object_stats(row) -> dict:
+    if hasattr(row, "asDict"):  # pyspark Row
+        row = row.asDict()
+    lm = row.get("last_modified")
+    mtime = 0
+    if lm is not None:
+        try:
+            mtime = int(lm.timestamp())
+        except (AttributeError, OSError, ValueError):
+            mtime = 0
+    if row.get("is_common_prefix"):
+        return {"path": row["key"], "path_type": "common_prefix"}
+    return {
+        "path": row["key"],
+        "path_type": "object",
+        "physical_address": row.get("address"),
+        "checksum": row.get("etag"),
+        "size_bytes": row.get("size"),
+        "mtime": mtime,
+        "content_type": row.get("content_type"),
+    }
+
+
+def make_lakefs_client(repo, content_loader=None) -> LuaTable:
+    """The ``lakefs`` module: a client over THIS engine's repository
+    (the reference routes these through its own API server in-process —
+    client.go:258-283; same contract, no HTTP hop here)."""
+    from lakefs_spark.catalog import Catalog
+
+    cat = Catalog(repo)
+
+    def list_objects(repo_id, ref, after=None, prefix=None, delimiter=None,
+                     amount=None, _user_meta=None):
+        try:
+            resp = cat.list_objects(
+                ref,
+                prefix=prefix or "",
+                after=after or "",
+                delimiter=delimiter if delimiter is not None else "",
+                amount=int(amount) if amount else 100,
+            )
+        except Exception as e:  # noqa: BLE001 — HTTP-shaped errors
+            return (400, py_to_lua({"message": str(e)}))
+        body = {
+            "pagination": resp["pagination"],
+            "results": [_entry_to_object_stats(r) for r in resp["results"]],
+        }
+        return (200, py_to_lua(body))
+
+    def _load_content(row) -> str:
+        if content_loader is not None:
+            data = content_loader(row)
+        else:
+            addr = row.get("address") or ""
+            # relative physical addresses resolve under the store's data
+            # root — the same rule RepoActionSource._default_loader uses
+            # for in-repo specs (storage/actions.py)
+            base = getattr(repo.store, "data_root", repo.root)
+            p = addr if os.path.isabs(addr) else os.path.join(base, addr)
+            if not os.path.exists(p):
+                raise FileNotFoundError(addr)
+            with open(p, "rb") as f:
+                data = f.read()
+        return data.decode("utf-8", errors="replace") if isinstance(data, bytes) else data
+
+    def get_object(repo_id, ref, path):
+        row = cat.get_object(ref, path)
+        if row is None:
+            return (404, "")
+        try:
+            return (200, _load_content(dict(row.asDict()) if hasattr(row, "asDict") else dict(row)))
+        except FileNotFoundError:
+            return (410, "")
+
+    def stat_object(repo_id, ref, path, _user_meta=None):
+        row = cat.stat_object(ref, path)
+        if row is None:
+            return (404, py_to_lua({"message": "not found"}))
+        d = dict(row.asDict()) if hasattr(row, "asDict") else dict(row)
+        return (200, py_to_lua(_entry_to_object_stats(d)))
+
+    def create_tag(repo_id, ref, tag_id):
+        try:
+            repo.create_tag(tag_id, ref)
+            return (201, py_to_lua({"id": tag_id}))
+        except Exception as e:  # noqa: BLE001
+            return (409, py_to_lua({"message": str(e)}))
+
+    def diff_refs(repo_id, left, right, after=None, prefix=None, amount=None):
+        try:
+            rows = [r.asDict() for r in repo.diff(left, right).collect()]
+        except Exception as e:  # noqa: BLE001
+            return (400, py_to_lua({"message": str(e)}))
+        rows.sort(key=lambda r: r["key"])
+        if prefix:
+            rows = [r for r in rows if r["key"].startswith(prefix)]
+        if after:
+            rows = [r for r in rows if r["key"] > after]
+        limit = int(amount) if amount else 100
+        page, has_more = rows[:limit], len(rows) > limit
+        results = [
+            {
+                "path": r["key"],
+                "path_type": "object",
+                "type": {"added": "added", "removed": "removed", "changed": "changed",
+                         "conflict": "conflict"}[r["diff_type"]],
+            }
+            for r in page
+        ]
+        body = {
+            "pagination": {
+                "has_more": has_more,
+                "next_offset": page[-1]["path"] if has_more and page else "",
+                "results": len(page),
+            },
+            "results": results,
+        }
+        return (200, py_to_lua(body))
+
+    return LuaTable(
+        {
+            "list_objects": list_objects,
+            "get_object": get_object,
+            "stat_object": stat_object,
+            "create_tag": create_tag,
+            "diff_refs": diff_refs,
+        }
+    )
+
+
+def make_aws_module(export_root: str | None, recorder: list | None = None) -> LuaTable:
+    """``aws.s3_client(...)``: a RECORDING stand-in (disclosed) — the
+    sandbox has no network, so put_object writes under
+    ``export_root/<bucket>/<key>`` and appends to ``recorder``. The
+    shape matches pkg/actions/lua/storage/aws/s3.go (put_object /
+    get_object / delete_object)."""
+
+    def s3_client(_key=None, _secret=None, _region=None, _endpoint=None):
+        def put_object(bucket, key, data):
+            if recorder is not None:
+                recorder.append({"bucket": bucket, "key": key, "data": data})
+            if export_root is not None:
+                p = os.path.join(export_root, str(bucket), str(key))
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                with open(p, "w") as f:
+                    f.write(lua_tostring(data) if not isinstance(data, str) else data)
+
+        def get_object(bucket, key):
+            if export_root is None:
+                raise LuaError("s3 stand-in has no export root configured")
+            p = os.path.join(export_root, str(bucket), str(key))
+            if not os.path.exists(p):
+                raise LuaError(f"NoSuchKey: s3://{bucket}/{key}")
+            with open(p) as f:
+                return f.read()
+
+        def delete_object(bucket, key):
+            if export_root is not None:
+                try:
+                    os.remove(os.path.join(export_root, str(bucket), str(key)))
+                except FileNotFoundError:
+                    pass
+
+        def delete_recursive(bucket, prefix):
+            if export_root is None:
+                return
+            base = os.path.join(export_root, str(bucket))
+            for dirpath, _dirs, files in os.walk(base):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    if os.path.relpath(p, base).startswith(str(prefix)):
+                        os.remove(p)
+
+        return LuaTable(
+            {
+                "put_object": put_object,
+                "get_object": get_object,
+                "delete_object": delete_object,
+                "delete_recursive": delete_recursive,
+            }
+        )
+
+    return LuaTable({"s3_client": s3_client})
+
+
+# ---------------------------------------------------------------------------
+# catalogexport Lua modules — ORIGINAL re-implementations with the same
+# exported names as the reference's shipped scripts, so stock hooks that
+# require("lakefs/catalogexport/...") resolve. Cited per module.
+# ---------------------------------------------------------------------------
+
+_CATALOGEXPORT_INTERNAL = r"""
+-- lakefs/catalogexport/internal: pagination + uri helpers
+-- (surface of pkg/actions/lua/lakefs/catalogexport/internal.lua)
+local url = require("net/url")
+local pathlib = require("path")
+local SHORT_LEN = 6
+
+local function short_digest(digest, len)
+  return digest:sub(1, len or SHORT_LEN)
+end
+
+local function lakefs_paginiated_api(api_call, after)
+  local cursor = after
+  local more = true
+  return function()
+    if not more then return nil end
+    local code, resp = api_call(cursor)
+    if code < 200 or code >= 300 then
+      error("lakeFS: api return non-2xx" .. tostring(code))
+    end
+    more = resp.pagination.has_more
+    cursor = resp.pagination.next_offset
+    return resp.results
+  end
+end
+
+local function lakefs_object_pager(client, repo_id, commit_id, after, prefix, delimiter, page_size)
+  return lakefs_paginiated_api(function(cursor)
+    return client.list_objects(repo_id, commit_id, cursor, prefix, delimiter, page_size or 30)
+  end, after)
+end
+
+local function ref_from_branch_or_tag(info)
+  local ev = info.event_type
+  if ev == "pre-create-tag" or ev == "post-create-tag" then
+    return info.tag_id
+  end
+  return info.branch_id
+end
+
+local function parse_storage_uri(uri)
+  local u = url.parse(uri)
+  local key = u.path
+  if key:sub(1, 1) == "/" then key = key:sub(2) end
+  return { protocol = u.scheme, bucket = u.host, key = key }
+end
+
+local function get_storage_uri_prefix(storage_ns, commit_id, info)
+  local ref = ref_from_branch_or_tag(info)
+  return pathlib.join("/", storage_ns,
+    string.format("_lakefs/exported/%s/%s/", ref, short_digest(commit_id)))
+end
+
+return {
+  short_digest = short_digest,
+  lakefs_paginiated_api = lakefs_paginiated_api,
+  lakefs_object_pager = lakefs_object_pager,
+  ref_from_branch_or_tag = ref_from_branch_or_tag,
+  parse_storage_uri = parse_storage_uri,
+  get_storage_uri_prefix = get_storage_uri_prefix,
+}
+"""
+
+_CATALOGEXPORT_TABLE_EXTRACTOR = r"""
+-- lakefs/catalogexport/table_extractor: _lakefs_tables/ spec loading
+-- (surface of pkg/actions/lua/lakefs/catalogexport/table_extractor.lua)
+local pathlib = require("path")
+local strings = require("strings")
+local yaml = require("encoding/yaml")
+local utils = require("lakefs/catalogexport/internal")
+
+local TABLES_BASE = "_lakefs_tables/"
+
+local function list_table_descriptor_entries(client, repo_id, commit_id)
+  local found = {}
+  local pager = utils.lakefs_object_pager(client, repo_id, commit_id, "", TABLES_BASE, "", 30)
+  for page in pager do
+    for _, entry in ipairs(page) do
+      if entry.path_type == "object" and strings.has_suffix(entry.path, ".yaml") then
+        local rel = entry.path
+        if strings.has_prefix(rel, TABLES_BASE) then
+          rel = rel:sub(#TABLES_BASE + 1, #rel)
+        end
+        if not pathlib.is_hidden(rel) then
+          table.insert(found, { physical_address = entry.physical_address, path = entry.path })
+        end
+      end
+    end
+  end
+  return found
+end
+
+local function get_table_descriptor(client, repo_id, ref, logical_path)
+  local code, content = client.get_object(repo_id, ref, logical_path)
+  if code ~= 200 then
+    error("could not fetch data file: HTTP " .. tostring(code) .. " path: " .. logical_path)
+  end
+  local d = yaml.unmarshal(content)
+  d.partition_columns = d.partition_columns or {}
+  return d
+end
+
+return {
+  list_table_descriptor_entries = list_table_descriptor_entries,
+  get_table_descriptor = get_table_descriptor,
+}
+"""
+
+_CATALOGEXPORT_HIVE = r"""
+-- lakefs/catalogexport/hive: partition-grouped object iterator
+-- (surface of pkg/actions/lua/lakefs/catalogexport/hive.lua)
+local pathlib = require("path")
+local strings = require("strings")
+local utils = require("lakefs/catalogexport/internal")
+
+-- longest prefix of `path` that covers every partition column in order:
+-- .../col1=v1/col2=v2/   (returns nil when a column is missing)
+local function extract_partitions_path(partitions, path)
+  if partitions == nil or #partitions == 0 then
+    return ""
+  end
+  local idx = 1
+  for pi, part in ipairs(partitions) do
+    local token = "/" .. part .. "="
+    if pi == 1 and strings.has_prefix(path, part .. "=") then
+      token = part .. "="
+    end
+    local i, j = string.find(path, token, idx, true)
+    if i == nil then return nil end
+    local sep = string.find(path, "/", j + 1, true)
+    if sep == nil or sep <= j + 1 then return nil end
+    idx = sep
+  end
+  return string.sub(path, 1, idx)
+end
+
+local function extract_partition_pager(client, repo_id, commit_id, base_path, partition_cols, page_size)
+  local pager = utils.lakefs_object_pager(client, repo_id, commit_id, "", base_path, "", page_size or 30)
+  local page = pager()
+  local target = ""
+  return function()
+    if page == nil then return nil end
+    local group = {}
+    while true do
+      if #page == 0 then
+        page = pager()
+        if page == nil then
+          return target, group
+        end
+      end
+      local entry = page[1]
+      local pkey = extract_partitions_path(partition_cols, entry.path)
+      if not pathlib.is_hidden(entry.path) and pkey ~= nil then
+        if target == "" then target = pkey end
+        if pkey ~= target then
+          local done = target
+          target = pkey
+          return done, group
+        end
+        if not (entry.path == pkey and entry.size_bytes == 0) then
+          table.insert(group, {
+            physical_address = entry.physical_address,
+            path = entry.path,
+            size = entry.size_bytes,
+            checksum = entry.checksum,
+          })
+        end
+      end
+      table.remove(page, 1)
+    end
+  end
+end
+
+return { extract_partition_pager = extract_partition_pager,
+         extract_partitions_path = extract_partitions_path }
+"""
+
+_CATALOGEXPORT_SYMLINK = r"""
+-- lakefs/catalogexport/symlink_exporter: Hive symlink.txt files per
+-- partition (surface of pkg/actions/lua/lakefs/catalogexport/
+-- symlink_exporter.lua: export_s3(s3_client, table_src_path,
+-- action_info, options))
+local extractor = require("lakefs/catalogexport/table_extractor")
+local hive = require("lakefs/catalogexport/hive")
+local utils = require("lakefs/catalogexport/internal")
+local pathlib = require("path")
+local strings = require("strings")
+local lakefs = require("lakefs")
+
+local function symlink_iterator(repo_id, commit_id, table_src_path, opts)
+  opts = opts or {}
+  local d = extractor.get_table_descriptor(lakefs, repo_id, commit_id, table_src_path)
+  if d.type ~= "hive" then
+    error("table " .. tostring(d.type) .. " in path " .. table_src_path .. " not supported")
+  end
+  local pager = hive.extract_partition_pager(lakefs, repo_id, commit_id, d.path, d.partition_columns)
+  return function()
+    local pkey, entries = pager()
+    if pkey == nil then return nil end
+    local data = ""
+    for _, e in ipairs(entries) do
+      data = data .. e.physical_address .. "\n"
+    end
+    local suffix
+    if #d.partition_columns == 0 then
+      suffix = d.name .. "/symlink.txt"
+    else
+      suffix = pkey
+      if not opts.skip_trim_obj_base_path then
+        suffix = strings.replace(suffix, d.path .. "/", "", 1)
+      end
+      suffix = pathlib.join("/", d.name, suffix, "symlink.txt")
+    end
+    return { key_suffix = suffix, data = data }
+  end
+end
+
+local function export_s3(s3_client, table_src_path, action_info, options)
+  local opts = options or {}
+  local base = opts.export_base_uri or action_info.storage_namespace
+  local uri = utils.get_storage_uri_prefix(base, action_info.commit_id, action_info)
+  local loc = utils.parse_storage_uri(uri)
+  local put = opts.writer or s3_client.put_object
+  local it = symlink_iterator(action_info.repository_id, action_info.commit_id, table_src_path, opts)
+  for link in it do
+    put(loc.bucket, pathlib.join("/", loc.key, link.key_suffix), link.data)
+  end
+  return { location = loc }
+end
+
+return { export_s3 = export_s3 }
+"""
+
+_LUA_MODULES = {
+    "lakefs/catalogexport/internal": _CATALOGEXPORT_INTERNAL,
+    "lakefs/catalogexport/table_extractor": _CATALOGEXPORT_TABLE_EXTRACTOR,
+    "lakefs/catalogexport/hive": _CATALOGEXPORT_HIVE,
+    "lakefs/catalogexport/symlink_exporter": _CATALOGEXPORT_SYMLINK,
+}
+
+
+# ---------------------------------------------------------------------------
+# environment assembly
+# ---------------------------------------------------------------------------
+
+
+def make_hook_env(
+    *,
+    action: dict | None = None,
+    args: dict | None = None,
+    output_sink=None,
+    repo=None,
+    content_loader=None,
+    export_root: str | None = None,
+    export_recorder: list | None = None,
+    extra_modules: dict | None = None,
+) -> LuaTable:
+    """Globals for one hook run: base library + ``action``/``args`` +
+    ``require`` over the registered modules (lua.go:38-171)."""
+    g = make_base_env(output_sink)
+    g.set("action", py_to_lua(action or {}))
+    g.set("args", py_to_lua(args or {}))
+
+    py_modules = {
+        "strings": _mod_strings,
+        "path": _mod_path,
+        "regexp": _mod_regexp,
+        "encoding/json": _mod_json,
+        "encoding/yaml": _mod_yaml,
+        "net/url": _mod_url,
+    }
+    if repo is not None:
+        py_modules["lakefs"] = lambda: make_lakefs_client(repo, content_loader)
+    py_modules["aws"] = lambda: make_aws_module(export_root, export_recorder)
+
+    loaded: dict[str, LuaTable] = {}
+
+    def lua_require(name):
+        name = lua_tostring(name).replace(".", "/")
+        if name in loaded:
+            return loaded[name]
+        if extra_modules and name in extra_modules:
+            val = extra_modules[name]
+            mod = val() if callable(val) and not isinstance(val, LuaTable) else val
+        elif name in py_modules:
+            mod = py_modules[name]()
+        elif name in _LUA_MODULES:
+            out = run_lua(_LUA_MODULES[name], g, chunkname=name)
+            mod = out[0] if out else LuaTable()
+        else:
+            raise LuaUnsupportedFeature(
+                f"module '{name}' not found (available: "
+                f"{', '.join(sorted([*py_modules, *_LUA_MODULES]))})"
+            )
+        loaded[name] = mod
+        return mod
+
+    g.set("require", lua_require)
+    return g
+
+
+def run_lua_hook(
+    script: str,
+    *,
+    action: dict | None = None,
+    args: dict | None = None,
+    output_sink=None,
+    repo=None,
+    content_loader=None,
+    export_root: str | None = None,
+    export_recorder: list | None = None,
+    chunkname: str = "hook",
+) -> list:
+    """Compile + run one hook script in a fresh environment; returns
+    the chunk's return values. Raises LuaError on any Lua-side error
+    (the caller maps it to hook abort / task-row status)."""
+    env = make_hook_env(
+        action=action,
+        args=args,
+        output_sink=output_sink,
+        repo=repo,
+        content_loader=content_loader,
+        export_root=export_root,
+        export_recorder=export_recorder,
+    )
+    return run_lua(script, env, chunkname=chunkname)

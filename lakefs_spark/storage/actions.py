@@ -29,16 +29,25 @@ Re-expresses the reference's actions service:
 - ``pkg/actions/hook_output_writer.go`` — per-hook output captured
   under the run id.
 
-The reference embeds a Lua VM for ``type: lua``; this engine's
-equivalent is ``type: script``: a sandboxed Python mini-script (AST
-whitelist: no imports, no dunder/underscore access, fixed builtins)
-with the same injected surface. Specs declaring ``type: lua`` validate
-(so reference action files load), but dispatching one records an
-explicit ``unsupported`` task result ("unsupported: lua"), never a
-silent reroute; pre-* events abort so a policy gate cannot be bypassed
-by language unavailability. tests/test_lua_ports.py carries ported
-reference Lua scenarios (commit-metadata validator, action logger,
-symlink-exporter trigger) as ``type: script`` fixtures.
+``type: lua`` hooks EXECUTE here, in the embedded pure-Python Lua
+interpreter (lakefs_spark/lua/ — the analog of the reference's
+embedded VM, lua.go:105-171): the event record is injected as global
+``action`` with the reference's exact field set (lua.go:38-68), the
+expanded properties as ``args``, ``print`` is captured to the hook
+output log, and ``require`` resolves the curated module set (strings,
+path, regexp, encoding/json, encoding/yaml, net/url, lakefs,
+aws, lakefs/catalogexport/*). Scripts come inline (``script``) or
+from the repository at the event's ref (``script_path``,
+lua.go:121-146). A script touching stdlib surface the interpreter
+deliberately lacks (io/os, coroutines, goto, unknown modules) records
+an explicit ``unsupported`` task row — never a silent pass — and
+pre-* events abort, so a policy gate cannot be bypassed by language
+unavailability. ``type: script`` remains as this engine's native
+Python mini-script runner with the same injected surface.
+tests/test_lua.py pins interpreter semantics + three reference hook
+scenarios (commit-metadata validator, action logger, catalogexport
+symlink exporter) running as real Lua; tests/test_lua_ports.py keeps
+the earlier ``type: script`` ports.
 
 Sandbox threat model: the vet is an AST allowlist (no imports, no
 underscore-prefixed names/attributes/keywords, fixed builtins) plus a
@@ -57,10 +66,12 @@ import ast
 import base64
 import fnmatch
 import json
+import os
 import re
 import time
 import urllib.parse
 
+from lakefs_spark.lua.interp import LuaError, LuaUnsupportedFeature
 from lakefs_spark.storage.repo import HookAbortError
 from lakefs_spark.storage.webhook import (
     DEFAULT_TIMEOUT_SECONDS,
@@ -172,13 +183,17 @@ def validate_action(spec: dict) -> None:
             "webhook": ("url",),
             "airflow": ("url", "dag_id", "username", "password"),
             "script": ("script",),
-            "lua": ("script",),
+            # reference hook.go:68 requireProperties: ONE OF script /
+            # script_path (the in-repo script location)
+            "lua": (("script", "script_path"),),
         }[htype]
         for key in required:
-            val = props.get(key)
-            if not isinstance(val, str) or val == "":
+            alts = key if isinstance(key, tuple) else (key,)
+            vals = [props.get(k) for k in alts]
+            if not any(isinstance(v, str) and v != "" for v in vals):
                 raise InvalidActionError(
-                    f"hook[{i}] type '{htype}': key {key}: missing or not a string"
+                    f"hook[{i}] type '{htype}': key {' or '.join(alts)}: "
+                    "missing or not a string"
                 )
 
 
@@ -307,6 +322,95 @@ def script_hook(
                 **(extra_globals or {}),
             },
         )
+
+    return _hook
+
+
+def lua_event_record(repo, event: str, ctx: dict, action_name: str, hook_id: str) -> dict:
+    """The ``action`` global, field-for-field the reference's record
+    (pkg/actions/lua.go:38-68 applyRecord)."""
+    base = event_payload(repo, event, ctx, action_name, hook_id)
+    commit = ctx.get("commit")
+    creation = getattr(commit, "date", None)
+    if creation is not None:
+        creation = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(float(creation)))
+    return {
+        "action_name": action_name,
+        "hook_id": hook_id,
+        "run_id": ctx.get("run_id", ""),
+        "pre_run_id": ctx.get("pre_run_id", ""),
+        "event_type": event,
+        "commit_id": base["commit_id"],
+        "branch_id": base["branch_id"],
+        "source_ref": base["source_ref"],
+        "tag_id": ctx.get("tag") or "",
+        "merge_source": base["merge_source"],
+        "repository_id": repo.root,
+        "storage_namespace": getattr(repo.store, "data_root", repo.root),
+        "commit": {
+            "message": base["commit_message"],
+            "meta_range_id": getattr(commit, "metarange_id", "") or "",
+            "creation_date": creation or base["event_time"],
+            "version": 1,
+            "metadata": base["commit_metadata"],
+            "parents": list(getattr(commit, "parents", None) or []),
+        },
+    }
+
+
+def lua_hook(
+    script: str | None = None,
+    *,
+    script_path: str | None = None,
+    action_name: str = "lua",
+    hook_id: str = "lua",
+    args: dict | None = None,
+    output_sink=None,
+):
+    """Hook callable executing an embedded-Lua script (lua.go:105-171).
+
+    ``script`` is inline source; ``script_path`` loads the script from
+    the repository at the event's ref at dispatch time
+    (lua.go:121-146). Lua ``error()`` aborts pre-* events; touching
+    unsupported stdlib surfaces :class:`LuaUnsupportedFeature`, which
+    the dispatcher records as an ``unsupported`` task row.
+    """
+    from lakefs_spark.lua.modules import run_lua_hook
+
+    def _load_script(repo, ref: str) -> str:
+        row = repo.get(ref, script_path)
+        if row is None:
+            raise HookAbortError(
+                f"lua {hook_id}: could not load script_path {script_path!r} "
+                f"at {ref!r} (not found)"
+            )
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        addr = d.get("address") or ""
+        base = getattr(repo.store, "data_root", repo.root)
+        p = addr if os.path.isabs(addr) else os.path.join(base, addr)
+        with open(p, "rb") as f:
+            return f.read().decode("utf-8", errors="replace")
+
+    def _hook(repo, event: str, ctx: dict) -> None:
+        src = script
+        if src is None:
+            ref = ctx.get("branch") or ctx.get("dest") or ctx.get("ref") or ""
+            src = _load_script(repo, ref)
+        record = lua_event_record(repo, event, ctx, action_name, hook_id)
+        sink = output_sink or (lambda line: None)
+        try:
+            run_lua_hook(
+                src,
+                action=record,
+                args=dict(args or {}),
+                output_sink=lambda line: sink(str(line)),
+                repo=repo,
+                chunkname=f"{action_name}/{hook_id}",
+            )
+        except LuaUnsupportedFeature:
+            raise  # dispatcher records the explicit 'unsupported' row
+        except LuaError as e:
+            raise HookAbortError(f"lua {hook_id}: {e.value}") from e
 
     return _hook
 
@@ -614,36 +718,32 @@ class ActionsService:
                 if not should_run:
                     self._log_task(run_id, hook_run_id, spec, hook, event, "skipped", None)
                     continue
-                if hook["type"] == "lua":
-                    # Explicit, greppable record — never silent
-                    # rerouting: the embedded Lua VM is out of scope
-                    # here. Pre-* events still abort (a policy gate
-                    # must not be bypassed because its language is
-                    # unavailable); post-* events are recorded only.
-                    err = HookAbortError(
-                        f"unsupported: lua — hook {hook['id']!r} declares an "
-                        "embedded-Lua script; port it to type: script "
-                        "(ported reference scenarios: tests/test_lua_ports.py)"
-                    )
-                    if action_err is None:
-                        action_err = err
-                    self._log_task(
-                        run_id, hook_run_id, spec, hook, event,
-                        "unsupported", str(err),
-                    )
-                    continue
                 started = time.time()
                 try:
                     fn = self._build_hook(spec, hook, run_id, hook_run_id)
                     fn(repo, event, ctx)
                     status, err = "completed", None
+                except LuaUnsupportedFeature as e:
+                    # Explicit, greppable record — never a silent
+                    # pass: the script touched stdlib surface the
+                    # embedded interpreter deliberately lacks. Pre-*
+                    # events still abort below (a policy gate must not
+                    # be bypassed by language unavailability).
+                    e2 = HookAbortError(f"unsupported: lua — {e.value}")
+                    status, err = "unsupported", e2
+                    if action_err is None:
+                        action_err = e2
                 except Exception as e:
                     status, err = "failed", e
                     if action_err is None:
                         action_err = e
                 self._log_task(
                     run_id, hook_run_id, spec, hook, event, status,
-                    None if err is None else f"{type(err).__name__}: {err}",
+                    None
+                    if err is None
+                    # keep the greppable "unsupported: lua — ..." prefix
+                    else (str(err) if status == "unsupported"
+                          else f"{type(err).__name__}: {err}"),
                     started=started,
                 )
             if action_err is not None and first_err is None:
@@ -696,10 +796,16 @@ class ActionsService:
                 output_sink=lambda line: self._log_output(run_id, hook_run_id, line),
                 extra_globals=extra or None,
             )
-        raise InvalidActionError(  # lua is intercepted in _dispatch
-            "type 'lua' validates for spec portability but does not run here; "
-            "port the hook to type 'script' (sandboxed mini-script)"
-        )
+        if htype == "lua":
+            return lua_hook(
+                props.get("script"),
+                script_path=props.get("script_path"),
+                action_name=name,
+                hook_id=hid,
+                args=props.get("args"),
+                output_sink=lambda line: self._log_output(run_id, hook_run_id, line),
+            )
+        raise InvalidActionError(f"unknown hook type {htype!r}")  # pragma: no cover
 
     # -- task results + output (kv_task_results_iterator / output writer) -----
 

@@ -274,36 +274,77 @@ def test_branch_glob_scopes_action(spark):
         repo.commit("feature-x", "blocked")
 
 
-def test_lua_type_records_explicit_unsupported_result(spark):
-    """A dispatched ``type: lua`` hook records an 'unsupported' task
-    row with an 'unsupported: lua' error — never a silent reroute —
-    and still aborts pre-* events (a policy gate must not be bypassed
-    because its language is unavailable)."""
+def test_lua_type_executes_in_embedded_interpreter(spark):
+    """A dispatched ``type: lua`` hook RUNS in the embedded
+    interpreter (lakefs_spark/lua — the pkg/actions/lua.go analog):
+    the action record is injected with the reference's field set,
+    print() lands in the hook output log, and error() aborts pre-*
+    events."""
+    repo = _repo(spark)
+    svc = A.ActionsService(repo)
+    svc.add_action(
+        {
+            "name": "lua gate",
+            "on": {"pre-commit": None},
+            "hooks": [
+                {
+                    "id": "lua1",
+                    "type": "lua",
+                    "properties": {
+                        "script": (
+                            'print("branch=" .. action.branch_id)\n'
+                            'if action.commit.metadata["ok"] ~= "yes" then\n'
+                            '  error("metadata gate: ok must be yes")\n'
+                            "end\n"
+                        )
+                    },
+                }
+            ],
+        }
+    )
+    repo.set_entry("main", _entry("a/1"))
+    with pytest.raises(HookAbortError, match="metadata gate: ok must be yes"):
+        repo.commit("main", "blocked by lua")
+    task = svc.task_results()[0]
+    assert task["status"] == "failed"
+    assert "metadata gate" in task["error"]
+    # passing metadata -> commit lands, output captured
+    repo.commit("main", "allowed", metadata={"ok": "yes"})
+    task = svc.task_results()[0]
+    assert task["status"] == "completed"
+    out = A.read_hook_output(repo, task["run_id"], task["hook_run_id"])
+    assert out == ["branch=main"]
+
+
+def test_lua_unsupported_stdlib_records_explicit_unsupported_result(spark):
+    """A lua script touching stdlib the interpreter deliberately lacks
+    (io, goto, unknown modules) records an 'unsupported' task row with
+    the greppable 'unsupported: lua' prefix — never a silent pass —
+    and still aborts pre-* events; post-* events record only."""
     repo = _repo(spark)
     svc = A.ActionsService(repo)
     svc.add_action(
         {
             "name": "legacy lua",
-            "on": {"pre-commit": None, "post-commit": None},
+            "on": {"pre-commit": None},
             "hooks": [{"id": "lua1", "type": "lua",
-                       "properties": {"script": "print('lua')"}}],
+                       "properties": {"script": 'local io = require("io")\nio.write("x")'}}],
         }
     )
     repo.set_entry("main", _entry("a/1"))
     with pytest.raises(HookAbortError, match="unsupported: lua"):
-        repo.commit("main", "lua hooks must be ported")
+        repo.commit("main", "blocked: io not available")
     task = svc.task_results()[0]
     assert task["status"] == "unsupported"
     assert task["error"].startswith("unsupported: lua")
     # post-* events record the same result but never abort
-    repo.set_entry("main", _entry("a/1"), force=False)
     svc.delete_action("legacy lua")
     svc.add_action(
         {
             "name": "legacy lua post",
             "on": {"post-commit": None},
             "hooks": [{"id": "lua1", "type": "lua",
-                       "properties": {"script": "print('lua')"}}],
+                       "properties": {"script": 'require("coroutine")'}}],
         }
     )
     repo.commit("main", "lands despite the unsupported post hook")
@@ -403,3 +444,59 @@ def test_in_repo_duplicate_action_names_rejected(spark):
     _put_spec(repo, "main", "b.yaml", spec)
     with pytest.raises(A.InvalidActionError, match="duplicate action name"):
         repo.commit("main", "two files, one name")
+
+
+def test_stock_lua_spec_with_script_path_runs_unmodified(spark):
+    """The reference deployment shape end-to-end: an UNMODIFIED
+    ``_lakefs_actions/`` YAML spec declaring ``type: lua`` with a
+    ``script_path`` pointing at a Lua script object in the repository
+    (lua.go:121-146 loads the script through the API at the event's
+    ref). The script runs in the embedded interpreter and gates the
+    commit on commit metadata."""
+    import os
+
+    repo = _repo(spark)
+    A.ActionsService(repo, source=A.RepoActionSource(repo))
+
+    lua_src = (
+        'regexp = require("regexp")\n'
+        "for k, props in pairs(args) do\n"
+        "  local v = action.commit.metadata[k]\n"
+        '  if v == nil then error("missing mandatory metadata field: " .. k) end\n'
+        "  if props.pattern and not regexp.match(props.pattern, v) then\n"
+        '    error("field " .. k .. " does not match " .. props.pattern)\n'
+        "  end\n"
+        "end\n"
+    )
+    rel = "data/scripts/metadata_validator.lua"
+    p = os.path.join(repo.store.data_root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        f.write(lua_src)
+    repo.set_entry(
+        "main",
+        {"key": "scripts/metadata_validator.lua", "identity": "mv1",
+         "size": len(lua_src), "etag": "mv1", "address": rel,
+         "address_type": "RELATIVE"},
+    )
+    _put_spec(
+        repo, "main", "pre-commit-metadata.yaml",
+        "name: pre commit metadata field check\n"
+        "on:\n  pre-commit:\n    branches:\n      - main\n"
+        "hooks:\n"
+        "  - id: check_commit_metadata\n"
+        "    type: lua\n"
+        "    properties:\n"
+        "      script_path: scripts/metadata_validator.lua\n"
+        "      args:\n"
+        "        notebook_url: {\"pattern\": \"my-jupyter.example.com/.*\"}\n"
+        "        spark_version: {}\n",
+    )
+    repo.commit("main", "land the script + spec", metadata={
+        "notebook_url": "my-jupyter.example.com/nb", "spark_version": "3.5"})
+
+    repo.set_entry("main", _entry("a/1"))
+    with pytest.raises(HookAbortError, match="missing mandatory metadata field"):
+        repo.commit("main", "no metadata")
+    repo.commit("main", "with metadata", metadata={
+        "notebook_url": "my-jupyter.example.com/nb2", "spark_version": "4.0"})

@@ -1,0 +1,396 @@
+"""Embedded Lua: interpreter semantics + stock-hook scenarios.
+
+The reference embeds a Lua 5.3 VM for ``type: lua`` hooks
+(pkg/actions/lua.go:38-171) with a curated stdlib
+(pkg/actions/lua/{strings,path,regexp,encoding,net,lakefs}). These
+tests pin (a) the language semantics our interpreter implements, (b)
+the host-module contracts against the Go modules' documented behavior,
+and (c) three reference hook scenarios running as REAL ``type: lua``
+scripts — including the catalogexport symlink-exporter chain
+(pkg/actions/lua/lakefs/catalogexport/symlink_exporter.lua) against a
+live Repository.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakefs_spark.lua import LuaError, LuaTable, run_lua
+from lakefs_spark.lua.modules import lua_to_py, py_to_lua, run_lua_hook
+from lakefs_spark.lua.stdlib import make_base_env
+
+
+def run(src, **globals_):
+    out = []
+    from lakefs_spark.lua.modules import make_hook_env
+
+    g = make_hook_env(output_sink=out.append)
+    for k, v in globals_.items():
+        g.set(k, py_to_lua(v))
+    ret = run_lua(src, g)
+    return ret, out
+
+
+# -- language semantics ------------------------------------------------------
+
+
+def test_closures_upvalues_multiple_returns():
+    ret, _ = run(
+        """
+        local function mk()
+          local n = 0
+          return function() n = n + 1 return n, n * n end
+        end
+        local c = mk()
+        c()
+        local a, b = c()
+        return a, b
+        """
+    )
+    assert ret == [2, 4]
+
+
+def test_varargs_and_select():
+    ret, _ = run(
+        """
+        local function f(...)
+          local n = select('#', ...)
+          local first = select(1, ...)
+          return n, first
+        end
+        return f('x', 'y', 'z')
+        """
+    )
+    assert ret == [3, "x"]
+
+
+def test_generic_for_over_pairs_and_ipairs():
+    ret, _ = run(
+        """
+        local sum, cat = 0, ""
+        for _, v in pairs({a = 1, b = 2}) do sum = sum + v end
+        for i, v in ipairs({'p', 'q'}) do cat = cat .. i .. v end
+        return sum, cat
+        """
+    )
+    assert ret == [3, "1p2q"]
+
+
+def test_string_methods_and_length():
+    ret, _ = run(
+        """
+        local s = "hello/world"
+        return s:sub(1, 5), s:upper(), #s, ("%d-%s"):format(7, "x")
+        """
+    )
+    assert ret == ["hello", "HELLO/WORLD", 11, "7-x"]
+
+
+def test_lua_patterns_find_match_gsub_gmatch():
+    ret, _ = run(
+        """
+        local i, j, cap = string.find("part=33/z", "part=(%d+)")
+        local m = string.match("a-b-c", "([^-]+)-")
+        local g, n = string.gsub("x.y.z", "%.", "/")
+        local words = {}
+        for w in string.gmatch("to be or not", "%a+") do table.insert(words, w) end
+        return i, j, cap, m, g, n, table.concat(words, "|")
+        """
+    )
+    assert ret == [1, 7, "33", "a", "x/y/z", 2, "to|be|or|not"]
+
+
+def test_find_plain_flag_and_init():
+    ret, _ = run(
+        """
+        local i, j = string.find("a(b)c", "(b)", 1, true)
+        local k = string.find("aaa", "a", 3)
+        return i, j, k
+        """
+    )
+    assert ret == [2, 4, 3]
+
+
+def test_metatable_index_newindex_call_tostring():
+    ret, out = run(
+        """
+        local log = {}
+        local t = setmetatable({}, {
+          __index = function(_, k) return "d:" .. k end,
+          __newindex = function(tbl, k, v) rawset(tbl, k, v .. "!") end,
+          __tostring = function() return "custom" end,
+        })
+        t.x = "v"
+        print(tostring(t))
+        return t.x, t.missing
+        """
+    )
+    assert ret == ["v!", "d:missing"]
+    assert out == ["custom"]
+
+
+def test_error_and_pcall_semantics():
+    ret, _ = run(
+        """
+        local ok, err = pcall(function() error("kaboom") end)
+        local ok2, v = pcall(function() return 42 end)
+        return ok, err, ok2, v
+        """
+    )
+    assert ret == [False, "kaboom", True, 42]
+
+
+def test_numeric_for_with_step_and_break():
+    ret, _ = run(
+        """
+        local acc = 0
+        for i = 1, 100 do
+          if i > 5 then break end
+          acc = acc + i
+        end
+        for i = 10, 6, -2 do acc = acc + i end
+        return acc
+        """
+    )
+    assert ret == [15 + 10 + 8 + 6]
+
+
+def test_table_insert_remove_sort_concat():
+    ret, _ = run(
+        """
+        local t = {"b", "c"}
+        table.insert(t, "d")
+        table.insert(t, 1, "a")
+        table.remove(t, 2)
+        table.sort(t, function(x, y) return x > y end)
+        return table.concat(t, ",")
+        """
+    )
+    assert ret == ["d,c,a"]
+
+
+def test_integer_float_formatting_matches_lua():
+    ret, _ = run("return tostring(3), tostring(3.0), 1 .. '', 2/4")
+    assert ret == ["3", "3.0", "1", 0.5]
+
+
+def test_goto_rejected_and_unfinished_string():
+    with pytest.raises(LuaError, match="goto"):
+        run("goto done\n::done::")
+    with pytest.raises(LuaError, match="unfinished"):
+        run('local s = "abc')
+
+
+def test_instruction_budget_stops_infinite_loop(monkeypatch):
+    import lakefs_spark.lua.interp as I
+
+    monkeypatch.setattr(I.Interp, "MAX_STEPS", 10_000)
+    with pytest.raises(LuaError, match="instruction budget"):
+        run("while true do end")
+
+
+def test_nil_index_error_message_names_variable():
+    with pytest.raises(LuaError, match="nil"):
+        run("local x = nil\nreturn x.field")
+
+
+# -- host modules ------------------------------------------------------------
+
+
+def test_strings_module_matches_go_contract():
+    ret, _ = run(
+        """
+        local s = require("strings")
+        return s.has_prefix("tables/a", "tables/"), s.has_suffix("f.yaml", ".yaml"),
+               s.replace("a/b/a", "a", "X", 1), s.contains("abc", "b"),
+               s.trim("  x "), table.concat(s.split("a,b,c", ","), "|")
+        """
+    )
+    assert ret == [True, True, "X/b/a", True, "x", "a|b|c"]
+
+
+def test_path_module_matches_go_contract():
+    # pkg/actions/lua/path/path.go Parse/Join/IsHidden
+    ret, _ = run(
+        """
+        local p = require("path")
+        local parsed = p.parse("a/b/c.txt")
+        return p.join("/", "s3://b/pre", "x/", "/y", "z.txt"),
+               parsed.parent, parsed.base_name,
+               p.is_hidden("a/_hidden/c"), p.is_hidden("a/b/c"),
+               p.default_separator()
+        """
+    )
+    assert ret == ["s3://b/pre/x/y/z.txt", "a/b/", "c.txt", True, False, "/"]
+
+
+def test_regexp_and_json_and_yaml_and_url():
+    ret, _ = run(
+        """
+        local regexp = require("regexp")
+        local json = require("encoding/json")
+        local yaml = require("encoding/yaml")
+        local url = require("net/url")
+        local obj = json.unmarshal('{"a": [1, 2], "b": "x"}')
+        local y = yaml.unmarshal("name: t1\\ntype: hive\\npartition_columns:\\n  - c1\\n")
+        local u = url.parse("s3://bucket-9/some/key.txt")
+        return regexp.match("^v%d+", "v42-rc"), obj.a[2], obj.b,
+               y.name, y.type, y.partition_columns[1],
+               u.scheme, u.host, u.path, json.marshal({z = 1})
+        """
+    )
+    assert ret == [False, 2, "x", "t1", "hive", "c1", "s3", "bucket-9", "/some/key.txt", '{"z": 1}']
+    ret2, _ = run('local r = require("regexp")\nreturn r.match("v\\\\d+", "v42")')
+    assert ret2 == [True]
+
+
+def test_py_lua_value_roundtrip():
+    v = {"a": [1, 2, {"b": "x"}], "c": True, "d": None}
+    t = py_to_lua(v)
+    assert isinstance(t, LuaTable)
+    back = lua_to_py(t)
+    assert back == {"a": [1, 2, {"b": "x"}], "c": True}  # nil keys vanish (Lua)
+
+
+# -- reference hook scenarios as real Lua ------------------------------------
+
+
+def test_metadata_validator_scenario_lua():
+    """pre-merge metadata validation — the
+    examples/hooks/commit_metadata_validator.lua shape: iterate args,
+    regexp-check commit metadata, error() to abort."""
+    script = """
+    regexp = require("regexp")
+    for k, props in pairs(args) do
+        local current_value = action.commit.metadata[k]
+        if current_value == nil then
+            error("missing mandatory metadata field: " .. k)
+        end
+        if props.pattern and not regexp.match(props.pattern, current_value) then
+            error("current value for commit metadata field " .. k ..
+                  " does not match pattern: " .. props.pattern ..
+                  " - got: " .. current_value)
+        end
+    end
+    """
+    good = {"commit": {"metadata": {"notebook_url": "nb.example.com/7", "spark_version": "3.5"}}}
+    run_lua_hook(
+        script,
+        action=good,
+        args={"notebook_url": {"pattern": "nb.example.com/.*"}, "spark_version": {}},
+    )
+    with pytest.raises(LuaError, match="missing mandatory metadata field"):
+        run_lua_hook(
+            script,
+            action={"commit": {"metadata": {}}},
+            args={"notebook_url": {"pattern": "x"}},
+        )
+    with pytest.raises(LuaError, match="does not match pattern"):
+        run_lua_hook(
+            script,
+            action={"commit": {"metadata": {"notebook_url": "evil.com/7"}}},
+            args={"notebook_url": {"pattern": "^nb.example.com/.*"}},
+        )
+
+
+def test_action_logger_scenario_lua():
+    """examples/hooks/action_logger.lua shape: one-liner JSON dump of
+    the action context to the hook output."""
+    out = []
+    run_lua_hook(
+        'json = require("encoding/json")\nprint(json.marshal(action))',
+        action={"event_type": "post-commit", "branch_id": "main", "commit_id": "c1"},
+        output_sink=out.append,
+    )
+    import json
+
+    assert json.loads(out[0]) == {
+        "event_type": "post-commit",
+        "branch_id": "main",
+        "commit_id": "c1",
+    }
+
+
+def test_symlink_exporter_scenario_lua(spark, tmp_path):
+    """The catalogexport symlink-exporter chain as REAL Lua against a
+    live Repository: a hive table spec under _lakefs_tables/, hive-
+    partitioned objects, require('lakefs/catalogexport/symlink_exporter')
+    .export_s3 — one symlink.txt per partition with the physical
+    addresses, keyed under _lakefs/exported/<ref>/<short-sha>/<table>/
+    (pkg/actions/lua/lakefs/catalogexport/symlink_exporter.lua,
+    hive.lua, table_extractor.lua, internal.lua)."""
+    import os as _os
+
+    from lakefs_spark.schema import ENTRY_SCHEMA
+    from lakefs_spark.storage.repo import Repository
+
+    root = str(tmp_path / "repo")
+    repo = Repository.create(spark, root)
+
+    spec = (
+        "name: animals\n"
+        "type: hive\n"
+        "path: tables/animals\n"
+        "partition_columns:\n  - type\n  - weight\n"
+    )
+    spec_rel = "user/specs/animals.yaml"
+    _os.makedirs(_os.path.join(repo.store.data_root, "user/specs"), exist_ok=True)
+    with open(_os.path.join(repo.store.data_root, spec_rel), "w") as f:
+        f.write(spec)
+
+    def ent(key, address, size=3):
+        return (key, f"id-{key}", address, "RELATIVE", size, f"e-{key}", None, None, "text/plain")
+
+    rows = [
+        ent("_lakefs_tables/animals.yaml", spec_rel, len(spec)),
+        ent("tables/animals/type=axolotl/weight=12/a.csv", "data/pa/a.csv"),
+        ent("tables/animals/type=axolotl/weight=12/b.csv", "data/pa/b.csv"),
+        ent("tables/animals/type=axolotl/weight=22/c.csv", "data/pb/c.csv"),
+        ent("tables/animals/type=cat/weight=4/d.csv", "data/pc/d.csv"),
+        # hadoop dir marker: size 0, path == partition prefix -> skipped
+        ent("tables/animals/type=cat/weight=4/", "data/pc/marker", 0),
+        # hidden file -> skipped
+        ent("tables/animals/type=cat/weight=4/_SUCCESS", "data/pc/success"),
+    ]
+    repo.stage_entries("main", spark.createDataFrame(rows, ENTRY_SCHEMA))
+    commit = repo.commit("main", "animals table")
+
+    recorder = []
+    script = """
+    local exporter = require("lakefs/catalogexport/symlink_exporter")
+    local aws = require("aws")
+    local s3 = aws.s3_client(args.aws.access_key_id, args.aws.secret_access_key, args.aws.region)
+    exporter.export_s3(s3, args.table_source, action, {debug = true})
+    """
+    run_lua_hook(
+        script,
+        action={
+            "repository_id": "repo1",
+            "commit_id": commit.commit_id,
+            "branch_id": "main",
+            "event_type": "post-commit",
+            "storage_namespace": "s3://export-bucket/lakefs-ns",
+        },
+        args={
+            "table_source": "_lakefs_tables/animals.yaml",
+            "aws": {"access_key_id": "k", "secret_access_key": "s", "region": "r"},
+        },
+        repo=repo,
+        export_recorder=recorder,
+    )
+
+    short = commit.commit_id[:6]
+    by_key = {r["key"]: r["data"] for r in recorder}
+    base = f"lakefs-ns/_lakefs/exported/main/{short}/animals"
+    assert set(by_key) == {
+        f"{base}/type=axolotl/weight=12/symlink.txt",
+        f"{base}/type=axolotl/weight=22/symlink.txt",
+        f"{base}/type=cat/weight=4/symlink.txt",
+    }, sorted(by_key)
+    assert all(r["bucket"] == "export-bucket" for r in recorder)
+    assert sorted(by_key[f"{base}/type=axolotl/weight=12/symlink.txt"].splitlines()) == [
+        "data/pa/a.csv",
+        "data/pa/b.csv",
+    ]
+    # marker + hidden file excluded
+    assert by_key[f"{base}/type=cat/weight=4/symlink.txt"].splitlines() == ["data/pc/d.csv"]
