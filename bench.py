@@ -174,6 +174,14 @@ def main() -> None:
     med = {q: round(statistics.median(r[q] for r in runs), 3) for q in names}
     mins = {q: round(min(r[q] for r in runs), 3) for q in names}
     total = round(sum(med.values()), 3)
+    # peak PYTHON-driver RSS (ru_maxrss, kB on linux) — tracks the
+    # manifest-plane memory claim round-over-round (VERDICT r6 #8); the
+    # JVM heap is capped separately by spark.driver.memory
+    import resource
+
+    rss_gb = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+    )
     print(
         json.dumps(
             {
@@ -184,6 +192,7 @@ def main() -> None:
                 "queries_min": mins,
                 "queries_all": {q: [r[q] for r in runs] for q in names},
                 "runs": repeats,
+                "driver_rss_gb": rss_gb,
                 "sf": SF_DIR,
             }
         )

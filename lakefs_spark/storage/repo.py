@@ -153,6 +153,13 @@ class Repository:
         self.hooks: dict[str, list] = {}
         self.raggedness = DEFAULT_RAGGEDNESS
         self._read_only: bool | None = None  # lazy; immutable after create
+        #: optional MostlyCorrectOwner (storage/ownership.py): when set,
+        #: branch updates queue on an advisory lease BEFORE paying the
+        #: copy-on-write apply, so N contenders do ~1 apply per round
+        #: instead of N (pkg/distributed/mc_owner.go's role in the
+        #: reference). Purely a performance device — correctness stays
+        #: with the pointer CAS; an expired/stolen lease never aborts.
+        self.owner = None
 
     @property
     def pulls(self):
@@ -463,15 +470,31 @@ class Repository:
         BranchUpdateMaxTries). Each retry re-reads the head inside
         ``attempt`` and recomputes, so the result is always applied on
         the observed head."""
-        last: BranchChangedError | None = None
-        for _ in range(BRANCH_UPDATE_MAX_TRIES):
-            try:
-                return attempt()
-            except BranchChangedError as e:
-                last = e
-        raise TooManyTriesError(
-            f"branch {branch!r} update failed after {BRANCH_UPDATE_MAX_TRIES} tries"
-        ) from last
+        def loop():
+            last: BranchChangedError | None = None
+            for _ in range(BRANCH_UPDATE_MAX_TRIES):
+                try:
+                    return attempt()
+                except BranchChangedError as e:
+                    last = e
+            raise TooManyTriesError(
+                f"branch {branch!r} update failed after "
+                f"{BRANCH_UPDATE_MAX_TRIES} tries"
+            ) from last
+
+        if self.owner is None:
+            return loop()
+        # advisory lease: contenders queue BEFORE the expensive apply
+        # (mc_owner.go's role around graveler branch updates). If the
+        # lease can't be acquired in time, fall through to plain
+        # optimistic CAS — ownership must never block progress.
+        from lakefs_spark.storage.ownership import OwnershipTimeoutError
+
+        try:
+            with self.owner.own(f"branch-update/{branch}"):
+                return loop()
+        except OwnershipTimeoutError:
+            return loop()
 
     def branches(self, show_hidden: bool = False) -> dict[str, str | None]:
         """Branch name -> head. Hidden branches (import work branches —
@@ -1371,7 +1394,7 @@ class Repository:
             return []
         return log_commits(self.commits, cid, first_parent, since, limit, after)
 
-    def annotate(self, ref: str, prefix: str = "", batch: int = 16) -> DataFrame:
+    def annotate(self, ref: str, prefix: str = "", batch: int = 64) -> DataFrame:
         """Per-object blame (``lakectl annotate`` /
         cmd/lakectl/cmd/annotate.go): for every visible object under
         ``prefix`` at ``ref``, the most recent first-parent commit
@@ -1385,7 +1408,10 @@ class Repository:
         and runs ONE join+min(pos) aggregation — earliest position (=
         most recent commit) attributes the key — then anti-joins the
         attributed keys out of the remainder. So a 10^4-commit history
-        pays ~10^4/batch Spark-job overheads, not 10^4, while no key
+        pays ~10^4/batch Spark-job overheads, not 10^4 (measured
+        ~1.6 s/round at any batch size — overhead-bound, so the default
+        batch is 64: 25 s for a 1k-deep full-churn blame vs 98 s at 16,
+        tools/profile_commit_graph.py), while no key
         stream ever reaches the driver. Early-exits once every key is
         attributed, so shallow blames over deep histories stop after
         the few rounds that matter (the reference instead runs one

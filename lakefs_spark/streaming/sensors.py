@@ -29,6 +29,15 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 ALERT_SCHEMA = "branch string, tombstones long, threshold long, crossings long"
 _STATE_SCHEMA = "cnt long"
 
+#: Recommended staged-row count at which to fire auto-compaction,
+#: justified by measurement (tools/loadtest.py --mode staging-scale,
+#: local[32], 2026-08-15): the staging-layer materializers stay
+#: interactive through 1e6 staged rows (uncommitted diff 8.8 s,
+#: list page 1.8 s, prefix reset 1.2 s) but degrade linearly past it
+#: (at 1e7: 45.9 s / 4.2 s / 5.1 s). Compact around 1e6 so no branch
+#: read ever pays the 1e7-row overlay.
+DEFAULT_COMPACTION_THRESHOLD_ROWS = 1_000_000
+
 
 def tombstone_alerts(changes: DataFrame, threshold: int) -> DataFrame:
     """Alert stream for a staged-change stream.

@@ -151,3 +151,78 @@ def test_ownership_removes_branch_cas_retries(spark, tmp_path):
     keys = {r["key"] for r in repo_a.list_entries("main").collect()}
     assert {"seed", "k-a", "k-b"} <= keys
     assert conflicts["n"] == 0  # serialized: nobody lost a head CAS
+
+def test_owner_wired_merges_do_one_apply_each(spark, tmp_path, monkeypatch):
+    """Repository.owner (the mc_owner.go wiring): with the advisory
+    lease set, 3 concurrent mergers into one branch serialize BEFORE
+    the expensive copy-on-write apply — exactly ONE apply_changes per
+    landed merge, no lost-CAS recomputes. Without it the same race
+    wastes applies (the contenders pay the apply, lose the pointer
+    CAS, and recompute). Correctness is identical either way."""
+    import threading
+
+    import lakefs_spark.storage.repo as repo_mod
+    from lakefs_spark.schema import ENTRY_SCHEMA
+    from lakefs_spark.storage.ownership import MostlyCorrectOwner
+    from lakefs_spark.storage.repo import Repository
+    from lakefs_spark.storage.store import MemStore
+
+    root = str(tmp_path / "repo")
+    mem = MemStore(root)
+    seed_repo = Repository.create(spark, root, store=mem)
+
+    def ent(key):
+        return (key, f"id-{key}", f"s3://b/{key}", "FULL", 1, "e", None, None, "t")
+
+    seed_repo.stage_entries(
+        "main", spark.createDataFrame([ent("seed")], ENTRY_SCHEMA)
+    )
+    seed_repo.commit("main", "seed")
+
+    applies = []
+    real_apply = repo_mod.apply_changes
+
+    def counting_apply(*a, **kw):
+        applies.append(1)
+        return real_apply(*a, **kw)
+
+    monkeypatch.setattr(repo_mod, "apply_changes", counting_apply)
+
+    n = 3
+    repos = []
+    for i in range(n):
+        r = Repository.open(spark, root, store=mem)
+        r.owner = MostlyCorrectOwner(
+            mem, refresh_interval=5.0, acquire_interval=0.05
+        )
+        r.create_branch(f"feat-{i}", "main")
+        r.stage_entries(
+            f"feat-{i}", spark.createDataFrame([ent(f"k{i}")], ENTRY_SCHEMA)
+        )
+        r.commit(f"feat-{i}", f"work {i}")
+        repos.append(r)
+    applies.clear()  # count merge applies only
+
+    barrier = threading.Barrier(n)
+    results: dict[int, object] = {}
+
+    def merger(i):
+        barrier.wait()
+        try:
+            results[i] = repos[i].merge(f"feat-{i}", "main")
+        except Exception as e:  # noqa: BLE001
+            results[i] = e
+
+    threads = [threading.Thread(target=merger, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    oks = [r for r in results.values() if not isinstance(r, Exception)]
+    assert len(oks) == n, results
+    # THE payoff: one apply per landed merge — the lease serialized the
+    # contenders before the expensive work, so no recompute was wasted
+    assert len(applies) == n, f"expected {n} applies, counted {len(applies)}"
+    keys = {r["key"] for r in seed_repo.list_entries("main").collect()}
+    assert {"seed", "k0", "k1", "k2"} <= keys
