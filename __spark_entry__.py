@@ -2218,6 +2218,110 @@ hooks:
     )
 
 
+_LUA_TASKS: dict = {}
+
+
+def q_lua_hook_runs(spark, sf_dir):
+    """Embedded Lua hooks end-to-end (lakefs_spark/lua; the
+    pkg/actions/lua.go analog): a ``type: lua`` metadata gate runs the
+    interpreter proper — pairs() over args, string patterns, arithmetic,
+    string.format, the injected action record — printing a computed
+    line to the hook output; a bad-metadata commit is vetoed by
+    error(); a post-commit script requiring out-of-scope stdlib
+    (``io``) records the explicit ``unsupported`` row. Output rows =
+    the task log (oldest first) joined with each hook's first output
+    line, so the hash proves the interpreter COMPUTED (not just ran)."""
+    key = _session_tag(spark)
+    rows = _LUA_TASKS.get(key)
+    if rows is None:
+        import tempfile
+
+        from lakefs_spark.storage.actions import ActionsService, read_hook_output
+        from lakefs_spark.storage.repo import HookAbortError, Repository
+
+        repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_lua_"))
+        svc = ActionsService(repo)
+        svc.add_action(
+            """
+name: lua meta gate
+on:
+  pre-commit:
+    branches: ["main"]
+hooks:
+  - id: lua_gate
+    type: lua
+    properties:
+      script: |
+        local checked = 0
+        for k, props in pairs(args.fields) do
+          local v = action.commit.metadata[k]
+          if v == nil then
+            error("missing mandatory metadata field: " .. k)
+          end
+          if props.pattern and not string.match(v, props.pattern) then
+            error("field " .. k .. " does not match " .. props.pattern)
+          end
+          checked = checked + 1
+        end
+        print(string.format("%s|checked=%d|msg=%s", action.branch_id,
+                            checked, string.upper(action.commit.message)))
+      args:
+        fields:
+          source: {pattern: "^corpus%-v%d+$"}
+          shard: {}
+"""
+        )
+        svc.add_action(
+            """
+name: lua legacy audit
+on:
+  post-commit: null
+hooks:
+  - id: lua_io
+    type: lua
+    properties:
+      script: |
+        local io = require("io")
+        io.write("never reached")
+"""
+        )
+        repo.set_entry("main", {"key": "a/1", "identity": "i1", "size": 1, "etag": "e1"})
+        c1 = repo.commit(
+            "main", "ingest", metadata={"source": "corpus-v3", "shard": "7"}
+        )
+        if repo.resolve("main").commit_id != c1.commit_id:
+            raise RuntimeError("lua post-commit unsupported row moved the head")
+        repo.set_entry("main", {"key": "a/2", "identity": "i2", "size": 1, "etag": "e2"})
+        try:
+            repo.commit("main", "bad", metadata={"source": "not-a-corpus", "shard": "1"})
+            raise RuntimeError("lua gate failed to veto the bad metadata")
+        except HookAbortError:
+            pass
+        if repo.resolve("main").commit_id != c1.commit_id:
+            raise RuntimeError("vetoed lua commit moved the head")
+        tasks = list(reversed(svc.task_results()))  # oldest first
+        rows = []
+        for i, t in enumerate(tasks):
+            out = read_hook_output(repo, t["run_id"], t["hook_run_id"])
+            rows.append(
+                (
+                    i + 1,
+                    t["action"],
+                    t["hook_id"],
+                    t["hook_type"],
+                    t["event"],
+                    t["status"],
+                    out[0] if out else None,
+                )
+            )
+        _LUA_TASKS[key] = rows
+    return spark.createDataFrame(
+        rows,
+        "pos long, action string, hook_id string, hook_type string, "
+        "event string, status string, output string",
+    )
+
+
 # -- commit DAG (storage.refs over the shared dagspec DAG) -----------------
 
 _DAG_STORE = None
@@ -2522,6 +2626,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hook_runs": q_hook_runs,
         "webhook_deliveries": q_webhook_deliveries,
         "action_task_results": q_action_task_results,
+        "lua_hook_runs": q_lua_hook_runs,
         "point_lookup_branch": q_point_lookup_branch,
         "list_page_probe": q_list_page_probe,
         "run_ttl_expiry": q_run_ttl_expiry,

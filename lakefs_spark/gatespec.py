@@ -76,6 +76,7 @@ GATES: dict[str, list[str]] = {
         "run_ttl_expiry",
         "expectation_gate",
         "action_task_results",
+        "lua_hook_runs",
     ],
     "event_windows_extra": ["sliding_event_counts", "event_time_rollup"],
     "token_gates": ["token_counts", "bpe_token_counts", "vocab_stats", "length_percentiles", "token_fertility"],
@@ -231,6 +232,7 @@ def oracle_gate(parts, colspecs, sqls) -> str:
 
 COLSPECS: dict[str, list[tuple[str, str]]] = {
     "action_task_results": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string")],
+    "lua_hook_runs": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string"), ("output", "string")],
     "active_commits": [("commit_id", "string")],
     "ann_recall": [("qa", "bigint"), ("n_hits", "bigint"), ("recall", "double")],
     "ann_topk": [("qa", "bigint"), ("qb", "bigint"), ("sim", "double")],

@@ -2208,6 +2208,24 @@ def q_action_task_results() -> str:
     """
 
 
+def q_lua_hook_runs() -> str:
+    # the embedded-Lua scenario's task log + first output line
+    # (__spark_entry__.q_lua_hook_runs): commit 1 passes the lua
+    # metadata gate (pairs/patterns/format all computed in the
+    # interpreter) and the post-commit io-requiring script records the
+    # explicit unsupported row; commit 2's bad metadata is vetoed
+    return """
+    select cast(1 as bigint) as pos, 'lua meta gate' as action,
+           'lua_gate' as hook_id, 'lua' as hook_type,
+           'pre-commit' as event, 'completed' as status,
+           'main|checked=2|msg=INGEST' as output
+    union all select 2, 'lua legacy audit', 'lua_io', 'lua',
+           'post-commit', 'unsupported', null
+    union all select 3, 'lua meta gate', 'lua_gate', 'lua',
+           'pre-commit', 'failed', null
+    """
+
+
 def q_pii_counts() -> str:
     from lakefs_spark.operators.pipeline import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -2755,6 +2773,7 @@ def part_oracles() -> dict[str, str]:
                 "hook_runs": q_hook_runs(),
                 "webhook_deliveries": q_webhook_deliveries(),
                 "action_task_results": q_action_task_results(),
+                "lua_hook_runs": q_lua_hook_runs(),
                 "point_lookup_branch": q_point_lookup_branch(),
                 "list_page_probe": q_list_page_probe(),
                 "run_ttl_expiry": q_run_ttl_expiry(),
