@@ -46,11 +46,16 @@ class LuaUnsupportedFeature(LuaError):
 
 
 class LuaTable:
-    __slots__ = ("hash", "metatable")
+    __slots__ = ("hash", "metatable", "_iter_cache")
 
     def __init__(self, items=None):
         self.hash: dict = {}
         self.metatable: LuaTable | None = None
+        #: (keys-snapshot, {key: position}) for O(1) next() — Lua
+        #: forbids adding NEW keys during traversal, so the snapshot is
+        #: valid until the key SET changes (set() invalidates below;
+        #: value updates of existing keys keep it)
+        self._iter_cache: tuple | None = None
         if items:
             for k, v in items.items():
                 if v is not None:
@@ -67,8 +72,14 @@ class LuaTable:
         if isinstance(key, float) and math.isnan(key):
             raise LuaError("table index is NaN")
         if value is None:
+            # deletion KEEPS the iteration snapshot: Lua allows nil-ing
+            # the current field during traversal; next() skips keys no
+            # longer present when emitting
             self.hash.pop(key, None)
         else:
+            if key not in self.hash:
+                self._iter_cache = None  # key set grew (undefined in Lua
+                # during traversal; new traversals need a fresh snapshot)
             self.hash[key] = value
 
     def length(self) -> int:
@@ -116,7 +127,9 @@ def lua_tostring(v) -> str:
         if v.metatable is not None:
             mm = v.metatable.get("__tostring")
             if mm is not None:
-                return lua_tostring(call_value(mm, [v])[0] if call_value(mm, [v]) else None)
+                # call the metamethod exactly once — it may side-effect
+                out = call_value(mm, [v])
+                return lua_tostring(out[0] if out else None)
         return f"table: 0x{id(v):012x}"
     if callable(v):
         return f"function: 0x{id(v):012x}"

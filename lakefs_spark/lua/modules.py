@@ -252,6 +252,30 @@ def _mod_url() -> LuaTable:
 # ---------------------------------------------------------------------------
 
 
+def load_entry_content(repo, row, content_loader=None) -> str:
+    """Object bytes for an entry row, as text. Relative physical
+    addresses resolve under the store's data root — the single copy of
+    the rule RepoActionSource's default loader and the lakefs client
+    shim share (used for in-repo specs, script_path hooks, and Lua
+    get_object). Pass ``content_loader(row) -> bytes|str`` to read from
+    a non-filesystem store."""
+    if hasattr(row, "asDict"):
+        row = row.asDict()
+    else:
+        row = dict(row)
+    if content_loader is not None:
+        data = content_loader(row)
+    else:
+        addr = row.get("address") or ""
+        base = getattr(repo.store, "data_root", repo.root)
+        p = addr if os.path.isabs(addr) else os.path.join(base, addr)
+        if not os.path.exists(p):
+            raise FileNotFoundError(addr)
+        with open(p, "rb") as f:
+            data = f.read()
+    return data.decode("utf-8", errors="replace") if isinstance(data, bytes) else data
+
+
 def _entry_to_object_stats(row) -> dict:
     if hasattr(row, "asDict"):  # pyspark Row
         row = row.asDict()
@@ -301,28 +325,12 @@ def make_lakefs_client(repo, content_loader=None) -> LuaTable:
         }
         return (200, py_to_lua(body))
 
-    def _load_content(row) -> str:
-        if content_loader is not None:
-            data = content_loader(row)
-        else:
-            addr = row.get("address") or ""
-            # relative physical addresses resolve under the store's data
-            # root — the same rule RepoActionSource._default_loader uses
-            # for in-repo specs (storage/actions.py)
-            base = getattr(repo.store, "data_root", repo.root)
-            p = addr if os.path.isabs(addr) else os.path.join(base, addr)
-            if not os.path.exists(p):
-                raise FileNotFoundError(addr)
-            with open(p, "rb") as f:
-                data = f.read()
-        return data.decode("utf-8", errors="replace") if isinstance(data, bytes) else data
-
     def get_object(repo_id, ref, path):
         row = cat.get_object(ref, path)
         if row is None:
             return (404, "")
         try:
-            return (200, _load_content(dict(row.asDict()) if hasattr(row, "asDict") else dict(row)))
+            return (200, load_entry_content(repo, row, content_loader))
         except FileNotFoundError:
             return (410, "")
 
@@ -364,7 +372,9 @@ def make_lakefs_client(repo, content_loader=None) -> LuaTable:
         body = {
             "pagination": {
                 "has_more": has_more,
-                "next_offset": page[-1]["path"] if has_more and page else "",
+                # the raw diff rows carry "key" (the results rename it
+                # to "path"); the cursor must come from the raw row
+                "next_offset": page[-1]["key"] if has_more and page else "",
                 "results": len(page),
             },
             "results": results,
@@ -389,12 +399,27 @@ def make_aws_module(export_root: str | None, recorder: list | None = None) -> Lu
     shape matches pkg/actions/lua/storage/aws/s3.go (put_object /
     get_object / delete_object)."""
 
+    def _safe_path(bucket, key) -> str:
+        """Resolve bucket/key under export_root, REJECTING escapes: an
+        absolute key would make os.path.join discard the root entirely
+        and '..' segments walk out of it — sandboxed Lua must never
+        reach arbitrary host paths (the actions.py sandbox contract)."""
+        rel = os.path.join(str(bucket).lstrip("/"), str(key).lstrip("/"))
+        p = os.path.realpath(os.path.join(export_root, rel))
+        root = os.path.realpath(export_root)
+        if p != root and not p.startswith(root + os.sep):
+            raise LuaError(
+                f"s3 stand-in: path escapes the export root: "
+                f"s3://{bucket}/{key}"
+            )
+        return p
+
     def s3_client(_key=None, _secret=None, _region=None, _endpoint=None):
         def put_object(bucket, key, data):
             if recorder is not None:
                 recorder.append({"bucket": bucket, "key": key, "data": data})
             if export_root is not None:
-                p = os.path.join(export_root, str(bucket), str(key))
+                p = _safe_path(bucket, key)
                 os.makedirs(os.path.dirname(p), exist_ok=True)
                 with open(p, "w") as f:
                     f.write(lua_tostring(data) if not isinstance(data, str) else data)
@@ -402,7 +427,7 @@ def make_aws_module(export_root: str | None, recorder: list | None = None) -> Lu
         def get_object(bucket, key):
             if export_root is None:
                 raise LuaError("s3 stand-in has no export root configured")
-            p = os.path.join(export_root, str(bucket), str(key))
+            p = _safe_path(bucket, key)
             if not os.path.exists(p):
                 raise LuaError(f"NoSuchKey: s3://{bucket}/{key}")
             with open(p) as f:
@@ -411,14 +436,14 @@ def make_aws_module(export_root: str | None, recorder: list | None = None) -> Lu
         def delete_object(bucket, key):
             if export_root is not None:
                 try:
-                    os.remove(os.path.join(export_root, str(bucket), str(key)))
+                    os.remove(_safe_path(bucket, key))
                 except FileNotFoundError:
                     pass
 
         def delete_recursive(bucket, prefix):
             if export_root is None:
                 return
-            base = os.path.join(export_root, str(bucket))
+            base = _safe_path(bucket, "")  # validates the bucket too
             for dirpath, _dirs, files in os.walk(base):
                 for fn in files:
                     p = os.path.join(dirpath, fn)

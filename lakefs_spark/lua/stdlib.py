@@ -517,21 +517,36 @@ MATH_LIB = LuaTable(
 def lua_next(t, key=None):
     if not isinstance(t, LuaTable):
         raise LuaError("bad argument #1 to 'next' (table expected)")
-    keys = list(t.hash.keys())
+    # O(1) per step via a cached (keys, key->pos) snapshot — the naive
+    # per-step list() + .index() made pairs() O(n^2) on big tables. The
+    # snapshot invalidates when the key SET changes (LuaTable.set), the
+    # same restriction Lua itself places on next() during traversal.
     if key is None:
-        if not keys:
-            return None
-        k = keys[0]
-        return (k, t.hash[k])
-    key = normalize_key(key)
-    try:
-        idx = keys.index(key)
-    except ValueError:
-        raise LuaError("invalid key to 'next'") from None
-    if idx + 1 >= len(keys):
+        # fresh traversal: take a new snapshot (deleted keys from prior
+        # traversals drop out here)
+        keys = list(t.hash.keys())
+        t._iter_cache = (keys, {k: i for i, k in enumerate(keys)})
+    elif t._iter_cache is None:
+        keys = list(t.hash.keys())
+        t._iter_cache = (keys, {k: i for i, k in enumerate(keys)})
+    keys, pos = t._iter_cache
+
+    def emit_from(i: int):
+        # skip keys deleted mid-traversal (legal in Lua)
+        while i < len(keys):
+            k = keys[i]
+            if k in t.hash:
+                return (k, t.hash[k])
+            i += 1
         return None
-    k = keys[idx + 1]
-    return (k, t.hash[k])
+
+    if key is None:
+        return emit_from(0)
+    key = normalize_key(key)
+    idx = pos.get(key)
+    if idx is None:
+        raise LuaError("invalid key to 'next'")
+    return emit_from(idx + 1)
 
 
 def lua_pairs(t):
@@ -644,6 +659,21 @@ def make_base_env(output_sink=None) -> LuaTable:
 
         return _f
 
+    def unsupported_lib(name):
+        """A library stub whose ANY access raises LuaUnsupportedFeature
+        — so io.write / os.time / coroutine.create classify as the
+        explicit 'unsupported' task row, never as a generic
+        attempt-to-index-nil failure."""
+
+        def deny(_t, key):
+            raise LuaUnsupportedFeature(
+                f"'{name}.{lua_tostring(key)}' is not available in this sandbox"
+            )
+
+        t = LuaTable()
+        t.metatable = LuaTable({"__index": deny, "__newindex": deny, "__call": deny})
+        return t
+
     base = {
         "print": lua_print,
         "error": lua_error,
@@ -670,6 +700,10 @@ def make_base_env(output_sink=None) -> LuaTable:
         "load": lua_unsupported("load"),
         "loadstring": lua_unsupported("loadstring"),
         "dofile": lua_unsupported("dofile"),
+        "io": unsupported_lib("io"),
+        "os": unsupported_lib("os"),
+        "coroutine": unsupported_lib("coroutine"),
+        "debug": unsupported_lib("debug"),
         "collectgarbage": lambda *_a: 0,
     }
     for k, v in base.items():

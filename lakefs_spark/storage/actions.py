@@ -378,22 +378,24 @@ def lua_hook(
     from lakefs_spark.lua.modules import run_lua_hook
 
     def _load_script(repo, ref: str) -> str:
+        if not script_path:
+            raise HookAbortError(f"lua {hook_id}: no script or script_path")
         row = repo.get(ref, script_path)
         if row is None:
             raise HookAbortError(
                 f"lua {hook_id}: could not load script_path {script_path!r} "
                 f"at {ref!r} (not found)"
             )
-        d = row.asDict() if hasattr(row, "asDict") else dict(row)
-        addr = d.get("address") or ""
-        base = getattr(repo.store, "data_root", repo.root)
-        p = addr if os.path.isabs(addr) else os.path.join(base, addr)
-        with open(p, "rb") as f:
-            return f.read().decode("utf-8", errors="replace")
+        from lakefs_spark.lua.modules import load_entry_content
+
+        return load_entry_content(repo, row)
 
     def _hook(repo, event: str, ctx: dict) -> None:
         src = script
-        if src is None:
+        # `not src` (not `is None`): an empty inline script with a
+        # script_path present must load the real script, never run an
+        # empty chunk and record a bogus 'completed' for a policy gate
+        if not src:
             ref = ctx.get("branch") or ctx.get("dest") or ctx.get("ref") or ""
             src = _load_script(repo, ref)
         record = lua_event_record(repo, event, ctx, action_name, hook_id)

@@ -394,3 +394,160 @@ def test_symlink_exporter_scenario_lua(spark, tmp_path):
     ]
     # marker + hidden file excluded
     assert by_key[f"{base}/type=cat/weight=4/symlink.txt"].splitlines() == ["data/pc/d.csv"]
+
+
+def test_io_os_coroutine_globals_classify_unsupported():
+    """io.write / os.time / coroutine.create must raise
+    LuaUnsupportedFeature (-> explicit 'unsupported' task rows), not a
+    generic attempt-to-index-nil failure (review finding r7)."""
+    from lakefs_spark.lua.interp import LuaUnsupportedFeature
+
+    for src in ('io.write("x")', "local t = os.time()", "coroutine.create(print)"):
+        with pytest.raises(LuaUnsupportedFeature):
+            run_lua_hook(src)
+
+
+def test_tostring_metamethod_called_exactly_once():
+    out = []
+    run_lua_hook(
+        """
+        local n = 0
+        local t = setmetatable({}, {__tostring = function() n = n + 1 return "v" end})
+        local s = tostring(t)
+        print(s, n)
+        """,
+        output_sink=out.append,
+    )
+    assert out == ["v\t1"]
+
+
+def test_pairs_is_linear_and_delete_during_traversal_legal():
+    out = []
+    run_lua_hook(
+        """
+        local t = {}
+        for i = 1, 20000 do t["k" .. i] = i end
+        local s = 0
+        for k, v in pairs(t) do s = s + v end
+        print(s)
+        local d = {a=1, b=2, c=3}
+        for k, v in pairs(d) do if k == "b" then d[k] = nil end end
+        local n = 0
+        for k, v in pairs(d) do n = n + 1 end
+        print(n)
+        """,
+        output_sink=out.append,
+    )
+    assert out == ["200010000", "2"]
+
+
+def test_s3_standin_rejects_path_escape(tmp_path):
+    """Keys must never escape the export root (the sandbox contract:
+    Lua has no filesystem surface): ../ walks are rejected, absolute
+    keys are confined INSIDE the root (S3 keys have no absolute
+    meaning), and nothing lands outside."""
+    import os as _os
+
+    with pytest.raises(LuaError, match="escapes the export root"):
+        run_lua_hook(
+            """
+            local aws = require("aws")
+            local s3 = aws.s3_client("k", "s", "r")
+            s3.put_object("bucket", "../../escape.txt", "x")
+            """,
+            export_root=str(tmp_path),
+        )
+    run_lua_hook(
+        """
+        local aws = require("aws")
+        local s3 = aws.s3_client("k", "s", "r")
+        s3.put_object("bucket", "/abs/looking/key", "x")
+        """,
+        export_root=str(tmp_path),
+    )
+    assert _os.path.exists(str(tmp_path / "bucket" / "abs" / "looking" / "key"))
+    assert not _os.path.exists("/abs/looking/key")
+
+
+def test_lakefs_diff_refs_paginates(spark, tmp_path):
+    """diff_refs pagination: the next_offset cursor must come from the
+    raw diff row's 'key' (review finding r7 — 'path' raised KeyError on
+    any page-2 fetch)."""
+    from lakefs_spark.schema import ENTRY_SCHEMA
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    rows = [
+        (f"d/{i:03d}", f"id{i}", f"a/{i}", "RELATIVE", 1, "e", None, None, "t")
+        for i in range(7)
+    ]
+    repo.stage_entries("main", spark.createDataFrame(rows[:1], ENTRY_SCHEMA))
+    repo.commit("main", "one")
+    repo.create_branch("dev", "main")
+    repo.stage_entries("dev", spark.createDataFrame(rows[1:], ENTRY_SCHEMA))
+    repo.commit("dev", "more")
+
+    out = []
+    run_lua_hook(
+        """
+        local lakefs = require("lakefs")
+        local utils = require("lakefs/catalogexport/internal")
+        local pager = utils.lakefs_paginiated_api(function(cursor)
+          return lakefs.diff_refs("r", "main", "dev", cursor, "", 2)
+        end)
+        local n = 0
+        for page in pager do
+          for _, d in ipairs(page) do n = n + 1 end
+        end
+        print("diffs=" .. n)
+        """,
+        repo=repo,
+        output_sink=out.append,
+    )
+    assert out == ["diffs=6"]
+
+
+def test_empty_inline_script_falls_back_to_script_path(spark, tmp_path):
+    """properties {script: '', script_path: ...} must load and run the
+    real script — an empty inline chunk silently 'completing' would be
+    a policy-gate bypass (review finding r7)."""
+    import os as _os
+
+    from lakefs_spark.schema import ENTRY_SCHEMA
+    from lakefs_spark.storage.actions import ActionsService
+    from lakefs_spark.storage.repo import HookAbortError, Repository
+
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    lua_src = 'error("gate always vetoes")'
+    rel = "data/s/veto.lua"
+    p = _os.path.join(repo.store.data_root, rel)
+    _os.makedirs(_os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        f.write(lua_src)
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("scripts/veto.lua", "v1", rel, "RELATIVE", len(lua_src), "e", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    repo.commit("main", "land script")
+    svc = ActionsService(repo)
+    svc.add_action(
+        {
+            "name": "gate",
+            "on": {"pre-commit": None},
+            "hooks": [
+                {"id": "veto", "type": "lua",
+                 "properties": {"script": "", "script_path": "scripts/veto.lua"}}
+            ],
+        }
+    )
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("a/1", "i1", "x", "RELATIVE", 1, "e", None, None, "t")], ENTRY_SCHEMA
+        ),
+    )
+    with pytest.raises(HookAbortError, match="gate always vetoes"):
+        repo.commit("main", "must be vetoed")

@@ -190,7 +190,6 @@ def main() -> None:
             import lakefs_spark.storage.repo as repo_mod
             from lakefs_spark.storage.ownership import MostlyCorrectOwner
 
-            repo.import_entries("main", base.limit(2000), message="seed")
             applies = []
             real_apply = repo_mod.apply_changes
 
@@ -199,63 +198,71 @@ def main() -> None:
                 return real_apply(*a, **kw)
 
             repo_mod.apply_changes = counting_apply
-            results = {}
-            n_workers = args.parallelism
-            for arm in ("without_owner", "with_owner"):
-                mergers = []
-                for i in range(n_workers):
-                    r = Repository.open(spark, root, store=repo.store)
-                    if arm == "with_owner":
-                        r.owner = MostlyCorrectOwner(
-                            repo.store, refresh_interval=10.0, acquire_interval=0.05
-                        )
-                    b = f"{arm}-{i}"
-                    r.create_branch(b, "main")
-                    mergers.append((r, b))
-                total_merges = 0
-                merge_applies = 0
-                t_arm = time.time()
-                for rnd in range(args.iterations):
-                    for i, (r, b) in enumerate(mergers):
-                        r.stage_entries(
-                            b,
-                            base.limit(200).withColumn(
-                                "key",
-                                F.concat(F.lit(f"{arm}/{i}/{rnd}/"), F.col("key")),
-                            ),
-                        )
-                        r.commit(b, f"{arm} {i} round {rnd}")
-                    a0 = len(applies)  # count MERGE applies only
-                    barrier = threading.Barrier(n_workers)
-                    errs = []
+            try:
+                results = {}
+                n_workers = args.parallelism
+                for arm in ("without_owner", "with_owner"):
+                    # FRESH repo per arm: both arms start from the same
+                    # seed-only history, so neither is measured against a
+                    # main fattened by the other's merges
+                    arm_root = os.path.join(root, f"repo-{arm}")
+                    arm_repo = Repository.create(spark, arm_root)
+                    arm_repo.import_entries("main", base.limit(2000), message="seed")
+                    mergers = []
+                    for i in range(n_workers):
+                        r = Repository.open(spark, arm_root, store=arm_repo.store)
+                        if arm == "with_owner":
+                            r.owner = MostlyCorrectOwner(
+                                arm_repo.store, refresh_interval=10.0, acquire_interval=0.05
+                            )
+                        b = f"{arm}-{i}"
+                        r.create_branch(b, "main")
+                        mergers.append((r, b))
+                    total_merges = 0
+                    merge_applies = 0
+                    t_arm = time.time()
+                    for rnd in range(args.iterations):
+                        for i, (r, b) in enumerate(mergers):
+                            r.stage_entries(
+                                b,
+                                base.limit(200).withColumn(
+                                    "key",
+                                    F.concat(F.lit(f"{arm}/{i}/{rnd}/"), F.col("key")),
+                                ),
+                            )
+                            r.commit(b, f"{arm} {i} round {rnd}")
+                        a0 = len(applies)  # count MERGE applies only
+                        barrier = threading.Barrier(n_workers)
+                        errs = []
 
-                    def merge_one(pair):
-                        r, b = pair
-                        barrier.wait()
-                        try:
-                            r.merge(b, "main")
-                        except Exception as e:  # noqa: BLE001
-                            errs.append(repr(e))
+                        def merge_one(pair):
+                            r, b = pair
+                            barrier.wait()
+                            try:
+                                r.merge(b, "main")
+                            except Exception as e:  # noqa: BLE001
+                                errs.append(repr(e))
 
-                    threads = [
-                        threading.Thread(target=merge_one, args=(p,))
-                        for p in mergers
-                    ]
-                    for t in threads:
-                        t.start()
-                    for t in threads:
-                        t.join()
-                    total_merges += n_workers - len(errs)
-                    merge_applies += len(applies) - a0
-                    if errs:
-                        print(f"  {arm} round {rnd} errors: {errs}", file=sys.stderr)
-                results[arm] = {
-                    "merges_landed": total_merges,
-                    "applies": merge_applies,
-                    "applies_per_merge": round(merge_applies / max(total_merges, 1), 2),
-                    "wall_sec": round(time.time() - t_arm, 2),
-                }
-            repo_mod.apply_changes = real_apply
+                        threads = [
+                            threading.Thread(target=merge_one, args=(p,))
+                            for p in mergers
+                        ]
+                        for t in threads:
+                            t.start()
+                        for t in threads:
+                            t.join()
+                        total_merges += n_workers - len(errs)
+                        merge_applies += len(applies) - a0
+                        if errs:
+                            print(f"  {arm} round {rnd} errors: {errs}", file=sys.stderr)
+                    results[arm] = {
+                        "merges_landed": total_merges,
+                        "applies": merge_applies,
+                        "applies_per_merge": round(merge_applies / max(total_merges, 1), 2),
+                        "wall_sec": round(time.time() - t_arm, 2),
+                    }
+            finally:
+                repo_mod.apply_changes = real_apply
             print(json.dumps({
                 "mode": args.mode,
                 "parallel_mergers": n_workers,
