@@ -551,6 +551,67 @@ def q_doc_fingerprints(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_text_normalize(spark, sf_dir):
+    """Pre-hash canonical text form (operators/text.normalize_text):
+    NFC (combining acute + 'e' collapses to U+00E9), control chars
+    stripped, whitespace runs collapsed, edges trimmed. The fixture
+    DIRTIES each doc deterministically (decomposed accent + bell +
+    tab + space runs) so the oracle hash proves real normalization,
+    not a no-op on ASCII corpus text."""
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Ae\u0301 "),  # decomposed: e + U+0301 COMBINING ACUTE
+            F.substring("text", 1, 40),
+            F.lit("\x07\t  tail  "),  # bell + tab + space runs
+        ).alias("text"),
+    )
+    out = TX.normalize_text(dirty)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("norm_text").alias("norm_md5"),
+        "norm_len",
+        "changed",
+    )
+
+
+def q_url_canonical(spark, sf_dir):
+    """Canonical URL form (operators/text.canonicalize_urls): scheme/
+    host lowercase, default ports dropped (non-default kept), fragment
+    dropped, query params sorted, trailing slash trimmed, registered
+    domain extracted. URLs synthesized deterministically per doc over
+    a small host set so domains repeat (feeding q_domain_stats)."""
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.Example"))
+        .otherwise(F.lit("HTTPS://Example")),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 5 == 0, F.lit(":8443"))
+        .otherwise(F.lit(":443")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?b=2&a=1&c=3")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    return TX.canonicalize_urls(docs.select("doc_id", url.alias("url"))).select(
+        F.col("id").alias("doc_id"), "canon_url", "domain"
+    )
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain crawl accounting over the canonicalized URL set:
+    page count, distinct canonical URLs, duplicate ratio — ONE hash
+    aggregation (operators/text.domain_stats)."""
+    canon = q_url_canonical(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "canon_url", "domain"
+    )
+    return TX.domain_stats(canon).orderBy("domain")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return D.ngram_jaccard_pairs(docs, threshold=0.3)
@@ -2627,6 +2688,9 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webhook_deliveries": q_webhook_deliveries,
         "action_task_results": q_action_task_results,
         "lua_hook_runs": q_lua_hook_runs,
+        "text_normalize": q_text_normalize,
+        "url_canonical": q_url_canonical,
+        "domain_stats": q_domain_stats,
         "point_lookup_branch": q_point_lookup_branch,
         "list_page_probe": q_list_page_probe,
         "run_ttl_expiry": q_run_ttl_expiry,

@@ -91,6 +91,7 @@ GATES: dict[str, list[str]] = {
         "quality_classifier",
         "unigram_nll",
         "bm25_topk",
+        "text_normalize",
     ],
     "minhash_pipeline": [
         "minhash_candidates",
@@ -108,6 +109,8 @@ GATES: dict[str, list[str]] = {
         "train_val_split",
         "label_centroids",
         "prototypicality",
+        "url_canonical",
+        "domain_stats",
     ],
     "packing_gates": [
         "sequence_packing",
@@ -232,6 +235,9 @@ def oracle_gate(parts, colspecs, sqls) -> str:
 
 COLSPECS: dict[str, list[tuple[str, str]]] = {
     "action_task_results": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string")],
+    "text_normalize": [("doc_id", "bigint"), ("norm_md5", "string"), ("norm_len", "bigint"), ("changed", "boolean")],
+    "url_canonical": [("doc_id", "bigint"), ("canon_url", "string"), ("domain", "string")],
+    "domain_stats": [("domain", "string"), ("n_pages", "bigint"), ("n_unique_urls", "bigint"), ("dup_ratio", "double")],
     "lua_hook_runs": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string"), ("output", "string")],
     "active_commits": [("commit_id", "string")],
     "ann_recall": [("qa", "bigint"), ("n_hits", "bigint"), ("recall", "double")],

@@ -14,6 +14,7 @@ no shuffle at all unless the caller aggregates.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -505,5 +506,116 @@ def contamination_scores(
             F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh"), 6).alias(
                 "contamination"
             ),
+        )
+    )
+
+
+# -- text normalization (corpus-prep pre-hash canonical form) ---------------
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    casefold: bool = False,
+) -> DataFrame:
+    """Canonical text form for hashing/dedup: Unicode NFC, control
+    characters stripped, whitespace runs collapsed, edges trimmed,
+    optional casefold. The pre-hash normalization every exact/fuzzy
+    dedup pipeline needs — byte-different encodings of the same string
+    ("e" + COMBINING ACUTE vs precomposed U+00E9) must collapse to one
+    digest or the dedup silently under-merges.
+
+    Spark shape: NFC runs in an Arrow-batched pandas UDF
+    (unicodedata.normalize — Spark has no built-in normalizer); the
+    control-strip / whitespace-collapse / trim stay JVM-side
+    regexp_replace so only the NFC step crosses into Python. Returns
+    (id, norm_text, norm_len, changed).
+    """
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    cleaned = F.regexp_replace(
+        _nfc(F.col(text_col)), r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    norm = F.lower(collapsed) if casefold else collapsed
+    return df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (norm != F.col(text_col)).alias("changed"),
+    )
+
+
+# -- URL canonicalization + domain rollup (crawl-corpus prep) ---------------
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Canonical URL form — the dedup key for crawl corpora (two
+    fetches of one page must collapse before any content dedup runs):
+
+    - scheme and host lowercased
+    - default ports dropped (:80 for http, :443 for https)
+    - fragment dropped
+    - query parameters SORTED (k=v order is not semantic)
+    - trailing slash on the path trimmed (but a bare "/" path kept
+      implicit: path "" and "/" canonicalize identically)
+    - registered domain extracted (host minus one leading "www.")
+
+    All JVM-side: regexp_extract for the parts, split + array_sort +
+    concat_ws for the query sort — no Python in the hot path. Returns
+    (id, canon_url, domain).
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = ~(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    sorted_query = F.concat_ws("&", F.array_sort(F.split(query, "&")))
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_query)).otherwise(F.lit("")),
+    )
+    domain = F.regexp_replace(host, r"^www\.", "")
+    return df.select(
+        F.col(id_col).alias("id"),
+        canon.alias("canon_url"),
+        domain.alias("domain"),
+    )
+
+
+def domain_stats(canon: DataFrame) -> DataFrame:
+    """Per-domain corpus accounting over canonicalized URLs: page
+    count, distinct canonical URLs (the URL-dedup survivor count), and
+    the duplicate ratio — the standard crawl-mix report. ONE hash
+    aggregation with map-side partial agg; never a distinct-then-join.
+    """
+    return (
+        canon.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("canon_url").alias("n_unique_urls"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(1.0 - F.col("n_unique_urls") / F.col("n_pages"), 6),
         )
     )

@@ -2226,6 +2226,89 @@ def q_lua_hook_runs() -> str:
     """
 
 
+def q_text_normalize() -> str:
+    # mirror of __spark_entry__.q_text_normalize: dirty each doc with a
+    # DECOMPOSED accent (e + U+0301), a bell, a tab and space runs,
+    # then NFC + control-strip + whitespace-collapse + trim
+    return r"""
+    with dirty as (
+      select doc_id,
+             'Ae' || chr(769) || ' ' || substr(text, 1, 40)
+             || chr(7) || chr(9) || '  tail  ' as text
+      from documents
+    ), norm as (
+      select doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(nfc_normalize(text),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+               '\s+', ' ', 'g')) as n
+      from dirty
+    )
+    select doc_id, md5(n) as norm_md5,
+           cast(length(n) as bigint) as norm_len,
+           n <> text as changed
+    from norm
+    """
+
+
+_URL_FIXTURE = r"""
+    with urls as (
+      select doc_id,
+        case when doc_id % 2 = 0 then 'HTTP://WWW.Example' else 'HTTPS://Example' end
+        || cast(doc_id % 7 as varchar) || '.COM'
+        || case when doc_id % 2 = 0 then ':80'
+                when doc_id % 5 = 0 then ':8443' else ':443' end
+        || '/p/' || cast(doc_id % 50 as varchar) || '/'
+        || case when doc_id % 3 = 0 then '?b=2&a=1&c=3' else '' end
+        || '#frag' as url
+      from documents
+    ), parts as (
+      select doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) as hostport,
+        regexp_replace(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') as path,
+        regexp_extract(url, '\?([^#]*)', 1) as query
+      from urls
+    ), p2 as (
+      select doc_id, scheme, path, query,
+        lower(regexp_extract(hostport, '^([^:]*)', 1)) as host,
+        regexp_extract(hostport, ':(\d+)$', 1) as port
+      from parts
+    ), canon as (
+      select doc_id,
+        scheme || '://' || host
+        || case when port <> '' and not ((scheme = 'http' and port = '80')
+                                      or (scheme = 'https' and port = '443'))
+                then ':' || port else '' end
+        || path
+        || case when query <> ''
+                then '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+                else '' end as canon_url,
+        regexp_replace(host, '^www\.', '') as domain
+      from p2
+    )
+"""
+
+
+def q_url_canonical() -> str:
+    # mirror of __spark_entry__.q_url_canonical
+    return _URL_FIXTURE + "select doc_id, canon_url, domain from canon"
+
+
+def q_domain_stats() -> str:
+    # mirror of __spark_entry__.q_domain_stats (one hash aggregation)
+    return _URL_FIXTURE + r"""
+    select domain,
+           count(*) as n_pages,
+           count(distinct canon_url) as n_unique_urls,
+           round(1.0 - count(distinct canon_url) / count(*), 6) as dup_ratio
+    from canon
+    group by domain
+    order by domain
+    """
+
+
 def q_pii_counts() -> str:
     from lakefs_spark.operators.pipeline import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -2774,6 +2857,9 @@ def part_oracles() -> dict[str, str]:
                 "webhook_deliveries": q_webhook_deliveries(),
                 "action_task_results": q_action_task_results(),
                 "lua_hook_runs": q_lua_hook_runs(),
+                "text_normalize": q_text_normalize(),
+                "url_canonical": q_url_canonical(),
+                "domain_stats": q_domain_stats(),
                 "point_lookup_branch": q_point_lookup_branch(),
                 "list_page_probe": q_list_page_probe(),
                 "run_ttl_expiry": q_run_ttl_expiry(),
