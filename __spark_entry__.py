@@ -584,8 +584,13 @@ def q_url_canonical(spark, sf_dir):
     a small host set so domains repeat (feeding q_domain_stats)."""
     docs = _docs(spark, sf_dir)
     url = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.Example"))
-        .otherwise(F.lit("HTTPS://Example")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://"))
+        .otherwise(F.lit("HTTPS://")),
+        # userinfo on every 11th doc — credentials must DROP from the
+        # canonical form (same page regardless of who fetched it)
+        F.when(F.col("doc_id") % 11 == 0, F.lit("User:Pw@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Example"))
+        .otherwise(F.lit("Example")),
         (F.col("doc_id") % 7).cast("string"),
         F.lit(".COM"),
         F.when(F.col("doc_id") % 2 == 0, F.lit(":80"))

@@ -266,6 +266,13 @@ def load_entry_content(repo, row, content_loader=None) -> str:
     if content_loader is not None:
         data = content_loader(row)
     else:
+        if row.get("address_type") not in (None, "RELATIVE"):
+            # a FULL/EXTERNAL address must not be resolved under the
+            # local data root — that would silently read the wrong file
+            raise ValueError(
+                f"cannot load non-relative address "
+                f"{row.get('address')!r} without a content_loader"
+            )
         addr = row.get("address") or ""
         base = getattr(repo.store, "data_root", repo.root)
         p = addr if os.path.isabs(addr) else os.path.join(base, addr)
@@ -331,7 +338,8 @@ def make_lakefs_client(repo, content_loader=None) -> LuaTable:
             return (404, "")
         try:
             return (200, load_entry_content(repo, row, content_loader))
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
+            # gone, or an external address this deployment can't read
             return (410, "")
 
     def stat_object(repo_id, ref, path, _user_meta=None):

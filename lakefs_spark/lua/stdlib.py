@@ -521,12 +521,15 @@ def lua_next(t, key=None):
     # per-step list() + .index() made pairs() O(n^2) on big tables. The
     # snapshot invalidates when the key SET changes (LuaTable.set), the
     # same restriction Lua itself places on next() during traversal.
-    if key is None:
-        # fresh traversal: take a new snapshot (deleted keys from prior
-        # traversals drop out here)
-        keys = list(t.hash.keys())
-        t._iter_cache = (keys, {k: i for i, k in enumerate(keys)})
-    elif t._iter_cache is None:
+    # The snapshot rebuilds ONLY when it is absent (first use, or
+    # invalidated by key-set GROWTH in LuaTable.set). A fresh
+    # traversal must NOT rebuild: a nested inner pairs() over the same
+    # table would otherwise clobber the outer traversal's snapshot and
+    # break the legal delete-current-field-then-continue pattern
+    # (outer cursor key would vanish from the rebuilt position map).
+    # Stale deleted keys linger in the snapshot and are skipped at
+    # emission — correct, just a little memory until the next growth.
+    if t._iter_cache is None:
         keys = list(t.hash.keys())
         t._iter_cache = (keys, {k: i for i, k in enumerate(keys)})
     keys, pos = t._iter_cache
@@ -665,7 +668,11 @@ def make_base_env(output_sink=None) -> LuaTable:
         explicit 'unsupported' task row, never as a generic
         attempt-to-index-nil failure."""
 
-        def deny(_t, key):
+        def deny(*args):
+            # varargs: __index gets (t, key), __newindex (t, key, v),
+            # __call (t, ...) — any arity must classify as unsupported,
+            # never leak a Python TypeError past the dispatcher
+            key = args[1] if len(args) > 1 else "?"
             raise LuaUnsupportedFeature(
                 f"'{name}.{lua_tostring(key)}' is not available in this sandbox"
             )

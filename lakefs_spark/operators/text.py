@@ -574,7 +574,12 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id
     """
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    # userinfo (user:pass@) is DROPPED from the canonical form: two
+    # fetches of one page with different credentials are the same page,
+    # and credentials must never leak into dedup keys or domain stats
+    hostport = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)", 1
+    )
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     keep_port = ~(

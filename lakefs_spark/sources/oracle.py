@@ -2254,7 +2254,9 @@ def q_text_normalize() -> str:
 _URL_FIXTURE = r"""
     with urls as (
       select doc_id,
-        case when doc_id % 2 = 0 then 'HTTP://WWW.Example' else 'HTTPS://Example' end
+        case when doc_id % 2 = 0 then 'HTTP://' else 'HTTPS://' end
+        || case when doc_id % 11 = 0 then 'User:Pw@' else '' end
+        || case when doc_id % 2 = 0 then 'WWW.Example' else 'Example' end
         || cast(doc_id % 7 as varchar) || '.COM'
         || case when doc_id % 2 = 0 then ':80'
                 when doc_id % 5 = 0 then ':8443' else ':443' end
@@ -2265,7 +2267,7 @@ _URL_FIXTURE = r"""
     ), parts as (
       select doc_id,
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme,
-        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) as hostport,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1) as hostport,
         regexp_replace(regexp_extract(url,
           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') as path,
         regexp_extract(url, '\?([^#]*)', 1) as query

@@ -526,16 +526,19 @@ class RepoActionSource:
         return v
 
     def _default_loader(self, entry) -> bytes:
-        import os
+        # one copy of the relative-address rule: lua/modules.py
+        # load_entry_content (shared with script_path hooks and the Lua
+        # get_object shim); only the error TYPE is translated here
+        from lakefs_spark.lua.modules import load_entry_content
 
-        if self._field(entry, "address_type") not in (None, "RELATIVE"):
-            raise InvalidActionError(
-                f"cannot load spec at non-relative address "
-                f"{self._field(entry, 'address')!r} without a content_loader"
-            )
-        rel = self._field(entry, "address")
-        with open(os.path.join(self.repo.store.data_root, rel), "rb") as f:
-            return f.read()
+        row = {
+            "address": self._field(entry, "address"),
+            "address_type": self._field(entry, "address_type"),
+        }
+        try:
+            return load_entry_content(self.repo, row).encode()
+        except ValueError as e:
+            raise InvalidActionError(str(e)) from None
 
     def load_specs(self, ref: str) -> list[dict]:
         """Parse + validate every spec at ``ref``; duplicate action

@@ -83,20 +83,31 @@ def main() -> None:
     repo.import_entries("main", ents, message="base")
     print(f"import+commit: {time.time() - t0:.1f}s", flush=True)
 
-    key_mod = F.abs(F.xxhash64("key")) % 100
+    key_mod = F.abs(F.xxhash64("key")) % 1000
+    hot_prefix = "tables/lineitem/b3/r0/"
+    # half-hot BY CONSTRUCTION: hot = every key of ONE prefix (~n/240),
+    # cold = an equal count sampled OUTSIDE that prefix — so exactly
+    # 50% of changed keys share the prefix and both change sets have
+    # the same total size (the uniform set matches 2 x n_hot)
+    n_hot = ents.where(F.col("key").startswith(hot_prefix)).count()
+    print(f"hot prefix keys: {n_hot} (change sets = {2 * n_hot} rows)", flush=True)
+    # hash-sample fractions sized so the limits are actually reachable
+    # at any scale (1.5x headroom over the exact fraction)
+    frac_u = min(999, int(1000 * 2 * n_hot / n * 1.5) + 1)
+    frac_c = min(999, int(1000 * n_hot / n * 1.5) + 1)
 
     def change_set(kind: str):
         flip = F.concat(F.lit(f"{kind}-"), F.col("identity"))
         if kind == "uniform":
-            return ents.where(key_mod < 1).withColumn("identity", flip)
-        # skewed: HALF the changes from ONE prefix (b3/r0 = one bucket
-        # of one replica), half uniform — same total size as uniform
-        hot = ents.where(
-            F.col("key").startswith("tables/lineitem/b3/r0/")
-            & (key_mod < 50 // max(scale // 8, 1) + 4)
+            return (
+                ents.where(key_mod < frac_u).limit(2 * n_hot).withColumn("identity", flip)
+            )
+        hot = ents.where(F.col("key").startswith(hot_prefix))
+        cold = (
+            ents.where(~F.col("key").startswith(hot_prefix) & (key_mod < frac_c))
+            .limit(n_hot)
         )
-        cold = ents.where(key_mod < 1).limit(int(n // 200))
-        return hot.limit(int(n // 200)).unionByName(cold).withColumn("identity", flip)
+        return hot.unionByName(cold).withColumn("identity", flip)
 
     # partition-balance measurement: hash-shuffle each change set on
     # key (the diff/merge join distribution) and report max/mean rows
@@ -111,24 +122,32 @@ def main() -> None:
             .collect()
         )
         counts = [r["count"] for r in rows]
-        mx, mean = max(counts), sum(counts) / len(counts)
+        # mean over ALL shuffle partitions (empty ones included) — the
+        # denominator the straggler argument actually uses
+        mx, mean = max(counts), sum(counts) / shp
         print(
-            f"{kind}: change_rows={sum(counts)} partitions={len(counts)} "
+            f"{kind}: change_rows={sum(counts)} "
+            f"nonempty={len(counts)}/{shp} "
             f"max/mean={mx / mean:.2f} (straggler threshold 4.0)",
             flush=True,
         )
 
-    # wall-time A/B: same-size change sets, branch + commit + diff + merge
+    # wall-time A/B: same-size change sets, branch + commit + diff +
+    # merge. Each arm merges into its OWN dest branched from the same
+    # main snapshot — merging both into main would run the second arm
+    # against a history fattened by the first (the ordering bias the
+    # loadtest merge-contention mode also avoids).
     for kind in ("uniform", "skewed"):
-        br = f"chg-{kind}"
+        br, dest = f"chg-{kind}", f"dest-{kind}"
         repo.create_branch(br, "main")
+        repo.create_branch(dest, "main")
         repo.stage_entries(br, change_set(kind))
         repo.commit(br, f"{kind} changes")
         t0 = time.time()
-        d = repo.diff("main", br).count()
+        d = repo.diff(dest, br).count()
         t_diff = time.time() - t0
         t0 = time.time()
-        repo.merge(br, "main")
+        repo.merge(br, dest)
         t_merge = time.time() - t0
         print(f"{kind}: diff={t_diff:.1f}s ({d} rows) merge={t_merge:.1f}s", flush=True)
 
