@@ -51,6 +51,8 @@ _CLASS_INSET = {  # inside [...] — as char ranges, no brackets
 
 def lua_pattern_to_re(pat: str) -> str:
     out = []
+    depth = 0  # open captures; unbalanced = error, like lstrlib
+    closed = 0  # captures closed so far (validates %N back-references)
     quantifiable = False  # Lua: * + - ? modify only a preceding single
     # character class; anywhere else they match literally (lstrlib.c
     # match_default treats them as ordinary items)
@@ -68,7 +70,11 @@ def lua_pattern_to_re(pat: str) -> str:
             if e in _CLASS:
                 out.append(_CLASS[e])
             elif e.isdigit():
-                out.append("\\" + e)  # back-reference
+                # back-reference: must name an already-CLOSED capture
+                # (lstrlib check_capture -> "invalid capture index")
+                if e == "0" or int(e) > closed:
+                    raise LuaError(f"invalid capture index %{e}")
+                out.append("\\" + e)
                 quantifiable = False
                 i += 1
                 continue
@@ -143,11 +149,16 @@ def lua_pattern_to_re(pat: str) -> str:
         if c == "(":
             if i + 1 < n and pat[i + 1] == ")":
                 raise LuaUnsupportedFeature("position captures are not supported")
+            depth += 1
             out.append("(")
             quantifiable = False
             i += 1
             continue
         if c == ")":
+            if depth == 0:  # lstrlib: "invalid pattern capture"
+                raise LuaError("invalid pattern capture")
+            depth -= 1
+            closed += 1
             out.append(")")
             quantifiable = False
             i += 1
@@ -155,6 +166,8 @@ def lua_pattern_to_re(pat: str) -> str:
         out.append(_re.escape(c))
         quantifiable = True
         i += 1
+    if depth != 0:  # lstrlib: "unfinished capture"
+        raise LuaError("malformed pattern (unfinished capture)")
     return "".join(out)
 
 

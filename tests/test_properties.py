@@ -354,3 +354,71 @@ def test_uri_parse_round_trip(s):
     # canonicalize to the bare repo URI, like the reference's String)
     if ":" not in s.split("/", 1)[0] and (u.ref or "/" not in s):
         assert str(u) == full
+
+
+# -- Lua pattern translator (lakefs_spark/lua/stdlib.py) ---------------------
+
+
+@given(st.text(max_size=24))
+@settings(max_examples=400, deadline=None)
+def test_lua_pattern_translator_total(pat):
+    """For ARBITRARY pattern strings the translator either yields a
+    compilable Python regex or raises LuaError — a raw re.error or
+    other Python exception escaping into a hook run would bypass the
+    dispatcher's failed/unsupported classification."""
+    import re
+
+    from lakefs_spark.lua.interp import LuaError
+    from lakefs_spark.lua.stdlib import lua_pattern_to_re
+
+    try:
+        rx = lua_pattern_to_re(pat)
+    except LuaError:
+        return
+    try:
+        re.compile(rx, re.DOTALL)
+    except re.error as e:  # translator produced garbage — a real bug
+        raise AssertionError(f"{pat!r} -> {rx!r}: {e}") from None
+
+
+@given(
+    st.text(alphabet="abc/=.-", max_size=30),
+    st.text(alphabet="abc/=.-", min_size=1, max_size=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_lua_find_plain_matches_python_substring(s, needle):
+    """string.find(s, needle, 1, true) is Python str.find, 1-based."""
+    from lakefs_spark.lua.stdlib import s_find
+
+    got = s_find(s, needle, 1, True)
+    idx = s.find(needle)
+    if idx < 0:
+        assert got is None
+    else:
+        assert got == (idx + 1, idx + len(needle))
+
+
+@given(
+    st.text(alphabet="abcde", max_size=30),
+    st.text(alphabet="abcde", min_size=1, max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_lua_literal_pattern_find_equals_plain(s, needle):
+    """A pattern with no magic characters searches like a plain
+    substring — the quantifier-vs-literal classification must never
+    reinterpret ordinary text."""
+    from lakefs_spark.lua.stdlib import s_find
+
+    assert s_find(s, needle) == s_find(s, needle, 1, True)
+
+
+@given(st.text(alphabet="ab ", max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_lua_gsub_count_matches_python(s):
+    """gsub('a'->'X') replaces exactly s.count('a') occurrences and
+    round-trips the remaining text."""
+    from lakefs_spark.lua.stdlib import s_gsub
+
+    out, n = s_gsub(s, "a", "X")
+    assert n == s.count("a")
+    assert out == s.replace("a", "X")
