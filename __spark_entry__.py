@@ -964,6 +964,24 @@ def q_media_features(spark, sf_dir):
     ).select("media_id", "kind", F.col("dim").cast("long").alias("dim"), "value")
 
 
+def q_audio_chunks(spark, sf_dir):
+    """Audio chunking plan (multimodal.audio_chunk_plan): hop-strided
+    windows from typed metadata, clamped single chunk for short clips,
+    sample cut points floor(ms*rate/1000) — all JVM arithmetic, one
+    explode(sequence), no decode. Audio clips = every doc_id % 3 == 1
+    (disjoint from the video fixture); durations straddle the window
+    so both the multi-chunk and the clamped-short cases are hashed."""
+    from lakefs_spark.operators.multimodal import audio_chunk_plan
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 1)
+    clips = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("long").alias("sample_rate"),
+        (F.lit(1200) + (F.col("n_chars") % 7) * 800).cast("long").alias("duration_ms"),
+    )
+    return audio_chunk_plan(clips, window_ms=2000, hop_ms=1000)
+
+
 def q_media_resize(spark, sf_dir):
     """Aspect-preserving resize plan (multimodal.resize): geometry is
     JVM-side metadata math; the stubbed pixel pass rides mapInPandas.
@@ -2693,6 +2711,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webhook_deliveries": q_webhook_deliveries,
         "action_task_results": q_action_task_results,
         "lua_hook_runs": q_lua_hook_runs,
+        "audio_chunks": q_audio_chunks,
         "text_normalize": q_text_normalize,
         "url_canonical": q_url_canonical,
         "domain_stats": q_domain_stats,

@@ -136,7 +136,7 @@ GATES: dict[str, list[str]] = {
         "near_dup_embeddings",
         "embedding_dedup_survivors",
     ],
-    "media_gates": ["media_frame_sample", "media_features", "media_resize"],
+    "media_gates": ["media_frame_sample", "media_features", "media_resize", "audio_chunks"],
     "source_formats": ["csv_source", "json_source", "binary_file_source", "orc_source"],
 }
 
@@ -238,6 +238,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "text_normalize": [("doc_id", "bigint"), ("norm_md5", "string"), ("norm_len", "bigint"), ("changed", "boolean")],
     "url_canonical": [("doc_id", "bigint"), ("canon_url", "string"), ("domain", "string")],
     "domain_stats": [("domain", "string"), ("n_pages", "bigint"), ("n_unique_urls", "bigint"), ("dup_ratio", "double")],
+    "audio_chunks": [("media_id", "bigint"), ("chunk_idx", "bigint"), ("start_ms", "bigint"), ("end_ms", "bigint"), ("start_sample", "bigint"), ("end_sample", "bigint")],
     "lua_hook_runs": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string"), ("output", "string")],
     "active_commits": [("commit_id", "string")],
     "ann_recall": [("qa", "bigint"), ("n_hits", "bigint"), ("recall", "double")],

@@ -159,3 +159,50 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("ts_ms"),
         )
     )
+
+
+def audio_chunk_plan(
+    media: DataFrame, window_ms: int = 2000, hop_ms: int = 1000
+) -> DataFrame:
+    """Fixed-window audio chunking PLAN from typed metadata alone —
+    the audio analog of :func:`resize`'s geometry pass: cut points are
+    pure JVM arithmetic over (sample_rate, duration_ms), no decode
+    (the container has no audio libs; the byte work would ride the
+    same mapInPandas shape as extract_features). Each clip yields
+    hop-strided windows ``[k*hop, k*hop + window)`` fully inside its
+    duration; clips shorter than one window yield a single clamped
+    chunk ``[0, duration)``. Sample indexes are floor(ms * rate /
+    1000) — what a slicing decoder would seek to.
+
+    Input columns: media_id, sample_rate (Hz), duration_ms.
+    Output: (media_id, chunk_idx, start_ms, end_ms, start_sample,
+    end_sample), one row per window — explode(sequence(...)), shuffle-
+    free.
+    """
+    if window_ms <= 0 or hop_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    dur = F.col("duration_ms").cast("long")
+    n_chunks = (
+        F.when(dur >= window_ms, F.floor((dur - window_ms) / hop_ms) + 1)
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    start = F.col("chunk_idx") * hop_ms
+    end = F.least(start + window_ms, F.col("duration_ms").cast("long"))
+    sr = F.col("sample_rate").cast("long")
+    return (
+        media.select(
+            "media_id",
+            "sample_rate",
+            "duration_ms",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "media_id",
+            "chunk_idx",
+            start.alias("start_ms"),
+            end.alias("end_ms"),
+            F.floor(start * sr / 1000).cast("long").alias("start_sample"),
+            F.floor(end * sr / 1000).cast("long").alias("end_sample"),
+        )
+    )

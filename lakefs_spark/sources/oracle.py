@@ -1446,6 +1446,33 @@ def q_media_frame_sample() -> str:
     """
 
 
+def q_audio_chunks() -> str:
+    # mirror of __spark_entry__.q_audio_chunks: hop-strided windows
+    # (window=2000 hop=1000) fully inside duration; short clips clamp
+    # to one [0, duration) chunk; samples = floor(ms*rate/1000)
+    return """
+    with clips as (
+      select doc_id as media_id,
+             8000 + (doc_id % 3) * 4000 as sample_rate,
+             1200 + (n_chars % 7) * 800 as duration_ms
+      from documents where doc_id % 3 = 1
+    ), chunks as (
+      select media_id, sample_rate, duration_ms,
+             unnest(generate_series(0,
+               case when duration_ms >= 2000
+                    then cast(floor((duration_ms - 2000) / 1000.0) as bigint)
+                    else 0 end)) as chunk_idx
+      from clips
+    )
+    select media_id, chunk_idx,
+           chunk_idx * 1000 as start_ms,
+           least(chunk_idx * 1000 + 2000, duration_ms) as end_ms,
+           cast(floor(chunk_idx * 1000 * sample_rate / 1000.0) as bigint) as start_sample,
+           cast(floor(least(chunk_idx * 1000 + 2000, duration_ms) * sample_rate / 1000.0) as bigint) as end_sample
+    from chunks
+    """
+
+
 def q_media_resize() -> str:
     # aspect-preserving fit of (200+(id%7)*100, 150+(id%5)*120) into
     # 512x384: scale = min(512/w, 384/h, 1), floored dims (min 1)
@@ -2859,6 +2886,7 @@ def part_oracles() -> dict[str, str]:
                 "webhook_deliveries": q_webhook_deliveries(),
                 "action_task_results": q_action_task_results(),
                 "lua_hook_runs": q_lua_hook_runs(),
+                "audio_chunks": q_audio_chunks(),
                 "text_normalize": q_text_normalize(),
                 "url_canonical": q_url_canonical(),
                 "domain_stats": q_domain_stats(),
