@@ -551,3 +551,58 @@ def test_empty_inline_script_falls_back_to_script_path(spark, tmp_path):
     )
     with pytest.raises(HookAbortError, match="gate always vetoes"):
         repo.commit("main", "must be vetoed")
+
+
+def test_branch_head_exporter_scenario_lua(spark, tmp_path):
+    """The examples/hooks/s3_branch_head_exporter.lua shape as a real
+    dispatched post-commit hook: the commit id is written to
+    <export_path>/repositories/<repo>/heads/<branch> through the aws
+    s3 stand-in — proving the post-commit action record carries the
+    LANDED commit id and args flow through DescendArgs untouched."""
+    import os as _os
+
+    from lakefs_spark.schema import ENTRY_SCHEMA
+    from lakefs_spark.storage.repo import Repository
+
+    export_root = str(tmp_path / "exports")
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    script = """
+    aws = require("aws")
+    strings = require("strings")
+    s3 = aws.s3_client(args.aws_access_key_id, args.aws_secret_access_key, args.aws_region)
+    export_path = args.export_path
+    if not strings.has_suffix(export_path, "/") then export_path = export_path .. "/" end
+    s3.put_object(args.export_bucket,
+      export_path .. "repositories/" .. action.repository_id .. "/heads/" .. action.branch_id,
+      action.commit_id)
+    """
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("a/1", "i1", "x", "RELATIVE", 1, "e", None, None, "t")], ENTRY_SCHEMA
+        ),
+    )
+    c = repo.commit("main", "landed")
+    from lakefs_spark.storage.actions import lua_event_record
+
+    record = lua_event_record(
+        repo, "post-commit", {"branch": "main", "commit": c, "run_id": "r1"},
+        "export heads", "export_branch_head",
+    )
+    run_lua_hook(
+        script,
+        action=record,
+        args={
+            "aws_access_key_id": "k", "aws_secret_access_key": "s",
+            "aws_region": "r", "export_bucket": "ext-bucket",
+            "export_path": "lakefs-exported-heads",
+        },
+        export_root=export_root,
+    )
+    p = _os.path.join(
+        export_root, "ext-bucket", "lakefs-exported-heads", "repositories",
+        repo.root.lstrip(_os.sep), "heads", "main",
+    )
+    assert _os.path.exists(p), p
+    with open(p) as f:
+        assert f.read() == c.commit_id
