@@ -976,7 +976,9 @@ def q_audio_chunks(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 1)
     clips = docs.select(
         F.col("doc_id").alias("media_id"),
-        (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("long").alias("sample_rate"),
+        # rate varies OFF the fixture filter modulus and is NOT a
+        # multiple of 1000, so floor(ms*rate/1000) genuinely rounds
+        (F.lit(8000) + (F.col("n_chars") % 5) * 4100).cast("long").alias("sample_rate"),
         (F.lit(1200) + (F.col("n_chars") % 7) * 800).cast("long").alias("duration_ms"),
     )
     return audio_chunk_plan(clips, window_ms=2000, hop_ms=1000)

@@ -52,7 +52,11 @@ _CLASS_INSET = {  # inside [...] — as char ranges, no brackets
 def lua_pattern_to_re(pat: str) -> str:
     out = []
     depth = 0  # open captures; unbalanced = error, like lstrlib
-    closed = 0  # captures closed so far (validates %N back-references)
+    # per-capture closed flag in OPEN order (lstrlib capture array):
+    # %N is valid iff capture N exists AND is already closed — a scalar
+    # closed-count misjudges nesting both ways (((a)%1) vs ((a)%2))
+    cap_closed: list[bool] = []
+    open_stack: list[int] = []
     quantifiable = False  # Lua: * + - ? modify only a preceding single
     # character class; anywhere else they match literally (lstrlib.c
     # match_default treats them as ordinary items)
@@ -70,9 +74,11 @@ def lua_pattern_to_re(pat: str) -> str:
             if e in _CLASS:
                 out.append(_CLASS[e])
             elif e.isdigit():
-                # back-reference: must name an already-CLOSED capture
-                # (lstrlib check_capture -> "invalid capture index")
-                if e == "0" or int(e) > closed:
+                # back-reference: must name an existing, already-CLOSED
+                # capture (lstrlib check_capture); referencing an OPEN
+                # capture is the 'unfinished capture' error
+                ncap = int(e)
+                if ncap == 0 or ncap > len(cap_closed) or not cap_closed[ncap - 1]:
                     raise LuaError(f"invalid capture index %{e}")
                 out.append("\\" + e)
                 quantifiable = False
@@ -150,6 +156,8 @@ def lua_pattern_to_re(pat: str) -> str:
             if i + 1 < n and pat[i + 1] == ")":
                 raise LuaUnsupportedFeature("position captures are not supported")
             depth += 1
+            cap_closed.append(False)
+            open_stack.append(len(cap_closed) - 1)
             out.append("(")
             quantifiable = False
             i += 1
@@ -158,7 +166,7 @@ def lua_pattern_to_re(pat: str) -> str:
             if depth == 0:  # lstrlib: "invalid pattern capture"
                 raise LuaError("invalid pattern capture")
             depth -= 1
-            closed += 1
+            cap_closed[open_stack.pop()] = True
             out.append(")")
             quantifiable = False
             i += 1

@@ -181,6 +181,10 @@ def audio_chunk_plan(
     """
     if window_ms <= 0 or hop_ms <= 0:
         raise ValueError("window_ms and hop_ms must be positive")
+    # clips with non-positive duration yield NO chunks (a degenerate
+    # inverted [0, -n) window would hand negative sample indexes to a
+    # downstream slicing decoder with no signal anything was wrong)
+    media = media.where(F.col("duration_ms") > 0)
     dur = F.col("duration_ms").cast("long")
     n_chunks = (
         F.when(dur >= window_ms, F.floor((dur - window_ms) / hop_ms) + 1)

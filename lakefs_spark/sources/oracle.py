@@ -1453,7 +1453,7 @@ def q_audio_chunks() -> str:
     return """
     with clips as (
       select doc_id as media_id,
-             8000 + (doc_id % 3) * 4000 as sample_rate,
+             8000 + (n_chars % 5) * 4100 as sample_rate,
              1200 + (n_chars % 7) * 800 as duration_ms
       from documents where doc_id % 3 = 1
     ), chunks as (
