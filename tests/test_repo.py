@@ -1759,3 +1759,44 @@ def test_uncommitted_diff_prunes_to_touched_ranges(spark):
     assert len(range_files) <= 2, range_files  # touched range(s) only
     rows = {(r["key"], r["diff_type"]) for r in d.collect()}
     assert rows == {("k/0200", "changed")}, rows
+
+
+def test_full_lifecycle_on_bucketed_manifest_path(repo, spark, monkeypatch):
+    """Force LARGE_MANIFEST_ROWS=0 so EVERY key-to-range assignment in
+    the engine takes the √n-bucketed cogroup path (the 100 TB-scale
+    route), then run a real commit/merge/uncommitted-diff lifecycle —
+    proving the bucketed kernel works embedded in the COW/overlay
+    flows, not just in the kernel-equivalence test."""
+    import lakefs_spark.storage.commit_apply as CA
+
+    monkeypatch.setattr(CA, "LARGE_MANIFEST_ROWS", 0)
+    ents = _entries(spark)
+    repo.import_entries("main", ents.limit(400), message="base")
+
+    # staged overlay probe (ranges_containing_keys bucketed)
+    some = [r["key"] for r in ents.orderBy("key").limit(3).collect()]
+    repo.stage_entries(
+        "main", ents.where(F.col("key").isin(some)).withColumn("identity", F.lit("v2"))
+    )
+    unc = {r["key"] for r in repo.uncommitted("main").collect()}
+    assert unc == set(some)
+
+    # commit (touched-positions bucketed), then merge a branch
+    c2 = repo.commit("main", "edit 3")
+    repo.create_branch("dev", "main")
+    repo.stage_entries(
+        "dev",
+        ents.limit(10).withColumn("identity", F.concat("identity", F.lit("-dev"))),
+    )
+    repo.commit("dev", "dev work")
+    mc = repo.merge("dev", "main")
+    got = {
+        r["key"]: r["identity"]
+        for r in repo.list_entries("main").collect()
+    }
+    assert len(got) == 400
+    for r in ents.limit(10).collect():
+        assert got[r["key"]] == r["identity"] + "-dev"
+    # snapshot hash would catch any mis-assigned range rewrite
+    assert repo.resolve("main").commit_id == mc.commit_id
+    assert c2.commit_id != mc.commit_id
