@@ -617,6 +617,29 @@ def q_domain_stats(spark, sf_dir):
     return TX.domain_stats(canon).orderBy("domain")
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal (text.dedup_lines):
+    lines appearing in >= 3 distinct docs are dropped; blank lines
+    never count and are kept. The fixture builds multi-line docs with
+    a universal banner (banned), a mostly-unique body line, a blank
+    line, and a 25%-shared footer (banned at sf >= 0.001)."""
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE BANNER\n"),
+            F.substring("text", 1, 60),
+            F.lit("\n\n"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("NAV FOOTER"))
+            .otherwise(F.concat(F.lit("tail-"), F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    out = TX.dedup_lines(dirty, min_df=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "n_kept", "n_removed"
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return D.ngram_jaccard_pairs(docs, threshold=0.3)
@@ -2714,6 +2737,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "action_task_results": q_action_task_results,
         "lua_hook_runs": q_lua_hook_runs,
         "audio_chunks": q_audio_chunks,
+        "line_dedup": q_line_dedup,
         "text_normalize": q_text_normalize,
         "url_canonical": q_url_canonical,
         "domain_stats": q_domain_stats,

@@ -92,6 +92,7 @@ GATES: dict[str, list[str]] = {
         "unigram_nll",
         "bm25_topk",
         "text_normalize",
+        "line_dedup",
     ],
     "minhash_pipeline": [
         "minhash_candidates",
@@ -239,6 +240,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "url_canonical": [("doc_id", "bigint"), ("canon_url", "string"), ("domain", "string")],
     "domain_stats": [("domain", "string"), ("n_pages", "bigint"), ("n_unique_urls", "bigint"), ("dup_ratio", "double")],
     "audio_chunks": [("media_id", "bigint"), ("chunk_idx", "bigint"), ("start_ms", "bigint"), ("end_ms", "bigint"), ("start_sample", "bigint"), ("end_sample", "bigint")],
+    "line_dedup": [("doc_id", "bigint"), ("clean_text", "string"), ("n_kept", "bigint"), ("n_removed", "bigint")],
     "lua_hook_runs": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string"), ("output", "string")],
     "active_commits": [("commit_id", "string")],
     "ann_recall": [("qa", "bigint"), ("n_hits", "bigint"), ("recall", "double")],

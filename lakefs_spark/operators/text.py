@@ -624,3 +624,68 @@ def domain_stats(canon: DataFrame) -> DataFrame:
             F.round(1.0 - F.col("n_unique_urls") / F.col("n_pages"), 6),
         )
     )
+
+
+# -- line-level dedup (CCNet/RefinedWeb boilerplate removal) ----------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove lines that appear in >= ``min_df`` DISTINCT documents —
+    the line-level dedup stage of CCNet-style pipelines (navigation
+    chrome, cookie banners, boilerplate headers repeat across pages;
+    dropping them before document-level dedup/quality scoring removes
+    the dominant cross-site noise).
+
+    Spark shape, no all-pairs anywhere: explode to (doc, pos, line),
+    ONE hash aggregation for per-line distinct-doc counts (map-side
+    partial agg collapses within-partition repeats), broadcast-friendly
+    semi-join of the banned-line set back onto the exploded stream, and
+    order-preserving reassembly via sort_array(collect_list(struct(pos,
+    line))) — document order survives without a window. Blank lines
+    never count toward df and are kept as-is (they carry structure, not
+    boilerplate). Returns (id, clean_text, n_kept, n_removed).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    banned = (
+        lines.where(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("line")
+    )
+    tagged = lines.join(
+        banned.withColumn("__banned", F.lit(True)), "line", "left"
+    )
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.coalesce(F.col("__banned"), F.lit(False)),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(
+                F.when(F.coalesce(F.col("__banned"), F.lit(False)), 0).otherwise(1)
+            ).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.coalesce(F.col("__banned"), F.lit(False)), 1).otherwise(0)
+            ).cast("long").alias("n_removed"),
+        )
+    )

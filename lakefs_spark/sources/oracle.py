@@ -2338,6 +2338,40 @@ def q_domain_stats() -> str:
     """
 
 
+def q_line_dedup() -> str:
+    # mirror of __spark_entry__.q_line_dedup, via DuckDB list ops — a
+    # different implementation family from the Spark explode+join+
+    # reassemble, which is what makes the hash oracle meaningful
+    return """
+    with d as (
+      select doc_id,
+             'COOKIE BANNER' || chr(10) || substr(text, 1, 60)
+             || chr(10) || chr(10)
+             || case when doc_id % 4 = 0 then 'NAV FOOTER'
+                     else 'tail-' || cast(doc_id as varchar) end as text
+      from documents
+    ), exploded as (
+      select doc_id, unnest(string_split(text, chr(10))) as line from d
+    ), banned as (
+      select line from exploded where line <> ''
+      group by line having count(distinct doc_id) >= 3
+    ), barr as (
+      select coalesce(list(line), []) as bl from banned
+    ), kept as (
+      select d.doc_id,
+             string_split(d.text, chr(10)) as all_lines,
+             list_filter(string_split(d.text, chr(10)),
+                         x -> not list_contains(barr.bl, x)) as kl
+      from d cross join barr
+    )
+    select doc_id,
+           array_to_string(kl, chr(10)) as clean_text,
+           cast(len(kl) as bigint) as n_kept,
+           cast(len(all_lines) - len(kl) as bigint) as n_removed
+    from kept
+    """
+
+
 def q_pii_counts() -> str:
     from lakefs_spark.operators.pipeline import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -2887,6 +2921,7 @@ def part_oracles() -> dict[str, str]:
                 "action_task_results": q_action_task_results(),
                 "lua_hook_runs": q_lua_hook_runs(),
                 "audio_chunks": q_audio_chunks(),
+                "line_dedup": q_line_dedup(),
                 "text_normalize": q_text_normalize(),
                 "url_canonical": q_url_canonical(),
                 "domain_stats": q_domain_stats(),
