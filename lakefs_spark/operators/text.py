@@ -643,16 +643,22 @@ def dedup_lines(
 
     Spark shape, no all-pairs anywhere: explode to (doc, pos, line),
     ONE hash aggregation for per-line distinct-doc counts (map-side
-    partial agg collapses within-partition repeats), broadcast-friendly
-    semi-join of the banned-line set back onto the exploded stream, and
-    order-preserving reassembly via sort_array(collect_list(struct(pos,
-    line))) — document order survives without a window. Blank lines
-    never count toward df and are kept as-is (they carry structure, not
-    boilerplate). Returns (id, clean_text, n_kept, n_removed).
+    partial agg collapses within-partition repeats), a LEFT join of
+    the banned-line set back onto the exploded stream (left — not
+    semi/anti — because the kept/removed COUNTS need both outcomes in
+    one pass), and order-preserving reassembly via
+    array_sort(collect_list(struct(pos, line))) — document order
+    survives without a window. Blank lines never count toward df and
+    are kept as-is (they carry structure, not boilerplate). NULL text
+    is treated as empty, so every input doc yields exactly one output
+    row (a cleaning stage must never silently drop documents). Returns
+    (id, clean_text, n_kept, n_removed).
     """
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     banned = (
         lines.where(F.col("line") != "")
@@ -661,31 +667,23 @@ def dedup_lines(
         .where(F.col("df") >= min_df)
         .select("line")
     )
-    tagged = lines.join(
-        banned.withColumn("__banned", F.lit(True)), "line", "left"
-    )
+    is_kept = F.col("__banned").isNull()
     return (
-        tagged.groupBy("id")
+        lines.join(banned.withColumn("__banned", F.lit(True)), "line", "left")
+        .groupBy("id")
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.when(
-                                ~F.coalesce(F.col("__banned"), F.lit(False)),
-                                F.struct(F.col("pos"), F.col("line")),
-                            )
+                            F.when(is_kept, F.struct(F.col("pos"), F.col("line")))
                         )
                     ),
                     lambda x: x["line"],
                 ),
                 "\n",
             ).alias("clean_text"),
-            F.sum(
-                F.when(F.coalesce(F.col("__banned"), F.lit(False)), 0).otherwise(1)
-            ).cast("long").alias("n_kept"),
-            F.sum(
-                F.when(F.coalesce(F.col("__banned"), F.lit(False)), 1).otherwise(0)
-            ).cast("long").alias("n_removed"),
+            F.count(F.when(is_kept, 1)).cast("long").alias("n_kept"),
+            F.count(F.when(~is_kept, 1)).cast("long").alias("n_removed"),
         )
     )

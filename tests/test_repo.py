@@ -1770,11 +1770,14 @@ def test_full_lifecycle_on_bucketed_manifest_path(repo, spark, monkeypatch):
     import lakefs_spark.storage.commit_apply as CA
 
     monkeypatch.setattr(CA, "LARGE_MANIFEST_ROWS", 0)
-    ents = _entries(spark)
-    repo.import_entries("main", ents.limit(400), message="base")
+    # deterministic 400-key slice: a bare limit() is not stable across
+    # actions, so every subset below derives from the SAME ordered keys
+    keys400 = [r["key"] for r in _entries(spark).orderBy("key").limit(400).collect()]
+    ents = _entries(spark).where(F.col("key").isin(keys400))
+    repo.import_entries("main", ents, message="base")
 
     # staged overlay probe (ranges_containing_keys bucketed)
-    some = [r["key"] for r in ents.orderBy("key").limit(3).collect()]
+    some = keys400[:3]
     repo.stage_entries(
         "main", ents.where(F.col("key").isin(some)).withColumn("identity", F.lit("v2"))
     )
@@ -1784,9 +1787,11 @@ def test_full_lifecycle_on_bucketed_manifest_path(repo, spark, monkeypatch):
     # commit (touched-positions bucketed), then merge a branch
     c2 = repo.commit("main", "edit 3")
     repo.create_branch("dev", "main")
+    dev_keys = keys400[100:110]
     repo.stage_entries(
         "dev",
-        ents.limit(10).withColumn("identity", F.concat("identity", F.lit("-dev"))),
+        ents.where(F.col("key").isin(dev_keys))
+        .withColumn("identity", F.concat("identity", F.lit("-dev"))),
     )
     repo.commit("dev", "dev work")
     mc = repo.merge("dev", "main")
@@ -1795,7 +1800,7 @@ def test_full_lifecycle_on_bucketed_manifest_path(repo, spark, monkeypatch):
         for r in repo.list_entries("main").collect()
     }
     assert len(got) == 400
-    for r in ents.limit(10).collect():
+    for r in ents.where(F.col("key").isin(dev_keys)).collect():
         assert got[r["key"]] == r["identity"] + "-dev"
     # snapshot hash would catch any mis-assigned range rewrite
     assert repo.resolve("main").commit_id == mc.commit_id
