@@ -147,45 +147,51 @@ def _mod_path() -> LuaTable:
 
 
 def _mod_regexp() -> LuaTable:
-    # Go regexp is RE2; Python re is a superset for the constructs hook
-    # scripts use (disclosed deviation: backtracking vs RE2)
-    def compile_(pattern):
+    # Go regexp is RE2 — linear-time, no catastrophic backtracking. A
+    # hook pattern is author-supplied but the SUBJECT is often
+    # attacker-supplied (commit metadata), so this surface uses the
+    # repo's own Pike-VM engine (lua/re2.py) rather than Python's
+    # backtracking re: `(a+)+$` against a long metadata value stays
+    # O(pattern × subject) instead of stalling the commit. Constructs
+    # outside the supported RE2 subset raise LuaUnsupportedFeature —
+    # loud, never a mis-match. Mirrors pkg/actions/lua/regexp/regexp.go
+    # (match / quote_meta / compile → find, find_submatch, find_all,
+    # find_all_submatch).
+    from lakefs_spark.lua import re2 as _re2
+
+    def _compile(pattern):
         try:
-            rx = _re.compile(pattern)
-        except _re.error as e:
+            return _re2.Re2(pattern)
+        except _re2.UnsupportedRegex as e:
+            raise LuaUnsupportedFeature(f"regexp: {e}") from None
+        except ValueError as e:
             raise LuaError(f"regexp.compile: {e}") from None
 
-        def find_all(s, n=-1):
-            found = rx.findall(s)
-            if int(n) >= 0:
-                found = found[: int(n)]
-            return py_to_lua([f if isinstance(f, str) else list(f) for f in found])
+    def compile_(pattern):
+        rx = _compile(pattern)
 
-        def find_all_submatch(s, n=-1):
-            out = []
-            for i, m in enumerate(rx.finditer(s)):
-                if int(n) >= 0 and i >= int(n):
-                    break
-                out.append([m.group(0)] + [g if g is not None else "" for g in m.groups()])
-            return py_to_lua(out)
+        def find_submatch(s):
+            got = rx.find_submatch(s)
+            return py_to_lua(got) if got is not None else None
 
         return LuaTable(
             {
-                "match": lambda s: rx.search(s) is not None,
-                "find": lambda s: (m.group(0) if (m := rx.search(s)) else ""),
-                "find_all": find_all,
-                "find_all_submatch": find_all_submatch,
+                "match": lambda s: rx.match(s),
+                "find": lambda s: rx.find(s),
+                "find_submatch": find_submatch,
+                # Go FindAllString: whole matches, never groups
+                "find_all": lambda s, n=-1: py_to_lua(rx.find_all(s, int(n))),
+                "find_all_submatch": lambda s, n=-1: py_to_lua(
+                    rx.find_all_submatch(s, int(n))
+                ),
             }
         )
 
     def match(pattern, s):
-        try:
-            return _re.search(pattern, s) is not None
-        except _re.error as e:
-            raise LuaError(f"regexp.match: {e}") from None
+        return _compile(pattern).match(s)
 
     return LuaTable(
-        {"match": match, "quote_meta": _re.escape, "compile": compile_}
+        {"match": match, "quote_meta": _re2.quote_meta, "compile": compile_}
     )
 
 
@@ -313,6 +319,7 @@ def make_lakefs_client(repo, content_loader=None) -> LuaTable:
     from lakefs_spark.catalog import Catalog
 
     cat = Catalog(repo)
+    _diff_cache: dict = {}  # (left, right) -> cached diff DataFrame
 
     def list_objects(repo_id, ref, after=None, prefix=None, delimiter=None,
                      amount=None, _user_meta=None):
@@ -343,11 +350,14 @@ def make_lakefs_client(repo, content_loader=None) -> LuaTable:
             return (410, "")
 
     def stat_object(repo_id, ref, path, _user_meta=None):
+        # parity: the reference returns the RAW JSON body, not a table
+        # (client.go statObject pushes rr.Body.String(); stock hooks —
+        # delta_exporter.lua — json.unmarshal it themselves)
         row = cat.stat_object(ref, path)
         if row is None:
-            return (404, py_to_lua({"message": "not found"}))
+            return (404, _json.dumps({"message": "not found"}))
         d = dict(row.asDict()) if hasattr(row, "asDict") else dict(row)
-        return (200, py_to_lua(_entry_to_object_stats(d)))
+        return (200, _json.dumps(_entry_to_object_stats(d), sort_keys=True))
 
     def create_tag(repo_id, ref, tag_id):
         try:
@@ -357,16 +367,35 @@ def make_lakefs_client(repo, content_loader=None) -> LuaTable:
             return (409, py_to_lua({"message": str(e)}))
 
     def diff_refs(repo_id, left, right, after=None, prefix=None, amount=None):
+        # Paging stays inside the Spark plan: prefix/after filter +
+        # limit(amount+1) BEFORE collect(), so a hook paging a huge
+        # post-merge diff pulls O(amount) rows to the driver per call,
+        # not O(D) (the reference paginates server-side the same way —
+        # pkg/api/controller.go DiffRefs). The diff plan itself is
+        # cached per (left, right) so an N-page walk doesn't recompute
+        # the range-granular diff N times.
+        from pyspark.sql import functions as F
+
+        limit = int(amount) if amount else 100
         try:
-            rows = [r.asDict() for r in repo.diff(left, right).collect()]
+            cache_key = (left, right)
+            df = _diff_cache.get(cache_key)
+            if df is None:
+                for old in _diff_cache.values():  # hooks page one diff at a time
+                    old.unpersist()
+                _diff_cache.clear()
+                df = repo.diff(left, right).cache()
+                _diff_cache[cache_key] = df
+            if prefix:
+                df = df.filter(F.col("key").startswith(prefix))
+            if after:
+                df = df.filter(F.col("key") > after)
+            rows = [
+                r.asDict()
+                for r in df.orderBy("key").limit(limit + 1).collect()
+            ]
         except Exception as e:  # noqa: BLE001
             return (400, py_to_lua({"message": str(e)}))
-        rows.sort(key=lambda r: r["key"])
-        if prefix:
-            rows = [r for r in rows if r["key"].startswith(prefix)]
-        if after:
-            rows = [r for r in rows if r["key"] > after]
-        limit = int(amount) if amount else 100
         page, has_more = rows[:limit], len(rows) > limit
         results = [
             {

@@ -540,8 +540,14 @@ def normalize_text(
             lambda t: unicodedata.normalize("NFC", t) if t is not None else None
         )
 
+    # NULL text coalesces to "" BEFORE normalization: a cleaning stage
+    # must never silently drop documents (the dedup_lines contract
+    # below), and NULL norm_text would vanish from any downstream
+    # hash/dedup keyed on it. A NULL doc yields norm_text="",
+    # norm_len=0, changed=false.
+    src = F.coalesce(F.col(text_col), F.lit(""))
     cleaned = F.regexp_replace(
-        _nfc(F.col(text_col)), r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+        _nfc(src), r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
     )
     collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     norm = F.lower(collapsed) if casefold else collapsed
@@ -549,7 +555,7 @@ def normalize_text(
         F.col(id_col).alias("id"),
         norm.alias("norm_text"),
         F.length(norm).cast("long").alias("norm_len"),
-        (norm != F.col(text_col)).alias("changed"),
+        (norm != src).alias("changed"),
     )
 
 

@@ -345,7 +345,7 @@ def lua_event_record(repo, event: str, ctx: dict, action_name: str, hook_id: str
         "source_ref": base["source_ref"],
         "tag_id": ctx.get("tag") or "",
         "merge_source": base["merge_source"],
-        "repository_id": repo.root,
+        "repository_id": repo.name,
         "storage_namespace": getattr(repo.store, "data_root", repo.root),
         "commit": {
             "message": base["commit_message"],

@@ -126,27 +126,34 @@ class MostlyCorrectOwner:
                 yield owner
             finally:
                 stop.set()
-                # join WITHOUT a timeout: the refresher exits within
-                # refresh_interval/2 of stop.set(), and joining fully
-                # guarantees no refresh can re-extend the lease after
-                # the sentinel CAS below (a timed-out join left a
-                # window where the lease stayed live up to a full
-                # refresh_interval past release)
-                t.join()
-                try:
-                    # release by CAS-writing an EXPIRED sentinel, never
-                    # by delete: a get-then-delete could destroy a
-                    # thief's fresh lease written between the two calls
-                    # (the Store has no conditional delete). Losing the
-                    # CAS means someone else owns it now — leave it.
-                    got = self.store.get_doc(self._doc_key(key))
-                    if got is not None and got[0].get("owner") == owner:
-                        self.store.put_doc_if(
-                            self._doc_key(key),
-                            {"owner": owner, "expires": 0.0},
-                            got[1],
-                        )
-                except Exception:  # noqa: BLE001 — lease will expire anyway
-                    pass
+                # Join with a GENEROUS bound: the refresher exits within
+                # refresh_interval/2 of stop.set() unless a store call
+                # (S3 get/put) is itself hung — and release must not
+                # block the whole branch update indefinitely on that.
+                # The no-resurrection guarantee is kept conditionally:
+                # the sentinel CAS below runs ONLY when the join
+                # actually completed (no refresh can land after it);
+                # if the join timed out, we skip the sentinel and let
+                # the lease lapse on its own within refresh_interval —
+                # advisory-lock semantics, correctness stays with the
+                # branch-pointer CAS either way.
+                t.join(self.refresh_interval / 2 + 10.0)
+                if not t.is_alive():
+                    try:
+                        # release by CAS-writing an EXPIRED sentinel,
+                        # never by delete: a get-then-delete could
+                        # destroy a thief's fresh lease written between
+                        # the two calls (the Store has no conditional
+                        # delete). Losing the CAS means someone else
+                        # owns it now — leave it.
+                        got = self.store.get_doc(self._doc_key(key))
+                        if got is not None and got[0].get("owner") == owner:
+                            self.store.put_doc_if(
+                                self._doc_key(key),
+                                {"owner": owner, "expires": 0.0},
+                                got[1],
+                            )
+                    except Exception:  # noqa: BLE001 — lease expires anyway
+                        pass
         finally:
             local.release()

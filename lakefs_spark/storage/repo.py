@@ -153,6 +153,7 @@ class Repository:
         self.hooks: dict[str, list] = {}
         self.raggedness = DEFAULT_RAGGEDNESS
         self._read_only: bool | None = None  # lazy; immutable after create
+        self._name: str | None = None  # lazy; immutable after create
         #: optional MostlyCorrectOwner (storage/ownership.py): when set,
         #: branch updates queue on an advisory lease BEFORE paying the
         #: copy-on-write apply, so N contenders do ~1 apply per round
@@ -160,6 +161,20 @@ class Repository:
         #: reference). Purely a performance device — correctness stays
         #: with the pointer CAS; an expired/stolen lease never aborts.
         self.owner = None
+
+    @property
+    def name(self) -> str:
+        """Stable repository NAME for hook-visible records and exported
+        object keys (graveler's repositoryID, never a filesystem path).
+        Stored in the repo doc at create; repos created before the
+        field existed fall back to the root's basename, which is stable
+        for a given deployment but not across a move — new repos always
+        persist the name."""
+        if self._name is None:
+            got = self.store.get_doc("repo")
+            stored = (got[0].get("name") or "") if got is not None else ""
+            self._name = stored or os.path.basename(os.path.normpath(self.root))
+        return self._name
 
     @property
     def pulls(self):
@@ -177,6 +192,7 @@ class Repository:
         default_branch: str = "main",
         store: Store | None = None,
         read_only: bool = False,
+        name: str | None = None,
     ) -> "Repository":
         os.makedirs(root, exist_ok=True)
         for sub in ("ranges", "manifests", "staging"):
@@ -188,6 +204,7 @@ class Repository:
                 "default_branch": default_branch,
                 "created_at": time.time(),
                 "read_only": bool(read_only),
+                "name": name or os.path.basename(os.path.normpath(root)),
             },
         )
         repo._write_branch(default_branch, {"head": None, "staging_seq": 0})

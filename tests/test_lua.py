@@ -599,9 +599,12 @@ def test_branch_head_exporter_scenario_lua(spark, tmp_path):
         },
         export_root=export_root,
     )
+    # repository_id is the repo NAME (graveler's repositoryID), never a
+    # host filesystem path — exported keys must not embed local paths
+    assert repo.name == "repo"
     p = _os.path.join(
         export_root, "ext-bucket", "lakefs-exported-heads", "repositories",
-        repo.root.lstrip(_os.sep), "heads", "main",
+        "repo", "heads", "main",
     )
     assert _os.path.exists(p), p
     with open(p) as f:
