@@ -2431,6 +2431,216 @@ hooks:
     )
 
 
+_LUA_EXPORTER_ROWS: dict = {}
+
+
+def q_lua_exporters(spark, sf_dir):
+    """The reference's remaining stock catalogexport chains running as
+    real ``type: lua`` (lakefs_spark/lua/modules.py embedded ports of
+    pkg/actions/lua/lakefs/catalogexport/{delta,glue,unity}_exporter.lua
+    + host modules crypto/time/uuid/encoding/formats/glue/databricks):
+
+    - the esti delta-export action spec dispatched post-commit —
+      changed_table_defs via paged diff_refs, formats.delta_client over
+      the committed _delta_log, physical-address rewrite, z85-encoded
+      deletion-vector handling, s3 stand-in writes;
+    - the esti glue_exporter.lua body — hive schema → Glue table input
+      (integer→int, partition split, EXTERNAL_TABLE, symlink location);
+    - unity register_tables over the delta response — per-branch schema
+      + CREATE EXTERNAL TABLE statement;
+    - a crypto/time/z85 constant computed IN Lua.
+
+    Rows are normalized (the run's commit sha → '<sha>') so the hash is
+    deterministic while proving each chain computed real values."""
+    key = _session_tag(spark)
+    rows = _LUA_EXPORTER_ROWS.get(key)
+    if rows is None:
+        import json as _j
+        import os
+        import tempfile
+
+        from lakefs_spark.lua.modules import run_lua_hook
+        from lakefs_spark.schema import ENTRY_SCHEMA
+        from lakefs_spark.storage.actions import ActionsService, lua_event_record
+        from lakefs_spark.storage.repo import Repository
+        from tests.test_lua_exporters import (
+            DELTA_EXPORT_SCRIPT,
+            GLUE_EXPORT_SCRIPT,
+            HIVE_DESCRIPTOR,
+            _delta_repo,
+            _put_file,
+        )
+
+        rows = []
+        root = tempfile.mkdtemp(prefix="lakefs_luaexp_")
+
+        class _TP:
+            def __init__(self, spark, base):
+                self.spark = spark
+                self.base = base
+
+            def __truediv__(self, sub):
+                return os.path.join(self.base, sub)
+
+        # -- delta chain (dispatched stock action spec) ---------------------
+        repo, _base = _delta_repo(spark, _TP(spark, root))
+        export_root = os.path.join(root, "exports")
+        svc = ActionsService(repo, export_root=export_root)
+        svc.add_action(
+            {
+                "name": "Delta Exporter",
+                "on": {"post-commit": {"branches": ["main*"]}},
+                "hooks": [
+                    {
+                        "id": "delta_exporter",
+                        "type": "lua",
+                        "properties": {
+                            "script": DELTA_EXPORT_SCRIPT,
+                            "args": {
+                                "export_namespace": "s3://ext-bucket/ns",
+                                "aws": {"access_key_id": "k",
+                                        "secret_access_key": "s",
+                                        "region": "r"},
+                                "lakefs": {"access_key_id": "lk",
+                                           "secret_access_key": "ls"},
+                                "table_names": ["famous"],
+                            },
+                        },
+                    }
+                ],
+            }
+        )
+        c = repo.commit("main", "land the delta table")
+        short = c.commit_id[:6]
+        log_dir = os.path.join(export_root, "ext-bucket", "ns", "_lakefs",
+                               "exported", "main", short, "famous", "_delta_log")
+        for fname in sorted(os.listdir(log_dir)):
+            with open(os.path.join(log_dir, fname)) as f:
+                # concatenated JSON objects — count kinds + paths
+                body = f.read()
+            kinds = []
+            dec = _j.JSONDecoder()
+            at = 0
+            while at < len(body):
+                d, at = dec.raw_decode(body, at)
+                (kind,) = d.keys()
+                target = d[kind].get("path", "") if isinstance(d[kind], dict) else ""
+                kinds.append(f"{kind}:{target}" if target else kind)
+            rows.append(("delta", f"famous/_delta_log/{fname}",
+                         "|".join(sorted(kinds))))
+
+        # -- glue chain (esti glue_exporter.lua body) ------------------------
+        grepo = Repository.create(spark, os.path.join(root, "grepo"))
+        grepo.stage_entries(
+            "main",
+            spark.createDataFrame(
+                [("_lakefs_tables/animals.yaml", "iy",
+                  _put_file(grepo, "data/animals.yaml", HIVE_DESCRIPTOR),
+                  "RELATIVE", len(HIVE_DESCRIPTOR), "ey", None, None, "t")],
+                ENTRY_SCHEMA,
+            ),
+        )
+        gc = grepo.commit("main", "descriptor")
+        record = lua_event_record(
+            grepo, "post-commit", {"branch": "main", "commit": gc, "run_id": "r1"},
+            "Glue Exporter", "glue_exporter",
+        )
+        recorder: list = []
+        run_lua_hook(
+            GLUE_EXPORT_SCRIPT,
+            action=record,
+            args={
+                "aws": {"aws_access_key_id": "k", "aws_secret_access_key": "s",
+                        "aws_region": "r"},
+                "table_source": "_lakefs_tables/animals.yaml",
+                "export_base_uri": "s3://ext-bucket/ns",
+                "catalog": {
+                    "db_name": "my-db",
+                    "table_input": {
+                        "StorageDescriptor": {
+                            "InputFormat": "org.apache.hadoop.hive.ql.io.SymlinkTextInputFormat",
+                            "OutputFormat": "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+                            "SerdeInfo": {"SerializationLibrary":
+                                          "org.apache.hadoop.hive.serde2.OpenCSVSerde"},
+                        },
+                        "Parameters": {"classification": "csv"},
+                    },
+                },
+            },
+            repo=grepo,
+            export_root=os.path.join(root, "gexports"),
+            export_recorder=recorder,
+        )
+        gshort = gc.commit_id[:6]
+        ops = {r["op"]: r for r in recorder if r.get("service") == "glue"}
+        ti = ops["create_table"]["table_input"]
+        cols = ",".join(f"{cc['Name']}:{cc['Type']}"
+                        for cc in ti["StorageDescriptor"]["Columns"])
+        parts = ",".join(f"{p['Name']}:{p['Type']}" for p in ti["PartitionKeys"])
+        rows.append(("glue", "create_database", ops["create_database"]["database"]))
+        rows.append((
+            "glue", "create_table",
+            "|".join([
+                ti["Name"].replace(gshort, "<sha>"),
+                ti["TableType"],
+                f"cols={cols}",
+                f"parts={parts}",
+                ti["StorageDescriptor"]["Location"].replace(gshort, "<sha>"),
+                ti["StorageDescriptor"]["InputFormat"],
+                ti["Parameters"]["classification"],
+            ]),
+        ))
+
+        # -- unity chain over the delta response ------------------------------
+        urecorder: list = []
+        run_lua_hook(
+            """
+            local unity = require("lakefs/catalogexport/unity_exporter")
+            local databricks = require("databricks")
+            local resp = unity.register_tables(action, "_lakefs_tables",
+                args.details, databricks.client("h", "t"), "wh-1")
+            return resp["famous"]
+            """,
+            action={"repository_id": repo.name, "commit_id": c.commit_id,
+                    "branch_id": "main"},
+            args={"details": {"famous": {
+                "path": f"s3://ext-bucket/ns/_lakefs/exported/main/{short}/famous",
+                "metadata": {"description": "famous animals"},
+            }}},
+            repo=repo,
+            export_recorder=urecorder,
+        )
+        ureg = next(r for r in urecorder if r["op"] == "register_external_table")
+        rows.append(("unity", "register_external_table",
+                     ureg["statement"].replace(short, "<sha>")))
+        rows.append(("unity", "create_schema", "main-cat.main"))
+
+        # -- crypto/time/z85 constants computed IN Lua -------------------------
+        ret = run_lua_hook(
+            """
+            local hex = require("encoding/hex")
+            local hmac = require("crypto/hmac")
+            local md5 = require("crypto/md5")
+            local time = require("time")
+            local z85 = require("encoding/z85enc")
+            local uuid, prefix = z85.decode_uuid("HelloWorldHelloWorld")
+            return hex.encode(hmac.sign_sha256("lakefs", "spark")) .. "|" ..
+                   md5.digest("lakefs") .. "|" ..
+                   time.format_iso(time.parse("2006-01-02 15:04:05 -0700",
+                                              "2024-03-05 12:30:45 +0200"), "") ..
+                   "|" .. uuid .. prefix
+            """,
+            repo=repo,
+        )
+        rows.append(("hostmods", "crypto_time_z85", ret[0]))
+        rows = [(i + 1, comp, item, val)
+                for i, (comp, item, val) in enumerate(rows)]
+        _LUA_EXPORTER_ROWS[key] = rows
+    return spark.createDataFrame(
+        rows, "pos long, component string, item string, value string"
+    )
+
+
 # -- commit DAG (storage.refs over the shared dagspec DAG) -----------------
 
 _DAG_STORE = None
@@ -2736,6 +2946,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webhook_deliveries": q_webhook_deliveries,
         "action_task_results": q_action_task_results,
         "lua_hook_runs": q_lua_hook_runs,
+        "lua_exporters": q_lua_exporters,
         "audio_chunks": q_audio_chunks,
         "line_dedup": q_line_dedup,
         "text_normalize": q_text_normalize,

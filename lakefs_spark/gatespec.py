@@ -77,6 +77,7 @@ GATES: dict[str, list[str]] = {
         "expectation_gate",
         "action_task_results",
         "lua_hook_runs",
+        "lua_exporters",
     ],
     "event_windows_extra": ["sliding_event_counts", "event_time_rollup"],
     "token_gates": ["token_counts", "bpe_token_counts", "vocab_stats", "length_percentiles", "token_fertility"],
@@ -242,6 +243,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "audio_chunks": [("media_id", "bigint"), ("chunk_idx", "bigint"), ("start_ms", "bigint"), ("end_ms", "bigint"), ("start_sample", "bigint"), ("end_sample", "bigint")],
     "line_dedup": [("doc_id", "bigint"), ("clean_text", "string"), ("n_kept", "bigint"), ("n_removed", "bigint")],
     "lua_hook_runs": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string"), ("output", "string")],
+    "lua_exporters": [("pos", "bigint"), ("component", "string"), ("item", "string"), ("value", "string")],
     "active_commits": [("commit_id", "string")],
     "ann_recall": [("qa", "bigint"), ("n_hits", "bigint"), ("recall", "double")],
     "ann_topk": [("qa", "bigint"), ("qb", "bigint"), ("sim", "double")],

@@ -64,6 +64,11 @@ def lua_to_py(v, _depth=0):
         if n > 0 and keys == set(range(1, n + 1)):
             return [lua_to_py(v.get(i), _depth + 1) for i in range(1, n + 1)]
         if not keys:
+            # array()-tagged empty table marshals as [] (the reference's
+            # arrayMarkerField metatable convention, util/deep_pull.go)
+            mt = v.metatable
+            if isinstance(mt, LuaTable) and mt.get("__lua_array"):
+                return []
             return {}
         out = {}
         for k in v.hash:
@@ -248,7 +253,36 @@ def _mod_url() -> LuaTable:
 
         return unquote_plus(s)
 
-    return LuaTable({"parse": parse, "query_unescape": query_unescape})
+    def path_escape(s):
+        from urllib.parse import quote
+
+        return quote(str(s), safe="")
+
+    def build_url(scheme, host, path=None, query=None, fragment=None):
+        # net/url build_url: Go url.URL{...}.String() — path is escaped
+        # (spaces, non-ASCII) but '/' and sub-delims stay literal
+        from urllib.parse import quote
+
+        out = f"{scheme}://{host}"
+        if path is not None:
+            p = quote(str(path), safe="/$&+,:;=@~!*'()")
+            if p and not p.startswith("/"):
+                p = "/" + p
+            out += p
+        if query is not None and str(query) != "":
+            out += "?" + str(query)
+        if fragment is not None and str(fragment) != "":
+            out += "#" + str(fragment)
+        return out
+
+    return LuaTable(
+        {
+            "parse": parse,
+            "query_unescape": query_unescape,
+            "path_escape": path_escape,
+            "build_url": build_url,
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -496,7 +530,11 @@ def make_aws_module(export_root: str | None, recorder: list | None = None) -> Lu
             }
         )
 
-    return LuaTable({"s3_client": s3_client})
+    from lakefs_spark.lua.hostmods import make_glue_client
+
+    return LuaTable(
+        {"s3_client": s3_client, "glue_client": make_glue_client(recorder)}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -558,7 +596,29 @@ local function get_storage_uri_prefix(storage_ns, commit_id, info)
     string.format("_lakefs/exported/%s/%s/", ref, short_digest(commit_id)))
 end
 
+local function deepcopy(orig)
+  if type(orig) ~= "table" then return orig end
+  local copy = {}
+  for k, v in pairs(orig) do
+    copy[deepcopy(k)] = deepcopy(v)
+  end
+  setmetatable(copy, deepcopy(getmetatable(orig)))
+  return copy
+end
+
+local function sortedKeys(query, sortFunction)
+  local keys, len = {}, 0
+  for k, _ in pairs(query) do
+    len = len + 1
+    keys[len] = k
+  end
+  table.sort(keys, sortFunction)
+  return keys
+end
+
 return {
+  deepcopy = deepcopy,
+  sortedKeys = sortedKeys,
   short_digest = short_digest,
   lakefs_paginiated_api = lakefs_paginiated_api,
   lakefs_object_pager = lakefs_object_pager,
@@ -738,11 +798,384 @@ end
 return { export_s3 = export_s3 }
 """
 
+_CATALOGEXPORT_DELTA = r"""
+-- lakefs/catalogexport/delta_exporter: materialize a repo-committed
+-- Delta Lake _delta_log with physical addresses for external readers
+-- (surface and control flow of pkg/actions/lua/lakefs/catalogexport/
+-- delta_exporter.lua: export_delta_log, changed_table_defs; Apache-2.0)
+local lakefs = require("lakefs")
+local pathlib = require("path")
+local json = require("encoding/json")
+local utils = require("lakefs/catalogexport/internal")
+local extractor = require("lakefs/catalogexport/table_extractor")
+local strings = require("strings")
+local url = require("net/url")
+local z85 = require("encoding/z85enc")
+
+local function table_not_empty(t)
+  return next(t) ~= nil
+end
+
+-- zero-padded 20-digit version keys per the Delta protocol
+local function delta_log_entry_key_generator()
+  local current = 0
+  return function()
+    local key = tostring(current)
+    local padded = ""
+    for _ = 1, 20 - key:len() do padded = padded .. "0" end
+    current = current + 1
+    return padded .. key .. ".json"
+  end
+end
+
+local function get_table_descriptor(repo, ref, table_name_yaml, table_descriptors_path)
+  local tny = table_name_yaml
+  if not strings.has_suffix(tny, ".yaml") then tny = tny .. ".yaml" end
+  local table_src_path = pathlib.join("/", table_descriptors_path, tny)
+  return extractor.get_table_descriptor(lakefs, repo, ref, table_src_path)
+end
+
+-- resolve a deletion vector's .bin file to its physical address
+local function resolve_dv(repo, commit_id, table_path, path_transformer, dv, file_path)
+  if dv.storageType == "i" then return end
+  local dv_full_path
+  if dv.storageType == "p" then
+    dv_full_path = pathlib.join("/", table_path, dv.pathOrInlineDv)
+  elseif dv.storageType == "u" then
+    local uuid, prefix = z85.decode_uuid(dv.pathOrInlineDv)
+    local dv_filename = "deletion_vector_" .. uuid .. ".bin"
+    if prefix ~= "" then dv_filename = prefix .. "/" .. dv_filename end
+    dv_full_path = pathlib.join("/", table_path, dv_filename)
+  else
+    error(string.format("unknown deletion vector storageType=%s on file %s",
+      tostring(dv.storageType), tostring(file_path)))
+  end
+  local dv_code, dv_obj = lakefs.stat_object(repo, commit_id, dv_full_path)
+  if dv_code == 200 then
+    local dv_stat = json.unmarshal(dv_obj)
+    local dv_u = url.parse(dv_stat["physical_address"])
+    local dv_physical = url.build_url(dv_u["scheme"], dv_u["host"], dv_u["path"])
+    if path_transformer ~= nil then dv_physical = path_transformer(dv_physical) end
+    dv.storageType = "p"
+    dv.pathOrInlineDv = dv_physical
+  end
+end
+
+local function export_delta_log(action, table_def_names, write_object, delta_client,
+                                table_descriptors_path, path_transformer)
+  local repo = action.repository_id
+  local commit_id = action.commit_id
+  if not commit_id then error("missing commit id") end
+  local ns = action.storage_namespace
+  if ns == nil then error("failed getting storage namespace for repo " .. repo) end
+  local response = {}
+  for _, table_name_yaml in ipairs(table_def_names) do
+    local descriptor = get_table_descriptor(repo, commit_id, table_name_yaml, table_descriptors_path)
+    local table_path = descriptor.path
+    if not table_path then error("table path is required to proceed with Delta catalog export") end
+    local table_name = descriptor.name
+    if not table_name then error("table name is required to proceed with Delta catalog export") end
+
+    local t, metadata = delta_client.get_table(repo, commit_id, table_path)
+    local sorted_versions = utils.sortedKeys(t)
+    local table_log = {}
+    local key_gen = delta_log_entry_key_generator()
+    local unfound_paths = {}
+    for _, version in ipairs(sorted_versions) do
+      local entry_log = {}
+      for _, e in ipairs(t[version]) do
+        local entry = json.unmarshal(e)
+        local p = ""
+        if entry.add ~= nil then p = entry.add.path
+        elseif entry.remove ~= nil then p = entry.remove.path
+        elseif entry.cdc ~= nil then p = entry.cdc.path end
+        if p ~= "" then
+          local unescaped_path = url.query_unescape(p)
+          if not unescaped_path then error("failed unescaping path: " .. p) end
+          unescaped_path = pathlib.join("/", table_path, unescaped_path)
+          local code, obj = lakefs.stat_object(repo, commit_id, unescaped_path)
+          if code == 200 then
+            local obj_stat = json.unmarshal(obj)
+            -- rebuild the physical url so each part is escaped correctly
+            local u = url.parse(obj_stat["physical_address"])
+            local physical_path = url.build_url(u["scheme"], u["host"], u["path"])
+            if path_transformer ~= nil then physical_path = path_transformer(physical_path) end
+            if entry.add ~= nil then
+              entry.add.path = physical_path
+              if entry.add.deletionVector then
+                resolve_dv(repo, commit_id, table_path, path_transformer,
+                  entry.add.deletionVector, entry.add.path)
+              end
+            elseif entry.remove ~= nil then
+              entry.remove.path = physical_path
+              if entry.remove.deletionVector then
+                resolve_dv(repo, commit_id, table_path, path_transformer,
+                  entry.remove.deletionVector, entry.remove.path)
+              end
+            elseif entry.cdc ~= nil then
+              entry.cdc.path = physical_path
+            end
+          elseif code == 404 then
+            if entry.remove ~= nil or entry.cdc ~= nil then
+              -- vacuumed remove/cdc target: skip silently
+              unfound_paths[unescaped_path] = nil
+            else
+              unfound_paths[unescaped_path] = true
+            end
+          else
+            error("failed stat_object with code: " .. tostring(code) ..
+                  ", and path: " .. unescaped_path)
+          end
+        end
+        table.insert(entry_log, json.marshal(entry))
+      end
+      table_log[key_gen()] = entry_log
+    end
+
+    if table_not_empty(unfound_paths) then
+      local unfound = ""
+      for p, v in pairs(unfound_paths) do
+        if v ~= nil then unfound = pathlib.join(" ", unfound, p) end
+      end
+      error("The following objects were not found: " .. unfound)
+    end
+
+    local table_export_prefix = utils.get_storage_uri_prefix(ns, commit_id, action)
+    local table_physical_path = pathlib.join("/", table_export_prefix, table_name)
+    local table_log_physical_path = pathlib.join("/", table_physical_path, "_delta_log")
+    local storage_props = utils.parse_storage_uri(table_log_physical_path)
+    for entry_version, table_entry in pairs(table_log) do
+      local content = ""
+      for _, line in ipairs(table_entry) do content = content .. line end
+      write_object(storage_props.bucket, storage_props.key .. "/" .. entry_version, content)
+    end
+    if path_transformer ~= nil then
+      table_physical_path = path_transformer(table_physical_path)
+    end
+    response[table_name_yaml] = { path = table_physical_path, metadata = metadata }
+  end
+  return response
+end
+
+-- filter table defs to those whose data changed between two refs
+local function changed_table_defs(table_def_names, table_descriptors_path, repository_id, ref, compare_ref)
+  local after = ""
+  local table_descriptors_paths = {}
+  for _, table_name_yaml in ipairs(table_def_names) do
+    if not table_descriptors_paths[table_name_yaml] then
+      local descriptor = get_table_descriptor(repository_id, compare_ref, table_name_yaml, table_descriptors_path)
+      if descriptor.path ~= nil then
+        table_descriptors_paths[table_name_yaml] = descriptor.path
+      else
+        table_descriptors_paths[table_name_yaml] = ""
+      end
+    end
+  end
+  local changed = {}
+  while true do
+    local status, diff_resp = lakefs.diff_refs(repository_id, ref, compare_ref, after)
+    if status ~= 200 then
+      error("Failed to perform diff_refs with status: " .. tostring(status) ..
+            " ref: " .. ref .. " compare_ref: " .. compare_ref .. " after: " .. after)
+    end
+    local changed_path_set = {}
+    for _, diff_item in ipairs(diff_resp.results) do
+      local dir = pathlib.extract_dir_name(diff_item.path)
+      if dir then changed_path_set[dir] = true end
+    end
+    for table_name_yaml, path in pairs(table_descriptors_paths) do
+      if path ~= "" then
+        for changed_path, value in pairs(changed_path_set) do
+          if value and strings.has_prefix(changed_path, path) then
+            table.insert(changed, table_name_yaml)
+            break
+          end
+        end
+      end
+    end
+    if not diff_resp.pagination or not diff_resp.pagination.has_more then break end
+    after = diff_resp.pagination.next_offset
+  end
+  return changed
+end
+
+return {
+  export_delta_log = export_delta_log,
+  changed_table_defs = changed_table_defs,
+}
+"""
+
+_CATALOGEXPORT_GLUE = r"""
+-- lakefs/catalogexport/glue_exporter: register a Hive-descriptor table
+-- in AWS Glue over its exported symlink location (surface and control
+-- flow of pkg/actions/lua/lakefs/catalogexport/glue_exporter.lua;
+-- Apache-2.0)
+local pathlib = require("path")
+local json = require("encoding/json")
+local lakefs = require("lakefs")
+local extractor = require("lakefs/catalogexport/table_extractor")
+local utils = require("lakefs/catalogexport/internal")
+
+local function get_full_table_name(descriptor, action_info)
+  local branch_or_tag = utils.ref_from_branch_or_tag(action_info)
+  local sha = utils.short_digest(action_info.commit_id)
+  return string.format("%s_%s_%s_%s", descriptor.name, action_info.repository_id,
+    branch_or_tag, sha)
+end
+
+local types_mapping = { integer = "int" }
+
+local function hive_col_to_glue(col)
+  return {
+    Name = col.name,
+    Type = types_mapping[col.type] or col.type,
+    Comment = col.comment,
+    Parameters = col.parameters,
+  }
+end
+
+local function hive_partitions_to_glue_input(descriptor)
+  local partitions = {}
+  local cols = descriptor.schema.fields or {}
+  for _, c in ipairs(cols) do cols[c.name] = c end
+  -- partition order determines the storage path layout
+  for _, part_key in ipairs(descriptor.partition_columns) do
+    local col = cols[part_key]
+    if col == nil then
+      error(string.format("partition name `%s` not found in table `%s`",
+        part_key, descriptor.name))
+    end
+    table.insert(partitions, hive_col_to_glue(col))
+  end
+  return partitions
+end
+
+local function hive_columns_to_glue_input(descriptor)
+  local partition_names = {}
+  for _, p in ipairs(descriptor.partition_columns) do partition_names[p] = true end
+  local columns = {}
+  for _, col in ipairs(descriptor.schema.fields or {}) do
+    if not partition_names[col.name] then
+      table.insert(columns, hive_col_to_glue(col))
+    end
+  end
+  return columns
+end
+
+local function get_table_location(storage_base_prefix, descriptor, action_info)
+  local export_base_uri = utils.get_storage_uri_prefix(storage_base_prefix,
+    action_info.commit_id, action_info)
+  return pathlib.join("/", export_base_uri, descriptor.name)
+end
+
+local function build_glue_create_table_input(base_input, descriptor, symlink_location,
+    columns, partitions, action_info, options)
+  local input = utils.deepcopy(base_input)
+  local opts = options or {}
+  input.Name = opts.table_name or get_full_table_name(descriptor, action_info)
+  input.PartitionKeys = array(partitions)
+  input.TableType = "EXTERNAL_TABLE"
+  input.StorageDescriptor.Columns = array(columns)
+  input.StorageDescriptor.Location = symlink_location
+  return input
+end
+
+local function export_glue(glue, db, table_src_path, create_table_input, action_info, options)
+  local opts = options or {}
+  local repo_id = action_info.repository_id
+  local commit_id = action_info.commit_id
+  local descriptor = extractor.get_table_descriptor(lakefs, repo_id, commit_id, table_src_path)
+  local base_prefix = opts.export_base_uri or action_info.storage_namespace
+  local symlink_location = get_table_location(base_prefix, descriptor, action_info)
+
+  local columns = {}
+  local partitions = {}
+  if descriptor.type == "hive" then
+    partitions = hive_partitions_to_glue_input(descriptor)
+    columns = hive_columns_to_glue_input(descriptor)
+  else
+    error("table " .. descriptor.type .. " in path " .. table_src_path .. " not supported")
+  end
+
+  if opts.create_db_input ~= nil then
+    glue.create_database(db, { error_on_already_exists = false,
+                               create_db_input = opts.create_db_input })
+    if opts.debug then print("success creating / verifying glue database") end
+  end
+
+  local table_input = build_glue_create_table_input(create_table_input, descriptor,
+    symlink_location, columns, partitions, action_info, opts)
+  local json_input = json.marshal(table_input)
+  if opts.debug then print("Creating Glue Table - input:", json_input) end
+  glue.create_table(db, json_input)
+  return { table_input = table_input }
+end
+
+return {
+  get_full_table_name = get_full_table_name,
+  export_glue = export_glue,
+}
+"""
+
+_CATALOGEXPORT_UNITY = r"""
+-- lakefs/catalogexport/unity_exporter: register exported Delta tables
+-- in Databricks Unity Catalog (surface and control flow of
+-- pkg/actions/lua/lakefs/catalogexport/unity_exporter.lua; Apache-2.0)
+local strings = require("strings")
+local pathlib = require("path")
+local lakefs = require("lakefs")
+local extractor = require("lakefs/catalogexport/table_extractor")
+
+-- delta_table_details: { <table name yaml>: {path=..., metadata=...} }
+-- (the response shape of delta_exporter.export_delta_log)
+local function register_tables(action, table_descriptors_path, delta_table_details,
+                               databricks_client, warehouse_id)
+  local repo = action.repository_id
+  local commit_id = action.commit_id
+  if not commit_id then error("missing commit id") end
+  local branch_id = action.branch_id
+  local response = {}
+  for table_name_yaml, table_details in pairs(delta_table_details) do
+    local tny = table_name_yaml
+    if not strings.has_suffix(tny, ".yaml") then tny = tny .. ".yaml" end
+    local table_src_path = pathlib.join("/", table_descriptors_path, tny)
+    local descriptor = extractor.get_table_descriptor(lakefs, repo, commit_id, table_src_path)
+    local table_name = descriptor.name
+    if not table_name then
+      error("table name is required to proceed with unity catalog export")
+    end
+    if descriptor.type ~= "delta" then
+      error("unity exporter supports only table descriptors of type 'delta'. " ..
+            "registration failed for table " .. table_name)
+    end
+    local catalog = descriptor.catalog
+    if not catalog then
+      error("catalog name is required to proceed with unity catalog export")
+    end
+    local schema_name = databricks_client.create_schema(branch_id, catalog, true)
+    if not schema_name then
+      error("failed creating/getting catalog's schema: " .. catalog .. "." .. branch_id)
+    end
+    local status = databricks_client.register_external_table(table_name,
+      table_details.path, warehouse_id, catalog, schema_name, table_details.metadata)
+    response[table_name_yaml] = status
+  end
+  return response
+end
+
+return {
+  register_tables = register_tables,
+}
+"""
+
 _LUA_MODULES = {
     "lakefs/catalogexport/internal": _CATALOGEXPORT_INTERNAL,
     "lakefs/catalogexport/table_extractor": _CATALOGEXPORT_TABLE_EXTRACTOR,
     "lakefs/catalogexport/hive": _CATALOGEXPORT_HIVE,
     "lakefs/catalogexport/symlink_exporter": _CATALOGEXPORT_SYMLINK,
+    "lakefs/catalogexport/delta_exporter": _CATALOGEXPORT_DELTA,
+    "lakefs/catalogexport/glue_exporter": _CATALOGEXPORT_GLUE,
+    "lakefs/catalogexport/unity_exporter": _CATALOGEXPORT_UNITY,
 }
 
 
@@ -768,6 +1201,12 @@ def make_hook_env(
     g.set("action", py_to_lua(action or {}))
     g.set("args", py_to_lua(args or {}))
 
+    from lakefs_spark.lua.hostmods import (
+        PY_HOST_MODULES,
+        make_databricks_module,
+        make_formats_module,
+    )
+
     py_modules = {
         "strings": _mod_strings,
         "path": _mod_path,
@@ -775,10 +1214,28 @@ def make_hook_env(
         "encoding/json": _mod_json,
         "encoding/yaml": _mod_yaml,
         "net/url": _mod_url,
+        **PY_HOST_MODULES,
     }
     if repo is not None:
         py_modules["lakefs"] = lambda: make_lakefs_client(repo, content_loader)
+        py_modules["formats"] = lambda: make_formats_module(repo, content_loader)
     py_modules["aws"] = lambda: make_aws_module(export_root, export_recorder)
+    py_modules["databricks"] = lambda: make_databricks_module(export_recorder)
+
+    # the `array` global (pkg/actions/lua/util/deep_pull.go luaArray):
+    # tags a table so marshaling renders it as a JSON array even when
+    # empty — glue create-table inputs rely on [] vs {}
+    def lua_array(t=None):
+        if t is None:
+            t = LuaTable()
+        if not isinstance(t, LuaTable):
+            raise LuaError("array: table expected")
+        mt = t.metatable if isinstance(t.metatable, LuaTable) else LuaTable()
+        mt.set("__lua_array", True)
+        t.metatable = mt
+        return t
+
+    g.set("array", lua_array)
 
     loaded: dict[str, LuaTable] = {}
 

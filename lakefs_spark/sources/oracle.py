@@ -2253,6 +2253,31 @@ def q_lua_hook_runs() -> str:
     """
 
 
+def q_lua_exporters() -> str:
+    # mirror of __spark_entry__.q_lua_exporters: the stock delta / glue /
+    # unity catalogexport chains running as real type:lua, normalized to
+    # constants (commit sha → '<sha>'); the hostmods row is the exact
+    # hmac-sha256/md5/Go-layout-time/z85 values those modules must
+    # compute (independently derivable: hmac('spark','lakefs'),
+    # md5('lakefs'), 2024-03-05 12:30:45 +0200 → UTC ISO, the Z85 spec
+    # vector 'HelloWorld' twice → 8-byte block repeated)
+    return """
+    select cast(1 as bigint) as pos, 'delta' as component,
+           'famous/_delta_log/00000000000000000000.json' as item,
+           'add:s3://phys-bucket/data/part-0.parquet|metaData|protocol' as value
+    union all select 2, 'delta', 'famous/_delta_log/00000000000000000001.json',
+           'add:s3://phys-bucket/data/part-1.parquet|remove:part-gone.parquet'
+    union all select 3, 'glue', 'create_database', 'my-db'
+    union all select 4, 'glue', 'create_table',
+           'animals_grepo_main_<sha>|EXTERNAL_TABLE|cols=weight:int,name:string|parts=type:string|s3://ext-bucket/ns/_lakefs/exported/main/<sha>/animals|org.apache.hadoop.hive.ql.io.SymlinkTextInputFormat|csv'
+    union all select 5, 'unity', 'register_external_table',
+           'CREATE EXTERNAL TABLE famous LOCATION ''s3://ext-bucket/ns/_lakefs/exported/main/<sha>/famous'' COMMENT ''famous animals'''
+    union all select 6, 'unity', 'create_schema', 'main-cat.main'
+    union all select 7, 'hostmods', 'crypto_time_z85',
+           '84fbc965f426334fd1e7ed6cb63bef66eeea285a28d659e2c788543ee2a5529b|866648163d1bdbd266d02d5888e3ffe4|2024-03-05T10:30:45+00:00|864fd26f-b559-f75b-864f-d26fb559f75b'
+    """
+
+
 def q_text_normalize() -> str:
     # mirror of __spark_entry__.q_text_normalize: dirty each doc with a
     # DECOMPOSED accent (e + U+0301), a bell, a tab and space runs,
@@ -2920,6 +2945,7 @@ def part_oracles() -> dict[str, str]:
                 "webhook_deliveries": q_webhook_deliveries(),
                 "action_task_results": q_action_task_results(),
                 "lua_hook_runs": q_lua_hook_runs(),
+                "lua_exporters": q_lua_exporters(),
                 "audio_chunks": q_audio_chunks(),
                 "line_dedup": q_line_dedup(),
                 "text_normalize": q_text_normalize(),

@@ -366,6 +366,8 @@ def lua_hook(
     hook_id: str = "lua",
     args: dict | None = None,
     output_sink=None,
+    export_root: str | None = None,
+    export_recorder: list | None = None,
 ):
     """Hook callable executing an embedded-Lua script (lua.go:105-171).
 
@@ -407,6 +409,8 @@ def lua_hook(
                 args=dict(args or {}),
                 output_sink=lambda line: sink(str(line)),
                 repo=repo,
+                export_root=export_root,
+                export_recorder=export_recorder,
                 chunkname=f"{action_name}/{hook_id}",
             )
         except LuaUnsupportedFeature:
@@ -614,13 +618,20 @@ class ActionsService:
     a pre-* event with any failed action aborts the operation."""
 
     def __init__(self, repo, *, env_getter=None, transport=None, source=None,
-                 exporters: dict | None = None):
+                 exporters: dict | None = None, export_root: str | None = None,
+                 export_recorder: list | None = None):
         import os
 
         self.repo = repo
         self.env_getter = env_getter or os.environ.get
         self.transport = transport
         self.source = source
+        #: sandbox sink for the Lua aws/databricks stand-ins: dispatched
+        #: ``type: lua`` hooks write exports under export_root/<bucket>/
+        #: <key> and record calls into export_recorder (tests assert on
+        #: both; a networked deployment would swap real clients in here)
+        self.export_root = export_root
+        self.export_recorder = export_recorder
         # named exporter registry, surfaced to script hooks as the
         # ``export(name, ...)`` global — the script-runner analog of the
         # reference's lua/lakefs/catalogexport stdlib (symlink_exporter
@@ -809,6 +820,8 @@ class ActionsService:
                 hook_id=hid,
                 args=props.get("args"),
                 output_sink=lambda line: self._log_output(run_id, hook_run_id, line),
+                export_root=self.export_root,
+                export_recorder=self.export_recorder,
             )
         raise InvalidActionError(f"unknown hook type {htype!r}")  # pragma: no cover
 

@@ -1,0 +1,539 @@
+"""Stock catalogexport exporter chains running as real ``type: lua``.
+
+Round-7 closed the symlink chain; these tests close the remaining
+reference exporters — delta_exporter / glue_exporter / unity_exporter
+(pkg/actions/lua/lakefs/catalogexport/*.lua) — plus the host modules
+they pull in (crypto/*, time, uuid, encoding/{base64,hex,z85enc},
+formats.delta_client, aws.glue_client, databricks.client). The scripts
+under test are the reference's own esti/example hook bodies (modulo
+the same action-field override lines the esti fixtures themselves
+use), so passing here means a lakeFS user's existing exporter hooks
+run unmodified.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from lakefs_spark.lua.modules import make_hook_env, run_lua_hook
+from lakefs_spark.lua import run_lua
+from lakefs_spark.schema import ENTRY_SCHEMA
+
+
+# ---------------------------------------------------------------------------
+# host modules exercised from Lua
+# ---------------------------------------------------------------------------
+
+
+def run(src, **globals_):
+    out = []
+    g = make_hook_env(output_sink=out.append)
+    from lakefs_spark.lua.modules import py_to_lua
+
+    for k, v in globals_.items():
+        g.set(k, py_to_lua(v))
+    return run_lua(src, g), out
+
+
+def test_crypto_modules_from_lua():
+    ret, _ = run(
+        """
+        local sha256 = require("crypto/sha256")
+        local md5 = require("crypto/md5")
+        local hmac = require("crypto/hmac")
+        local hex = require("encoding/hex")
+        local b64 = require("encoding/base64")
+        return hex.encode(sha256.digest("abc")),
+               md5.digest("abc"),
+               hex.encode(hmac.sign_sha256("msg", "key")),
+               b64.encode("foob"),
+               b64.decode("Zm9vYg=="),
+               b64.url_encode("foob"),
+               b64.url_decode("Zm9vYg"),
+               hex.decode("4142")
+        """
+    )
+    import hashlib
+    import hmac as pyhmac
+
+    assert ret == [
+        hashlib.sha256(b"abc").hexdigest(),
+        hashlib.md5(b"abc").hexdigest(),
+        pyhmac.new(b"key", b"msg", hashlib.sha256).hexdigest(),
+        "Zm9vYg==",
+        "foob",
+        "Zm9vYg",
+        "foob",
+        "AB",
+    ]
+
+
+def test_aes_cbc_roundtrip_from_lua():
+    ret, _ = run(
+        """
+        local aes = require("crypto/aes")
+        local ct = aes.encryptCBC("0123456789abcdef", "attack at dawn")
+        return aes.decryptCBC("0123456789abcdef", ct), ct ~= "attack at dawn"
+        """
+    )
+    assert ret == ["attack at dawn", True]
+
+
+def test_time_module_from_lua():
+    ret, _ = run(
+        """
+        local time = require("time")
+        local ns = time.parse_iso("2024-03-05T12:30:45+02:00")
+        local iso = time.format_iso(ns, "")
+        local day = time.format(ns, "2006-01-02", "UTC")
+        local ns2 = time.add(ns, {hour=1, second=15})
+        local t0 = time.now()
+        time.sleep(1000000) -- 1ms
+        local el = time.since(t0)
+        return ns, iso, day, ns2 - ns, el > 0, time.parse("2006-01-02", "2021-12-31")
+        """
+    )
+    assert ret[0] == 1709634645e9
+    assert ret[1] == "2024-03-05T10:30:45+00:00"
+    assert ret[2] == "2024-03-05"
+    assert ret[3] == 3615e9
+    assert ret[4] is True
+    assert ret[5] == 1640908800e9
+
+
+def test_uuid_and_z85_from_lua():
+    ret, _ = run(
+        """
+        local uuid = require("uuid")
+        local z85 = require("encoding/z85enc")
+        local u1, u2 = uuid.new(), uuid.new()
+        local id, prefix = z85.decode_uuid("ab/cdHelloWorldHelloWorld")
+        return u1 ~= u2, #u1, id, prefix
+        """
+    )
+    assert ret[0] is True and ret[1] == 36
+    # "HelloWorld" is the Z85 spec test vector (decodes 864FD26FB559F75B)
+    assert ret[2] == "864fd26f-b559-f75b-864f-d26fb559f75b"
+    assert ret[3] == "ab/cd"
+
+
+# ---------------------------------------------------------------------------
+# repository fixtures for the exporter chains
+# ---------------------------------------------------------------------------
+
+DELTA_DESCRIPTOR = """\
+name: famous
+type: delta
+catalog: main-cat
+path: tables/famous
+"""
+
+HIVE_DESCRIPTOR = """\
+name: animals
+type: hive
+path: tables/animals
+partition_columns: ['type']
+schema:
+  type: struct
+  fields:
+    - name: type
+      type: string
+      comment: animal type
+    - name: weight
+      type: integer
+    - name: name
+      type: string
+"""
+
+META_ACTION = {
+    "metaData": {
+        "id": "11-22",
+        "name": "famous",
+        "description": "famous animals",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": '{"type":"struct","fields":[]}',
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 1699276565000,
+    }
+}
+
+
+def _put_file(repo, rel, text):
+    p = os.path.join(repo.store.data_root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        f.write(text)
+    return rel
+
+
+def _delta_repo(spark, tmp_path):
+    """A repo holding a Delta table at tables/famous: the _delta_log
+    JSON commits live as readable RELATIVE objects; the parquet data
+    files are FULL s3:// addresses (stat-only, like production)."""
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    # base commit so post-commit parents[1] resolves for diff_refs
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("README.md", "i0", _put_file(repo, "data/readme", "hi"),
+              "RELATIVE", 2, "e0", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    base = repo.commit("main", "base")
+
+    v0 = "\n".join(
+        [
+            json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}),
+            json.dumps(META_ACTION),
+            json.dumps(
+                {
+                    "add": {
+                        "path": "part-0.parquet",
+                        "partitionValues": {},
+                        "size": 100,
+                        "modificationTime": 1699276565000,
+                        "dataChange": True,
+                    }
+                }
+            ),
+        ]
+    )
+    v1 = "\n".join(
+        [
+            json.dumps(
+                {
+                    "add": {
+                        "path": "part-1.parquet",
+                        "partitionValues": {},
+                        "size": 50,
+                        "dataChange": True,
+                        "deletionVector": {
+                            "storageType": "i",
+                            "pathOrInlineDv": "deadbeef",
+                            "sizeInBytes": 4,
+                            "cardinality": 1,
+                        },
+                    }
+                }
+            ),
+            # remove of a long-vacuumed file: stat 404 must be skipped
+            json.dumps(
+                {
+                    "remove": {
+                        "path": "part-gone.parquet",
+                        "deletionTimestamp": 1699276565259,
+                        "dataChange": True,
+                    }
+                }
+            ),
+        ]
+    )
+    rows = [
+        ("_lakefs_tables/famous.yaml", "iy",
+         _put_file(repo, "data/famous.yaml", DELTA_DESCRIPTOR),
+         "RELATIVE", len(DELTA_DESCRIPTOR), "ey", None, None, "t"),
+        ("tables/famous/_delta_log/00000000000000000000.json", "il0",
+         _put_file(repo, "data/log0.json", v0),
+         "RELATIVE", len(v0), "el0", None, None, "t"),
+        ("tables/famous/_delta_log/00000000000000000001.json", "il1",
+         _put_file(repo, "data/log1.json", v1),
+         "RELATIVE", len(v1), "el1", None, None, "t"),
+        ("tables/famous/part-0.parquet", "ip0",
+         "s3://phys-bucket/data/part-0.parquet", "FULL", 100, "ep0", None, None, "t"),
+        ("tables/famous/part-1.parquet", "ip1",
+         "s3://phys-bucket/data/part-1.parquet", "FULL", 50, "ep1", None, None, "t"),
+    ]
+    repo.stage_entries("main", spark.createDataFrame(rows, ENTRY_SCHEMA))
+    return repo, base
+
+
+# the esti delta_export.yaml script body (s3 variant), with the same
+# kind of action-field override the esti glue fixture itself uses
+# (storage_namespace → a URI the sandbox s3 stand-in can address)
+DELTA_EXPORT_SCRIPT = """
+action.storage_namespace = args.export_namespace
+local aws = require("aws")
+local formats = require("formats")
+local delta_exporter = require("lakefs/catalogexport/delta_exporter")
+local json = require("encoding/json")
+
+local table_descriptors_path = "_lakefs_tables"
+
+local ref = action.commit.parents[1]
+local compare_ref = action.commit_id
+local changed_table_names = delta_exporter.changed_table_defs(args.table_names, table_descriptors_path, action.repository_id, ref, compare_ref)
+
+local sc = aws.s3_client(args.aws.access_key_id, args.aws.secret_access_key, args.aws.region)
+local delta_client = formats.delta_client(args.lakefs.access_key_id, args.lakefs.secret_access_key, args.aws.region)
+local delta_table_details = delta_exporter.export_delta_log(action, changed_table_names, sc.put_object, delta_client, table_descriptors_path)
+
+for t, details in pairs(delta_table_details) do
+  if details["path"] == nil then
+    error("Delta Lake exported table \\"" .. t .. "\\"'s location is not available\\n")
+  end
+  print("Delta Lake exported table \\"" .. t .. "\\"'s location: " .. details["path"] .. "\\n")
+  if details["metadata"] == nil then
+    error("Delta Lake exported table \\"" .. t .. "\\"'s metadata is not available\\n")
+  end
+end
+"""
+
+
+def test_delta_exporter_stock_chain_dispatched(spark, tmp_path):
+    """The esti delta-export action spec dispatched as a REAL
+    post-commit ``type: lua`` hook: changed_table_defs filters via
+    diff_refs paging, formats.delta_client reads the committed
+    _delta_log, physical addresses are rewritten, and the log lands
+    via the s3 stand-in under the export namespace."""
+    from lakefs_spark.storage.actions import ActionsService
+
+    repo, _base = _delta_repo(spark, tmp_path)
+    export_root = str(tmp_path / "exports")
+    svc = ActionsService(repo, export_root=export_root)
+    svc.add_action(
+        {
+            "name": "Delta Exporter",
+            "on": {"post-commit": {"branches": ["main*"]}},
+            "hooks": [
+                {
+                    "id": "delta_exporter",
+                    "type": "lua",
+                    "properties": {
+                        "script": DELTA_EXPORT_SCRIPT,
+                        "args": {
+                            "export_namespace": "s3://ext-bucket/ns",
+                            "aws": {"access_key_id": "k",
+                                    "secret_access_key": "s", "region": "r"},
+                            "lakefs": {"access_key_id": "lk",
+                                       "secret_access_key": "ls"},
+                            "table_names": ["famous"],
+                        },
+                    },
+                }
+            ],
+        }
+    )
+    c = repo.commit("main", "land the delta table")
+
+    short = c.commit_id[:6]
+    log_dir = os.path.join(
+        export_root, "ext-bucket", "ns", "_lakefs", "exported", "main",
+        short, "famous", "_delta_log",
+    )
+    v0 = os.path.join(log_dir, "00000000000000000000.json")
+    v1 = os.path.join(log_dir, "00000000000000000001.json")
+    assert os.path.exists(v0), v0
+    assert os.path.exists(v1), v1
+    with open(v0) as f:
+        body0 = f.read()
+    # physical address rewritten from the repo-relative logical path
+    assert '"path": "s3://phys-bucket/data/part-0.parquet"' in body0
+    assert "part-0.parquet\"" in body0 and "metaData" in body0
+    with open(v1) as f:
+        body1 = f.read()
+    assert '"path": "s3://phys-bucket/data/part-1.parquet"' in body1
+    # inline deletion vector rides through untouched
+    assert '"storageType": "i"' in body1
+    # the vacuumed remove target is kept as a remove action (404 skipped)
+    assert "part-gone.parquet" in body1
+
+
+def test_delta_changed_table_defs_filters_unchanged(spark, tmp_path):
+    """changed_table_defs only returns tables whose data moved between
+    the two refs — an unchanged second table is filtered out."""
+    repo, base = _delta_repo(spark, tmp_path)
+    c = repo.commit("main", "land")
+    out = []
+    ret = run_lua_hook(
+        """
+        local delta = require("lakefs/catalogexport/delta_exporter")
+        local changed = delta.changed_table_defs(args.names, "_lakefs_tables",
+            action.repository_id, args.base_ref, action.commit_id)
+        local out = {}
+        for _, n in ipairs(changed) do table.insert(out, n) end
+        return out
+        """,
+        action={"repository_id": repo.name, "commit_id": c.commit_id},
+        args={"names": ["famous"], "base_ref": base.commit_id},
+        repo=repo,
+        output_sink=out.append,
+    )
+    from lakefs_spark.lua.modules import lua_to_py
+
+    assert lua_to_py(ret[0]) == ["famous"]
+
+
+GLUE_EXPORT_SCRIPT = """
+local aws = require("aws")
+local exporter = require("lakefs/catalogexport/glue_exporter")
+local glue = aws.glue_client(args.aws.aws_access_key_id, args.aws.aws_secret_access_key, args.aws.aws_region)
+local create_db_input_table = {DatabaseInput = {Description="Created by Glue Exporter"}}
+exporter.export_glue(glue, args.catalog.db_name, args.table_source, args.catalog.table_input, action, {debug=true, create_db_input = create_db_input_table, export_base_uri = args.export_base_uri})
+"""
+
+
+def test_glue_exporter_stock_chain(spark, tmp_path):
+    """The esti glue_exporter.lua body against a committed hive
+    descriptor: database created, table input built from the hive
+    schema (integer→int, partitions split out, EXTERNAL_TABLE,
+    symlink location under the export prefix)."""
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    rows = [
+        ("_lakefs_tables/animals.yaml", "iy",
+         _put_file(repo, "data/animals.yaml", HIVE_DESCRIPTOR),
+         "RELATIVE", len(HIVE_DESCRIPTOR), "ey", None, None, "t"),
+    ]
+    repo.stage_entries("main", spark.createDataFrame(rows, ENTRY_SCHEMA))
+    c = repo.commit("main", "descriptor")
+
+    from lakefs_spark.storage.actions import lua_event_record
+
+    record = lua_event_record(
+        repo, "post-commit", {"branch": "main", "commit": c, "run_id": "r1"},
+        "Glue Exporter", "glue_exporter",
+    )
+    recorder: list = []
+    run_lua_hook(
+        GLUE_EXPORT_SCRIPT,
+        action=record,
+        args={
+            "aws": {"aws_access_key_id": "k", "aws_secret_access_key": "s",
+                    "aws_region": "r"},
+            "table_source": "_lakefs_tables/animals.yaml",
+            "export_base_uri": "s3://ext-bucket/ns",
+            "catalog": {
+                "db_name": "my-db",
+                "table_input": {
+                    "StorageDescriptor": {
+                        "InputFormat": "org.apache.hadoop.hive.ql.io.SymlinkTextInputFormat",
+                        "OutputFormat": "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+                        "SerdeInfo": {
+                            "SerializationLibrary": "org.apache.hadoop.hive.serde2.OpenCSVSerde",
+                            "Parameters": {"separatorChar": ","},
+                        },
+                    },
+                    "Parameters": {"classification": "csv"},
+                },
+            },
+        },
+        repo=repo,
+        export_root=str(tmp_path / "exports"),
+        export_recorder=recorder,
+    )
+    ops = {r["op"]: r for r in recorder if r.get("service") == "glue"}
+    assert "create_database" in ops and ops["create_database"]["database"] == "my-db"
+    ti = ops["create_table"]["table_input"]
+    short = c.commit_id[:6]
+    assert ti["Name"] == f"animals_{repo.name}_main_{short}"
+    assert ti["TableType"] == "EXTERNAL_TABLE"
+    assert ti["StorageDescriptor"]["Location"].startswith(
+        f"s3://ext-bucket/ns/_lakefs/exported/main/{short}/animals"
+    )
+    # hive integer → glue int; partition column excluded from Columns
+    cols = {c_["Name"]: c_["Type"] for c_ in ti["StorageDescriptor"]["Columns"]}
+    assert cols == {"weight": "int", "name": "string"}
+    parts = [(p["Name"], p["Type"]) for p in ti["PartitionKeys"]]
+    assert parts == [("type", "string")]
+    # base-input fields survive the deepcopy
+    assert (
+        ti["StorageDescriptor"]["InputFormat"]
+        == "org.apache.hadoop.hive.ql.io.SymlinkTextInputFormat"
+    )
+    assert ti["Parameters"]["classification"] == "csv"
+
+
+def test_unity_exporter_stock_chain(spark, tmp_path):
+    """unity_exporter.register_tables over delta_exporter's response
+    shape: schema created per branch, external table registered with
+    the CREATE EXTERNAL TABLE statement client.go would send."""
+    repo, _ = _delta_repo(spark, tmp_path)
+    c = repo.commit("main", "land")
+
+    recorder: list = []
+    ret = run_lua_hook(
+        """
+        local unity = require("lakefs/catalogexport/unity_exporter")
+        local databricks = require("databricks")
+        local client = databricks.client(args.host, args.token)
+        local resp = unity.register_tables(action, "_lakefs_tables",
+            args.details, client, args.warehouse_id)
+        return resp["famous"]
+        """,
+        action={
+            "repository_id": repo.name,
+            "commit_id": c.commit_id,
+            "branch_id": "main",
+        },
+        args={
+            "host": "h", "token": "t", "warehouse_id": "wh-1",
+            "details": {
+                "famous": {
+                    "path": "s3://ext-bucket/ns/_lakefs/exported/main/abc123/famous",
+                    "metadata": {"description": "famous animals"},
+                }
+            },
+        },
+        repo=repo,
+        export_recorder=recorder,
+    )
+    assert ret == ["SUCCEEDED"]
+    ops = {r["op"]: r for r in recorder if r.get("service") == "databricks"}
+    assert ops["create_schema"]["catalog"] == "main-cat"
+    assert ops["create_schema"]["schema"] == "main"
+    reg = ops["register_external_table"]
+    assert reg["table"] == "famous"
+    assert reg["catalog"] == "main-cat" and reg["schema"] == "main"
+    assert reg["statement"] == (
+        "CREATE EXTERNAL TABLE famous LOCATION "
+        "'s3://ext-bucket/ns/_lakefs/exported/main/abc123/famous'"
+        " COMMENT 'famous animals'"
+    )
+
+
+def test_unity_exporter_rejects_non_delta(spark, tmp_path):
+    from lakefs_spark.lua import LuaError
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("_lakefs_tables/animals.yaml", "iy",
+              _put_file(repo, "data/animals.yaml", HIVE_DESCRIPTOR),
+              "RELATIVE", len(HIVE_DESCRIPTOR), "ey", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    c = repo.commit("main", "hive descriptor")
+    with pytest.raises(LuaError, match="only table descriptors of type 'delta'"):
+        run_lua_hook(
+            """
+            local unity = require("lakefs/catalogexport/unity_exporter")
+            local databricks = require("databricks")
+            return unity.register_tables(action, "_lakefs_tables",
+                {animals = {path = "s3://x/y", metadata = {}}},
+                databricks.client("h", "t"), "wh")
+            """,
+            action={"repository_id": repo.name, "commit_id": c.commit_id,
+                    "branch_id": "main"},
+            repo=repo,
+        )
+
+
+def test_array_marker_marshals_empty_as_list():
+    ret, _ = run(
+        """
+        local json = require("encoding/json")
+        return json.marshal({a = array({}), b = {}})
+        """
+    )
+    assert ret == ['{"a": [], "b": {}}']
