@@ -2431,6 +2431,80 @@ hooks:
     )
 
 
+_SSTABLE_ROWS: dict = {}
+
+
+def q_sstable_import(spark, sf_dir):
+    """Migration path from a REAL lakeFS repository: the reference's own
+    golden SSTables (tests/data/sstable — range/metarange/ok1.sst from
+    clients/spark/src/test/resources, written by pkg/graveler/sstable/
+    writer.go) parsed by the from-scratch Pebble block reader
+    (lakefs_spark/sources/sstable.py) and landed as a commit.
+
+    'migrated' rows: metarange.sst → range ids → range SSTables →
+    migrate_from_lakefs → snapshot listing of the new commit (the full
+    adoption flow). 'ok1' rows: the 105-entry range parsed through the
+    DISTRIBUTED binaryFile+mapInPandas path. Keys, identities,
+    addresses, sizes, etags and mtimes must equal what the reference's
+    writer serialized — byte-level interop, not shape parity."""
+    key = _session_tag(spark)
+    rows = _SSTABLE_ROWS.get(key)
+    if rows is None:
+        import os
+        import shutil
+        import tempfile
+
+        from lakefs_spark.sources import sstable as S
+        from lakefs_spark.storage.repo import Repository
+
+        data = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "data", "sstable")
+        root = tempfile.mkdtemp(prefix="lakefs_sst_")
+        ranges_dir = os.path.join(root, "lakefs-ranges")
+        os.makedirs(ranges_dir)
+        (desc,) = S.read_metarange_sstable(
+            S.read_file(os.path.join(data, "metarange.sst"))
+        )
+        shutil.copy(os.path.join(data, "range.sst"),
+                    os.path.join(ranges_dir, desc["range_id"]))
+        repo = Repository.create(spark, os.path.join(root, "repo"))
+        commit, _nr, _ne = S.migrate_from_lakefs(
+            repo, os.path.join(data, "metarange.sst"), ranges_dir
+        )
+        import calendar
+
+        def _epoch(lm):
+            # collected timestamps are UTC wall-clock (session TZ is
+            # UTC); timegm avoids the host-local-TZ dependency of
+            # datetime.timestamp() on naive values
+            return calendar.timegm(lm.timetuple()) if lm else 0
+
+        rows = []
+        for r in sorted(
+            repo.snapshot(commit.commit_id).collect(), key=lambda r: r["key"]
+        ):
+            rows.append(
+                ("migrated", r["key"], r["identity"], r["address"],
+                 r["address_type"], r["size"], r["etag"],
+                 _epoch(r["last_modified"]))
+            )
+        ok1 = S.sst_entries_df(spark, os.path.join(data, "ok1.sst"))
+        for r in sorted(ok1.collect(), key=lambda r: r["key"]):
+            rows.append(
+                ("ok1", r["key"], r["identity"], r["address"],
+                 r["address_type"], r["size"], r["etag"],
+                 _epoch(r["last_modified"]))
+            )
+        rows = [(i + 1, *r) for i, r in enumerate(rows)]
+        _SSTABLE_ROWS[key] = rows
+    return spark.createDataFrame(
+        rows,
+        "pos long, source string, key string, identity string, "
+        "address string, address_type string, size long, etag string, "
+        "last_modified_s long",
+    )
+
+
 _LUA_EXPORTER_ROWS: dict = {}
 
 
@@ -2947,6 +3021,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "action_task_results": q_action_task_results,
         "lua_hook_runs": q_lua_hook_runs,
         "lua_exporters": q_lua_exporters,
+        "sstable_import": q_sstable_import,
         "audio_chunks": q_audio_chunks,
         "line_dedup": q_line_dedup,
         "text_normalize": q_text_normalize,

@@ -144,6 +144,7 @@ GATES: dict[str, list[str]] = {
 
 # queries() entries that stay single-operator (flagship / high-volume)
 SOLO: list[str] = [
+    "sstable_import",
     "snapshot_listing",
     "overlay_visible",
     "uncommitted_diff",

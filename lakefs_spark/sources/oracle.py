@@ -2278,6 +2278,125 @@ def q_lua_exporters() -> str:
     """
 
 
+def q_sstable_import() -> str:
+    # mirror of __spark_entry__.q_sstable_import: the lakeFS-written
+    # golden SSTables (tests/data/sstable, vendored from the reference's
+    # own Spark-client test resources) decoded to entry rows. 'migrated'
+    # rows go through migrate_from_lakefs (metarange -> range -> commit
+    # -> snapshot listing); 'ok1' rows through the distributed
+    # binaryFile+mapInPandas parse. The expected values are the bytes
+    # the reference's writer put in the fixtures.
+    return """
+    select cast(1 as bigint) as pos, 'migrated' as source, 'a/b/c/no' as key, '56fef3921aa6e7fd62bbe23b2f69db3f9049a54b6f2c7bd886b7eb1a6ca3ab3e' as identity, 'b0c968736d8f42a2b1c6284835f08226' as address, 'RELATIVE' as address_type, cast(11 as bigint) as size, '664c688b4ea9c56730daacfc3d70aeed' as etag, cast(1628163584 as bigint) as last_modified_s
+    union all select cast(2 as bigint), 'migrated', 'a/b/c/yes', '6039b184d29379328b5364bb041b9926b4b388dbc326b7dd57f70cefd77b961e', 'fdf87fcf9ec849f98514ddb7e041ad56', 'RELATIVE', cast(4 as bigint), 'eb4585ad9fe0426781ed7c49252f8225', cast(1628163573 as bigint)
+    union all select cast(3 as bigint), 'ok1', 'first', '9e80e89fc092c87e070a93980e41cb363962f32531e78d5759aec55c52ad3774', '4e068d1a46734113abd2218e87aace4c', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868766 as bigint)
+    union all select cast(4 as bigint), 'ok1', 'run1/a', '91a5bb336a046bf36210cdece5afc34a35a4bc24a83839b03a4672f43a6fc0c2', '0707eb0e2c6d4eab8ff6fab5a6a4b517', 'BY_PREFIX_DEPRECATED', cast(3 as bigint), 'b68495714b0e1cad8ebaa1599766a942', cast(1610912063 as bigint)
+    union all select cast(5 as bigint), 'ok1', 'run2/a', '6679f67dffc1dd3add31bfe2871bb0c01674a12b56fc36a3294fb8b13ed24dfc', '35fdf27b2203406286ab93a8963f0172', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610867985 as bigint)
+    union all select cast(6 as bigint), 'ok1', 'run2/create.sh', 'b2acefb7242f52ffc94be8b0ae2bc56ee62689998af7d6244ac24815e3cdf446', '312bde87c44547d489b0f88eadb41154', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868771 as bigint)
+    union all select cast(7 as bigint), 'ok1', 'run2/file_1', 'bd7abe405420d31851df947d61f5dfa6fc872e87d351e550c7e26a8643d4b81d', 'de1540bf14fb4a84bbb407edcde3ad9c', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868772 as bigint)
+    union all select cast(8 as bigint), 'ok1', 'run2/file_10', '5b0eb9ea0ac72b2fc2260af8635479f57ac59bc3b9712d0eb2508e9061dc426c', '339d7360567b4878ad6c09d5a399473c', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868777 as bigint)
+    union all select cast(9 as bigint), 'ok1', 'run2/file_100', 'f936ef802701553878cde76fd0ec0a2be7a25745513635b2fda81f2e73b5a587', 'f1bc0a367b7641a0b5e9c3c5aca62c8a', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868777 as bigint)
+    union all select cast(10 as bigint), 'ok1', 'run2/file_11', 'ec0ab51e9e492a3e9a3c4853e4df620ac0fa507996ec54e2397cee3d7daa1fd5', 'd94b626e0b674df48dd7e8c185e1a55f', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868778 as bigint)
+    union all select cast(11 as bigint), 'ok1', 'run2/file_12', 'ac0ca1880238a03432f489220c22acc36c46ef28580c86188573a9eeedd16d26', 'e5e3b3edd97d453c88686b08149352ff', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868783 as bigint)
+    union all select cast(12 as bigint), 'ok1', 'run2/file_13', 'dfa15a8d687411fb7f9a799da62f0b33420a0dac17ad4d70ad2d72b575759d47', 'e56fc8d6206246e588275d85691d3eef', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868783 as bigint)
+    union all select cast(13 as bigint), 'ok1', 'run2/file_14', '83298d14c5e080886e771734d1a1d9942bf5fd252178c65fd643ac73a3da43ec', '9ba79d06e05f4bbcb08078212cf5c884', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868783 as bigint)
+    union all select cast(14 as bigint), 'ok1', 'run2/file_15', 'ee970853602feccdf832a6e911bb67523f6bcfa003e26b30cc1ce89cd701f726', '16e69121ebdd4f399bbd7f3e1b45ff3b', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868784 as bigint)
+    union all select cast(15 as bigint), 'ok1', 'run2/file_16', '3ef62870e16683217aba56eda0ab7b3105c8407f50e1401f2f1c8ca462976744', 'd2080312432f4ed28c9bbad02ea2493e', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868784 as bigint)
+    union all select cast(16 as bigint), 'ok1', 'run2/file_17', '3e5d6af71b6f92873b276695fd4737703ee367bd1cb929b4b6adcbbe3b4d685b', 'ca95fea04b3a4a0eb22334522362a5cb', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868784 as bigint)
+    union all select cast(17 as bigint), 'ok1', 'run2/file_18', 'a350951766e8b1dcbf6792f18a5ba705faa12127c6d624583198962812863d58', '2cefebdc9c144facb09f150a6865f8ef', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868785 as bigint)
+    union all select cast(18 as bigint), 'ok1', 'run2/file_19', 'fafab135d23bb48f8360ce436a2db46a751e8d40e552e689e627ef39801f39cf', '2a73f26207114b82935adb99b27f3d46', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868785 as bigint)
+    union all select cast(19 as bigint), 'ok1', 'run2/file_2', '61e36ec0e343c56f6efcf0e9defc8c9648237308c774532e930bbbe48e15f0a0', '85aeb18d55784a799c5a32194088ca81', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868785 as bigint)
+    union all select cast(20 as bigint), 'ok1', 'run2/file_20', 'eb436816510a1853566a59c300615e2f49537ef0d5f112569b828a21106afaa0', 'c30a77a3ebf94d6e8f0da7ea314d9d64', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868786 as bigint)
+    union all select cast(21 as bigint), 'ok1', 'run2/file_21', '6f244114fa7b269675d3b8eea0ad90ecbd9838271695fb4a69830c71f13f8bb5', '992e7857f2334b8e90570ef0bc86f7c5', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868791 as bigint)
+    union all select cast(22 as bigint), 'ok1', 'run2/file_22', '8e38c4de54262f7f7a2e03e65bd32df74857babb71c7c0e6a16c9364ad9cdefe', 'b35fe69a69144895aa02baadc50c0d63', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868791 as bigint)
+    union all select cast(23 as bigint), 'ok1', 'run2/file_23', 'ebdcafccba6ee361e8c1b878336f49925e6df9a05ae34ee6896138aec6de14f7', 'f6db45caae5c4a87817aff46e6afe465', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868791 as bigint)
+    union all select cast(24 as bigint), 'ok1', 'run2/file_24', 'f84b222d3942b1ba05b37dfed8f793b1a6943c496c7e54072bcd76070ef17236', 'efdc309443934d4c987e91dbd4875834', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868792 as bigint)
+    union all select cast(25 as bigint), 'ok1', 'run2/file_25', '0650f2edd6f560f2ef0280ad0339ad0b460c4404db2d21495fe5ddb57c42f8cc', 'ca30c54de52a47b5b5ce8be6df18828b', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868792 as bigint)
+    union all select cast(26 as bigint), 'ok1', 'run2/file_26', '0fe38e2e0a615a573918cab791c3d54dd2f8fb6f6620da629a15be8c5f9ac311', '5b6d9f555d8d4ca891bbbdb8e11ae8d0', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868792 as bigint)
+    union all select cast(27 as bigint), 'ok1', 'run2/file_27', '650c383b2062db2a9b6fc60d2608a22355c7504b10e817665d82cb49dcc603f6', 'ebaf1e9e3d2745a2af7e1456e1348ffd', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868793 as bigint)
+    union all select cast(28 as bigint), 'ok1', 'run2/file_28', 'c18845f332ce0008d9b49dec371b801757399eb5fe316f558f7670a78aabb5dd', '553ef83b69b34f02a49b1d85a1d616ae', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868793 as bigint)
+    union all select cast(29 as bigint), 'ok1', 'run2/file_29', '6f5ba9d7352019aa5c4706252a4caa6052b8f70cb8d23da79af272e1486013c0', 'c4c4794585db4226b77d97e1419d5d1a', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868793 as bigint)
+    union all select cast(30 as bigint), 'ok1', 'run2/file_3', 'c29a8120e83d12f525fb8864dd98489dd903ddb35a7ca12607aa7b216d77b6cf', 'bad291fed62e4e0ea7b319702ece7b3d', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868793 as bigint)
+    union all select cast(31 as bigint), 'ok1', 'run2/file_30', 'ad2fdf8bc7c6f961ebdb7e5c760a0ab4dcf0619820cee0af41e15e7b760961bd', '3b656beb8c0f4420ad72f039d8430dc6', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868794 as bigint)
+    union all select cast(32 as bigint), 'ok1', 'run2/file_31', '7533449c1c692a50e6817f4d3a79a50014f9e54417c4ff28bcbd07b483cbf6bb', '52ee97c5765545b8bfd1bbc4461c8387', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868794 as bigint)
+    union all select cast(33 as bigint), 'ok1', 'run2/file_32', '973a2638d91d65af4187307bafe5ab27be9983794222cb7d4d144f497b69111b', 'c62270c604e14269927cc190f2cae173', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868794 as bigint)
+    union all select cast(34 as bigint), 'ok1', 'run2/file_33', '150a77dfe38d1782b6965462eb2674a08a50f892b035ffb174529c4ac7d5bd49', '15ec9845f0fc47bbaaee38ae72fc13fa', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868795 as bigint)
+    union all select cast(35 as bigint), 'ok1', 'run2/file_34', '9652d21c5630598a55eddfddfc6134092080acccd48b8ec760d9fa6b84dcdfd4', '860ad3216bff43cfba851487cc29c8b4', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868795 as bigint)
+    union all select cast(36 as bigint), 'ok1', 'run2/file_35', '2fecba550f4627555840ceb37f250966cb4382c5258c4e03690d2171b93aa3f9', '06ca58e2e6214c38bb3d95a414a2b0d6', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868795 as bigint)
+    union all select cast(37 as bigint), 'ok1', 'run2/file_36', '6e2614da603fde42c97aee598738c2cd19d5b632acbdc24b39a5f0b5387a607d', '509111c256fc415cbc3341a441e56b56', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868796 as bigint)
+    union all select cast(38 as bigint), 'ok1', 'run2/file_37', '36ee57b6033fff2813a4bce0638084be2f102de7cdfbfa9c45b6c160d6189d96', '7b8c2c237cfb4baebc952794faa69d11', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868796 as bigint)
+    union all select cast(39 as bigint), 'ok1', 'run2/file_38', '867d61824702ece23698ed174383c78ce45f44af544f8e4d228dce4c9532fca0', 'd68d4a613bb4470b956ca5166aacb69f', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868796 as bigint)
+    union all select cast(40 as bigint), 'ok1', 'run2/file_39', '2fb1ef67f9d8b61fc5d8159e8fb35a5d4c69a93b1cf22e1d9dc153ea2cd1dd38', '034beeda778148a194f0bc6ca71634bd', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868796 as bigint)
+    union all select cast(41 as bigint), 'ok1', 'run2/file_4', '0d9513632637acbc325b4e54422fdfd3f7f63fefee3e96877847c14e37fac202', 'bc5ee061efcb4a2595a6e9c17e0ad901', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868797 as bigint)
+    union all select cast(42 as bigint), 'ok1', 'run2/file_40', 'ea86b158854261e2e59711d487748fdabcbca60d48dd465415daca6c8a6be560', 'db412ddaf691483fb12139ccb4bdf764', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868797 as bigint)
+    union all select cast(43 as bigint), 'ok1', 'run2/file_41', '1d5b7bef4a5efde4e2b26a06961fe1334bda096824135f6b6c12ecaca19b6e50', 'ff674398fbd24e50a8bbada74fd1cf08', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868797 as bigint)
+    union all select cast(44 as bigint), 'ok1', 'run2/file_42', '684a8f701b9e73320e93c6a184265eebe69d77222a177cd3c15966d5c6a8775b', 'c9b84b04f811497680b30c51652b79e9', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868798 as bigint)
+    union all select cast(45 as bigint), 'ok1', 'run2/file_43', '211767615f332e0d4c170139dbcc9e5f6791dfbb9e4afd8749ac34947e9c2d8a', 'e4bd38fa7c3e454ab379a1112c5a3330', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868798 as bigint)
+    union all select cast(46 as bigint), 'ok1', 'run2/file_44', '99df70300db7b88984acce026a104c3eb2f8683b5a42b7b4f9de67058bc327b7', 'a42a92c148534ce281f74d2840ebba92', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868798 as bigint)
+    union all select cast(47 as bigint), 'ok1', 'run2/file_45', 'c36d64ca1b9819aa7785ee9718c88b840c0183ef5ceae985adbcc5d62fef891c', '8424f922b09a447d9cee1e643031aba6', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868799 as bigint)
+    union all select cast(48 as bigint), 'ok1', 'run2/file_46', 'ae529814b94683d937a79ef1877ac4184d282f0e8d1ffb7547c2db186ae1a710', '8329bf46ac944a679b8ac256cdf98893', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868804 as bigint)
+    union all select cast(49 as bigint), 'ok1', 'run2/file_47', '9daff5d34b8c5bc0a84d7104c99459bd68082da495178ea9b759ca312da2d564', 'a8e263ddb9f146079871ace62dfb3661', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868804 as bigint)
+    union all select cast(50 as bigint), 'ok1', 'run2/file_48', '9435528111a91736a6659daa80200454582eb4518a7b24eaf3b8ed3a3790b7ac', 'dea11952b69045179995d2f59ce4ce70', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868804 as bigint)
+    union all select cast(51 as bigint), 'ok1', 'run2/file_49', 'a115e4079bc53c0539903231df96ddd541c260f84668e0c32760ee28e50aa3c0', '53e9f2faa9e84abca043a957258aa043', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868805 as bigint)
+    union all select cast(52 as bigint), 'ok1', 'run2/file_5', '85ecd60a47d0c328289141e55c8dad197ed215cf7941e66a26c25b3079c7ba85', '16a66b54a65243e2864255e291f7bca8', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868805 as bigint)
+    union all select cast(53 as bigint), 'ok1', 'run2/file_50', 'e2599ba01bd451e8100c9a6b1bc3bb49f306007aee82ddf561cd283bc9bb74cd', 'd1acc77a0c054f1aa874d438590faca0', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868805 as bigint)
+    union all select cast(54 as bigint), 'ok1', 'run2/file_51', 'b48b6e37d1b66e69bf3ab48eea88c602ec7d2241b030656154f6280de1359c6c', 'de73b8a1e9e34cfb854d10f4c1a5108a', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868811 as bigint)
+    union all select cast(55 as bigint), 'ok1', 'run2/file_52', 'daa678f9b700447a3462aabd4d522c07dd736cbbab325034186376daefb524ba', '2f9cf5717eab4dce9a00c8efdadbfae4', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868816 as bigint)
+    union all select cast(56 as bigint), 'ok1', 'run2/file_53', '844e22cdb4202e58a95180e31f233990eb26843d24221831d6911e5194ddddb5', '8f85076d786144138f1aadddd8cf39fe', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868816 as bigint)
+    union all select cast(57 as bigint), 'ok1', 'run2/file_54', '6657ccfbcca7da6517cf9b01350635b4042dcdf7a626022a99c098f8b8dee77d', '1609486f0abd4b0b9a07b2972c39f97c', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868817 as bigint)
+    union all select cast(58 as bigint), 'ok1', 'run2/file_55', 'bc1b6af57dc2ccd387c6bc94d12d2e993b1d3a6f363cf4759ec9d3fb1a0b3336', 'ac8f559d63d1498899b980216d5f6409', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868817 as bigint)
+    union all select cast(59 as bigint), 'ok1', 'run2/file_56', 'd8bfdc87f2c12af57b3c670620c20f92e7d1965a0e214bcb6a4848bf604fcdcc', '94b30ce2187c4d69bd48524e5913732a', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868817 as bigint)
+    union all select cast(60 as bigint), 'ok1', 'run2/file_57', '2b14a040bf23709f9452dd9b993bb48f83c9c7934e4957635bfc31fd994ab04e', '923421dfd38941efabdbc40b3a9c9c01', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868817 as bigint)
+    union all select cast(61 as bigint), 'ok1', 'run2/file_58', 'ea39f005eca3391e7b732bf2b29828aa509a4ff35f489a1a3d5c3dcee1960bd4', 'eb8739c93e484f7d8373442324bc9cf4', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868818 as bigint)
+    union all select cast(62 as bigint), 'ok1', 'run2/file_59', 'cacde9a6f3f31432a96b6f2938d740fe47e80c8e750b57bded346273583cfce6', 'ed2bdf0902c74cedbfe523dba096c4bc', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868818 as bigint)
+    union all select cast(63 as bigint), 'ok1', 'run2/file_6', 'fef2d1e3ff3659ab076b1c4e2db89b9e2f488f9c957c9f76e016f8212b40b36c', 'dc72f03ffa9748cdb729eae884a024e2', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868818 as bigint)
+    union all select cast(64 as bigint), 'ok1', 'run2/file_60', '745815865fdc677daa726fd2abd55bd9fb73e32f4bb43e50f19331059d04c216', '8288946d67774c63b03c6be6cf5bbf6e', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868819 as bigint)
+    union all select cast(65 as bigint), 'ok1', 'run2/file_61', '799ec82c0cb5c5593d5f7acfd63da3a93ff82f0b19a532e28bcaf4cd1de7b7d8', '8167453922e34ef481b49a2b0545e08f', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868824 as bigint)
+    union all select cast(66 as bigint), 'ok1', 'run2/file_62', 'da5c64a419aa4601f541e2b86fe8a78c6ad1728d11c0d52e5e72bc9ebdd97c02', 'eb8d480b32fb4d739c9fc203dcf4e530', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868824 as bigint)
+    union all select cast(67 as bigint), 'ok1', 'run2/file_63', '52ad266cdba5df8426152d7730eacd62209c9c0e54144cb744f6333e6838c544', '9cb229f3302e46b1bc00810d9106169f', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868824 as bigint)
+    union all select cast(68 as bigint), 'ok1', 'run2/file_64', '3875fe8139324bdc063a8fbbf55a7abfe6cb9d818e3973612cb1c4d9c7002d08', '80814dc5b55a49039b40d64533eb8f5f', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868825 as bigint)
+    union all select cast(69 as bigint), 'ok1', 'run2/file_65', 'a2eb74ba51903b8784e0961a7a3f453a5b2b1204fe9769e722d08ce35010478b', 'c83a7a1b25e448a1b6f12fc962607fd9', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868825 as bigint)
+    union all select cast(70 as bigint), 'ok1', 'run2/file_66', '21eab7e97db78044aae7a162e182ddc2d7484064ebe4f6388de8748e15ca4b2a', '9957952da2ff4e9dbc57ca12e8b18002', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868825 as bigint)
+    union all select cast(71 as bigint), 'ok1', 'run2/file_67', 'a38f37e8b00f1e4d0c52244e7352da180b0d31cd4f0d1227664f522715b78713', '8b8de68f340743c28fce75c223bd72ec', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868826 as bigint)
+    union all select cast(72 as bigint), 'ok1', 'run2/file_68', 'e73f12d09ae22bf3b11c1f454f43251f842066af7c85eda945a90d89cf6a6c70', 'fa315cc43eb14360968f9a40999ede5e', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868836 as bigint)
+    union all select cast(73 as bigint), 'ok1', 'run2/file_69', 'b4ba383d72d67173291560b3a834d17440ae65b1d1425db84423630d66fba3b9', '694511abf293490b9213d55c27e2c6aa', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868836 as bigint)
+    union all select cast(74 as bigint), 'ok1', 'run2/file_7', 'dbd7ec61586d14095e910df7e243cbdc6b7cf188542ba7115de7a5afa545b266', 'bc9696403f014f0db757c49713d3399e', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868836 as bigint)
+    union all select cast(75 as bigint), 'ok1', 'run2/file_70', '485e4a8bc5796f7b0e542a7ecf154ca2b41736d58f1ac27390d4fd3262284c32', 'd305c650fe7e45f099c25b18dec45e94', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868837 as bigint)
+    union all select cast(76 as bigint), 'ok1', 'run2/file_71', 'f055a6e3874cd7392984ecd53c9848e4a53b49d226a0a3bdf9829227f792894e', 'c343d9534ff0406d897c49e401b624b9', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868837 as bigint)
+    union all select cast(77 as bigint), 'ok1', 'run2/file_72', '2021a15eba0bec10149cba04d60664662b2dda9285722095b95ab00d4a0d33e3', '79270108fab6414484923b95247245df', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868837 as bigint)
+    union all select cast(78 as bigint), 'ok1', 'run2/file_73', '70edb07373519661ed1819be538b400f7f295740bf4f596d13dbe4fcaac4ce56', '71b0204db33a46b9a503608e5456e781', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868838 as bigint)
+    union all select cast(79 as bigint), 'ok1', 'run2/file_74', '86f70dc6be9feb30cf86bf851136a68f6341f8cf24ef06c860499b247a1821c5', '422d40e4191a4e0cb3d22348cdd72b68', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868838 as bigint)
+    union all select cast(80 as bigint), 'ok1', 'run2/file_75', 'a0b4c3a23aa00de6614fbaa2ee334b6bc1c8675e75428a46e714b3ac86f6983f', '8563de1b4015438e90877d7fb27b2a17', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868838 as bigint)
+    union all select cast(81 as bigint), 'ok1', 'run2/file_76', 'f995ebc7e51d6fdd401bb83d85cc69dbaa7243f4251dad2ebe83f88f2b4b0ba1', 'aec29c42df694ad7b3243b3243d477a6', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868838 as bigint)
+    union all select cast(82 as bigint), 'ok1', 'run2/file_77', '674569d575e39b66c193b06af56983c189e780aad21c80b4dbdd851cd45f46ef', '3d3ec76aef724e9fab78198e35fbdeff', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868839 as bigint)
+    union all select cast(83 as bigint), 'ok1', 'run2/file_78', '584b355c17fecafb366638164a5553369dbd5bbcb668bd90450c2757214eca6f', '9f584f31ea5844baa73eb1fd548e0377', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868839 as bigint)
+    union all select cast(84 as bigint), 'ok1', 'run2/file_79', '72a922036caefc5bdadaf3fddf2cc02aec78f1ead8ba760f8d12d736e2afb8dc', '848049febbcd4846881e43f5f76a08d1', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868839 as bigint)
+    union all select cast(85 as bigint), 'ok1', 'run2/file_8', '0b04459e9e5b10571f8629b867daf2cf0dbff486a68f782c763ee3a6395bee3e', 'f4dccfa844324f26a762bf3ad3e42197', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868840 as bigint)
+    union all select cast(86 as bigint), 'ok1', 'run2/file_80', 'f4cfe2eefef44804a714ea48cf8da9bdad89c04664972848225b39c63558b081', '36e358b7b86e49e0ba6ee548c8a5b4c5', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868845 as bigint)
+    union all select cast(87 as bigint), 'ok1', 'run2/file_81', 'd886a9977513a02ed0ec34b004ee3ce033dadcaf4eebaed7b2e65e477567915a', '5e736880d30d42729c0a6e077e103550', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868845 as bigint)
+    union all select cast(88 as bigint), 'ok1', 'run2/file_82', 'ae8a646331dba58e92972ed1e7c23dde2785563c151625979bf758a63ace71f5', '034f245021654132986dcfbad16ea9d4', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868845 as bigint)
+    union all select cast(89 as bigint), 'ok1', 'run2/file_83', '38f78441d697c01db58ef6a3df6ebe0f15680b4606b489a58018b4e6f5a8620e', '532775c7d8c046afb1378d933ea95609', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868846 as bigint)
+    union all select cast(90 as bigint), 'ok1', 'run2/file_84', '1dca1a9f0ec1c078fd5f379660c2f18099874ff38431cd41fa501cb59abb4050', 'e097303aac684c0193d93701e880b861', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868846 as bigint)
+    union all select cast(91 as bigint), 'ok1', 'run2/file_85', 'c6bd73e20c2e4b4cfde5cde1165f35cdbbb259b78d2920d6afe6f0d136533386', '0dfd50b47e4649218b0ccd8d942c9974', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868846 as bigint)
+    union all select cast(92 as bigint), 'ok1', 'run2/file_86', 'e9366c06a6d8ed5bd9dcea118cfeee56b0943b57cf979ae24c162f733947d762', '3ac4d81363554efcbb2a3bfbc3e543e8', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868847 as bigint)
+    union all select cast(93 as bigint), 'ok1', 'run2/file_87', '2231cca08d675d7e9301098de1d0eedec0bb9b81e078a869e6afa46794e6478e', '245dd0465c4847f1a28b8dad84b7433f', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868847 as bigint)
+    union all select cast(94 as bigint), 'ok1', 'run2/file_88', '856e8205efa2ee51c3a14caa35c44313629a5c9a6f5fa2a763c459bbe0c47cc8', '31d29ad149bb4c72b7ce074919c3511b', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868847 as bigint)
+    union all select cast(95 as bigint), 'ok1', 'run2/file_89', 'a8e669da0194ba04ec0921f13c2de5916c81c572d85ac318cd53b251d6300b44', '0204a057ccce48159b269dcfefd07406', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868847 as bigint)
+    union all select cast(96 as bigint), 'ok1', 'run2/file_9', 'b4a9b12643f96de48e087ce3ef50104e2e51b8f21fc6aa3fd2d0ad63f903e192', 'f761cace9896437998582062548448bb', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868848 as bigint)
+    union all select cast(97 as bigint), 'ok1', 'run2/file_90', 'ee21127a12530a66b2ea9003dc043d20ad1f402bba19ef5f7a398a3f3b0c46ac', '797f3ccd88f34dd4b6be540621313291', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868848 as bigint)
+    union all select cast(98 as bigint), 'ok1', 'run2/file_91', '0a02e7666a79c5c2fa358dd3dcbed5b6e42bf206b8fa91de687045ad7625aeb7', '80363a6eac4f4c4281adb2c5816f0601', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868848 as bigint)
+    union all select cast(99 as bigint), 'ok1', 'run2/file_92', 'ac1edcd0d8ad7f6ef255dc18f550aa8bd389b9eb07c0b5bece799bcbd7489d58', '09feff9f067548dda14ac98f5654cd1f', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868848 as bigint)
+    union all select cast(100 as bigint), 'ok1', 'run2/file_93', 'bedaadbd264ac5ab2fbc49221b8f8d0572af43bdede99e0daccf0a06f7b9ab85', 'f3b65f7966044454aa30f6839a98d59f', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868849 as bigint)
+    union all select cast(101 as bigint), 'ok1', 'run2/file_94', '5510b20d749609a855e3d4c43f87df88d4b1238f56a9a0b08dddef5daa01803c', 'c33bfa5e1891426d8a9ffb7e2e02ea3d', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868849 as bigint)
+    union all select cast(102 as bigint), 'ok1', 'run2/file_95', '82ead7c9399d396487d7f7580cba3e7902013cb7a2a4768ab77657e0a3661796', 'ad30fa7f89804ec3a32a24a0923ca0fb', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868849 as bigint)
+    union all select cast(103 as bigint), 'ok1', 'run2/file_96', '81ee8746a488bb1c68455c0e4a5f0ec33f8d4f845234ed6468c6c6937d3113d5', '56df8312a6b34f969519fbd191eb2528', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868850 as bigint)
+    union all select cast(104 as bigint), 'ok1', 'run2/file_97', 'fba68a576079c834eedbd86a7975f6288b9944333c83c9edbf873c421f4702d6', '5edca37b9ca7454f90b5b55771f2353b', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868850 as bigint)
+    union all select cast(105 as bigint), 'ok1', 'run2/file_98', 'ec59ae368801b75c3bb6bec2270dffe09bb50354e0ae4f5f26b9cdc6a8373e15', '03f22b5b28174ac2a5b3e60b77a584ea', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868850 as bigint)
+    union all select cast(106 as bigint), 'ok1', 'run2/file_99', '152a06743df4fdde9196f216c3c15dffb9378d83163ff3042ba67bb24a8d127a', '83410ea191c04c98811d82fa88c1f2bf', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868850 as bigint)
+    union all select cast(107 as bigint), 'ok1', 'xyzzy', 'bcca4779251e62ba70c1fe8836884d77f668719c85ecfa888de7bd62df0522bb', '7c5dc4fac42d4846aa6cc35f7e9c91f7', 'BY_PREFIX_DEPRECATED', cast(4 as bigint), 'ed22fdfd3a1495bf6bcad854d6546790', cast(1610619018 as bigint)
+    """
+
+
 def q_text_normalize() -> str:
     # mirror of __spark_entry__.q_text_normalize: dirty each doc with a
     # DECOMPOSED accent (e + U+0301), a bell, a tab and space runs,
@@ -2946,6 +3065,7 @@ def part_oracles() -> dict[str, str]:
                 "action_task_results": q_action_task_results(),
                 "lua_hook_runs": q_lua_hook_runs(),
                 "lua_exporters": q_lua_exporters(),
+                "sstable_import": q_sstable_import(),
                 "audio_chunks": q_audio_chunks(),
                 "line_dedup": q_line_dedup(),
                 "text_normalize": q_text_normalize(),
