@@ -108,29 +108,58 @@ def lua_pattern_to_re(pat: str) -> str:
             inner = pat[i + 1 + (1 if neg else 0) : j]
             buf = []
             k = 0
-            while k < len(inner):
+
+            def _set_char(k):
+                """One literal set member at k → (char | None, next_k).
+                None = a %class escape (can't be a range endpoint)."""
                 ch = inner[k]
                 if ch == "%" and k + 1 < len(inner):
                     e = inner[k + 1]
-                    low = e.lower()
-                    if low in _CLASS_INSET and e.islower():
-                        buf.append(_CLASS_INSET[low])
-                    elif low in _CLASS_INSET:
+                    if e.lower() in _CLASS_INSET:
+                        return None, k + 2
+                    return e, k + 2
+                return ch, k + 1
+
+            while k < len(inner):
+                ch = inner[k]
+                if ch == "%" and k + 1 < len(inner) and inner[k + 1].lower() in _CLASS_INSET:
+                    e = inner[k + 1]
+                    if e.islower():
+                        buf.append(_CLASS_INSET[e])
+                    else:
                         raise LuaUnsupportedFeature(
                             f"complement class %%{e} inside a set is not supported"
                         )
-                    else:
-                        buf.append(_re.escape(e))
                     k += 2
                     continue
-                if ch in r"\^]":
-                    buf.append("\\" + ch)
-                elif ch == "-" and 0 < k < len(inner) - 1:
-                    buf.append("-")  # range
-                else:
-                    buf.append(_re.escape(ch) if ch in "[" else ch)
-                k += 1
-            out.append("[" + ("^" if neg else "") + "".join(buf) + "]")
+                lo, k2 = _set_char(k)
+                # explicit range lo-hi (lstrlib matchclass: raw byte
+                # compare; an INVERTED range like [0-/] silently matches
+                # nothing — python re errors on it, so emit nothing)
+                if (
+                    lo is not None
+                    and k2 < len(inner)
+                    and inner[k2] == "-"
+                    and k2 + 1 < len(inner)
+                ):
+                    hi, k3 = _set_char(k2 + 1)
+                    if hi is not None:
+                        if ord(hi) >= ord(lo):
+                            buf.append(
+                                _re.escape(lo) + "-" + _re.escape(hi)
+                            )
+                        k = k3
+                        continue
+                buf.append(_re.escape(lo))
+                k = k2
+            body = "".join(buf)
+            if not body:
+                # a set whose every member was an inverted range (e.g.
+                # "[0-/]"): python rejects empty [] / [^], so emit the
+                # classic never-match / always-match classes
+                out.append(r"[\s\S]" if neg else r"[^\s\S]")
+            else:
+                out.append("[" + ("^" if neg else "") + body + "]")
             quantifiable = True
             i = j + 1
             continue
@@ -344,10 +373,27 @@ def s_match(s, pat, init=1):
     return tuple(_match_values(m))
 
 
+def _lua_scan(rx, s):
+    """Matches in lstrlib's iteration order: after an EMPTY match at
+    position p the next attempt starts at p+1 — a longer match at p is
+    never retried. Python's finditer differs (since 3.7 it retries a
+    non-empty match at the same position after a zero-width one), which
+    would double-count in gmatch/gsub: lua `("a"):gsub("a-", "%0")` is
+    ("a", 2), finditer-based iteration gave ("aa", 3). Found by the
+    hypothesis cross-surface fuzz (tests/test_lua_patterns_fuzz.py)."""
+    pos, n = 0, len(s)
+    while pos <= n:
+        m = rx.search(s, pos)
+        if m is None:
+            return
+        yield m
+        pos = m.end() if m.end() > m.start() else m.start() + 1
+
+
 def s_gmatch(s, pat):
     s = _str_arg(s, "gmatch")
     rx = _compile_lua_pattern(_str_arg(pat, "gmatch"))
-    it = rx.finditer(s)
+    it = _lua_scan(rx, s)
 
     def step(*_):
         for m in it:
@@ -364,7 +410,7 @@ def s_gsub(s, pat, repl, max_n=None):
     count = 0
     out = []
     pos = 0
-    for m in rx.finditer(s):
+    for m in _lua_scan(rx, s):
         if limit >= 0 and count >= limit:
             break
         out.append(s[pos : m.start()])

@@ -1,0 +1,109 @@
+"""End-to-end lifecycle over the √n-bucketed manifest path.
+
+Round 7 pinned bucketed≡broadcast kernel equivalence edge-by-edge; this
+closes the remaining gap (round-7 verdict ask #4): a real
+commit → diff → merge → revert lifecycle with the bucketed key→range
+assignment FORCED on (threshold 1), compared row-for-row against the
+identical lifecycle on the default broadcast path. At 100 TB the
+manifest is millions of rows and every branch update takes the
+bucketed path — it must produce byte-identical snapshots, not just
+equivalent kernels.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakefs_spark.schema import ENTRY_SCHEMA
+from lakefs_spark.storage import commit_apply
+from lakefs_spark.storage.repo import Repository
+
+
+def _entries(spark, n, tag):
+    rows = [
+        (f"k/{i:06d}", f"id-{tag}-{i}", f"addr/{i}", "RELATIVE",
+         i % 97 + 1, f"e{i}", None, None, None)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ENTRY_SCHEMA)
+
+
+def _run_lifecycle(spark, root):
+    """import → branch → stage adds/updates/deletes → commit → diff →
+    merge → revert; returns every comparable result set."""
+    repo = Repository.create(spark, root)
+    repo.raggedness = 50  # many small ranges: ~n/50 manifest rows
+    repo.import_entries("main", _entries(spark, 3000, "base"), message="base")
+    base = repo.resolve("main")
+
+    repo.create_branch("dev", "main")
+    # updates spread across the keyspace + deletes + fresh keys
+    upd = [
+        (f"k/{i:06d}", f"id-upd-{i}", f"addr2/{i}", "RELATIVE",
+         500 + i, f"e2{i}", None, None, None)
+        for i in range(0, 3000, 101)
+    ]
+    new = [
+        (f"n/{i:04d}", f"id-new-{i}", f"addr3/{i}", "RELATIVE",
+         7, f"e3{i}", None, None, None)
+        for i in range(40)
+    ]
+    repo.stage_entries("dev", spark.createDataFrame(upd + new, ENTRY_SCHEMA))
+    repo.stage_deletes("dev", [f"k/{i:06d}" for i in range(50, 3000, 307)])
+    c_dev = repo.commit("dev", "dev work")
+
+    diff_rows = sorted(
+        (r["key"], r["diff_type"])
+        for r in repo.diff(base.commit_id, c_dev.commit_id).collect()
+    )
+    merge_c = repo.merge("dev", "main", message="land dev")
+    merged = sorted(
+        (r["key"], r["identity"], r["size"])
+        for r in repo.snapshot(merge_c.commit_id).collect()
+    )
+    revert_c = repo.revert("main", merge_c.commit_id, parent_number=1)
+    reverted = sorted(
+        (r["key"], r["identity"])
+        for r in repo.snapshot(revert_c.commit_id).collect()
+    )
+    return {
+        "diff": diff_rows,
+        "merged": merged,
+        "reverted": reverted,
+        "n_merged": len(merged),
+    }
+
+
+def test_bucketed_lifecycle_matches_broadcast(spark, tmp_path, monkeypatch):
+    baseline = _run_lifecycle(spark, str(tmp_path / "broadcast"))
+    # sanity: the fixture really exercises multi-range manifests
+    assert baseline["n_merged"] == 3000 - len(range(50, 3000, 307)) + 40
+
+    monkeypatch.setattr(commit_apply, "LARGE_MANIFEST_ROWS", 1)
+    bucketed = _run_lifecycle(spark, str(tmp_path / "bucketed"))
+
+    assert bucketed["diff"] == baseline["diff"]
+    assert bucketed["merged"] == baseline["merged"]
+    assert bucketed["reverted"] == baseline["reverted"]
+
+
+def test_bucketed_path_actually_engaged(spark, tmp_path, monkeypatch):
+    """Belt-and-braces: with threshold 1 the bucketed assignment is the
+    code path that runs (guards against the switch silently inverting)."""
+    calls = []
+    orig = commit_apply._bucketed_positions
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(commit_apply, "LARGE_MANIFEST_ROWS", 1)
+    monkeypatch.setattr(commit_apply, "_bucketed_positions", spy)
+    repo = Repository.create(spark, str(tmp_path / "spy"))
+    repo.raggedness = 50
+    repo.import_entries("main", _entries(spark, 600, "b"), message="base")
+    repo.set_entry(
+        "main", {"key": "k/000100", "identity": "zz", "size": 1, "etag": "z"}
+    )
+    repo.commit("main", "touch one key")
+    assert calls, "bucketed positions never ran despite threshold=1"

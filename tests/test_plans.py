@@ -524,3 +524,31 @@ def test_doc_chunks_no_shuffle_no_python(spark):
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "Generate" in plan, plan  # the posexplode
+
+
+def test_plans_md_not_stale():
+    """PLANS.md must match a fresh `tools/gen_plans.py` run — the plan
+    audit is the cheapest drift detector the repo has, so regenerating
+    it can never be forgotten again (round-7 verdict hygiene ask). The
+    generator normalizes temp paths / plan ids, so the artifact is
+    byte-reproducible; this runs it in a subprocess for a fresh,
+    deterministic Spark session."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "gen_plans.py")],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    with open(os.path.join(root, "PLANS.md")) as f:
+        committed = f.read()
+    assert out.stdout == committed, (
+        "PLANS.md is stale — regenerate with "
+        "`python tools/gen_plans.py > PLANS.md` and commit the diff"
+    )

@@ -25,8 +25,19 @@ def formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def normalize(plan: str) -> str:
+    """Strip run-nondeterminism so PLANS.md is byte-reproducible and a
+    pytest can diff a fresh regeneration against the committed file:
+    temp dirs, plan_id counters and expression ids vary per session;
+    the operator tree, pushdowns and exchange placement do not."""
+    plan = re.sub(r"/tmp/lakeplan_[A-Za-z0-9_]+", "/tmp/lakeplan_X", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+    plan = re.sub(r"#\d+", "#N", plan)
+    return plan
+
+
 def trim(plan: str, max_lines: int = 40) -> str:
-    lines = [l.rstrip() for l in plan.splitlines() if l.strip()]
+    lines = [l.rstrip() for l in normalize(plan).splitlines() if l.strip()]
     # keep the operator tree + the scan detail blocks; drop column lists
     out = []
     for l in lines:
