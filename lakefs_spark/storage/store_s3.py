@@ -138,6 +138,14 @@ class S3ConditionalStore(Store):
             if local_blob_root is not None
             else f"{self.endpoint}/{bucket}/{self.key_prefix}data"
         )
+        #: fault injection (tests): while > 0, each conditional PUT
+        #: carries X-Inject-409, asking a cooperating FakeS3Server to
+        #: answer ConditionalRequestConflict once (deterministic
+        #: per-CLIENT, unlike the server-side burst counter whose
+        #: consumption depends on request interleaving)
+        self.inject_conflicts = 0
+        #: running count of 409 responses this client actually weathered
+        self.conflict_409_seen = 0
 
     # -- HTTP plumbing ------------------------------------------------------
 
@@ -239,18 +247,57 @@ class S3ConditionalStore(Store):
             headers = {"If-None-Match": "*"}
         else:
             headers = {"If-Match": f'"{expected_version}"'}
-        status, hdrs, _ = self._request("PUT", s3_key, body=raw, headers=headers)
-        # 412 = predicate failed; 409 = concurrent conditional writers
-        # (AWS ConditionalRequestConflict — state unknown, re-read);
-        # 404 = If-Match on a now-deleted key. All are lost CAS rounds.
-        if status in (404, 409, 412):
-            raise CASConflictError(
-                f"doc {s3_key!r}: conditional PUT lost (HTTP {status}, "
-                f"expected {expected_version!r})"
+        for _attempt in range(self.cas_retries):
+            if self.inject_conflicts > 0:
+                self.inject_conflicts -= 1
+                headers["X-Inject-409"] = "1"
+            else:
+                headers.pop("X-Inject-409", None)
+            status, hdrs, _ = self._request(
+                "PUT", s3_key, body=raw, headers=headers
             )
-        if status != 200:
-            raise S3StoreError(f"PUT doc {s3_key!r}: HTTP {status}")
-        return _unquote_etag(hdrs.get("etag"))
+            if status == 200:
+                return _unquote_etag(hdrs.get("etag"))
+            # 412 = predicate DEFINITELY failed; 404 = If-Match on a
+            # now-deleted key — both are definite lost CAS rounds.
+            if status in (404, 412):
+                raise CASConflictError(
+                    f"doc {s3_key!r}: conditional PUT lost (HTTP {status}, "
+                    f"expected {expected_version!r})"
+                )
+            if status != 409:
+                raise S3StoreError(f"PUT doc {s3_key!r}: HTTP {status}")
+            # 409 (AWS ConditionalRequestConflict): a concurrent
+            # conditional write was in flight and THIS request's outcome
+            # is UNKNOWN — unlike 412 it must not be reported as a lost
+            # round without a re-read (a create_branch that did land
+            # would otherwise be misreported as "branch exists"). Read
+            # back and resolve:
+            #   bytes == ours        -> our write landed: success
+            #   predicate still true -> nothing landed: retry the PUT
+            #   else                 -> a real concurrent writer won
+            self.conflict_409_seen += 1
+            g_status, g_hdrs, g_data = self._request("GET", s3_key)
+            if g_status == 200 and g_data == raw:
+                return _unquote_etag(g_hdrs.get("etag"))
+            if expected_version is None:
+                if g_status == 404:
+                    continue  # still absent: the phantom writer aborted
+            else:
+                if (
+                    g_status == 200
+                    and _unquote_etag(g_hdrs.get("etag")) == expected_version
+                ):
+                    continue  # predicate still holds: retry
+            raise CASConflictError(
+                f"doc {s3_key!r}: conditional PUT lost to a concurrent "
+                f"writer (HTTP 409 resolved by re-read, expected "
+                f"{expected_version!r})"
+            )
+        raise S3StoreError(
+            f"PUT doc {s3_key!r}: still HTTP 409 after "
+            f"{self.cas_retries} attempts"
+        )
 
     def put_doc_if(self, key: str, doc: dict, expected_version: str | None) -> str:
         return self._conditional_put(
@@ -481,8 +528,15 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
             # write was in flight; THIS request's outcome is unknown.
             # inject_409_win controls whether the phantom concurrent
             # writer "landed" (object materializes) or aborted.
-            if self.server.inject_409 > 0 and (if_match or if_none_match):
-                self.server.inject_409 -= 1
+            # X-Inject-409 is the client-armed variant: deterministic
+            # per client (the cross-process race test guarantees every
+            # child weathers >=1 conflict regardless of interleaving).
+            client_armed = self.headers.get("X-Inject-409") is not None
+            if (self.server.inject_409 > 0 or client_armed) and (
+                if_match or if_none_match
+            ):
+                if not client_armed:
+                    self.server.inject_409 -= 1
                 if self.server.inject_409_win:
                     self._obj().setdefault((bucket, key), raw)
                 return self._send(

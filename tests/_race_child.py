@@ -38,6 +38,10 @@ def main() -> int:
 
     spark = get_spark(f"race-child-{name}")
     store = S3ConditionalStore(endpoint, bucket, local_blob_root=root)
+    # every child weathers >=2 injected ConditionalRequestConflicts
+    # mid-protocol (deterministic client-armed X-Inject-409) — the 409
+    # ambiguity re-read path runs cross-process, not just in-thread
+    store.inject_conflicts = 2
     repo = Repository.open(spark, root, store=store)
     branch = f"feat-{name}"
     repo.create_branch(branch, "main")
@@ -80,7 +84,15 @@ def main() -> int:
         else:
             print(json.dumps({"name": name, "error": "merge retries exhausted"}))
             return 2
-    print(json.dumps({"name": name, "merged": merged}))
+    print(
+        json.dumps(
+            {
+                "name": name,
+                "merged": merged,
+                "injected_409s_weathered": store.conflict_409_seen,
+            }
+        )
+    )
     return 0
 
 

@@ -563,6 +563,10 @@ def test_two_process_merge_race_over_s3(spark, tmp_path, s3_server):
     log_ids = {c.commit_id for c in repo.log("main")}
     for name, res in results.items():
         assert len(res["merged"]) == rounds, res
+        # each child ARMED 2 client-side X-Inject-409 faults — the 409
+        # ambiguity re-read path ran end-to-end in every process, and
+        # the exactly-one-winner invariants below still hold
+        assert res["injected_409s_weathered"] >= 2, res
         for cid in res["merged"]:
             assert cid in log_ids, f"{name} merge {cid} missing from main log"
     keys = {r["key"] for r in repo.list_entries("main").collect()}
