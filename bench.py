@@ -82,6 +82,13 @@ def run_once(spark) -> dict[str, float]:
 
         # B1: import + commit 600k entries
         repo = Repository.create(spark, root)
+        if os.environ.get("SPARK_GRAFT_BENCH_OWNER") == "1":
+            # A/B arm: the mostly-correct ownership lease around every
+            # branch update (zero contention here — measures pure lease
+            # overhead; see README ownership A/B row)
+            from lakefs_spark.storage.ownership import MostlyCorrectOwner
+
+            repo.owner = MostlyCorrectOwner(repo.store)
         with timed("b1_import_commit"):
             repo.import_entries("main", ents, message="bench import")
 
@@ -172,6 +179,31 @@ def main() -> None:
 
     names = list(runs[0])
     med = {q: round(statistics.median(r[q] for r in runs), 3) for q in names}
+
+    # noise-vs-regression is decidable from the JSON alone (VERDICT r7
+    # #8): when any query's median moved >5% vs the latest committed
+    # BENCH_r*.json, widen to a 5-run sample before reporting
+    prev_file, prev_med = None, {}
+    try:
+        import glob
+
+        cands = sorted(glob.glob(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_r*.json")))
+        if cands:
+            prev_file = os.path.basename(cands[-1])
+            with open(cands[-1]) as f:
+                prev_med = json.load(f).get("queries", {})
+    except Exception:  # noqa: BLE001 — the bench must never die on history
+        prev_file, prev_med = None, {}
+    moved = [
+        q for q in names
+        if q in prev_med and prev_med[q] > 0
+        and abs(med[q] - prev_med[q]) / prev_med[q] > 0.05
+    ]
+    if moved and len(runs) < 5:
+        runs += [run_once(spark) for _ in range(5 - len(runs))]
+        med = {q: round(statistics.median(r[q] for r in runs), 3) for q in names}
+
     mins = {q: round(min(r[q] for r in runs), 3) for q in names}
     total = round(sum(med.values()), 3)
     # peak PYTHON-driver RSS (ru_maxrss, kB on linux) — tracks the
@@ -191,7 +223,13 @@ def main() -> None:
                 "queries": med,
                 "queries_min": mins,
                 "queries_all": {q: [r[q] for r in runs] for q in names},
-                "runs": repeats,
+                "spread": {
+                    q: [min(r[q] for r in runs), max(r[q] for r in runs)]
+                    for q in names
+                },
+                "moved_gt_5pct_vs_prev": moved,
+                "prev_bench": prev_file,
+                "runs": len(runs),
                 "driver_rss_gb": rss_gb,
                 "sf": SF_DIR,
             }

@@ -68,7 +68,7 @@ GATES: dict[str, list[str]] = {
     "stream_ops": ["stream_dedup_hashes", "tombstone_alert_stream", "stream_session_stats"],
     "manifest_exports": ["symlink_manifest", "hive_partitions"],
     "export_payloads": ["delta_log_actions", "glue_partition_batches", "unity_table_payload"],
-    "external_listing_gates": ["s3_list_pages", "s3_list_v1_pages", "walker_entries"],
+    "external_listing_gates": ["s3_list_pages", "s3_list_v1_pages", "walker_entries", "sstable_import"],
     "governance_objects": ["pull_requests", "branch_listing"],
     "hook_gates": [
         "hook_runs",
@@ -144,7 +144,6 @@ GATES: dict[str, list[str]] = {
 
 # queries() entries that stay single-operator (flagship / high-volume)
 SOLO: list[str] = [
-    "sstable_import",
     "snapshot_listing",
     "overlay_visible",
     "uncommitted_diff",
@@ -245,6 +244,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "line_dedup": [("doc_id", "bigint"), ("clean_text", "string"), ("n_kept", "bigint"), ("n_removed", "bigint")],
     "lua_hook_runs": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string"), ("output", "string")],
     "lua_exporters": [("pos", "bigint"), ("component", "string"), ("item", "string"), ("value", "string")],
+    "sstable_import": [("pos", "bigint"), ("source", "string"), ("key", "string"), ("identity", "string"), ("address", "string"), ("address_type", "string"), ("size", "bigint"), ("etag", "string"), ("last_modified_s", "bigint")],
     "active_commits": [("commit_id", "string")],
     "ann_recall": [("qa", "bigint"), ("n_hits", "bigint"), ("recall", "double")],
     "ann_topk": [("qa", "bigint"), ("qb", "bigint"), ("sim", "double")],

@@ -19,7 +19,7 @@ from tests.conftest import SF_SMOKE
 
 def test_exactly_fifty_slots():
     q = entrymod.queries()
-    assert len(q) == 51  # round 8: +sstable_import (lakeFS migration)
+    assert len(q) == 50
     assert list(q) == GS.SOLO + list(GS.GATES)
     o = entrymod.oracle_sql()
     assert set(o) == set(q)
