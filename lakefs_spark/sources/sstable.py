@@ -300,6 +300,7 @@ def decode_entry_proto(data: bytes) -> dict:
     out = {
         "address": "",
         "last_modified_s": None,
+        "last_modified_ns": 0,
         "size": 0,
         "etag": "",
         "metadata": {},
@@ -310,11 +311,14 @@ def decode_entry_proto(data: bytes) -> dict:
         if field == 1:
             out["address"] = val.decode("utf-8", "replace")
         elif field == 2:  # google.protobuf.Timestamp {1: seconds, 2: nanos}
-            secs = 0
+            secs, nanos = 0, 0
             for f2, _w2, v2 in _iter_proto_fields(val):
                 if f2 == 1:
                     secs = _sint64(v2)
+                elif f2 == 2:
+                    nanos = _sint64(v2)
             out["last_modified_s"] = secs
+            out["last_modified_ns"] = nanos
         elif field == 3:
             out["size"] = _sint64(val)
         elif field == 4:
@@ -368,6 +372,7 @@ def read_range_sstable(buf: bytes) -> list[dict]:
                 "size": e["size"],
                 "etag": e["etag"],
                 "last_modified_s": e["last_modified_s"],
+                "last_modified_ns": e["last_modified_ns"],
                 "metadata": e["metadata"] or None,
                 "content_type": e["content_type"] or None,
             }
@@ -470,3 +475,400 @@ def migrate_from_lakefs(
     repo.stage_entries(branch, entries)
     commit = repo.commit(branch, message)
     return commit, len(ranges), sum(r["count"] for r in ranges)
+
+
+# ---------------------------------------------------------------------------
+# writer: export THIS engine's snapshots AS lakeFS SSTables
+# ---------------------------------------------------------------------------
+#
+# The reverse migration: write Pebble/RocksDB block-based tables the
+# reference (and this module's reader) can read, with range IDs derived
+# by the reference's EXACT ident protocol (pkg/graveler/sstable/
+# writer.go WriteRecord/Close + pkg/ident/ident.go MarshalStringMap) —
+# pinned against the golden fixtures: re-deriving range.sst's ID from
+# its records yields precisely the ID metarange.sst references
+# (tests/test_sstable.py::test_range_id_derivation_matches_reference).
+
+RESTART_INTERVAL = 16
+TARGET_BLOCK_SIZE = 4096
+FOOTER_VERSION = 2  # RocksDBv2, what the fixtures carry
+INTERNAL_SET_TRAILER = bytes([1, 0, 0, 0, 0, 0, 0, 0])  # seq 0, kind SET
+
+
+def write_uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def write_svarint(n: int) -> bytes:
+    # Go binary.PutVarint zigzag
+    return write_uvarint((n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1)
+
+
+def build_graveler_value(identity: bytes, data: bytes) -> bytes:
+    """value.go MarshalValue: |len|identity|len|data| (zigzag lens)."""
+    return (
+        write_svarint(len(identity))
+        + identity
+        + write_svarint(len(data))
+        + data
+    )
+
+
+def _proto_tag(field: int, wire: int) -> bytes:
+    return write_uvarint(field << 3 | wire)
+
+
+def _proto_bytes(field: int, b: bytes) -> bytes:
+    return _proto_tag(field, 2) + write_uvarint(len(b)) + b
+
+
+def _proto_varint(field: int, v: int) -> bytes:
+    if v < 0:
+        v += 1 << 64  # proto int64 two's complement
+    return _proto_tag(field, 0) + write_uvarint(v)
+
+
+def encode_entry_proto(e: dict) -> bytes:
+    """catalog.Entry, proto3 canonical form (tag order, defaults
+    omitted) — round-trips decode_entry_proto byte-exactly on the
+    golden fixtures."""
+    out = bytearray()
+    if e.get("address"):
+        out += _proto_bytes(1, e["address"].encode("utf-8"))
+    lm = e.get("last_modified_s")
+    lm_ns = e.get("last_modified_ns") or 0
+    if lm or lm_ns:
+        ts = _proto_varint(1, int(lm or 0))
+        if lm_ns:
+            ts += _proto_varint(2, int(lm_ns))
+        out += _proto_bytes(2, ts)
+    if e.get("size"):
+        out += _proto_varint(3, int(e["size"]))
+    if e.get("etag"):
+        out += _proto_bytes(4, e["etag"].encode("utf-8"))
+    for k in sorted(e.get("metadata") or {}):
+        v = (e["metadata"] or {})[k]
+        entry = _proto_bytes(1, k.encode("utf-8")) + _proto_bytes(
+            2, str(v).encode("utf-8")
+        )
+        out += _proto_bytes(5, entry)
+    at = e.get("address_type", 0)
+    if isinstance(at, str):
+        at = {"BY_PREFIX_DEPRECATED": 0, "RELATIVE": 1, "FULL": 2}.get(at, 2)
+    if at:
+        out += _proto_varint(6, at)
+    if e.get("content_type"):
+        out += _proto_bytes(7, e["content_type"].encode("utf-8"))
+    return bytes(out)
+
+
+def encode_range_proto(r: dict) -> bytes:
+    """committed.RangeData, proto3 canonical form."""
+    out = bytearray()
+    mk = r.get("min_key") or b""
+    xk = r.get("max_key") or b""
+    if isinstance(mk, str):
+        mk = mk.encode("utf-8")
+    if isinstance(xk, str):
+        xk = xk.encode("utf-8")
+    if mk:
+        out += _proto_bytes(1, mk)
+    if xk:
+        out += _proto_bytes(2, xk)
+    if r.get("estimated_size"):
+        out += _proto_varint(3, int(r["estimated_size"]))
+    if r.get("count"):
+        out += _proto_varint(4, int(r["count"]))
+    return bytes(out)
+
+
+def _build_block(items: list[tuple[bytes, bytes]], restart_interval: int = RESTART_INTERVAL) -> bytes:
+    """Prefix-compressed block payload + restart array."""
+    out = bytearray()
+    restarts = []
+    prev = b""
+    for i, (key, value) in enumerate(items):
+        if i % restart_interval == 0:
+            restarts.append(len(out))
+            shared = 0
+        else:
+            shared = 0
+            for a, b in zip(prev, key):
+                if a != b:
+                    break
+                shared += 1
+        out += write_uvarint(shared)
+        out += write_uvarint(len(key) - shared)
+        out += write_uvarint(len(value))
+        out += key[shared:]
+        out += value
+        prev = key
+    for r in restarts or [0]:
+        out += struct.pack("<I", r)
+    out += struct.pack("<I", len(restarts) or 1)
+    return bytes(out)
+
+
+class SSTableBuilder:
+    """Minimal block-based-table writer: uncompressed blocks (a valid
+    choice the reference reads fine — its own fixtures include
+    no-compression variants), crc32c trailers, single-level index,
+    RocksDBv2 footer."""
+
+    def __init__(self):
+        self._out = bytearray()
+        self._data_items: list[tuple[bytes, bytes]] = []
+        self._index: list[tuple[bytes, bytes]] = []
+        self._last_key = b""
+
+    def _emit_block(self, payload: bytes) -> tuple[int, int]:
+        off = len(self._out)
+        self._out += payload
+        self._out.append(COMPRESSION_NONE)
+        crc = _mask_crc(crc32c(payload + bytes([COMPRESSION_NONE])))
+        self._out += struct.pack("<I", crc)
+        return off, len(payload)
+
+    def _flush_data_block(self) -> None:
+        if not self._data_items:
+            return
+        off, size = self._emit_block(_build_block(self._data_items))
+        handle = write_uvarint(off) + write_uvarint(size)
+        # index key = the block's last internal key (a valid separator:
+        # >= every key in the block, < the next block's first)
+        self._index.append((self._data_items[-1][0], handle))
+        self._data_items = []
+
+    def add(self, user_key: bytes, value: bytes) -> None:
+        if user_key <= self._last_key and self._last_key:
+            raise ValueError(
+                f"keys must be strictly ascending: {user_key!r} after "
+                f"{self._last_key!r}"
+            )
+        self._last_key = user_key
+        self._data_items.append((user_key + INTERNAL_SET_TRAILER, value))
+        approx = sum(len(k) + len(v) + 6 for k, v in self._data_items)
+        if approx >= TARGET_BLOCK_SIZE:
+            self._flush_data_block()
+
+    def finish(self, properties: dict[bytes, bytes]) -> bytes:
+        self._flush_data_block()
+        index_off, index_size = self._emit_block(
+            _build_block(self._index, restart_interval=1)
+        )
+        props = dict(properties)
+        props.setdefault(
+            INDEX_TYPE_KEY, struct.pack("<I", 0)  # single-level index
+        )
+        props_off, props_size = self._emit_block(
+            _build_block(sorted(props.items()), restart_interval=1)
+        )
+        meta_items = [
+            (
+                b"rocksdb.properties",
+                write_uvarint(props_off) + write_uvarint(props_size),
+            )
+        ]
+        mi_off, mi_size = self._emit_block(
+            _build_block(meta_items, restart_interval=1)
+        )
+        footer = bytearray([CHECKSUM_CRC32C])
+        footer += write_uvarint(mi_off) + write_uvarint(mi_size)
+        footer += write_uvarint(index_off) + write_uvarint(index_size)
+        footer += bytes(41 - len(footer))  # pad handles area to 40 bytes
+        footer += struct.pack("<I", FOOTER_VERSION)
+        footer += MAGIC
+        assert len(footer) == FOOTER_LEN
+        self._out += footer
+        return bytes(self._out)
+
+
+def _ident_string_map(h, props: dict[bytes, bytes]) -> None:
+    """pkg/ident/ident.go MarshalStringMap over the writer's metadata —
+    byte-verified against the golden fixtures (re-deriving range.sst's
+    records yields exactly the range id metarange.sst references)."""
+
+    def mstring(s: bytes) -> None:
+        h.update(bytes([1]))  # AddressTypeString
+        h.update(bytes([2, 8]))  # MarshalInt64: type tag + length byte
+        h.update(len(s).to_bytes(8, "big"))
+        h.update(s)
+
+    h.update(bytes([4]))  # AddressTypeStringMap
+    h.update(bytes([2, 8]))
+    h.update(len(props).to_bytes(8, "big"))
+    for k in sorted(props):
+        mstring(k)
+        mstring(props[k])
+
+
+def derive_table_id(records: list[tuple[bytes, bytes]], metadata: dict[bytes, bytes]) -> str:
+    """writer.go WriteRecord/writeHashWithLen + Close: sha256 over
+    'len|key|len|value' per record then MarshalStringMap(constructor
+    metadata). The CONTENT ADDRESS lakeFS itself would assign."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for key, value in records:
+        for buf in (key, value):
+            h.update(str(len(buf)).encode())
+            h.update(buf)
+            h.update(b"|")
+    _ident_string_map(h, metadata)
+    return h.hexdigest()
+
+
+def _lakefs_props(kind: bytes, records, estimated_size: int) -> dict[bytes, bytes]:
+    return {
+        b"type": kind,
+        b"min_key": records[0][0],
+        b"max_key": records[-1][0],
+        b"count": str(len(records)).encode(),
+        b"estimated_size_bytes": str(estimated_size).encode(),
+    }
+
+
+def write_range_sstable(entries: list[dict]) -> tuple[bytes, str, dict]:
+    """Entry rows (ENTRY_SCHEMA-shaped dicts, sorted by key) → a lakeFS
+    range SSTable. Returns (bytes, range_id, RangeData-shaped dict)."""
+    records = []
+    for e in entries:
+        ident = bytes.fromhex(e["identity"])
+        lm = e.get("last_modified_s")
+        lmv = e.get("last_modified")
+        # NaT-safe: pandas NaT is not None but NaT != NaT
+        if lm is None and lmv is not None and lmv == lmv:
+            import calendar
+
+            lm = calendar.timegm(lmv.timetuple())
+        data = encode_entry_proto({**e, "last_modified_s": lm})
+        records.append(
+            (e["key"].encode("utf-8"), build_graveler_value(ident, data))
+        )
+    if not records:
+        raise ValueError("cannot write an empty range")
+    est = sum(len(k) + len(v) for k, v in records)
+    rid = derive_table_id(records, {b"type": b"ranges"})
+    builder = SSTableBuilder()
+    for k, v in records:
+        builder.add(k, v)
+    buf = builder.finish(_lakefs_props(b"ranges", records, est))
+    rd = {
+        "range_id": rid,
+        "min_key": records[0][0].decode("utf-8", "replace"),
+        "max_key": records[-1][0].decode("utf-8", "replace"),
+        "estimated_size": est,
+        "count": len(records),
+    }
+    return buf, rid, rd
+
+
+def write_metarange_sstable(ranges: list[dict]) -> tuple[bytes, str]:
+    """Range descriptors (write_range_sstable's dicts, in key order) →
+    a lakeFS metarange SSTable. Returns (bytes, metarange_id)."""
+    records = []
+    for r in ranges:
+        data = encode_range_proto(r)
+        records.append(
+            (
+                r["max_key"].encode("utf-8"),
+                build_graveler_value(r["range_id"].encode("ascii"), data),
+            )
+        )
+    if not records:
+        raise ValueError("cannot write an empty metarange")
+    est = sum(len(k) + len(v) for k, v in records)
+    mid = derive_table_id(records, {b"type": b"metaranges"})
+    builder = SSTableBuilder()
+    for k, v in records:
+        builder.add(k, v)
+    buf = builder.finish(_lakefs_props(b"metaranges", records, est))
+    return buf, mid
+
+
+def export_to_lakefs(repo, ref: str, out_dir: str, *, rows_per_range: int = 50_000):
+    """Export a snapshot AS lakeFS SSTables: one .sst per range (named
+    by its lakeFS-protocol content address) plus the metarange .sst.
+    Returns (metarange_id, n_ranges, n_entries).
+
+    Scale shape: entries stream through Spark sorted by key; each range
+    is BUILT executor-side (applyInPandas over a precomputed range
+    index — only (range_id, min, max, count, size) descriptors return
+    to the driver, which writes the one manifest-sized metarange).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    os.makedirs(out_dir, exist_ok=True)
+    snap = repo.snapshot(ref)
+    # Scale shape: ONE range-partitioning shuffle assigns contiguous
+    # key ranges to tasks (no global window, no driver pass over
+    # entries); each task buffers its ~rows_per_range slice, builds one
+    # .sst executor-side and returns only the descriptor row.
+    n_entries = snap.count()
+    if n_entries == 0:
+        raise ValueError("cannot export an empty snapshot")
+    n_ranges = max(1, math.ceil(n_entries / rows_per_range))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("range_id", T.StringType()),
+            T.StructField("min_key", T.StringType()),
+            T.StructField("max_key", T.StringType()),
+            T.StructField("estimated_size", T.LongType()),
+            T.StructField("count", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _write_partition(batches):
+        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
+        # mapInPandas hands one PARTITION per task as a batch iterator
+        parts = [p for p in ([pdf] if pdf is not None else []) if len(p)]
+        if not parts:
+            yield pd.DataFrame(columns=cols)
+            return
+        pdf = parts[0].sort_values("key")
+        entries = pdf.to_dict("records")
+        for e in entries:
+            lm = e.get("last_modified")
+            e["last_modified_s"] = (
+                None if lm is None or pd.isna(lm) else int(pd.Timestamp(lm).timestamp())
+            )
+            if not isinstance(e.get("metadata"), dict):
+                e["metadata"] = None
+        buf, rid, rd = write_range_sstable(entries)
+        with open(os.path.join(out_dir, rid), "wb") as f:
+            f.write(buf)
+        yield pd.DataFrame([rd], columns=cols)
+
+    def _collect_batches(it):
+        return list(it)
+
+    def _mapper(it):
+        batches = _collect_batches(it)
+        yield from _write_partition(batches)
+
+    from pyspark.sql import functions as F
+
+    descs = (
+        snap.repartitionByRange(n_ranges, F.col("key"))
+        .mapInPandas(_mapper, out_schema)
+        .collect()
+    )
+    ranges = sorted((r.asDict() for r in descs), key=lambda r: r["max_key"])
+    total = sum(r["count"] for r in ranges)
+    buf, mid = write_metarange_sstable(ranges)
+    with open(os.path.join(out_dir, mid), "wb") as f:
+        f.write(buf)
+    return mid, len(ranges), total

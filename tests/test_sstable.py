@@ -213,3 +213,136 @@ def test_migrate_missing_range_fails_loudly(spark, tmp_path):
         S.migrate_from_lakefs(
             repo, os.path.join(DATA, "metarange.sst"), str(tmp_path / "empty")
         )
+
+
+# -- 4. the writer: export AS lakeFS SSTables ---------------------------------
+
+
+def test_value_codec_reencode_is_byte_identical():
+    """decode→encode round-trips every raw value in the golden range
+    tables byte-exactly — our proto/value encoders produce the same
+    canonical form Go's marshaler wrote."""
+    for fixture in ["range.sst", "ok1.sst"]:
+        buf = _load(fixture)
+        n = 0
+        for _key, raw in S.iter_raw_entries(buf):
+            ident, data = S.split_graveler_value(raw)
+            e = S.decode_entry_proto(data)
+            again = S.build_graveler_value(
+                ident,
+                S.encode_entry_proto(
+                    {**e, "last_modified_s": e["last_modified_s"]}
+                ),
+            )
+            assert again == raw, (fixture, _key)
+            n += 1
+        assert n > 0
+
+
+def test_range_id_derivation_matches_reference():
+    """derive_table_id over range.sst's records reproduces EXACTLY the
+    range id metarange.sst references — our writer's content addresses
+    follow the lakeFS ident protocol byte-for-byte."""
+    buf = _load("range.sst")
+    records = list(S.iter_raw_entries(buf))
+    rid = S.derive_table_id(records, {b"type": b"ranges"})
+    (desc,) = S.read_metarange_sstable(_load("metarange.sst"))
+    assert rid == desc["range_id"]
+
+
+def test_writer_reproduces_golden_range_id_from_decoded_entries():
+    """Full writer fidelity: DECODE range.sst to plain entry dicts,
+    re-encode through write_range_sstable, and the resulting table has
+    the same records, same lakeFS content address, and reads back
+    identically."""
+    entries = S.read_range_sstable(_load("range.sst"))
+    buf, rid, rd = S.write_range_sstable(entries)
+    (desc,) = S.read_metarange_sstable(_load("metarange.sst"))
+    assert rid == desc["range_id"]
+    assert rd["count"] == 2 and rd["min_key"] == "a/b/c/no"
+    assert S.read_range_sstable(buf) == entries
+    props = S.read_properties(buf)
+    assert props[b"type"] == b"ranges" and props[b"count"] == b"2"
+
+
+def test_writer_multiblock_roundtrip():
+    """10k entries span many 4KB blocks with real prefix compression;
+    read-back must be exact and key-ordered."""
+    entries = [
+        {
+            "key": f"corpus/shard={i % 7:02d}/doc-{i:06d}.txt",
+            "identity": f"{i:064x}",
+            "address": f"data/{i:08x}",
+            "address_type": "RELATIVE",
+            "size": i % 1000 + 1,
+            "etag": f"{i*31 % 2**32:08x}",
+            "last_modified_s": 1700000000 + i,
+            "metadata": {"lang": "en"} if i % 5 == 0 else None,
+            "content_type": "text/plain" if i % 3 == 0 else "",
+        }
+        for i in range(10_000)
+    ]
+    entries.sort(key=lambda e: e["key"])
+    buf, rid, rd = S.write_range_sstable(entries)
+    assert rd["count"] == 10_000
+    back = S.read_range_sstable(buf)
+    assert len(back) == 10_000
+    for want, got in zip(entries, back):
+        assert got["key"] == want["key"]
+        assert got["identity"] == want["identity"]
+        assert got["size"] == want["size"]
+        assert got["metadata"] == want["metadata"]
+        assert got["content_type"] == (want["content_type"] or None)
+    # the file is a valid table end-to-end (props, index, crc)
+    props = S.read_properties(buf)
+    assert int(props[b"count"]) == 10_000
+
+
+def test_export_import_full_circle(spark, tmp_path):
+    """repo A → export_to_lakefs (real .sst files, lakeFS content
+    addresses) → migrate_from_lakefs into repo B → identical
+    snapshots. The bidirectional migration story in one test."""
+    from lakefs_spark.storage.repo import Repository
+
+    repo_a = Repository.create(spark, str(tmp_path / "a"))
+    rows = [
+        {
+            "key": f"t/{i:05d}",
+            "identity": f"{i:064x}",
+            "size": i + 1,
+            "etag": f"e{i}",
+            "address": f"s3://bucket/obj/{i}",
+            "address_type": "FULL",
+        }
+        for i in range(500)
+    ]
+    for r in rows:
+        repo_a.set_entry("main", r)
+    c_a = repo_a.commit("main", "source commit")
+
+    out = str(tmp_path / "lakefs-export")
+    mid, n_ranges, n_entries = S.export_to_lakefs(
+        repo_a, c_a.commit_id, out, rows_per_range=120
+    )
+    assert n_entries == 500 and n_ranges >= 4
+    # every exported file's NAME is its lakeFS-protocol content address
+    for fname in os.listdir(out):
+        buf = S.read_file(os.path.join(out, fname))
+        records = list(S.iter_raw_entries(buf))
+        kind = S.read_properties(buf)[b"type"]
+        assert S.derive_table_id(records, {b"type": kind}) == fname
+
+    repo_b = Repository.create(spark, str(tmp_path / "b"))
+    commit_b, nr, ne = S.migrate_from_lakefs(
+        repo_b, os.path.join(out, mid), out
+    )
+    assert (nr, ne) == (n_ranges, 500)
+    a = sorted(
+        (r["key"], r["identity"], r["size"], r["etag"], r["address"])
+        for r in repo_a.snapshot(c_a.commit_id).collect()
+    )
+    b = sorted(
+        (r["key"], r["identity"], r["size"], r["etag"], r["address"])
+        for r in repo_b.snapshot(commit_b.commit_id).collect()
+    )
+    assert a == b
