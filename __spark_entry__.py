@@ -2495,6 +2495,29 @@ def q_sstable_import(spark, sf_dir):
                  r["address_type"], r["size"], r["etag"],
                  _epoch(r["last_modified"]))
             )
+        # the WRITE direction: a fixed entry set exported as a lakeFS
+        # range+metarange must carry the deterministic content
+        # addresses of the reference's ident protocol, and the export
+        # must read back through our own reader identically
+        fixed = [
+            {"key": f"exp/{i:03d}", "identity": f"{i:064x}",
+             "address": f"data/{i}", "address_type": "RELATIVE",
+             "size": i + 1, "etag": f"e{i}",
+             "last_modified_s": 1700000000 + i, "metadata": None,
+             "content_type": "t"}
+            for i in range(5)
+        ]
+        ebuf, rid, rd = S.write_range_sstable(fixed)
+        _mbuf, mid = S.write_metarange_sstable([rd])
+        back = S.read_range_sstable(ebuf)
+        ok = all(
+            b["key"] == e["key"] and b["identity"] == e["identity"]
+            and b["size"] == e["size"]
+            for b, e in zip(back, fixed)
+        ) and len(back) == len(fixed)
+        rows.append(("export", "range_id", rid, "", "", len(back),
+                     "roundtrip_ok" if ok else "roundtrip_FAILED", 0))
+        rows.append(("export", "metarange_id", mid, "", "", 1, "", 0))
         rows = [(i + 1, *r) for i, r in enumerate(rows)]
         _SSTABLE_ROWS[key] = rows
     return spark.createDataFrame(

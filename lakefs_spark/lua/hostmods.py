@@ -774,6 +774,46 @@ def make_databricks_module(recorder: list | None = None) -> LuaTable:
     return LuaTable({"client": client})
 
 
+def _mod_parquet() -> LuaTable:
+    """``encoding/parquet`` (pkg/actions/lua/encoding/parquet/
+    parquet.go): get_schema(content) → [{name, type}] with parquet
+    PHYSICAL type names (BYTE_ARRAY, INT32, ...). Backed by pyarrow;
+    lists leaf columns (the Go version also emits group nodes as
+    type=N/A — a disclosed flattening difference; block-list
+    validators match leaf names either way)."""
+
+    def get_schema(payload):
+        import io
+
+        s = str(payload)
+        bufs = []
+        for codec in ("latin-1", "utf-8"):
+            try:
+                bufs.append(s.encode(codec))
+            except UnicodeEncodeError:
+                continue
+        last_err = None
+        for b in bufs:
+            if b[:4] != b"PAR1":
+                continue
+            try:
+                import pyarrow.parquet as pq
+
+                schema = pq.ParquetFile(io.BytesIO(b)).schema
+                out = []
+                for i in range(len(schema)):
+                    col = schema.column(i)
+                    out.append({"name": col.name, "type": col.physical_type})
+                from lakefs_spark.lua.modules import py_to_lua
+
+                return py_to_lua(out)
+            except Exception as e:  # noqa: BLE001 — try the other codec
+                last_err = e
+        raise LuaError(f"parquet.get_schema: not a parquet payload ({last_err})")
+
+    return LuaTable({"get_schema": get_schema})
+
+
 # static (repo-independent) modules
 PY_HOST_MODULES = {
     "crypto/hmac": _mod_crypto_hmac,
@@ -785,4 +825,5 @@ PY_HOST_MODULES = {
     "encoding/base64": _mod_base64,
     "encoding/hex": _mod_hex,
     "encoding/z85enc": _mod_z85enc,
+    "encoding/parquet": _mod_parquet,
 }

@@ -320,7 +320,16 @@ def load_entry_content(repo, row, content_loader=None) -> str:
             raise FileNotFoundError(addr)
         with open(p, "rb") as f:
             data = f.read()
-    return data.decode("utf-8", errors="replace") if isinstance(data, bytes) else data
+    if not isinstance(data, bytes):
+        return data
+    # valid utf-8 stays real text; anything else (parquet, images)
+    # decodes latin-1 so EVERY byte round-trips through Lua strings —
+    # encoding/parquet & crypto re-encode with the same convention
+    # (hostmods.lua_bytes); utf-8-replace would corrupt binary payloads
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data.decode("latin-1")
 
 
 def _entry_to_object_stats(row) -> dict:

@@ -2394,6 +2394,8 @@ def q_sstable_import() -> str:
     union all select cast(105 as bigint), 'ok1', 'run2/file_98', 'ec59ae368801b75c3bb6bec2270dffe09bb50354e0ae4f5f26b9cdc6a8373e15', '03f22b5b28174ac2a5b3e60b77a584ea', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868850 as bigint)
     union all select cast(106 as bigint), 'ok1', 'run2/file_99', '152a06743df4fdde9196f216c3c15dffb9378d83163ff3042ba67bb24a8d127a', '83410ea191c04c98811d82fa88c1f2bf', 'BY_PREFIX_DEPRECATED', cast(2 as bigint), 'b026324c6904b2a9cb4b88d6d61c81d1', cast(1610868850 as bigint)
     union all select cast(107 as bigint), 'ok1', 'xyzzy', 'bcca4779251e62ba70c1fe8836884d77f668719c85ecfa888de7bd62df0522bb', '7c5dc4fac42d4846aa6cc35f7e9c91f7', 'BY_PREFIX_DEPRECATED', cast(4 as bigint), 'ed22fdfd3a1495bf6bcad854d6546790', cast(1610619018 as bigint)
+    union all select cast(108 as bigint), 'export', 'range_id', 'd424c7e9402fb6c4b93720af81f563ecc8cd0dd5ebc284b96c46e238b6fb7e02', '', '', cast(5 as bigint), 'roundtrip_ok', cast(0 as bigint)
+    union all select cast(109 as bigint), 'export', 'metarange_id', '70b7dcb6fad7f3e32edf9ca3b95c6cf00b544061971d97345b28cef399625fec', '', '', cast(1 as bigint), '', cast(0 as bigint)
     """
 
 

@@ -537,3 +537,124 @@ def test_array_marker_marshals_empty_as_list():
         """
     )
     assert ret == ['{"a": [], "b": {}}']
+
+
+HOOKS_DATA = os.path.join(os.path.dirname(__file__), "data", "hooks")
+
+
+def _commit_parquet_table(spark, repo, branch, key, columns):
+    """Write a real parquet file into the repo's data root and commit
+    it at `key` on `branch`."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table(columns), buf)
+    raw = buf.getvalue()
+    rel = f"data/pq/{key.replace('/', '_')}"
+    p = os.path.join(repo.store.data_root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "wb") as f:
+        f.write(raw)
+    repo.stage_entries(
+        branch,
+        spark.createDataFrame(
+            [(key, f"i-{key}", rel, "RELATIVE", len(raw), "e", None, None,
+              "application/parquet")],
+            ENTRY_SCHEMA,
+        ),
+    )
+
+
+def test_parquet_schema_validator_stock_hook(spark, tmp_path):
+    """The reference's examples/hooks/parquet_schema_validator.lua runs
+    VERBATIM (vendored fixture) as a pre-merge type:lua hook: a merge
+    introducing a parquet file with a block-listed column is vetoed;
+    clean columns merge fine. Exercises encoding/parquet.get_schema
+    over real parquet bytes (binary-safe object loading), regexp
+    pattern matching, and diff_refs paging with a prefix."""
+    from lakefs_spark.storage.actions import ActionsService
+    from lakefs_spark.storage.repo import HookAbortError, Repository
+
+    with open(os.path.join(HOOKS_DATA, "parquet_schema_validator.lua")) as f:
+        stock_script = f.read()
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("seed", "i0", _put_file(repo, "data/seed", "s"),
+              "RELATIVE", 1, "e0", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    repo.commit("main", "seed")
+    svc = ActionsService(repo)
+    svc.add_action(
+        {
+            "name": "pre merge format check on main",
+            "on": {"pre-merge": {"branches": ["main"]}},
+            "hooks": [
+                {
+                    "id": "check_formats",
+                    "type": "lua",
+                    "properties": {
+                        "script": stock_script,
+                        "args": {
+                            "sample": False,
+                            "column_block_list": ["user_id", "email", "private_*"],
+                            "locations": ["tables/users/", "tables/sales/"],
+                        },
+                    },
+                }
+            ],
+        }
+    )
+
+    # negative: blocked column vetoes the merge
+    repo.create_branch("bad", "main")
+    _commit_parquet_table(
+        spark, repo, "bad", "tables/users/part-0.parquet",
+        {"user_id": [1, 2], "name": ["a", "b"]},
+    )
+    repo.commit("bad", "blocked column lands on a branch")
+    import pytest as _pytest
+
+    with _pytest.raises(HookAbortError, match="Column is not allowed: 'user_id'"):
+        repo.merge("bad", "main")
+
+    # positive: clean schema merges
+    repo.create_branch("good", "main")
+    _commit_parquet_table(
+        spark, repo, "good", "tables/sales/part-0.parquet",
+        {"order_id": [1], "amount": [2.5], "region": ["emea"]},
+    )
+    repo.commit("good", "clean columns")
+    mc = repo.merge("good", "main")
+    assert mc.commit_id
+
+
+def test_parquet_get_schema_from_lua():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"geoname_id": ["x"], "population": [7]}), buf)
+    payload = buf.getvalue().decode("latin-1")
+    ret, out = run(
+        """
+        local parquet = require("encoding/parquet")
+        local schema = parquet.get_schema(content)
+        local acc = {}
+        for _, col in ipairs(schema) do
+          table.insert(acc, col.name .. ":" .. col.type)
+        end
+        return table.concat(acc, ",")
+        """,
+        content=payload,
+    )
+    assert ret == ["geoname_id:BYTE_ARRAY,population:INT64"]

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scale profile of the bidirectional lakeFS SSTable migration path.
+
+For each N: synthesize N entries → commit in repo A →
+``export_to_lakefs`` (one range-partitioned shuffle, ranges built
+executor-side) → ``migrate_from_lakefs`` into repo B (distributed
+binaryFile+mapInPandas parse) → verify the two snapshots are
+row-identical with an exceptAll. Prints one JSON line per point.
+
+Usage: python tools/profile_migration.py [N ...]   (default 600000 6000000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_entries(spark, n: int):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.concat(
+                F.lit("corpus/shard="),
+                F.lpad((F.col("id") % 64).cast("string"), 2, "0"),
+                F.lit("/doc-"),
+                F.lpad(F.col("id").cast("string"), 10, "0"),
+            ).alias("key"),
+            F.sha2(F.col("id").cast("string"), 256).alias("identity"),
+            F.concat(F.lit("data/"), F.md5(F.col("id").cast("string"))).alias("address"),
+            F.lit("RELATIVE").alias("address_type"),
+            (F.col("id") % 100000 + 1).alias("size"),
+            F.md5(F.concat(F.lit("e"), F.col("id").cast("string"))).alias("etag"),
+            F.lit(None).cast("timestamp").alias("last_modified"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+            F.lit("text/plain").alias("content_type"),
+        )
+    )
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from lakefs_spark.session import get_spark
+    from lakefs_spark.sources import sstable as S
+    from lakefs_spark.storage.repo import Repository
+
+    points = [int(a) for a in sys.argv[1:]] or [600_000, 6_000_000]
+    spark = get_spark("profile-migration")
+    for n in points:
+        root = tempfile.mkdtemp(prefix="lakemig_")
+        try:
+            repo_a = Repository.create(spark, os.path.join(root, "a"))
+            repo_a.import_entries("main", synth_entries(spark, n), message="src")
+            head = repo_a.resolve("main").commit_id
+
+            out = os.path.join(root, "export")
+            t0 = time.time()
+            mid, n_ranges, n_exported = S.export_to_lakefs(
+                repo_a, head, out, rows_per_range=50_000
+            )
+            t_export = round(time.time() - t0, 2)
+
+            repo_b = Repository.create(spark, os.path.join(root, "b"))
+            t0 = time.time()
+            commit_b, nr, ne = S.migrate_from_lakefs(
+                repo_b, os.path.join(out, mid), out
+            )
+            t_import = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            a = repo_a.snapshot(head).select(
+                "key", "identity", "address", "size", "etag"
+            )
+            b = repo_b.snapshot(commit_b.commit_id).select(
+                "key", "identity", "address", "size", "etag"
+            )
+            missing = a.exceptAll(b).count() + b.exceptAll(a).count()
+            t_verify = round(time.time() - t0, 2)
+
+            print(
+                json.dumps(
+                    {
+                        "n_entries": n,
+                        "n_ranges": n_ranges,
+                        "export_sec": t_export,
+                        "import_sec": t_import,
+                        "verify_sec": t_verify,
+                        "row_diffs": missing,
+                        "exported_mb": round(
+                            sum(
+                                os.path.getsize(os.path.join(out, f))
+                                for f in os.listdir(out)
+                            )
+                            / 1e6,
+                            1,
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            assert missing == 0 and ne == n
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
