@@ -200,6 +200,15 @@ def _mod_regexp() -> LuaTable:
     )
 
 
+def _mod_hook() -> LuaTable:
+    # pkg/actions/lua/hook/hook.go: fail(msg) raises the explicit
+    # <HookFailure> marker (a deliberate veto, not a script bug)
+    def fail(msg):
+        raise LuaError(f"<HookFailure>{lua_tostring(msg)}</HookFailure>")
+
+    return LuaTable({"fail": fail})
+
+
 def _mod_json() -> LuaTable:
     def marshal(v):
         return _json.dumps(lua_to_py(v), sort_keys=True)
@@ -1223,6 +1232,7 @@ def make_hook_env(
         "encoding/json": _mod_json,
         "encoding/yaml": _mod_yaml,
         "net/url": _mod_url,
+        "hook": _mod_hook,
         **PY_HOST_MODULES,
     }
     if repo is not None:

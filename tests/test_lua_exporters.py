@@ -658,3 +658,198 @@ def test_parquet_get_schema_from_lua():
         content=payload,
     )
     assert ret == ["geoname_id:BYTE_ARRAY,population:INT64"]
+
+
+def _stock(name):
+    with open(os.path.join(HOOKS_DATA, name)) as f:
+        return f.read()
+
+
+def _seeded_repo(spark, tmp_path):
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("seed", "i0", _put_file(repo, "data/seed", "s"),
+              "RELATIVE", 1, "e0", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    repo.commit("main", "seed")
+    return repo
+
+
+def test_format_validator_stock_hook(spark, tmp_path):
+    """examples/hooks/format_validator.lua VERBATIM as pre-merge:
+    disallowed extensions veto the merge; hidden (_-prefixed) paths are
+    exempt; allowed extensions pass."""
+    from lakefs_spark.storage.actions import ActionsService
+    from lakefs_spark.storage.repo import HookAbortError
+
+    repo = _seeded_repo(spark, tmp_path)
+    ActionsService(repo).add_action(
+        {
+            "name": "pre merge format check on main",
+            "on": {"pre-merge": {"branches": ["main"]}},
+            "hooks": [{
+                "id": "check_formats", "type": "lua",
+                "properties": {
+                    "script": _stock("format_validator.lua"),
+                    "args": {"allow_list": ["parquet", "orc", "log"],
+                             "ignore_hidden": True},
+                },
+            }],
+        }
+    )
+    repo.create_branch("bad", "main")
+    repo.stage_entries(
+        "bad",
+        spark.createDataFrame(
+            [("tables/t/part-0.csv", "i1", "x", "RELATIVE", 1, "e", None, None, "t"),
+             ("_hidden/scratch.tmp", "i2", "x", "RELATIVE", 1, "e", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    repo.commit("bad", "csv lands on branch")
+    with pytest.raises(HookAbortError, match="forbidden paths found"):
+        repo.merge("bad", "main")
+
+    repo.create_branch("good", "main")
+    repo.stage_entries(
+        "good",
+        spark.createDataFrame(
+            [("tables/t/part-0.parquet", "i3", "x", "RELATIVE", 1, "e", None, None, "t"),
+             ("_staging/tmp.whatever", "i4", "x", "RELATIVE", 1, "e", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    repo.commit("good", "parquet + hidden")
+    assert repo.merge("good", "main").commit_id
+
+
+def test_dataset_validator_stock_hook(spark, tmp_path):
+    """examples/hooks/dataset_validator.lua VERBATIM as pre-merge:
+    nearest dataset_metadata.yaml is fetched and its fields validated
+    (required/type/choices/match_pattern via hook.fail); a dataset
+    without metadata — or with a bad field — vetoes the merge."""
+    from lakefs_spark.storage.actions import ActionsService
+    from lakefs_spark.storage.repo import HookAbortError
+
+    repo = _seeded_repo(spark, tmp_path)
+    fields = [
+        {"name": "contains_pii", "required": True, "type": "boolean"},
+        {"name": "approval_link", "required": True, "type": "string",
+         "match_pattern": r"https?:\/\/.*"},
+        {"name": "rank", "required": True, "type": "number"},
+        {"name": "department", "type": "string",
+         "choices": ["hr", "it", "other"]},
+    ]
+    ActionsService(repo).add_action(
+        {
+            "name": "Validate Dataset Fields",
+            "on": {"pre-merge": {"branches": ["main"]}},
+            "hooks": [{
+                "id": "validate_datasets", "type": "lua",
+                "properties": {
+                    "script": _stock("dataset_validator.lua"),
+                    "args": {"prefix": "datasets/",
+                             "metadata_file_name": "dataset_metadata.yaml",
+                             "fields": fields},
+                },
+            }],
+        }
+    )
+
+    good_meta = (
+        "contains_pii: false\n"
+        "approval_link: https://approvals.example.com/123\n"
+        "rank: 4\n"
+        "department: it\n"
+    )
+    repo.create_branch("good", "main")
+    repo.stage_entries(
+        "good",
+        spark.createDataFrame(
+            [("datasets/users/dataset_metadata.yaml", "im",
+              _put_file(repo, "data/ds_good.yaml", good_meta),
+              "RELATIVE", len(good_meta), "em", None, None, "t"),
+             ("datasets/users/part-0.parquet", "ip", "x",
+              "RELATIVE", 1, "e", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    repo.commit("good", "dataset with metadata")
+    assert repo.merge("good", "main").commit_id
+
+    # bad type: rank as a string fails the type check through hook.fail
+    bad_meta = good_meta.replace("rank: 4", "rank: 'high'")
+    repo.create_branch("badtype", "main")
+    repo.stage_entries(
+        "badtype",
+        spark.createDataFrame(
+            [("datasets/sales/dataset_metadata.yaml", "im2",
+              _put_file(repo, "data/ds_bad.yaml", bad_meta),
+              "RELATIVE", len(bad_meta), "em2", None, None, "t"),
+             ("datasets/sales/part-0.parquet", "ip2", "x",
+              "RELATIVE", 1, "e", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    repo.commit("badtype", "bad rank type")
+    with pytest.raises(HookAbortError, match="should be of type number"):
+        repo.merge("badtype", "main")
+
+    # no metadata at all: explicit HookFailure
+    repo.create_branch("nometa", "main")
+    repo.stage_entries(
+        "nometa",
+        spark.createDataFrame(
+            [("datasets/orphan/part-0.parquet", "ip3", "x",
+              "RELATIVE", 1, "e", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    repo.commit("nometa", "no metadata file")
+    with pytest.raises(HookAbortError, match="No dataset metadata found"):
+        repo.merge("nometa", "main")
+
+
+def test_commit_metadata_validator_stock_hook(spark, tmp_path):
+    """examples/hooks/commit_metadata_validator.lua VERBATIM as
+    pre-commit: missing mandatory field and pattern mismatch veto."""
+    from lakefs_spark.storage.actions import ActionsService
+    from lakefs_spark.storage.repo import HookAbortError
+
+    repo = _seeded_repo(spark, tmp_path)
+    ActionsService(repo).add_action(
+        {
+            "name": "pre commit metadata field check",
+            "on": {"pre-commit": {"branches": ["main"]}},
+            "hooks": [{
+                "id": "check_commit_metadata", "type": "lua",
+                "properties": {
+                    "script": _stock("commit_metadata_validator.lua"),
+                    "args": {
+                        "notebook_url": {"pattern": "my-jupyter.example.com/.*"},
+                        "spark_version": {},
+                    },
+                },
+            }],
+        }
+    )
+    repo.set_entry("main", {"key": "a/1", "identity": "i1", "size": 1, "etag": "e"})
+    c = repo.commit(
+        "main", "ok",
+        metadata={"notebook_url": "my-jupyter.example.com/nb/42",
+                  "spark_version": "4.1.2"},
+    )
+    assert c.commit_id
+    repo.set_entry("main", {"key": "a/2", "identity": "i2", "size": 1, "etag": "e"})
+    with pytest.raises(HookAbortError):
+        repo.commit("main", "bad", metadata={"notebook_url": "elsewhere.com/x",
+                                             "spark_version": "4.1.2"})
+    with pytest.raises(HookAbortError):
+        repo.commit("main", "missing", metadata={"notebook_url":
+                                                 "my-jupyter.example.com/nb/1"})
