@@ -705,6 +705,131 @@ def make_glue_client(recorder: list | None = None):
     return glue_client
 
 
+def make_azure_module(export_root: str | None = None, recorder: list | None = None) -> LuaTable:
+    """``azure`` (pkg/actions/lua/storage/azure): abfss_transform_path
+    is the reference's PURE path rewrite (same regex); blob_client is a
+    recording stand-in over export_root/azure/<account>/<container>/
+    <key> (paths are 'container/key', per parsePath)."""
+    import re
+
+    _ABFSS = re.compile(
+        r"^https://(\w+)\.(?:blob|adls)\.core\.windows\.net/([^/]*)/(.+)$"
+    )
+
+    def abfss_transform_path(p):
+        m = _ABFSS.match(str(p))
+        if not m:
+            raise LuaError(f"expected valid Azure https URL: {p}")
+        account, container, blob = m.groups()
+        return f"abfss://{container}@{account}.dfs.core.windows.net/{blob}"
+
+    def blob_client(storage_account, _access_key):
+        if export_root is None:
+            raise LuaError("azure blob stand-in: no export_root configured")
+        base = os.path.join(export_root, "azure", str(storage_account))
+
+        def _rec(op, **kw):
+            if recorder is not None:
+                recorder.append({"service": "azure", "op": op,
+                                 "account": str(storage_account), **kw})
+
+        def _safe(path):
+            container, sep, key = str(path).partition("/")
+            if not sep:
+                raise LuaError(
+                    f"azure client: invalid path, missing container name "
+                    f"from path: {path}"
+                )
+            p = os.path.realpath(os.path.join(base, container, key))
+            root = os.path.realpath(base)
+            if p != root and not p.startswith(root + os.sep):
+                raise LuaError("azure stand-in: path escapes the export root")
+            return p
+
+        def get_object(path):
+            p = _safe(path)
+            _rec("get_object", path=str(path))
+            if not os.path.exists(p):
+                return ("", False)
+            with open(p, "rb") as f:
+                return (lua_str(f.read()), True)
+
+        def put_object(path, data):
+            p = _safe(path)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(lua_bytes(data))
+            _rec("put_object", path=str(path), size=len(lua_bytes(data)))
+
+        def delete_object(path):
+            p = _safe(path)
+            _rec("delete_object", path=str(path))
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                raise LuaError(f"azure client: blob not found: {path}") from None
+
+        return LuaTable(
+            {
+                "get_object": get_object,
+                "put_object": put_object,
+                "delete_object": delete_object,
+            }
+        )
+
+    return LuaTable(
+        {
+            "abfss_transform_path": abfss_transform_path,
+            "blob_client": blob_client,
+        }
+    )
+
+
+def make_gcloud_module(export_root: str | None = None, recorder: list | None = None) -> LuaTable:
+    """``gcloud`` (pkg/actions/lua/storage/gcloud): gs_client whose
+    write_fuse_symlink mirrors the reference — an empty object at the
+    gs:// output address carrying gcsfuse_symlink_target metadata (the
+    stand-in records the metadata as the file body + recorder row)."""
+
+    def gs_client(_credentials_json):
+        if export_root is None:
+            raise LuaError("gcloud gs stand-in: no export_root configured")
+        base = os.path.join(export_root, "gs")
+
+        def write_fuse_symlink(physical_address, output_address, mount_info):
+            target = str(physical_address)
+            frm = mount_info.get("from") if hasattr(mount_info, "get") else None
+            to = mount_info.get("to") if hasattr(mount_info, "get") else None
+            if frm and target.startswith(str(frm)):
+                target = target[len(str(frm)):]
+            if to:
+                target = "/" + "/".join(
+                    s for s in (str(to).strip("/") + "/" + target.lstrip("/")).split("/") if s
+                )
+            out = str(output_address)
+            if not out.startswith("gs://"):
+                raise LuaError(f"could not parse destination object \"{out}\"")
+            rel = out[len("gs://"):]
+            p = os.path.realpath(os.path.join(base, rel))
+            root = os.path.realpath(base)
+            if p != root and not p.startswith(root + os.sep):
+                raise LuaError("gs stand-in: path escapes the export root")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            # the real object is EMPTY with metadata; the stand-in keeps
+            # the target as the body so tests can assert it
+            with open(p, "w") as f:
+                f.write(target)
+            if recorder is not None:
+                recorder.append(
+                    {"service": "gs", "op": "write_fuse_symlink",
+                     "output": out, "gcsfuse_symlink_target": target}
+                )
+
+        return LuaTable({"write_fuse_symlink": write_fuse_symlink})
+
+    return LuaTable({"gs_client": gs_client})
+
+
 def make_databricks_module(recorder: list | None = None) -> LuaTable:
     """``databricks.client(host, token)`` — the surface of
     pkg/actions/lua/databricks/client.go (create_schema,

@@ -1241,6 +1241,11 @@ def make_hook_env(
     py_modules["aws"] = lambda: make_aws_module(export_root, export_recorder)
     py_modules["databricks"] = lambda: make_databricks_module(export_recorder)
 
+    from lakefs_spark.lua.hostmods import make_azure_module, make_gcloud_module
+
+    py_modules["azure"] = lambda: make_azure_module(export_root, export_recorder)
+    py_modules["gcloud"] = lambda: make_gcloud_module(export_root, export_recorder)
+
     # the `array` global (pkg/actions/lua/util/deep_pull.go luaArray):
     # tags a table so marshaling renders it as a JSON array even when
     # empty — glue create-table inputs rely on [] vs {}

@@ -853,3 +853,138 @@ def test_commit_metadata_validator_stock_hook(spark, tmp_path):
     with pytest.raises(HookAbortError):
         repo.commit("main", "missing", metadata={"notebook_url":
                                                  "my-jupyter.example.com/nb/1"})
+
+
+def test_azure_abfss_transform_and_delta_chain(spark, tmp_path):
+    """The esti AZURE delta-export hook body: blob_client writes
+    through the azure stand-in and abfss_transform_path (the
+    reference's exact rewrite) transforms physical addresses."""
+    from lakefs_spark.storage.actions import ActionsService
+
+    # transform is the pure reference regex
+    ret, _ = run(
+        """
+        local azure = require("azure")
+        return azure.abfss_transform_path(
+          "https://myacct.blob.core.windows.net/cont/a/b.parquet"),
+          azure.abfss_transform_path(
+          "https://old.adls.core.windows.net/c2/x")
+        """
+    )
+    assert ret == [
+        "abfss://cont@myacct.dfs.core.windows.net/a/b.parquet",
+        "abfss://c2@old.dfs.core.windows.net/x",
+    ]
+
+    repo, _base = _delta_repo(spark, tmp_path)
+    export_root = str(tmp_path / "exports")
+    svc = ActionsService(repo, export_root=export_root)
+    svc.add_action(
+        {
+            "name": "Delta Exporter",
+            "on": {"post-commit": {"branches": ["main*"]}},
+            "hooks": [{
+                "id": "delta_exporter", "type": "lua",
+                "properties": {
+                    # the esti azure variant (write through blob_client,
+                    # no path_transformer for blob-store physicals here
+                    # since our fixture uses s3:// addresses)
+                    "script": """
+action.storage_namespace = args.export_namespace
+local azure = require("azure")
+local formats = require("formats")
+local delta_exporter = require("lakefs/catalogexport/delta_exporter")
+
+local table_descriptors_path = "_lakefs_tables"
+local sc = azure.blob_client(args.azure.storage_account, args.azure.access_key)
+local function write_object(_, key, buf)
+  return sc.put_object(key,buf)
+end
+local delta_client = formats.delta_client(args.lakefs.access_key_id, args.lakefs.secret_access_key)
+local delta_table_details = delta_exporter.export_delta_log(action, {"famous"}, write_object, delta_client, table_descriptors_path)
+for t, details in pairs(delta_table_details) do
+  if details["path"] == nil then error("missing path for " .. t) end
+end
+""",
+                    "args": {
+                        "export_namespace": "https://myacct.blob.core.windows.net/ext-container/ns",
+                        "azure": {"storage_account": "myacct", "access_key": "k"},
+                        "lakefs": {"access_key_id": "lk", "secret_access_key": "ls"},
+                    },
+                },
+            }],
+        }
+    )
+    c = repo.commit("main", "land the delta table")
+    short = c.commit_id[:6]
+    # parse_storage_uri of the https namespace: bucket = host, key = path
+    log_dir = os.path.join(
+        export_root, "azure", "myacct", "ext-container",
+        "ns", "_lakefs", "exported", "main", short, "famous", "_delta_log",
+    )
+    assert os.path.exists(os.path.join(log_dir, "00000000000000000000.json")), log_dir
+
+
+def test_gcsfuse_symlink_exporter_stock_hook(spark, tmp_path):
+    """examples/hooks/gcsfuse_symlink_exporter.lua VERBATIM as a
+    post-commit hook: one symlink object per exported entry (metadata
+    target = mount-rewritten physical address) plus the 'current'
+    branch marker."""
+    from lakefs_spark.storage.actions import ActionsService
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    export_root = str(tmp_path / "exports")
+    recorder: list = []
+    svc = ActionsService(repo, export_root=export_root,
+                         export_recorder=recorder)
+    svc.add_action(
+        {
+            "name": "export_images",
+            "on": {"post-commit": {"branches": ["main"]}},
+            "hooks": [{
+                "id": "gcsfuse_export_images", "type": "lua",
+                "properties": {
+                    "script": _stock("gcsfuse_symlink_exporter.lua"),
+                    "args": {
+                        "prefix": "datasets/images/",
+                        "destination": "gs://my-bucket/exports/my-repo/",
+                        "mount": {
+                            "from": "gs://my-bucket/repos/my-repo/",
+                            "to": "/gcs/my-bucket/repos/my-repo/",
+                        },
+                        "gcs_credentials_json_string": "{}",
+                    },
+                },
+            }],
+        }
+    )
+    rows = [
+        (f"datasets/images/img-{i}.png", f"i{i}",
+         f"gs://my-bucket/repos/my-repo/obj/{i}", "FULL", 10, f"e{i}",
+         None, None, "image/png")
+        for i in range(3)
+    ]
+    repo.stage_entries("main", spark.createDataFrame(rows, ENTRY_SCHEMA))
+    c = repo.commit("main", "land images")
+
+    links = [r for r in recorder if r.get("op") == "write_fuse_symlink"]
+    # 3 per-object symlinks + the branch 'current' marker
+    assert len(links) == 4, links
+    per_obj = [r for r in links if "/commits/" in r["output"]]
+    assert len(per_obj) == 3
+    assert per_obj[0]["gcsfuse_symlink_target"] == (
+        "/gcs/my-bucket/repos/my-repo/obj/0"
+    )
+    assert per_obj[0]["output"] == (
+        f"gs://my-bucket/exports/my-repo/commits/{c.commit_id}/"
+        "datasets/images/img-0.png"
+    )
+    marker = [r for r in links if r["output"].endswith("branches/main")]
+    assert marker and marker[0]["gcsfuse_symlink_target"] == (
+        "../commits/" + c.commit_id
+    )
+    # the stand-in materialized the objects under export_root/gs
+    p = os.path.join(export_root, "gs", "my-bucket", "exports", "my-repo",
+                     "commits", c.commit_id, "datasets/images/img-1.png")
+    assert os.path.exists(p)
