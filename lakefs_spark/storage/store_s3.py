@@ -45,12 +45,11 @@ Design notes for 100 TB / 1000 executors:
   JSON doc per commit, settings. Data never does — Spark reads range
   Parquet straight from the object store/namespace, so doc traffic is
   O(commits), not O(rows).
-- ``append_line`` is a read-modify-CAS loop (S3 has no append). Run
-  logs are low-rate control-plane appends (one row per hook run); the
-  reference stores them as individual KV rows
-  (pkg/actions/kv_run_results_iterator.go) which is the same O(writes)
-  under contention, minus the rewrite amplification — acceptable here
-  because hook runs are orders of magnitude rarer than object writes.
+- ``append_line`` writes one If-None-Match-claimed SEGMENT object per
+  line (S3 has no append): O(1) bytes per append at any log length,
+  exactly the reference's one-KV-row-per-run shape
+  (pkg/actions/kv_run_results_iterator.go). Legacy single-object logs
+  keep reading; replace_lines (TTL cleanup) collapses segments back.
 - Listing paginates with ``list-type=2`` continuation tokens, so a
   10⁶-commit repo never materializes one giant response.
 
@@ -146,6 +145,9 @@ class S3ConditionalStore(Store):
         self.inject_conflicts = 0
         #: running count of 409 responses this client actually weathered
         self.conflict_409_seen = 0
+        #: next-segment hints for the chunked line logs (advisory; a
+        #: stale hint just costs one lost If-None-Match round)
+        self._log_seq_hint: dict[str, int] = {}
 
     # -- HTTP plumbing ------------------------------------------------------
 
@@ -335,41 +337,71 @@ class S3ConditionalStore(Store):
                 out.append(k[len(base) : -len(".json")])
         return sorted(out)
 
-    # -- line logs (read-modify-CAS; no append primitive on S3) ---------------
+    # -- line logs (chunked segments; no append primitive on S3) --------------
 
     def _log_key(self, key: str) -> str:
         return f"{self.key_prefix}logs/{key}.jsonl"
 
+    def _log_seg_prefix(self, key: str) -> str:
+        return f"{self.key_prefix}logs/{key}/"
+
     def append_line(self, key: str, line: str) -> None:
-        s3_key = self._log_key(key)
-        for attempt in range(self.cas_retries):
-            status, hdrs, data = self._request("GET", s3_key)
-            if status == 404:
-                cur, ver = b"", None
-            elif status == 200:
-                cur, ver = data, _unquote_etag(hdrs.get("etag"))
-            else:
-                raise S3StoreError(f"GET log {key!r}: HTTP {status}")
+        """O(1) bytes per append: each line is its own zero-padded
+        segment object claimed with If-None-Match, so concurrent
+        appenders serialize on segment numbers instead of re-writing
+        the whole log (the old read-modify-CAS was O(n²) bytes over a
+        log's lifetime — r6/r7 disclosed item, now closed). Ordering =
+        lexical segment order; a lost INM race just moves to the next
+        number. Reads are one GET per line — control-plane logs are
+        TTL-cleaned (run_ttl_expiry), so n stays bounded."""
+        prefix = self._log_seg_prefix(key)
+        seq = self._log_seq_hint.get(key)
+        if seq is None:
+            existing = [k for k, _ in self._list_keys(prefix)]
+            seq = (
+                max(
+                    (int(os.path.basename(k).split(".")[0]) for k in existing),
+                    default=-1,
+                )
+                + 1
+            )
+        body = line.encode() + b"\n"
+        for _attempt in range(self.cas_retries):
             try:
-                self._conditional_put(s3_key, cur + line.encode() + b"\n", ver)
+                self._conditional_put(f"{prefix}{seq:020d}.jsonl", body, None)
+                self._log_seq_hint[key] = seq + 1
                 return
             except CASConflictError:
-                time.sleep(min(0.001 * (2**attempt), 0.05))
-        raise CASConflictError(f"log {key!r}: append kept losing the CAS race")
+                seq += 1  # a concurrent appender claimed this number
+        raise CASConflictError(f"log {key!r}: append kept losing segments")
 
     def read_lines(self, key: str) -> list[str]:
+        out: list[str] = []
+        # legacy single-object logs (pre-chunking) read first, in place
         status, _hdrs, data = self._request("GET", self._log_key(key))
-        if status == 404:
-            return []
-        if status != 200:
+        if status == 200:
+            out.extend(ln for ln in data.decode().split("\n") if ln.strip())
+        elif status != 404:
             raise S3StoreError(f"GET log {key!r}: HTTP {status}")
-        return [ln for ln in data.decode().split("\n") if ln.strip()]
+        prefix = self._log_seg_prefix(key)
+        for seg, _size in sorted(self._list_keys(prefix)):
+            s, _h, d = self._request("GET", seg)
+            if s != 200:
+                continue  # deleted between list and get (TTL cleanup)
+            out.extend(ln for ln in d.decode().split("\n") if ln.strip())
+        return out
 
     def replace_lines(self, key: str, lines: list[str]) -> None:
+        # owner-driven rewrite (TTL cleanup): collapse everything into
+        # the legacy head object, then drop the segments. A reader
+        # racing the window may see a line twice, never lose one.
         raw = ("".join(ln + "\n" for ln in lines)).encode()
         status, _hdrs, _ = self._request("PUT", self._log_key(key), body=raw)
         if status != 200:
             raise S3StoreError(f"PUT log {key!r}: HTTP {status}")
+        for seg, _size in self._list_keys(self._log_seg_prefix(key)):
+            self._request("DELETE", seg)
+        self._log_seq_hint.pop(key, None)
 
     # -- blobs ------------------------------------------------------------------
 

@@ -574,3 +574,43 @@ def test_two_process_merge_race_over_s3(spark, tmp_path, s3_server):
     assert want <= keys, f"missing keys: {want - keys}"
     # 1 seed + 2*rounds merge commits + the initial empty head's absence
     assert len(log_ids) >= 1 + 2 * rounds
+
+
+def test_chunked_log_appends_cross_client_and_legacy(tmp_path, s3_server):
+    """append_line is O(1) bytes per append (one If-None-Match segment
+    per line): two CLIENTS interleave appends without rewriting the
+    log; a pre-chunking legacy single-object log keeps reading in
+    front; replace_lines collapses everything back."""
+    bucket = f"log-{tmp_path.name.lower()}"
+    a = S3ConditionalStore(s3_server.endpoint, bucket)
+    b = S3ConditionalStore(s3_server.endpoint, bucket)
+
+    # legacy head object written the old way
+    a.replace_lines("runs", ["legacy-1", "legacy-2"])
+
+    for i in range(5):
+        (a if i % 2 == 0 else b).append_line("runs", f"seg-{i}")
+    got = a.read_lines("runs")
+    assert got[:2] == ["legacy-1", "legacy-2"]
+    assert sorted(got[2:]) == [f"seg-{i}" for i in range(5)]
+    # cross-client monotone order: a's appends appear in a's order,
+    # b's in b's (segment numbers are claimed, never reused)
+    assert [x for x in got if x in ("seg-0", "seg-2", "seg-4")] == [
+        "seg-0", "seg-2", "seg-4"
+    ]
+    assert [x for x in got if x in ("seg-1", "seg-3")] == ["seg-1", "seg-3"]
+
+    # stale hint: b doesn't know a appended; its next append must
+    # survive the lost If-None-Match round
+    a.append_line("runs", "after-a")
+    b.append_line("runs", "after-b")
+    got2 = a.read_lines("runs")
+    assert got2.index("after-a") < got2.index("after-b")
+
+    # TTL-style rewrite drops segments and keeps only survivors
+    kept = [ln for ln in got2 if ln.startswith("seg-")]
+    a.replace_lines("runs", kept)
+    assert b.read_lines("runs") == kept
+    # appends keep working after the collapse
+    b.append_line("runs", "post-collapse")
+    assert a.read_lines("runs")[-1] == "post-collapse"
