@@ -364,7 +364,7 @@ def _entry_to_object_stats(row) -> dict:
     }
 
 
-def make_lakefs_client(repo, content_loader=None) -> LuaTable:
+def make_lakefs_client(repo, content_loader=None, cleanups: list | None = None) -> LuaTable:
     """The ``lakefs`` module: a client over THIS engine's repository
     (the reference routes these through its own API server in-process —
     client.go:258-283; same contract, no HTTP hop here)."""
@@ -372,6 +372,16 @@ def make_lakefs_client(repo, content_loader=None) -> LuaTable:
 
     cat = Catalog(repo)
     _diff_cache: dict = {}  # (left, right) -> cached diff DataFrame
+
+    def _drop_diff_cache():
+        for df in _diff_cache.values():
+            df.unpersist()
+        _diff_cache.clear()
+
+    if cleanups is not None:
+        # run_lua_hook unpersists at hook end — a cached diff must not
+        # occupy executor storage after the hook returns
+        cleanups.append(_drop_diff_cache)
 
     def list_objects(repo_id, ref, after=None, prefix=None, delimiter=None,
                      amount=None, _user_meta=None):
@@ -1212,9 +1222,12 @@ def make_hook_env(
     export_root: str | None = None,
     export_recorder: list | None = None,
     extra_modules: dict | None = None,
+    cleanups: list | None = None,
 ) -> LuaTable:
     """Globals for one hook run: base library + ``action``/``args`` +
-    ``require`` over the registered modules (lua.go:38-171)."""
+    ``require`` over the registered modules (lua.go:38-171). Modules
+    holding engine resources (the lakefs client's cached diff) append
+    release callbacks to ``cleanups``; run_lua_hook fires them."""
     g = make_base_env(output_sink)
     g.set("action", py_to_lua(action or {}))
     g.set("args", py_to_lua(args or {}))
@@ -1236,7 +1249,9 @@ def make_hook_env(
         **PY_HOST_MODULES,
     }
     if repo is not None:
-        py_modules["lakefs"] = lambda: make_lakefs_client(repo, content_loader)
+        py_modules["lakefs"] = lambda: make_lakefs_client(
+            repo, content_loader, cleanups
+        )
         py_modules["formats"] = lambda: make_formats_module(repo, content_loader)
     py_modules["aws"] = lambda: make_aws_module(export_root, export_recorder)
     py_modules["databricks"] = lambda: make_databricks_module(export_recorder)
@@ -1302,6 +1317,7 @@ def run_lua_hook(
     """Compile + run one hook script in a fresh environment; returns
     the chunk's return values. Raises LuaError on any Lua-side error
     (the caller maps it to hook abort / task-row status)."""
+    cleanups: list = []
     env = make_hook_env(
         action=action,
         args=args,
@@ -1310,5 +1326,13 @@ def run_lua_hook(
         content_loader=content_loader,
         export_root=export_root,
         export_recorder=export_recorder,
+        cleanups=cleanups,
     )
-    return run_lua(script, env, chunkname=chunkname)
+    try:
+        return run_lua(script, env, chunkname=chunkname)
+    finally:
+        for release in cleanups:
+            try:
+                release()
+            except Exception:  # noqa: BLE001 — cleanup must not mask
+                pass
