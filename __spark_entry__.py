@@ -2616,10 +2616,10 @@ def q_lua_exporters(spark, sf_dir):
                 # concatenated JSON objects — count kinds + paths
                 body = f.read()
             kinds = []
-            dec = _j.JSONDecoder()
-            at = 0
-            while at < len(body):
-                d, at = dec.raw_decode(body, at)
+            for piece in body.splitlines():  # NDJSON, one action per line
+                if not piece.strip():
+                    continue
+                d = _j.loads(piece)
                 (kind,) = d.keys()
                 target = d[kind].get("path", "") if isinstance(d[kind], dict) else ""
                 kinds.append(f"{kind}:{target}" if target else kind)

@@ -438,16 +438,24 @@ def _mod_uuid() -> LuaTable:
 
 
 def _mod_base64() -> LuaTable:
-    def decode(data, *, codec=_b64.standard_b64decode):
+    def decode(data, *, altchars=None):
+        # validate=True: Go's StdEncoding ERRORS on non-alphabet bytes;
+        # python's default silently drops them — a validator hook must
+        # see the failure, not a silently-reshaped payload
         try:
-            return lua_str(codec(lua_bytes(data)))
+            return lua_str(
+                _b64.b64decode(lua_bytes(data), altchars=altchars, validate=True)
+            )
         except (binascii.Error, ValueError) as e:
             raise LuaError(f"base64: {e}") from None
 
     def url_decode(data):
-        # Go RawURLEncoding: unpadded — re-pad before the std decoder
+        # Go RawURLEncoding: unpadded URL-SAFE alphabet; '+'/'/' are
+        # not in it (python's altchars only remaps, it doesn't exclude)
         d = str(data)
-        return decode(d + "=" * (-len(d) % 4), codec=_b64.urlsafe_b64decode)
+        if "+" in d or "/" in d:
+            raise LuaError("base64: illegal character in url encoding")
+        return decode(d + "=" * (-len(d) % 4), altchars=b"-_")
 
     return LuaTable(
         {
@@ -558,15 +566,16 @@ def make_formats_module(repo, content_loader=None) -> LuaTable:
             log: dict[int, list[str]] = {}
             latest_meta = None
             latest_meta_version = -1
+            saw_checkpoint = False
             for row in entries:
                 d = dict(row.asDict()) if hasattr(row, "asDict") else dict(row)
                 base = d["key"][len(log_prefix):]
                 if not base.endswith(".json") or not base[:-5].isdigit():
+                    # checkpoints coexist with JSON commits (one every
+                    # ~10 commits by default) — skip them; only a log
+                    # with NO json commits at all is unreadable here
                     if ".checkpoint." in base:
-                        raise LuaError(
-                            "formats/delta: checkpoint-only logs are not "
-                            "supported by this stand-in (JSON commits only)"
-                        )
+                        saw_checkpoint = True
                     continue
                 version = int(base[:-5])
                 actions = [
@@ -585,9 +594,16 @@ def make_formats_module(repo, content_loader=None) -> LuaTable:
                             latest_meta = parsed["metaData"]
                             latest_meta_version = version
             if not log:
+                detail = (
+                    " (checkpoint parquet present but JSON commits "
+                    "vacuumed — checkpoint-only logs are not supported "
+                    "by this stand-in)"
+                    if saw_checkpoint
+                    else ""
+                )
                 raise LuaError(
                     f"formats/delta: no _delta_log JSON commits under "
-                    f"{prefix!r} at {ref!r}"
+                    f"{prefix!r} at {ref!r}{detail}"
                 )
             if latest_meta is None:
                 raise LuaError("formats/delta: log has no metaData action")

@@ -974,7 +974,11 @@ local function export_delta_log(action, table_def_names, write_object, delta_cli
     local storage_props = utils.parse_storage_uri(table_log_physical_path)
     for entry_version, table_entry in pairs(table_log) do
       local content = ""
-      for _, line in ipairs(table_entry) do content = content .. line end
+      -- one action per line: the Delta protocol's commit files are
+      -- newline-delimited JSON (the reference concatenates marshaled
+      -- actions with no separator, which line-based Delta readers
+      -- cannot split — deliberate deviation, disclosed)
+      for _, line in ipairs(table_entry) do content = content .. line .. "\n" end
       write_object(storage_props.bucket, storage_props.key .. "/" .. entry_version, content)
     end
     if path_transformer ~= nil then
@@ -1000,6 +1004,9 @@ local function changed_table_defs(table_def_names, table_descriptors_path, repos
     end
   end
   local changed = {}
+  local already = {}  -- the reference re-inserts a table once PER diff
+  -- page that touches it, double-exporting heavily-changed tables;
+  -- dedupe across pages (deliberate fix, disclosed)
   while true do
     local status, diff_resp = lakefs.diff_refs(repository_id, ref, compare_ref, after)
     if status ~= 200 then
@@ -1012,10 +1019,11 @@ local function changed_table_defs(table_def_names, table_descriptors_path, repos
       if dir then changed_path_set[dir] = true end
     end
     for table_name_yaml, path in pairs(table_descriptors_paths) do
-      if path ~= "" then
+      if path ~= "" and not already[table_name_yaml] then
         for changed_path, value in pairs(changed_path_set) do
           if value and strings.has_prefix(changed_path, path) then
             table.insert(changed, table_name_yaml)
+            already[table_name_yaml] = true
             break
           end
         end

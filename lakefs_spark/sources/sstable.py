@@ -432,8 +432,9 @@ def sst_entries_df(spark, paths):
             for content in pdf["content"]:
                 for e in read_range_sstable(bytes(content)):
                     ts = e.pop("last_modified_s")
+                    # `is not None`: epoch 0 is a PRESENT timestamp
                     e["last_modified"] = (
-                        pd.Timestamp(ts, unit="s") if ts else None
+                        pd.Timestamp(ts, unit="s") if ts is not None else None
                     )
                     out.append(e)
             cols = [f.name for f in ENTRY_SCHEMA.fields]
@@ -545,8 +546,13 @@ def encode_entry_proto(e: dict) -> bytes:
         out += _proto_bytes(1, e["address"].encode("utf-8"))
     lm = e.get("last_modified_s")
     lm_ns = e.get("last_modified_ns") or 0
-    if lm or lm_ns:
-        ts = _proto_varint(1, int(lm or 0))
+    if lm is not None or lm_ns:
+        # presence-tracked: a present-but-zero Timestamp (epoch 0) is
+        # emitted as the empty nested message, exactly like Go's
+        # marshaler (inner zero fields omitted, field 2 present)
+        ts = b""
+        if lm:
+            ts += _proto_varint(1, int(lm))
         if lm_ns:
             ts += _proto_varint(2, int(lm_ns))
         out += _proto_bytes(2, ts)
@@ -832,13 +838,12 @@ def export_to_lakefs(repo, ref: str, out_dir: str, *, rows_per_range: int = 50_0
     cols = [f.name for f in out_schema.fields]
 
     def _write_partition(batches):
-        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
         # mapInPandas hands one PARTITION per task as a batch iterator
-        parts = [p for p in ([pdf] if pdf is not None else []) if len(p)]
-        if not parts:
+        frames = [b for b in batches if len(b)]
+        if not frames:
             yield pd.DataFrame(columns=cols)
             return
-        pdf = parts[0].sort_values("key")
+        pdf = pd.concat(frames, ignore_index=True).sort_values("key")
         entries = pdf.to_dict("records")
         for e in entries:
             lm = e.get("last_modified")
@@ -852,18 +857,11 @@ def export_to_lakefs(repo, ref: str, out_dir: str, *, rows_per_range: int = 50_0
             f.write(buf)
         yield pd.DataFrame([rd], columns=cols)
 
-    def _collect_batches(it):
-        return list(it)
-
-    def _mapper(it):
-        batches = _collect_batches(it)
-        yield from _write_partition(batches)
-
     from pyspark.sql import functions as F
 
     descs = (
         snap.repartitionByRange(n_ranges, F.col("key"))
-        .mapInPandas(_mapper, out_schema)
+        .mapInPandas(_write_partition, out_schema)
         .collect()
     )
     ranges = sorted((r.asDict() for r in descs), key=lambda r: r["max_key"])

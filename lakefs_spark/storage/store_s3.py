@@ -355,16 +355,21 @@ class S3ConditionalStore(Store):
         number. Reads are one GET per line — control-plane logs are
         TTL-cleaned (run_ttl_expiry), so n stays bounded."""
         prefix = self._log_seg_prefix(key)
-        seq = self._log_seq_hint.get(key)
-        if seq is None:
+
+        def _relist() -> int:
             existing = [k for k, _ in self._list_keys(prefix)]
-            seq = (
+            return (
                 max(
                     (int(os.path.basename(k).split(".")[0]) for k in existing),
                     default=-1,
                 )
                 + 1
             )
+
+        seq = self._log_seq_hint.get(key)
+        hinted = seq is not None
+        if seq is None:
+            seq = _relist()
         body = line.encode() + b"\n"
         for _attempt in range(self.cas_retries):
             try:
@@ -372,7 +377,17 @@ class S3ConditionalStore(Store):
                 self._log_seq_hint[key] = seq + 1
                 return
             except CASConflictError:
-                seq += 1  # a concurrent appender claimed this number
+                if hinted:
+                    # the hint can be arbitrarily stale (another client
+                    # appended many segments): jump straight to the
+                    # listed tail instead of walking one-by-one — a
+                    # stale hint must cost one listing, never permanent
+                    # append failure
+                    hinted = False
+                    seq = max(seq + 1, _relist())
+                else:
+                    seq += 1  # a concurrent appender claimed this number
+        self._log_seq_hint.pop(key, None)  # never replay a dead range
         raise CASConflictError(f"log {key!r}: append kept losing segments")
 
     def read_lines(self, key: str) -> list[str]:
@@ -392,14 +407,20 @@ class S3ConditionalStore(Store):
         return out
 
     def replace_lines(self, key: str, lines: list[str]) -> None:
-        # owner-driven rewrite (TTL cleanup): collapse everything into
-        # the legacy head object, then drop the segments. A reader
-        # racing the window may see a line twice, never lose one.
+        # owner-driven rewrite (TTL cleanup): collapse into the head
+        # object, then drop ONLY the segments that existed when the
+        # rewrite started — a segment appended after this listing
+        # SURVIVES (same scan-vs-insert semantics as the reference's KV
+        # TTL delete-by-key). The residual window is the caller's own
+        # read→rewrite gap; the TTL callers are single-owner by
+        # contract. Readers racing the window may see a line twice,
+        # never lose one the rewrite intended to keep.
+        doomed = [seg for seg, _size in self._list_keys(self._log_seg_prefix(key))]
         raw = ("".join(ln + "\n" for ln in lines)).encode()
         status, _hdrs, _ = self._request("PUT", self._log_key(key), body=raw)
         if status != 200:
             raise S3StoreError(f"PUT log {key!r}: HTTP {status}")
-        for seg, _size in self._list_keys(self._log_seg_prefix(key)):
+        for seg in doomed:
             self._request("DELETE", seg)
         self._log_seq_hint.pop(key, None)
 

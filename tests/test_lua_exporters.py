@@ -245,6 +245,12 @@ def _delta_repo(spark, tmp_path):
         ("tables/famous/_delta_log/00000000000000000001.json", "il1",
          _put_file(repo, "data/log1.json", v1),
          "RELATIVE", len(v1), "el1", None, None, "t"),
+        # a checkpoint parquet coexists with the JSON commits (Delta
+        # writes one every ~10 commits); get_table must SKIP it, not
+        # abort (code-review r8 finding)
+        ("tables/famous/_delta_log/00000000000000000001.checkpoint.parquet",
+         "ick", "s3://phys-bucket/ckpt/1.parquet", "FULL", 999, "eck",
+         None, None, "t"),
         ("tables/famous/part-0.parquet", "ip0",
          "s3://phys-bucket/data/part-0.parquet", "FULL", 100, "ep0", None, None, "t"),
         ("tables/famous/part-1.parquet", "ip1",
@@ -336,8 +342,15 @@ def test_delta_exporter_stock_chain_dispatched(spark, tmp_path):
     # physical address rewritten from the repo-relative logical path
     assert '"path": "s3://phys-bucket/data/part-0.parquet"' in body0
     assert "part-0.parquet\"" in body0 and "metaData" in body0
+    # the commit file is valid NDJSON — one action per line, exactly
+    # what line-based Delta readers require
+    lines0 = [ln for ln in body0.splitlines() if ln.strip()]
+    assert len(lines0) == 3
+    kinds = [next(iter(json.loads(ln))) for ln in lines0]
+    assert sorted(kinds) == ["add", "metaData", "protocol"]
     with open(v1) as f:
         body1 = f.read()
+    assert len([ln for ln in body1.splitlines() if ln.strip()]) == 2
     assert '"path": "s3://phys-bucket/data/part-1.parquet"' in body1
     # inline deletion vector rides through untouched
     assert '"storageType": "i"' in body1
@@ -988,3 +1001,41 @@ def test_gcsfuse_symlink_exporter_stock_hook(spark, tmp_path):
     p = os.path.join(export_root, "gs", "my-bucket", "exports", "my-repo",
                      "commits", c.commit_id, "datasets/images/img-1.png")
     assert os.path.exists(p)
+
+
+def test_base64_decode_rejects_non_alphabet_bytes():
+    """Go's StdEncoding errors on corrupt input; a validator hook must
+    see the failure, not a silently-reshaped payload."""
+    from lakefs_spark.lua import LuaError
+
+    with pytest.raises(LuaError, match="base64"):
+        run('local b64 = require("encoding/base64")\nreturn b64.decode("ab!cd")')
+    with pytest.raises(LuaError, match="base64"):
+        run('local b64 = require("encoding/base64")\nreturn b64.url_decode("a+b")')
+
+
+def test_changed_table_defs_dedupes_across_diff_pages(spark, tmp_path):
+    """A table whose changes span multiple diff_refs pages (>100 rows)
+    must be reported ONCE (the reference re-inserts per page —
+    deliberate fix, disclosed in the module)."""
+    repo, base = _delta_repo(spark, tmp_path)
+    many = [
+        (f"tables/famous/bulk/part-{i:04d}.parquet", f"ib{i}",
+         f"s3://phys-bucket/bulk/{i}.parquet", "FULL", 1, f"eb{i}",
+         None, None, "t")
+        for i in range(220)
+    ]
+    repo.stage_entries("main", spark.createDataFrame(many, ENTRY_SCHEMA))
+    c = repo.commit("main", "bulk change spanning diff pages")
+    ret = run_lua_hook(
+        """
+        local delta = require("lakefs/catalogexport/delta_exporter")
+        local changed = delta.changed_table_defs({"famous"}, "_lakefs_tables",
+            action.repository_id, args.base_ref, action.commit_id)
+        return #changed, changed[1]
+        """,
+        action={"repository_id": repo.name, "commit_id": c.commit_id},
+        args={"base_ref": base.commit_id},
+        repo=repo,
+    )
+    assert ret == [1, "famous"]

@@ -346,3 +346,20 @@ def test_export_import_full_circle(spark, tmp_path):
         for r in repo_b.snapshot(commit_b.commit_id).collect()
     )
     assert a == b
+
+
+def test_epoch_zero_timestamp_is_present_not_null():
+    """Presence semantics: Timestamp{0,0} is a PRESENT epoch-0 mtime —
+    encoded as the empty nested message (Go's canonical form) and
+    decoded back as 0, never conflated with an absent field."""
+    e = {"key": "k", "identity": "00" * 32, "address": "a",
+         "address_type": "RELATIVE", "size": 1, "etag": "e",
+         "last_modified_s": 0, "metadata": None, "content_type": None}
+    data = S.encode_entry_proto(e)
+    assert b"\x12\x00" in data  # field 2, zero-length Timestamp
+    back = S.decode_entry_proto(data)
+    assert back["last_modified_s"] == 0
+    absent = S.encode_entry_proto({**e, "last_modified_s": None})
+    assert b"\x12" not in absent[:1] and S.decode_entry_proto(absent)[
+        "last_modified_s"
+    ] is None

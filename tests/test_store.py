@@ -614,3 +614,17 @@ def test_chunked_log_appends_cross_client_and_legacy(tmp_path, s3_server):
     # appends keep working after the collapse
     b.append_line("runs", "post-collapse")
     assert a.read_lines("runs")[-1] == "post-collapse"
+
+
+def test_chunked_log_stale_hint_jumps_to_tail(tmp_path, s3_server):
+    """A hint stale by MORE than cas_retries segments must cost one
+    listing, not permanent append failure (code-review r8 finding)."""
+    bucket = f"hint-{tmp_path.name.lower()}"
+    a = S3ConditionalStore(s3_server.endpoint, bucket, cas_retries=4)
+    b = S3ConditionalStore(s3_server.endpoint, bucket, cas_retries=4)
+    a.append_line("tasks", "a-0")  # a's hint -> 1
+    for i in range(10):  # far beyond a's retry budget from seq 1
+        b.append_line("tasks", f"b-{i}")
+    a.append_line("tasks", "a-1")  # must relist-jump, not exhaust
+    got = a.read_lines("tasks")
+    assert got[0] == "a-0" and got[-1] == "a-1" and len(got) == 12
