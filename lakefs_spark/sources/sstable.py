@@ -747,7 +747,14 @@ def write_range_sstable(entries: list[dict]) -> tuple[bytes, str, dict]:
     range SSTable. Returns (bytes, range_id, RangeData-shaped dict)."""
     records = []
     for e in entries:
-        ident = bytes.fromhex(e["identity"])
+        try:
+            ident = bytes.fromhex(e["identity"])
+        except ValueError:
+            # engine-canonical identities are lowercase hex; a foreign
+            # identity (set_entry allows any string) exports as its
+            # utf-8 bytes — valid for lakeFS (Identity is raw bytes),
+            # though a re-IMPORT through our reader renders it as hex
+            ident = e["identity"].encode("utf-8")
         lm = e.get("last_modified_s")
         lmv = e.get("last_modified")
         # NaT-safe: pandas NaT is not None but NaT != NaT
@@ -870,3 +877,64 @@ def export_to_lakefs(repo, ref: str, out_dir: str, *, rows_per_range: int = 50_0
     with open(os.path.join(out_dir, mid), "wb") as f:
         f.write(buf)
     return mid, len(ranges), total
+
+
+def migrate_history(
+    repo,
+    metaranges: list,
+    ranges_dir: str,
+    *,
+    branch: str = "main",
+):
+    """Replay a lakeFS commit HISTORY (oldest→newest) as native
+    commits: the first snapshot imports whole; every later one stages
+    only its DIFF vs the previous (adds/changes as entries, removals
+    as tombstones), so replaying an N-commit history costs the sum of
+    the deltas — not N full snapshots — and the resulting commits
+    diff/log/revert like a natively-grown branch.
+
+    ``metaranges``: [(metarange_sst_path, message), ...] in commit
+    order. Returns the list of created commits.
+
+    Scale: each step is two distributed range-set scans + one
+    exceptAll-shaped comparison; only manifests touch the driver."""
+    from pyspark.sql import functions as F
+
+    def _entries_for(metarange_sst: str):
+        ranges = read_metarange_sstable(read_file(metarange_sst))
+        paths = []
+        for r in ranges:
+            p = os.path.join(ranges_dir, r["range_id"])
+            if not os.path.exists(p) and os.path.exists(p + ".sst"):
+                p += ".sst"
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"range {r['range_id']} not found under {ranges_dir}"
+                )
+            paths.append(p)
+        return sst_entries_df(repo.spark, paths)
+
+    commits = []
+    prev = None
+    for metarange_sst, message in metaranges:
+        cur = _entries_for(metarange_sst)
+        if prev is None:
+            repo.stage_entries(branch, cur)
+        else:
+            # stage only the delta: rows whose (key, identity) changed
+            # or appeared, plus tombstones for keys that vanished
+            changed = cur.join(
+                prev.select("key", F.col("identity").alias("_pid")),
+                "key",
+                "left",
+            ).where(
+                F.col("_pid").isNull() | (F.col("_pid") != F.col("identity"))
+            ).drop("_pid")
+            removed = prev.select("key").join(
+                cur.select("key"), "key", "left_anti"
+            )
+            repo.stage_entries(branch, changed)
+            repo.stage_deletes(branch, removed)
+        commits.append(repo.commit(branch, message))
+        prev = cur
+    return commits

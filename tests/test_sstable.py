@@ -363,3 +363,62 @@ def test_epoch_zero_timestamp_is_present_not_null():
     assert b"\x12" not in absent[:1] and S.decode_entry_proto(absent)[
         "last_modified_s"
     ] is None
+
+
+def test_migrate_history_replays_commits_with_diffs(spark, tmp_path):
+    """Commit HISTORY migration: three exported snapshots replay as
+    three native commits via diff-based staging (adds, changes AND
+    deletes land), and the replayed branch diffs exactly like the
+    source history."""
+    from lakefs_spark.storage.repo import Repository
+
+    src = Repository.create(spark, str(tmp_path / "src"))
+
+    def _hex(tag):
+        import hashlib
+
+        return hashlib.sha256(tag.encode()).hexdigest()
+
+    def _set(key, ver, size=1):
+        ident = _hex(f"{key}@{ver}")
+        src.set_entry("main", {"key": key, "identity": ident,
+                               "size": size, "etag": f"e-{ver}",
+                               "address": f"s3://b/{key}",
+                               "address_type": "FULL"})
+
+    _set("a/1", "v1"); _set("a/2", "v1"); _set("b/1", "v1")
+    c1 = src.commit("main", "c1")
+    _set("a/1", "v2"); _set("c/1", "v1")           # change + add
+    c2 = src.commit("main", "c2")
+    src.stage_deletes("main", ["a/2"])             # delete
+    _set("c/2", "v1")
+    c3 = src.commit("main", "c3")
+
+    out = str(tmp_path / "export")
+    metaranges = []
+    for c, msg in [(c1, "c1"), (c2, "c2"), (c3, "c3")]:
+        mid, _nr, _ne = S.export_to_lakefs(src, c.commit_id, out,
+                                           rows_per_range=2)
+        metaranges.append((os.path.join(out, mid), msg))
+
+    dst = Repository.create(spark, str(tmp_path / "dst"))
+    commits = S.migrate_history(dst, metaranges, out)
+    assert len(commits) == 3
+
+    # final snapshots identical
+    want = sorted((r["key"], r["identity"])
+                  for r in src.snapshot(c3.commit_id).collect())
+    got = sorted((r["key"], r["identity"])
+                 for r in dst.snapshot(commits[-1].commit_id).collect())
+    assert got == want
+
+    # intermediate diffs replay exactly: c1→c2 and c2→c3 in the
+    # DESTINATION match the source history's deltas
+    d12 = sorted((r["key"], r["diff_type"]) for r in
+                 dst.diff(commits[0].commit_id, commits[1].commit_id).collect())
+    assert d12 == [("a/1", "changed"), ("c/1", "added")]
+    d23 = sorted((r["key"], r["diff_type"]) for r in
+                 dst.diff(commits[1].commit_id, commits[2].commit_id).collect())
+    assert d23 == [("a/2", "removed"), ("c/2", "added")]
+    # the replayed branch has a real 3-commit log
+    assert len(list(dst.log("main"))) == 3
