@@ -72,11 +72,40 @@ for _n in range(256):
         _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
     _CRC32C_TABLE.append(_c)
 
+# slicing-by-8 (Intel's technique): 8 derived tables let the hot loop
+# consume 8 bytes per iteration — ~4x faster in pure Python, which
+# matters because every 4 KiB block is checksummed on both the write
+# and the read path of a migration
+_CRC8_TABLES = [_CRC32C_TABLE]
+for _k in range(7):
+    _prev = _CRC8_TABLES[-1]
+    _CRC8_TABLES.append(
+        [_CRC32C_TABLE[_prev[_i] & 0xFF] ^ (_prev[_i] >> 8) for _i in range(256)]
+    )
+_T0, _T1, _T2, _T3, _T4, _T5, _T6, _T7 = _CRC8_TABLES
+
 
 def crc32c(data: bytes, crc: int = 0) -> int:
     crc ^= 0xFFFFFFFF
-    for b in data:
-        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    n = len(data)
+    i = 0
+    end8 = n - (n % 8)
+    while i < end8:
+        crc ^= data[i] | data[i + 1] << 8 | data[i + 2] << 16 | data[i + 3] << 24
+        crc = (
+            _T7[crc & 0xFF]
+            ^ _T6[(crc >> 8) & 0xFF]
+            ^ _T5[(crc >> 16) & 0xFF]
+            ^ _T4[(crc >> 24) & 0xFF]
+            ^ _T3[data[i + 4]]
+            ^ _T2[data[i + 5]]
+            ^ _T1[data[i + 6]]
+            ^ _T0[data[i + 7]]
+        )
+        i += 8
+    while i < n:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ data[i]) & 0xFF]
+        i += 1
     return crc ^ 0xFFFFFFFF
 
 
@@ -92,6 +121,12 @@ def _mask_crc(crc: int) -> int:
 
 
 def read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    try:  # single-byte fast path (the common case by far)
+        b = buf[pos]
+    except IndexError:
+        raise BadSSTable("truncated varint") from None
+    if b < 0x80:
+        return b, pos + 1
     result = 0
     shift = 0
     while True:
@@ -497,6 +532,8 @@ INTERNAL_SET_TRAILER = bytes([1, 0, 0, 0, 0, 0, 0, 0])  # seq 0, kind SET
 
 
 def write_uvarint(n: int) -> bytes:
+    if n < 0x80:  # the overwhelmingly common case (lens, small offsets)
+        return bytes((n,))
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -632,6 +669,7 @@ class SSTableBuilder:
     def __init__(self):
         self._out = bytearray()
         self._data_items: list[tuple[bytes, bytes]] = []
+        self._block_bytes = 0
         self._index: list[tuple[bytes, bytes]] = []
         self._last_key = b""
 
@@ -652,6 +690,7 @@ class SSTableBuilder:
         # >= every key in the block, < the next block's first)
         self._index.append((self._data_items[-1][0], handle))
         self._data_items = []
+        self._block_bytes = 0
 
     def add(self, user_key: bytes, value: bytes) -> None:
         if user_key <= self._last_key and self._last_key:
@@ -661,8 +700,9 @@ class SSTableBuilder:
             )
         self._last_key = user_key
         self._data_items.append((user_key + INTERNAL_SET_TRAILER, value))
-        approx = sum(len(k) + len(v) + 6 for k, v in self._data_items)
-        if approx >= TARGET_BLOCK_SIZE:
+        # running size, not a re-sum per add (that was O(block²))
+        self._block_bytes += len(user_key) + 8 + len(value) + 6
+        if self._block_bytes >= TARGET_BLOCK_SIZE:
             self._flush_data_block()
 
     def finish(self, properties: dict[bytes, bytes]) -> bytes:
