@@ -2,7 +2,8 @@
 
 test_merge_model.py cross-checks one merge against the reference's
 key-case table; this walks the whole lifecycle — interleaved staging,
-tombstones, commits, branching and 3-way merges over a growing DAG —
+tombstones, commits, staging resets, head reverts, branching and
+3-way merges over a growing DAG —
 against a pure-Python model that tracks per-branch committed
 snapshots, staged overlays and the commit graph. After every step the
 engine's visible listing must equal the model's overlay; merges must
@@ -132,9 +133,10 @@ class Model:
         return merged_src, conflicts, (merged if not conflicts else None)
 
 
-# seeds chosen so each walk reaches BOTH clean and conflicted merges
-# (model-simulated: seed 5 -> 7 clean + 2 conflict, 14 -> 2 + 3, 23 -> 4 + 3)
-SEEDS = [5, 14, 23]
+# seeds chosen by offline simulation so each walk reaches clean merges,
+# conflicted merges, at least one revert, and (for 68/194/386) an
+# already-up-to-date refusal
+SEEDS = [68, 194, 386]
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -187,6 +189,21 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
             engine_of[cid] = c.commit_id
             st["head"] = cid
             st["staged"] = {}
+        elif op < 0.66:  # reset staging (discard uncommitted work)
+            if not st["staged"]:
+                continue
+            repo.reset_branch(b)
+            st["staged"] = {}
+        elif op < 0.70:  # revert the head commit (non-merge heads only:
+            # the model's simple inverse is parent's snapshot)
+            head = st["head"]
+            parents = model.commits[head][1]
+            if st["staged"] or len(parents) != 1:
+                continue
+            rc = repo.revert(b, engine_of[head])
+            cid = model.new_commit(model.commits[parents[0]][0], [head])
+            engine_of[cid] = rc.commit_id
+            st["head"] = cid
         elif op < 0.78 and n_new_branch < 5:  # branch from a head
             n_new_branch += 1
             name = f"b{n_new_branch}"
