@@ -2431,6 +2431,185 @@ hooks:
     )
 
 
+_STOCK_VALIDATOR_ROWS: dict = {}
+
+
+def q_lua_stock_validators(spark, sf_dir):
+    """The reference's example VALIDATOR hooks (tests/data/hooks —
+    vendored verbatim from examples/hooks) dispatched as real type:lua
+    pre-merge / pre-commit gates, hash-checked on their task log:
+
+    - format_validator.lua: a branch adding a .csv is vetoed
+      ('forbidden paths found'); parquet + _hidden paths merge.
+    - dataset_validator.lua: a dataset without dataset_metadata.yaml is
+      vetoed via hook.fail; a dataset with valid yaml fields merges.
+    - commit_metadata_validator.lua: regexp-pattern metadata gate
+      (running on the linear-time re2 engine) passes good metadata and
+      vetoes a mismatch.
+
+    Six deterministic task rows — the stock-hook compatibility claim as
+    a driver gate, not just pytest."""
+    key = _session_tag(spark)
+    rows = _STOCK_VALIDATOR_ROWS.get(key)
+    if rows is None:
+        import os
+        import tempfile
+
+        from lakefs_spark.schema import ENTRY_SCHEMA
+        from lakefs_spark.storage.actions import ActionsService
+        from lakefs_spark.storage.repo import HookAbortError, Repository
+        from tests.test_lua_exporters import HOOKS_DATA, _put_file
+
+        def _stock(name):
+            with open(os.path.join(HOOKS_DATA, name)) as f:
+                return f.read()
+
+        rows = []
+
+        def _run_scenario(validator, action_spec, setup_bad, setup_good,
+                          veto_marker):
+            root = tempfile.mkdtemp(prefix=f"lakefs_val_{validator}_")
+            repo = Repository.create(spark, os.path.join(root, "repo"))
+            repo.stage_entries(
+                "main",
+                spark.createDataFrame(
+                    [("seed", "i0", _put_file(repo, "data/seed", "s"),
+                      "RELATIVE", 1, "e0", None, None, "t")],
+                    ENTRY_SCHEMA,
+                ),
+            )
+            repo.commit("main", "seed")
+            svc = ActionsService(repo)
+            svc.add_action(action_spec)
+            try:
+                setup_bad(spark, repo)
+                raise RuntimeError(f"{validator}: veto did not fire")
+            except HookAbortError as e:
+                vetoed = veto_marker in str(e)
+            setup_good(spark, repo)
+            tasks = list(reversed(svc.task_results()))  # oldest first
+            for t in tasks:
+                rows.append(
+                    (validator, t["event"], t["status"],
+                     "veto-marker-seen" if (t["status"] == "failed" and vetoed)
+                     else "")
+                )
+
+        def _branch_with(spark, repo, name, entries):
+            repo.create_branch(name, "main")
+            repo.stage_entries(
+                name, spark.createDataFrame(entries, ENTRY_SCHEMA)
+            )
+            repo.commit(name, f"{name} changes")
+            repo.merge(name, "main")
+
+        # 1. format validator
+        _run_scenario(
+            "format_validator",
+            {
+                "name": "format check",
+                "on": {"pre-merge": {"branches": ["main"]}},
+                "hooks": [{"id": "check_formats", "type": "lua",
+                           "properties": {
+                               "script": _stock("format_validator.lua"),
+                               "args": {"allow_list": ["parquet", "orc"],
+                                        "ignore_hidden": True}}}],
+            },
+            lambda spark, repo: _branch_with(
+                spark, repo, "bad",
+                [("t/x.csv", "i1", "x", "RELATIVE", 1, "e", None, None, "t")],
+            ),
+            lambda spark, repo: _branch_with(
+                spark, repo, "good",
+                [("t/x.parquet", "i2", "x", "RELATIVE", 1, "e", None, None, "t"),
+                 ("_tmp/scratch", "i3", "x", "RELATIVE", 1, "e", None, None, "t")],
+            ),
+            "forbidden paths found",
+        )
+
+        # 2. dataset validator
+        meta = ("contains_pii: false\n"
+                "approval_link: https://a.example.com/1\nrank: 3\n")
+
+        def _ds_bad(spark, repo):
+            _branch_with(
+                spark, repo, "bad",
+                [("datasets/orphan/p.parquet", "i4", "x", "RELATIVE", 1,
+                  "e", None, None, "t")],
+            )
+
+        def _ds_good(spark, repo):
+            rel = _put_file(repo, "data/meta.yaml", meta)
+            _branch_with(
+                spark, repo, "good",
+                [("datasets/users/dataset_metadata.yaml", "im", rel,
+                  "RELATIVE", len(meta), "em", None, None, "t"),
+                 ("datasets/users/p.parquet", "i5", "x", "RELATIVE", 1,
+                  "e", None, None, "t")],
+            )
+
+        _run_scenario(
+            "dataset_validator",
+            {
+                "name": "dataset fields",
+                "on": {"pre-merge": {"branches": ["main"]}},
+                "hooks": [{"id": "validate_datasets", "type": "lua",
+                           "properties": {
+                               "script": _stock("dataset_validator.lua"),
+                               "args": {
+                                   "prefix": "datasets/",
+                                   "metadata_file_name": "dataset_metadata.yaml",
+                                   "fields": [
+                                       {"name": "contains_pii",
+                                        "required": True, "type": "boolean"},
+                                       {"name": "approval_link",
+                                        "required": True, "type": "string",
+                                        "match_pattern": r"https?:\/\/.*"},
+                                       {"name": "rank", "required": True,
+                                        "type": "number"},
+                                   ]}}}],
+            },
+            _ds_bad,
+            _ds_good,
+            "No dataset metadata found",
+        )
+
+        # 3. commit metadata validator (pre-commit)
+        def _cm_bad(spark, repo):
+            repo.set_entry("main", {"key": "a/1", "identity": "i1",
+                                    "size": 1, "etag": "e"})
+            repo.commit("main", "bad", metadata={"notebook_url": "x.com/1"})
+
+        def _cm_good(spark, repo):
+            repo.set_entry("main", {"key": "a/2", "identity": "i2",
+                                    "size": 1, "etag": "e"})
+            repo.commit("main", "ok", metadata={
+                "notebook_url": "my-jupyter.example.com/nb/7"})
+
+        _run_scenario(
+            "commit_metadata_validator",
+            {
+                "name": "commit metadata",
+                "on": {"pre-commit": {"branches": ["main"]}},
+                "hooks": [{"id": "check_commit_metadata", "type": "lua",
+                           "properties": {
+                               "script": _stock("commit_metadata_validator.lua"),
+                               "args": {"notebook_url": {
+                                   "pattern": "my-jupyter.example.com/.*"}}}}],
+            },
+            _cm_bad,
+            _cm_good,
+            "does not match",
+        )
+
+        rows = [(i + 1, *r) for i, r in enumerate(rows)]
+        _STOCK_VALIDATOR_ROWS[key] = rows
+    return spark.createDataFrame(
+        rows, "pos long, validator string, event string, status string, "
+        "marker string"
+    )
+
+
 _SSTABLE_ROWS: dict = {}
 
 
@@ -3044,6 +3223,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "action_task_results": q_action_task_results,
         "lua_hook_runs": q_lua_hook_runs,
         "lua_exporters": q_lua_exporters,
+        "lua_stock_validators": q_lua_stock_validators,
         "sstable_import": q_sstable_import,
         "audio_chunks": q_audio_chunks,
         "line_dedup": q_line_dedup,

@@ -78,6 +78,7 @@ GATES: dict[str, list[str]] = {
         "action_task_results",
         "lua_hook_runs",
         "lua_exporters",
+        "lua_stock_validators",
     ],
     "event_windows_extra": ["sliding_event_counts", "event_time_rollup"],
     "token_gates": ["token_counts", "bpe_token_counts", "vocab_stats", "length_percentiles", "token_fertility"],
@@ -244,6 +245,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "line_dedup": [("doc_id", "bigint"), ("clean_text", "string"), ("n_kept", "bigint"), ("n_removed", "bigint")],
     "lua_hook_runs": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string"), ("output", "string")],
     "lua_exporters": [("pos", "bigint"), ("component", "string"), ("item", "string"), ("value", "string")],
+    "lua_stock_validators": [("pos", "bigint"), ("validator", "string"), ("event", "string"), ("status", "string"), ("marker", "string")],
     "sstable_import": [("pos", "bigint"), ("source", "string"), ("key", "string"), ("identity", "string"), ("address", "string"), ("address_type", "string"), ("size", "bigint"), ("etag", "string"), ("last_modified_s", "bigint")],
     "active_commits": [("commit_id", "string")],
     "ann_recall": [("qa", "bigint"), ("n_hits", "bigint"), ("recall", "double")],

@@ -2399,6 +2399,22 @@ def q_sstable_import() -> str:
     """
 
 
+def q_lua_stock_validators() -> str:
+    # mirror of __spark_entry__.q_lua_stock_validators: the vendored
+    # examples/hooks validators dispatched as real type:lua gates —
+    # each vetoes its bad case (marker seen in the abort error) and
+    # passes its good case
+    return """
+    select cast(1 as bigint) as pos, 'format_validator' as validator,
+           'pre-merge' as event, 'failed' as status, 'veto-marker-seen' as marker
+    union all select 2, 'format_validator', 'pre-merge', 'completed', ''
+    union all select 3, 'dataset_validator', 'pre-merge', 'failed', 'veto-marker-seen'
+    union all select 4, 'dataset_validator', 'pre-merge', 'completed', ''
+    union all select 5, 'commit_metadata_validator', 'pre-commit', 'failed', 'veto-marker-seen'
+    union all select 6, 'commit_metadata_validator', 'pre-commit', 'completed', ''
+    """
+
+
 def q_text_normalize() -> str:
     # mirror of __spark_entry__.q_text_normalize: dirty each doc with a
     # DECOMPOSED accent (e + U+0301), a bell, a tab and space runs,
@@ -3067,6 +3083,7 @@ def part_oracles() -> dict[str, str]:
                 "action_task_results": q_action_task_results(),
                 "lua_hook_runs": q_lua_hook_runs(),
                 "lua_exporters": q_lua_exporters(),
+                "lua_stock_validators": q_lua_stock_validators(),
                 "sstable_import": q_sstable_import(),
                 "audio_chunks": q_audio_chunks(),
                 "line_dedup": q_line_dedup(),
