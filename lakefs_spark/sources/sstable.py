@@ -496,6 +496,15 @@ def migrate_from_lakefs(
     ranges distributed, and land the entries as one commit on
     ``branch``. Returns (commit, ranges_read, entries_imported)."""
     ranges = read_metarange_sstable(read_file(metarange_sst))
+    entries = sst_entries_df(repo.spark, _resolve_range_paths(ranges, ranges_dir))
+    repo.stage_entries(branch, entries)
+    commit = repo.commit(branch, message)
+    return commit, len(ranges), sum(r["count"] for r in ranges)
+
+
+def _resolve_range_paths(ranges: list[dict], ranges_dir: str) -> list[str]:
+    """Locate each referenced range SSTable under ranges_dir/<id>
+    (optionally with a .sst suffix)."""
     paths = []
     for r in ranges:
         p = os.path.join(ranges_dir, r["range_id"])
@@ -507,10 +516,7 @@ def migrate_from_lakefs(
                 f"not found under {ranges_dir}"
             )
         paths.append(p)
-    entries = sst_entries_df(repo.spark, paths)
-    repo.stage_entries(branch, entries)
-    commit = repo.commit(branch, message)
-    return commit, len(ranges), sum(r["count"] for r in ranges)
+    return paths
 
 
 # ---------------------------------------------------------------------------
@@ -785,15 +791,20 @@ def _lakefs_props(kind: bytes, records, estimated_size: int) -> dict[bytes, byte
 def write_range_sstable(entries: list[dict]) -> tuple[bytes, str, dict]:
     """Entry rows (ENTRY_SCHEMA-shaped dicts, sorted by key) → a lakeFS
     range SSTable. Returns (bytes, range_id, RangeData-shaped dict)."""
+    import re as _re
+
     records = []
     for e in entries:
-        try:
+        # deterministic boundary: ONLY canonical lowercase even-length
+        # hex takes the hex path (bytes.fromhex alone also accepts
+        # uppercase and internal whitespace, which would mutate such
+        # identities on a round-trip); everything else is a foreign
+        # identity and exports as its utf-8 bytes — valid for lakeFS
+        # (Identity is raw bytes), though a re-IMPORT through our
+        # reader renders it as hex
+        if _re.fullmatch(r"(?:[0-9a-f]{2})+", e["identity"] or ""):
             ident = bytes.fromhex(e["identity"])
-        except ValueError:
-            # engine-canonical identities are lowercase hex; a foreign
-            # identity (set_entry allows any string) exports as its
-            # utf-8 bytes — valid for lakeFS (Identity is raw bytes),
-            # though a re-IMPORT through our reader renders it as hex
+        else:
             ident = e["identity"].encode("utf-8")
         lm = e.get("last_modified_s")
         lmv = e.get("last_modified")
@@ -931,50 +942,79 @@ def migrate_history(
     only its DIFF vs the previous (adds/changes as entries, removals
     as tombstones), so replaying an N-commit history costs the sum of
     the deltas — not N full snapshots — and the resulting commits
-    diff/log/revert like a natively-grown branch.
+    diff/log/revert like a natively-grown branch. A step whose delta
+    is empty (the source had an allow-empty commit) replays as an
+    allow_empty commit, keeping the histories 1:1.
 
     ``metaranges``: [(metarange_sst_path, message), ...] in commit
     order. Returns the list of created commits.
 
-    Scale: each step is two distributed range-set scans + one
-    exceptAll-shaped comparison; only manifests touch the driver."""
+    Scale: each snapshot's distributed range parse is persisted and
+    read at most twice (its own delta + as the next step's baseline);
+    only manifests touch the driver."""
     from pyspark.sql import functions as F
 
     def _entries_for(metarange_sst: str):
         ranges = read_metarange_sstable(read_file(metarange_sst))
-        paths = []
-        for r in ranges:
-            p = os.path.join(ranges_dir, r["range_id"])
-            if not os.path.exists(p) and os.path.exists(p + ".sst"):
-                p += ".sst"
-            if not os.path.exists(p):
-                raise FileNotFoundError(
-                    f"range {r['range_id']} not found under {ranges_dir}"
-                )
-            paths.append(p)
-        return sst_entries_df(repo.spark, paths)
+        return sst_entries_df(
+            repo.spark, _resolve_range_paths(ranges, ranges_dir)
+        )
+
+    def _with_fp(df):
+        # FULL-ROW fingerprint: identity alone misses payload-only
+        # updates (same identity, new etag/size/metadata) — those are
+        # real manifest changes in the source and must replay. Maps
+        # can't ride set ops, so fingerprint sorted entries instead.
+        return df.withColumn(
+            "_fp",
+            F.sha2(
+                F.to_json(
+                    F.struct(
+                        "identity", "address", "address_type", "size",
+                        "etag",
+                        F.col("last_modified").cast("string").alias("lm"),
+                        F.array_sort(
+                            F.map_entries(
+                                F.coalesce(
+                                    "metadata",
+                                    F.create_map().cast(
+                                        "map<string,string>"
+                                    ),
+                                )
+                            )
+                        ).alias("md"),
+                        "content_type",
+                    )
+                ),
+                256,
+            ),
+        )
 
     commits = []
     prev = None
     for metarange_sst, message in metaranges:
-        cur = _entries_for(metarange_sst)
+        cur = _with_fp(_entries_for(metarange_sst)).persist()
         if prev is None:
-            repo.stage_entries(branch, cur)
+            repo.stage_entries(branch, cur.drop("_fp"))
         else:
-            # stage only the delta: rows whose (key, identity) changed
-            # or appeared, plus tombstones for keys that vanished
-            changed = cur.join(
-                prev.select("key", F.col("identity").alias("_pid")),
-                "key",
-                "left",
-            ).where(
-                F.col("_pid").isNull() | (F.col("_pid") != F.col("identity"))
-            ).drop("_pid")
+            changed = (
+                cur.join(
+                    prev.select("key", F.col("_fp").alias("_pfp")),
+                    "key",
+                    "left",
+                )
+                .where(F.col("_pfp").isNull() | (F.col("_pfp") != F.col("_fp")))
+                .drop("_pfp", "_fp")
+            )
             removed = prev.select("key").join(
                 cur.select("key"), "key", "left_anti"
             )
             repo.stage_entries(branch, changed)
             repo.stage_deletes(branch, removed)
-        commits.append(repo.commit(branch, message))
+        commits.append(repo.commit(branch, message, allow_empty=True))
+        if prev is not None:
+            prev.unpersist()
         prev = cur
+    if prev is not None:
+        prev.unpersist()
     return commits

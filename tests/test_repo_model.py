@@ -39,7 +39,7 @@ def _df(spark, ids: dict[str, str]):
 class Model:
     """Pure-Python mirror of the engine's visible state."""
 
-    def __init__(self, base: dict[str, str]):
+    def __init__(self):
         self.commits: dict[str, tuple[dict, list]] = {}  # cid -> (snap, parents)
         self.branches: dict[str, dict] = {}  # name -> {"head", "staged"}
         self.seq = 0
@@ -143,7 +143,7 @@ SEEDS = [68, 194, 386]
 def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
     rng = random.Random(seed)
     repo = Repository.create(spark, str(tmp_path / f"walk{seed}"))
-    model = Model({})
+    model = Model()
 
     base = {f"k/{i:02d}": f"v0-{i}" for i in range(8)}
     repo.stage_entries("main", _df(spark, base))

@@ -422,3 +422,40 @@ def test_migrate_history_replays_commits_with_diffs(spark, tmp_path):
     assert d23 == [("a/2", "removed"), ("c/2", "added")]
     # the replayed branch has a real 3-commit log
     assert len(list(dst.log("main"))) == 3
+
+
+def test_migrate_history_payload_only_update_and_empty_commit(spark, tmp_path):
+    """Review-hardened cases: (a) a commit changing only an entry's
+    PAYLOAD (same identity, new size/etag) must replay — identity-only
+    deltas would drop it; (b) an allow-empty source commit replays as
+    an allow-empty commit instead of aborting the whole history."""
+    from lakefs_spark.storage.repo import Repository
+
+    src = Repository.create(spark, str(tmp_path / "src"))
+    ident = "ab" * 32
+    src.set_entry("main", {"key": "p/1", "identity": ident, "size": 1,
+                           "etag": "e1", "address": "s3://b/p1",
+                           "address_type": "FULL"})
+    c1 = src.commit("main", "c1")
+    # payload-only change: identity constant, size/etag move
+    src.set_entry("main", {"key": "p/1", "identity": ident, "size": 99,
+                           "etag": "e2", "address": "s3://b/p1",
+                           "address_type": "FULL"})
+    c2 = src.commit("main", "payload only")
+    c3 = src.commit("main", "deliberately empty", allow_empty=True)
+
+    out = str(tmp_path / "export")
+    metaranges = []
+    for c, msg in [(c1, "c1"), (c2, "payload only"), (c3, "empty")]:
+        mid, _, _ = S.export_to_lakefs(src, c.commit_id, out, rows_per_range=10)
+        metaranges.append((os.path.join(out, mid), msg))
+
+    dst = Repository.create(spark, str(tmp_path / "dst"))
+    commits = S.migrate_history(dst, metaranges, out)
+    assert len(commits) == 3
+    rows = {r["key"]: r for r in dst.snapshot(commits[1].commit_id).collect()}
+    assert rows["p/1"]["size"] == 99 and rows["p/1"]["etag"] == "e2"
+    # the empty step produced a commit whose snapshot equals its parent
+    s2 = sorted(map(tuple, dst.snapshot(commits[1].commit_id).collect()))
+    s3 = sorted(map(tuple, dst.snapshot(commits[2].commit_id).collect()))
+    assert s2 == s3
