@@ -8,8 +8,10 @@ against a pure-Python model that tracks per-branch committed
 snapshots, staged overlays and the commit graph. After every step the
 engine's visible listing must equal the model's overlay; merges must
 agree with the model on both the conflict set and (after strategy=src
-resolution) the merged snapshot, with the merge base chosen by the
-MODEL's own BFS over its own graph (never by asking the engine).
+resolution) the merged snapshot, with the merge base computed by the
+MODEL over its own graph — replaying the engine's generation-ordered
+algorithm (with the minted commit ids as tie-break) but never asking
+the engine to pick the base.
 
 Interleavings this reaches that the unit tests don't: staging on a
 branch while it is being merged into, branching from a freshly merged
