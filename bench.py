@@ -192,7 +192,9 @@ def main() -> None:
         if cands:
             prev_file = os.path.basename(cands[-1])
             with open(cands[-1]) as f:
-                prev_med = json.load(f).get("queries", {})
+                prev = json.load(f)
+            # the driver wraps bench.py's JSON line under "parsed"
+            prev_med = (prev.get("parsed") or prev).get("queries") or {}
     except Exception:  # noqa: BLE001 — the bench must never die on history
         prev_file, prev_med = None, {}
     moved = [
