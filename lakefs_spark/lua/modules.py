@@ -428,7 +428,18 @@ def make_lakefs_client(repo, content_loader=None, cleanups: list | None = None) 
         except Exception as e:  # noqa: BLE001
             return (409, py_to_lua({"message": str(e)}))
 
-    def diff_refs(repo_id, left, right, after=None, prefix=None, amount=None):
+    def diff_refs(repo_id, left, right, after=None, prefix=None,
+                  delimiter=None, amount=None):
+        # positional parity with client.go diffRefs: arg 6 is DELIMITER
+        # (stock hooks pass "" for a recursive diff), arg 7 amount.
+        # Non-empty delimiters (grouped diff) fail loud, never wrong.
+        if delimiter:
+            return (
+                400,
+                py_to_lua(
+                    {"message": "diff_refs: delimiter grouping unsupported"}
+                ),
+            )
         # Paging stays inside the Spark plan: prefix/after filter +
         # limit(amount+1) BEFORE collect(), so a hook paging a huge
         # post-merge diff pulls O(amount) rows to the driver per call,
@@ -524,13 +535,17 @@ def make_aws_module(export_root: str | None, recorder: list | None = None) -> Lu
                     f.write(lua_tostring(data) if not isinstance(data, str) else data)
 
         def get_object(bucket, key):
+            # reference shape (storage/aws/s3.go GetObject): TWO return
+            # values — ("", false) on NoSuchKey, (body, true) on hit;
+            # stock hooks (s3_hive_manifest_exporter.lua) branch on the
+            # second value, so raising here would abort them
             if export_root is None:
                 raise LuaError("s3 stand-in has no export root configured")
             p = _safe_path(bucket, key)
             if not os.path.exists(p):
-                raise LuaError(f"NoSuchKey: s3://{bucket}/{key}")
+                return ("", False)
             with open(p) as f:
-                return f.read()
+                return (f.read(), True)
 
         def delete_object(bucket, key):
             if export_root is not None:

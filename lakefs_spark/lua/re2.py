@@ -350,9 +350,16 @@ class _Parser:
 
     def _escape_char(self, c: str) -> str:
         simple = {"n": "\n", "t": "\t", "r": "\r", "f": "\f", "v": "\v",
-                  "a": "\a", "0": "\0"}
+                  "a": "\a"}
         if c in simple:
             return simple[c]
+        if c == "0":
+            # Go RE2: \0 starts an octal escape of up to three digits
+            # total (\0, \01, \012) — \012 is '\n', NOT NUL + "12".
+            digits = "0"
+            while len(digits) < 3 and self._peek() in "01234567":
+                digits += self._next()
+            return chr(int(digits, 8))
         if c == "x":
             if self._peek() == "{":
                 self._next()
@@ -662,17 +669,30 @@ class Re2:
         return [m.group(0)] + [g if g is not None else "" for g in m.groups()]
 
     def finditer(self, s: str, limit: int = -1):
+        # Go allMatches (regexp.go): an EMPTY match that starts exactly
+        # where the previous match ended is skipped (not delivered) —
+        # FindAllString("a*", "aa") is ["aa"], never ["aa", ""]. The
+        # scan still advances one char past the suppressed match.
         pos = 0
         count = 0
+        prev_match_end = -1
         while pos <= len(s):
             if limit >= 0 and count >= limit:
                 return
             m = self.search(s, pos)
             if m is None:
                 return
-            yield m
-            count += 1
-            pos = m.end if m.end > m.start else m.end + 1
+            accept = True
+            if m.end == m.start:
+                if m.start == prev_match_end:
+                    accept = False
+                pos = m.end + 1
+            else:
+                pos = m.end
+            prev_match_end = m.end
+            if accept:
+                yield m
+                count += 1
 
     def find_all(self, s: str, limit: int = -1) -> list[str]:
         # Go FindAllString: whole matches (never groups)

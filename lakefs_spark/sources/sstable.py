@@ -858,33 +858,194 @@ def write_metarange_sstable(ranges: list[dict]) -> tuple[bytes, str]:
     return buf, mid
 
 
-def export_to_lakefs(repo, ref: str, out_dir: str, *, rows_per_range: int = 50_000):
-    """Export a snapshot AS lakeFS SSTables: one .sst per range (named
-    by its lakeFS-protocol content address) plus the metarange .sst.
-    Returns (metarange_id, n_ranges, n_entries).
 
-    Scale shape: entries stream through Spark sorted by key; each range
-    is BUILT executor-side (applyInPandas over a precomputed range
-    index — only (range_id, min, max, count, size) descriptors return
-    to the driver, which writes the one manifest-sized metarange).
-    """
-    import math
 
+# ---------------------------------------------------------------------------
+# RangeFS: where exported range/metarange SSTables live
+# ---------------------------------------------------------------------------
+#
+# Every byte of range content written or read by an EXECUTOR task goes
+# through one of these objects — never a bare `open()` on a path the
+# driver happened to have (on a real cluster with node-local disks that
+# silently scatters ranges across machines). Implementations must be
+# PICKLABLE: write/read/exists run inside tasks.
+
+
+class RangeFS:
+    """Content-addressed .sst storage seam.
+
+    ``write`` is put-if-absent: an existing name wins (same bytes by
+    construction — names ARE lakeFS content addresses), which is what
+    makes successive exports share unchanged range files."""
+
+    def write(self, name: str, data: bytes) -> bool:
+        """Store ``data`` under ``name`` unless present. True if newly
+        written, False if the address already existed (reuse hit)."""
+        raise NotImplementedError
+
+    def read(self, name: str) -> bytes:
+        raise NotImplementedError
+
+    def exists(self, name: str) -> bool:
+        raise NotImplementedError
+
+    def spark_paths(self, names: list[str]) -> list[str] | None:
+        """Filesystem paths Spark's ``binaryFile`` can scan, or None if
+        contents are only reachable through :meth:`read`."""
+        return None
+
+
+class DirRangeFS(RangeFS):
+    """A directory visible to driver AND executors (tmpdir under
+    local[*]; NFS or a mounted object store on a real cluster — this
+    class is exactly the 'shared filesystem required' contract, stated
+    once here instead of implied by raw opens in task closures)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(self, name: str, data: bytes) -> bool:
+        os.makedirs(self.root, exist_ok=True)
+        dest = self._path(name)
+        if os.path.exists(dest):
+            return False
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, dest)  # atomic; racing writers carry equal bytes
+        return True
+
+    def read(self, name: str) -> bytes:
+        with open(self._path(name), "rb") as f:
+            return f.read()
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+    def spark_paths(self, names: list[str]) -> list[str]:
+        return [self._path(n) for n in names]
+
+
+class StoreRangeFS(RangeFS):
+    """Ranges as content-addressed blobs of any Store driver (Local or
+    the S3 conditional store) — the cluster-safe path: executors
+    publish through the store API's put-if-absent ``publish_blob``,
+    never a bare filesystem path."""
+
+    def __init__(self, store, prefix: str = "sstables"):
+        self.store = store
+        self.prefix = prefix.strip("/")
+
+    def _rel(self, name: str) -> str:
+        return f"{self.prefix}/{name}"
+
+    def write(self, name: str, data: bytes) -> bool:
+        import tempfile
+
+        if self.store.blob_exists(self._rel(name)):
+            return False
+        fd, tmp = tempfile.mkstemp(prefix="sst-")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        self.store.publish_blob(tmp, self._rel(name))
+        return True
+
+    def read(self, name: str) -> bytes:
+        return self.store.read_blob(self._rel(name))
+
+    def exists(self, name: str) -> bool:
+        return self.store.blob_exists(self._rel(name))
+
+
+def _as_rangefs(out) -> RangeFS:
+    """Coerce a directory path to :class:`DirRangeFS`; pass a RangeFS
+    through — every export/migrate entry point takes either."""
+    return out if isinstance(out, RangeFS) else DirRangeFS(out)
+
+
+def _resolve_names(ranges: list[dict], fs: RangeFS) -> list[str]:
+    """Locate each referenced range in ``fs`` — bare range id first,
+    then the ``.sst``-suffixed form real lakeFS namespaces use."""
+    names = []
+    for r in ranges:
+        name = r["range_id"]
+        if not fs.exists(name) and fs.exists(name + ".sst"):
+            name += ".sst"
+        elif not fs.exists(name):
+            raise FileNotFoundError(
+                f"range {r['range_id']} (keys {r['min_key']}..{r['max_key']}) "
+                f"not found in {fs!r}"
+            )
+        names.append(name)
+    return names
+
+
+def _read_metarange(metarange, fs: RangeFS) -> list[dict]:
+    """Metarange descriptors from a filesystem path OR a name in fs."""
+    if isinstance(metarange, str) and os.path.isfile(metarange):
+        return read_metarange_sstable(read_file(metarange))
+    return read_metarange_sstable(fs.read(metarange))
+
+
+def _entries_pdf(bufs):
+    """Decode an iterable of range-SSTable byte strings to ONE pandas
+    frame shaped like ENTRY_SCHEMA (shared by both executor decoders)."""
     import pandas as pd
+
+    from lakefs_spark.schema import ENTRY_SCHEMA
+
+    out = []
+    for buf in bufs:
+        for e in read_range_sstable(bytes(buf)):
+            ts = e.pop("last_modified_s")
+            # `is not None`: epoch 0 is a PRESENT timestamp
+            e["last_modified"] = (
+                pd.Timestamp(ts, unit="s") if ts is not None else None
+            )
+            out.append(e)
+    cols = [f.name for f in ENTRY_SCHEMA.fields]
+    return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+
+def sst_entries_df_fs(spark, fs: RangeFS, names: list[str]):
+    """Entries DataFrame for named ranges in ``fs``, parsed
+    EXECUTOR-side. Directory-backed fs goes through ``binaryFile``
+    (Spark streams the bytes); store-backed fs ships the (picklable)
+    fs object and names to tasks, which fetch through the store API —
+    either way the driver never holds range contents."""
+    from lakefs_spark.schema import ENTRY_SCHEMA
+
+    if not names:
+        return spark.createDataFrame([], ENTRY_SCHEMA)
+    paths = fs.spark_paths(names)
+    if paths is not None:
+        return sst_entries_df(spark, paths)
+
+    names_df = spark.createDataFrame(
+        [(n,) for n in names], "name string"
+    ).repartition(min(len(names), 64))
+
+    def _decode(batches):
+        for pdf in batches:
+            yield _entries_pdf(fs.read(n) for n in pdf["name"])
+
+    return names_df.mapInPandas(_decode, ENTRY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# export: snapshots → lakeFS SSTables, content-defined range boundaries
+# ---------------------------------------------------------------------------
+
+_DESC_COLS = ["range_id", "min_key", "max_key", "estimated_size", "count"]
+
+
+def _desc_schema():
     from pyspark.sql import types as T
 
-    os.makedirs(out_dir, exist_ok=True)
-    snap = repo.snapshot(ref)
-    # Scale shape: ONE range-partitioning shuffle assigns contiguous
-    # key ranges to tasks (no global window, no driver pass over
-    # entries); each task buffers its ~rows_per_range slice, builds one
-    # .sst executor-side and returns only the descriptor row.
-    n_entries = snap.count()
-    if n_entries == 0:
-        raise ValueError("cannot export an empty snapshot")
-    n_ranges = max(1, math.ceil(n_entries / rows_per_range))
-
-    out_schema = T.StructType(
+    return T.StructType(
         [
             T.StructField("range_id", T.StringType()),
             T.StructField("min_key", T.StringType()),
@@ -893,128 +1054,354 @@ def export_to_lakefs(repo, ref: str, out_dir: str, *, rows_per_range: int = 50_0
             T.StructField("count", T.LongType()),
         ]
     )
-    cols = [f.name for f in out_schema.fields]
 
-    def _write_partition(batches):
-        # mapInPandas hands one PARTITION per task as a batch iterator
-        frames = [b for b in batches if len(b)]
-        if not frames:
-            yield pd.DataFrame(columns=cols)
-            return
-        pdf = pd.concat(frames, ignore_index=True).sort_values("key")
-        entries = pdf.to_dict("records")
+
+def _write_ranges(entries_df, fs: RangeFS, boundaries: list[str], raggedness: int) -> list[dict]:
+    """Chunk a (sub)snapshot by the content-defined boundary rule and
+    build one .sst per chunk EXECUTOR-side: ``assign_chunks`` is a
+    broadcast binary-search (no shuffle), then ONE shuffle groups each
+    chunk onto a task which builds the table, publishes it through the
+    RangeFS put-if-absent write, and returns only its descriptor row.
+    The driver sees descriptors, never range contents."""
+    import pandas as pd
+
+    from lakefs_spark.plans.chunker import assign_chunks
+
+    chunked = assign_chunks(entries_df, "key", raggedness, boundaries)
+
+    def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("key")
+        entries = pdf.drop(columns=["chunk_idx"]).to_dict("records")
         for e in entries:
             lm = e.get("last_modified")
             e["last_modified_s"] = (
-                None if lm is None or pd.isna(lm) else int(pd.Timestamp(lm).timestamp())
+                None
+                if lm is None or pd.isna(lm)
+                else int(pd.Timestamp(lm).timestamp())
             )
             if not isinstance(e.get("metadata"), dict):
                 e["metadata"] = None
         buf, rid, rd = write_range_sstable(entries)
-        with open(os.path.join(out_dir, rid), "wb") as f:
-            f.write(buf)
-        yield pd.DataFrame([rd], columns=cols)
+        fs.write(rid, buf)
+        return pd.DataFrame([rd], columns=_DESC_COLS)
+
+    descs = chunked.groupBy("chunk_idx").applyInPandas(_build, _desc_schema()).collect()
+    return [r.asDict() for r in descs]
+
+
+def _export_snapshot(repo, ref: str, fs: RangeFS, raggedness: int):
+    """Full export of one snapshot. Returns (metarange_id, ranges)."""
+    from lakefs_spark.plans.chunker import boundary_keys
+
+    snap = repo.snapshot(ref)
+    boundaries = boundary_keys(snap, "key", raggedness)
+    ranges = sorted(
+        _write_ranges(snap, fs, boundaries, raggedness),
+        key=lambda r: r["max_key"],
+    )
+    if not ranges:
+        raise ValueError("cannot export an empty snapshot")
+    buf, mid = write_metarange_sstable(ranges)
+    fs.write(mid, buf)
+    return mid, ranges
+
+
+def export_to_lakefs(repo, ref: str, out, *, raggedness=None):
+    """Export a snapshot AS lakeFS SSTables: one .sst per range (named
+    by its lakeFS-protocol content address) plus the metarange .sst.
+    ``out``: a shared directory path or any :class:`RangeFS`.
+    Returns (metarange_id, n_ranges, n_entries).
+
+    Range boundaries are CONTENT-DEFINED: a key ends its range iff
+    ``xxhash64(key) % raggedness == 0`` (``plans/chunker.py`` — the
+    distributed-deterministic analog of the reference's
+    fnv64a-raggedness break, pkg/graveler/sstable/writer.go:168-183
+    with defaults from pkg/config/defaults.go:95-98). Boundaries are a
+    pure function of the keys, so exporting two overlapping snapshots
+    re-writes ONLY the ranges whose key spans changed — every other
+    range keeps its content address and the put-if-absent RangeFS
+    write skips it. Chunking is also canonical: any snapshot has
+    exactly one chunking, so incremental (:func:`export_history`) and
+    full exports of the same commit produce byte-identical metaranges.
+
+    Scale shape: one boundary collect (1/raggedness of keys), one
+    chunk-grouping shuffle, ranges built executor-side; only
+    (range_id, min, max, count, size) descriptors return to the
+    driver, which writes the one manifest-sized metarange."""
+    from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS
+
+    fs = _as_rangefs(out)
+    mid, ranges = _export_snapshot(
+        repo, ref, fs, raggedness or DEFAULT_RAGGEDNESS
+    )
+    return mid, len(ranges), sum(r["count"] for r in ranges)
+
+
+def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
+    """Export a commit CHAIN (oldest→newest) as a lakeFS metarange
+    chain with structural sharing — the inverse of
+    :func:`migrate_history`, and incremental the same way: commit 1
+    exports whole; every later commit re-chunks ONLY the key spans its
+    native diff touched and reuses every other range descriptor
+    verbatim, so exporting N commits costs O(repo + total changes),
+    not O(N × repo). Because chunk boundaries are a pure function of
+    the keys, the incremental metarange is byte-identical to what a
+    full export of that commit would produce (pinned in tests).
+
+    Returns [(resolved_commit_id, metarange_id), ...].
+
+    ``on_step`` (tests/profiling): called per commit with a dict
+    holding ``ranges_total``, ``ranges_rebuilt``, ``ranges_reused``.
+
+    Dirty-range rule (mirrors the identical-range fast path of the
+    reference's diff, pkg/graveler/committed/diff.go:151, run in
+    reverse): a diff key dirties the prev range whose span contains
+    it; REMOVING a range's own max_key merges it into the next range,
+    so that neighbor is dirtied too. Dirty spans are re-chunked from
+    the new snapshot; everything else is reused without reading."""
+    import bisect
 
     from pyspark.sql import functions as F
 
-    descs = (
-        snap.repartitionByRange(n_ranges, F.col("key"))
-        .mapInPandas(_write_partition, out_schema)
-        .collect()
-    )
-    ranges = sorted((r.asDict() for r in descs), key=lambda r: r["max_key"])
-    total = sum(r["count"] for r in ranges)
-    buf, mid = write_metarange_sstable(ranges)
-    with open(os.path.join(out_dir, mid), "wb") as f:
-        f.write(buf)
-    return mid, len(ranges), total
+    from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS, boundary_keys
+
+    raggedness = raggedness or DEFAULT_RAGGEDNESS
+    fs = _as_rangefs(out)
+    results = []
+    prev_ref = None
+    prev_ranges: list[dict] | None = None
+    for ref in refs:
+        commit_id = repo.resolve(ref).commit_id
+        if prev_ranges is None:
+            mid, ranges = _export_snapshot(repo, ref, fs, raggedness)
+            rebuilt = len(ranges)
+        else:
+            max_keys = [r["max_key"] for r in prev_ranges]
+            diff_rows = (
+                repo.diff(prev_ref, ref).select("key", "diff_type").collect()
+            )
+            dirty: set[int] = set()
+            last = len(max_keys) - 1
+            for row in diff_rows:
+                i = min(bisect.bisect_left(max_keys, row["key"]), last)
+                dirty.add(i)
+                if (
+                    row["diff_type"] == "removed"
+                    and i < last
+                    and max_keys[i] == row["key"]
+                ):
+                    dirty.add(i + 1)  # removed boundary merges chunks
+            snap = repo.snapshot(ref)
+            rebuilt_descs: list[dict] = []
+            for lo_i, hi_i in _merge_runs(sorted(dirty)):
+                lo = max_keys[lo_i - 1] if lo_i > 0 else None
+                hi = max_keys[hi_i] if hi_i < last else None
+                region = snap
+                if lo is not None:
+                    region = region.where(F.col("key") > lo)
+                if hi is not None:
+                    region = region.where(F.col("key") <= hi)
+                bounds = boundary_keys(region, "key", raggedness)
+                rebuilt_descs.extend(
+                    _write_ranges(region, fs, bounds, raggedness)
+                )
+            ranges = sorted(
+                [r for i, r in enumerate(prev_ranges) if i not in dirty]
+                + rebuilt_descs,
+                key=lambda r: r["max_key"],
+            )
+            if not ranges:
+                raise ValueError(
+                    f"cannot export empty snapshot at {ref!r}"
+                )
+            rebuilt = len(rebuilt_descs)
+            buf, mid = write_metarange_sstable(ranges)
+            fs.write(mid, buf)
+        if on_step is not None:
+            on_step(
+                {
+                    "ref": ref,
+                    "metarange_id": mid,
+                    "ranges_total": len(ranges),
+                    "ranges_rebuilt": rebuilt,
+                    "ranges_reused": len(ranges) - rebuilt,
+                }
+            )
+        results.append((commit_id, mid))
+        prev_ref, prev_ranges = ref, ranges
+    return results
+
+
+def _merge_runs(indices: list[int]):
+    """[1,2,3,7,8] → [(1,3), (7,8)] — consecutive dirty chunks rebuild
+    as one contiguous key region."""
+    runs = []
+    for i in indices:
+        if runs and i == runs[-1][1] + 1:
+            runs[-1][1] = i
+        else:
+            runs.append([i, i])
+    return [tuple(r) for r in runs]
+
+
+# ---------------------------------------------------------------------------
+# import: lakeFS SSTables → native commits
+# ---------------------------------------------------------------------------
+
+
+def migrate_from_lakefs(
+    repo,
+    metarange_sst,
+    ranges_src,
+    *,
+    branch: str = "main",
+    message: str = "import from lakeFS SSTables",
+):
+    """Import a real lakeFS commit into this engine: parse its
+    metarange manifest on the driver (one small .sst), locate each
+    referenced range in ``ranges_src`` (a directory path or any
+    :class:`RangeFS`), parse all ranges distributed, and land the
+    entries as one commit on ``branch``.
+    Returns (commit, ranges_read, entries_imported)."""
+    fs = _as_rangefs(ranges_src)
+    ranges = _read_metarange(metarange_sst, fs)
+    entries = sst_entries_df_fs(repo.spark, fs, _resolve_names(ranges, fs))
+    repo.stage_entries(branch, entries)
+    commit = repo.commit(branch, message)
+    return commit, len(ranges), sum(r["count"] for r in ranges)
 
 
 def migrate_history(
     repo,
     metaranges: list,
-    ranges_dir: str,
+    ranges_src,
     *,
     branch: str = "main",
+    on_step=None,
 ):
     """Replay a lakeFS commit HISTORY (oldest→newest) as native
     commits: the first snapshot imports whole; every later one stages
     only its DIFF vs the previous (adds/changes as entries, removals
-    as tombstones), so replaying an N-commit history costs the sum of
-    the deltas — not N full snapshots — and the resulting commits
-    diff/log/revert like a natively-grown branch. A step whose delta
-    is empty (the source had an allow-empty commit) replays as an
-    allow_empty commit, keeping the histories 1:1.
+    as tombstones), so the commits diff/log/revert like a
+    natively-grown branch. A step whose delta is empty (the source had
+    an allow-empty commit) replays as an allow_empty commit, keeping
+    the histories 1:1.
 
-    ``metaranges``: [(metarange_sst_path, message), ...] in commit
-    order. Returns the list of created commits.
+    ``metaranges``: [(metarange_path_or_name, message), ...] in commit
+    order. ``ranges_src``: directory path or RangeFS. Returns the list
+    of created commits. ``on_step`` (tests/profiling): called per step
+    with ``ranges_total`` / ``ranges_parsed`` counts.
 
-    Scale: each snapshot's distributed range parse is persisted and
-    read at most twice (its own delta + as the next step's baseline);
-    only manifests touch the driver."""
+    Scale — RANGE-PRUNED, the reference's own fast path
+    (pkg/graveler/committed/diff.go:151): metaranges are compared
+    DESCRIPTOR-side on the driver first; an identical range_id between
+    consecutive snapshots means identical contents (ranges are
+    content-addressed, sorted and disjoint), so only ranges present in
+    exactly one side are ever opened. Step N's parse work is
+    O(changed ranges), not O(repo): replaying a 1,000-commit history
+    over a large repo costs the sum of the deltas in BOTH staging
+    volume and parse work. (Keys inside a changed range still get a
+    fingerprint join — a range rewrite does not mean every key in it
+    changed.)"""
     from pyspark.sql import functions as F
 
-    def _entries_for(metarange_sst: str):
-        ranges = read_metarange_sstable(read_file(metarange_sst))
-        return sst_entries_df(
-            repo.spark, _resolve_range_paths(ranges, ranges_dir)
-        )
-
-    def _with_fp(df):
-        # FULL-ROW fingerprint: identity alone misses payload-only
-        # updates (same identity, new etag/size/metadata) — those are
-        # real manifest changes in the source and must replay. Maps
-        # can't ride set ops, so fingerprint sorted entries instead.
-        return df.withColumn(
-            "_fp",
-            F.sha2(
-                F.to_json(
-                    F.struct(
-                        "identity", "address", "address_type", "size",
-                        "etag",
-                        F.col("last_modified").cast("string").alias("lm"),
-                        F.array_sort(
-                            F.map_entries(
-                                F.coalesce(
-                                    "metadata",
-                                    F.create_map().cast(
-                                        "map<string,string>"
-                                    ),
-                                )
-                            )
-                        ).alias("md"),
-                        "content_type",
-                    )
-                ),
-                256,
-            ),
-        )
-
+    fs = _as_rangefs(ranges_src)
     commits = []
-    prev = None
-    for metarange_sst, message in metaranges:
-        cur = _with_fp(_entries_for(metarange_sst)).persist()
-        if prev is None:
-            repo.stage_entries(branch, cur.drop("_fp"))
+    prev_ranges: list[dict] | None = None
+    step = 0
+    for metarange, message in metaranges:
+        cur_ranges = _read_metarange(metarange, fs)
+        if prev_ranges is None:
+            entries = sst_entries_df_fs(
+                repo.spark, fs, _resolve_names(cur_ranges, fs)
+            )
+            repo.stage_entries(branch, entries)
+            parsed = len(cur_ranges)
+            cur_e = prev_e = None
         else:
+            prev_ids = {r["range_id"] for r in prev_ranges}
+            cur_ids = {r["range_id"] for r in cur_ranges}
+            cur_only = [r for r in cur_ranges if r["range_id"] not in prev_ids]
+            prev_only = [
+                r for r in prev_ranges if r["range_id"] not in cur_ids
+            ]
+            # Disjointness argument for why the delta computed over the
+            # symmetric-difference ranges alone is COMPLETE: a key
+            # lives in exactly one range per snapshot, so a key of a
+            # prev-only range either reappears in some cur-only range
+            # (same or new payload) or was removed — it cannot hide in
+            # a shared range, because that range would then also have
+            # held it in prev, contradicting disjointness.
+            cur_e = _with_entry_fp(
+                sst_entries_df_fs(repo.spark, fs, _resolve_names(cur_only, fs))
+            ).persist()
+            prev_e = _with_entry_fp(
+                sst_entries_df_fs(
+                    repo.spark, fs, _resolve_names(prev_only, fs)
+                )
+            ).persist()
             changed = (
-                cur.join(
-                    prev.select("key", F.col("_fp").alias("_pfp")),
+                cur_e.join(
+                    prev_e.select("key", F.col("_fp").alias("_pfp")),
                     "key",
                     "left",
                 )
                 .where(F.col("_pfp").isNull() | (F.col("_pfp") != F.col("_fp")))
                 .drop("_pfp", "_fp")
             )
-            removed = prev.select("key").join(
-                cur.select("key"), "key", "left_anti"
+            removed = prev_e.select("key").join(
+                cur_e.select("key"), "key", "left_anti"
             )
             repo.stage_entries(branch, changed)
             repo.stage_deletes(branch, removed)
+            parsed = len(cur_only) + len(prev_only)
         commits.append(repo.commit(branch, message, allow_empty=True))
-        if prev is not None:
-            prev.unpersist()
-        prev = cur
-    if prev is not None:
-        prev.unpersist()
+        if cur_e is not None:
+            cur_e.unpersist()
+            prev_e.unpersist()
+        if on_step is not None:
+            on_step(
+                {
+                    "step": step,
+                    "message": message,
+                    "ranges_total": len(cur_ranges),
+                    "ranges_parsed": parsed,
+                }
+            )
+        step += 1
+        prev_ranges = cur_ranges
     return commits
+
+
+def _with_entry_fp(df):
+    from pyspark.sql import functions as F
+
+    # FULL-ROW fingerprint: identity alone misses payload-only
+    # updates (same identity, new etag/size/metadata) — those are
+    # real manifest changes in the source and must replay. Maps
+    # can't ride set ops, so fingerprint sorted entries instead.
+    return df.withColumn(
+        "_fp",
+        F.sha2(
+            F.to_json(
+                F.struct(
+                    "identity",
+                    "address",
+                    "address_type",
+                    "size",
+                    "etag",
+                    F.col("last_modified").cast("string").alias("lm"),
+                    F.array_sort(
+                        F.map_entries(
+                            F.coalesce(
+                                "metadata",
+                                F.create_map().cast("map<string,string>"),
+                            )
+                        )
+                    ).alias("md"),
+                    "content_type",
+                )
+            ),
+            256,
+        ),
+    )

@@ -346,7 +346,7 @@ def lua_event_record(repo, event: str, ctx: dict, action_name: str, hook_id: str
         "tag_id": ctx.get("tag") or "",
         "merge_source": base["merge_source"],
         "repository_id": repo.name,
-        "storage_namespace": getattr(repo.store, "data_root", repo.root),
+        "storage_namespace": repo.storage_namespace,
         "commit": {
             "message": base["commit_message"],
             "meta_range_id": getattr(commit, "metarange_id", "") or "",

@@ -112,6 +112,13 @@ class MostlyCorrectOwner:
                         got = self.store.get_doc(self._doc_key(key))
                         if got is None or got[0].get("owner") != owner:
                             return  # stolen: the new owner wins by default
+                        if stop.is_set():
+                            # own() may have given up joining us while
+                            # the get above was hung; don't re-extend a
+                            # lease the owner already walked away from.
+                            # (check-then-put still races, but shrinks
+                            # the window to the put call itself.)
+                            return
                         self.store.put_doc_if(
                             self._doc_key(key),
                             {"owner": owner, "expires": time.time() + self.refresh_interval},
@@ -134,9 +141,13 @@ class MostlyCorrectOwner:
                 # the sentinel CAS below runs ONLY when the join
                 # actually completed (no refresh can land after it);
                 # if the join timed out, we skip the sentinel and let
-                # the lease lapse on its own within refresh_interval —
-                # advisory-lock semantics, correctness stays with the
-                # branch-pointer CAS either way.
+                # the lease lapse on its own — within refresh_interval
+                # of the hung store call RETURNING (a refresher blocked
+                # in get/put can still land one in-flight write after
+                # this point; the stop.is_set() re-check above shrinks
+                # but cannot close that window). Advisory-lock
+                # semantics: correctness stays with the branch-pointer
+                # CAS either way.
                 t.join(self.refresh_interval / 2 + 10.0)
                 if not t.is_alive():
                     try:

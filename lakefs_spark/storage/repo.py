@@ -193,20 +193,25 @@ class Repository:
         store: Store | None = None,
         read_only: bool = False,
         name: str | None = None,
+        storage_namespace: str | None = None,
     ) -> "Repository":
         os.makedirs(root, exist_ok=True)
         for sub in ("ranges", "manifests", "staging"):
             os.makedirs(os.path.join(root, sub), exist_ok=True)
         repo = Repository(spark, root, store=store)
-        repo.store.put_doc(
-            "repo",
-            {
-                "default_branch": default_branch,
-                "created_at": time.time(),
-                "read_only": bool(read_only),
-                "name": name or os.path.basename(os.path.normpath(root)),
-            },
-        )
+        doc = {
+            "default_branch": default_branch,
+            "created_at": time.time(),
+            "read_only": bool(read_only),
+            "name": name or os.path.basename(os.path.normpath(root)),
+        }
+        if storage_namespace:
+            # the repo record's StorageNamespace (pkg/graveler
+            # RepositoryRecord) — where DATA objects live, as opposed
+            # to where this metadata store lives; hooks see it as
+            # action.storage_namespace
+            doc["storage_namespace"] = storage_namespace
+        repo.store.put_doc("repo", doc)
         repo._write_branch(default_branch, {"head": None, "staging_seq": 0})
         return repo
 
@@ -220,6 +225,14 @@ class Repository:
     @property
     def default_branch(self) -> str:
         return self.store.get_doc("repo")[0]["default_branch"]
+
+    @property
+    def storage_namespace(self) -> str:
+        """The repo record's storage namespace if set at creation,
+        else the metadata store's data root (single-tree layout)."""
+        doc = self.store.get_doc("repo")
+        ns = (doc[0] if doc else {}).get("storage_namespace")
+        return ns or getattr(self.store, "data_root", self.root)
 
     @property
     def read_only(self) -> bool:

@@ -118,6 +118,12 @@ class Store:
         else:
             os.replace(local_src, dest)
 
+    def read_blob(self, rel: str) -> bytes:
+        """Whole-blob bytes. Drivers whose ``blob_path`` is not a local
+        filesystem path (pure-S3 mode) override this with a real GET."""
+        with open(self.blob_path(rel), "rb") as f:
+            return f.read()
+
     def list_blobs(self, rel_prefix: str) -> list[str]:
         d = self.blob_path(rel_prefix)
         if not os.path.isdir(d):

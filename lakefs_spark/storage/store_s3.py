@@ -280,6 +280,16 @@ class S3ConditionalStore(Store):
             #   else                 -> a real concurrent writer won
             self.conflict_409_seen += 1
             g_status, g_hdrs, g_data = self._request("GET", s3_key)
+            if g_status not in (200, 404):
+                # The re-read itself failed (500/503/...): the PUT's
+                # outcome is STILL unknown — surfacing CASConflictError
+                # here would misreport a server hiccup as a definite
+                # lost round (create_branch would say "branch exists").
+                raise S3StoreError(
+                    f"GET {s3_key!r} while resolving a 409 conditional "
+                    f"PUT: HTTP {g_status} — outcome unknown, not a "
+                    f"CAS conflict"
+                )
             if g_status == 200 and g_data == raw:
                 return _unquote_etag(g_hdrs.get("etag"))
             if expected_version is None:
@@ -470,6 +480,14 @@ class S3ConditionalStore(Store):
             f"PUT blob {rel!r}: still HTTP 409 after {self.cas_retries} "
             "attempts; local copy retained"
         )
+
+    def read_blob(self, rel: str) -> bytes:
+        if self._local_blob_root is not None:
+            return super().read_blob(rel)
+        status, _hdrs, data = self._request("GET", self._blob_key(rel))
+        if status != 200:
+            raise S3StoreError(f"GET blob {rel!r}: HTTP {status}")
+        return data
 
     def list_blobs(self, rel_prefix: str) -> list[str]:
         if self._local_blob_root is not None:

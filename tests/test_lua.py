@@ -493,7 +493,7 @@ def test_lakefs_diff_refs_paginates(spark, tmp_path):
         local lakefs = require("lakefs")
         local utils = require("lakefs/catalogexport/internal")
         local pager = utils.lakefs_paginiated_api(function(cursor)
-          return lakefs.diff_refs("r", "main", "dev", cursor, "", 2)
+          return lakefs.diff_refs("r", "main", "dev", cursor, "", "", 2)
         end)
         local n = 0
         for page in pager do

@@ -177,6 +177,10 @@ def _delta_repo(spark, tmp_path):
     from lakefs_spark.storage.repo import Repository
 
     repo = Repository.create(spark, str(tmp_path / "repo"))
+    return _seed_delta_rows(spark, repo)
+
+
+def _seed_delta_rows(spark, repo, phys="s3://phys-bucket/data"):
     # base commit so post-commit parents[1] resolves for diff_refs
     repo.stage_entries(
         "main",
@@ -252,9 +256,9 @@ def _delta_repo(spark, tmp_path):
          "ick", "s3://phys-bucket/ckpt/1.parquet", "FULL", 999, "eck",
          None, None, "t"),
         ("tables/famous/part-0.parquet", "ip0",
-         "s3://phys-bucket/data/part-0.parquet", "FULL", 100, "ep0", None, None, "t"),
+         f"{phys}/part-0.parquet", "FULL", 100, "ep0", None, None, "t"),
         ("tables/famous/part-1.parquet", "ip1",
-         "s3://phys-bucket/data/part-1.parquet", "FULL", 50, "ep1", None, None, "t"),
+         f"{phys}/part-1.parquet", "FULL", 50, "ep1", None, None, "t"),
     ]
     repo.stage_entries("main", spark.createDataFrame(rows, ENTRY_SCHEMA))
     return repo, base
@@ -1039,3 +1043,384 @@ def test_changed_table_defs_dedupes_across_diff_pages(spark, tmp_path):
         repo=repo,
     )
     assert ret == [1, "famous"]
+
+
+# ---------------------------------------------------------------------------
+# round 9: the LAST stock example hooks, vendored byte-identical and run
+# VERBATIM under type: lua — with these, all 12 of the reference's
+# examples/hooks/*.lua execute unmodified against this engine
+# ---------------------------------------------------------------------------
+
+
+def test_action_logger_stock_hook(spark, tmp_path):
+    """examples/hooks/action_logger.lua VERBATIM: marshals the entire
+    `action` record to JSON on every event — the output line must be
+    valid JSON carrying the reference's applyRecord fields."""
+    from lakefs_spark.storage.actions import ActionsService
+
+    repo = _seeded_repo(spark, tmp_path)
+    svc = ActionsService(repo)
+    svc.add_action(
+        {
+            "name": "log_everything",
+            "on": {"post-commit": {"branches": ["main"]}},
+            "hooks": [{
+                "id": "log_it", "type": "lua",
+                "properties": {"script": _stock("action_logger.lua")},
+            }],
+        }
+    )
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("a/1", "i1", "x", "RELATIVE", 1, "e", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    c = repo.commit("main", "logged commit")
+    task = svc.task_results()[0]
+    assert task["status"] == "completed"
+    out = svc.hook_output(task["run_id"], task["hook_run_id"])
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["event_type"] == "post-commit"
+    assert rec["commit_id"] == c.commit_id
+    assert rec["branch_id"] == "main"
+    assert rec["repository_id"] == repo.name
+    assert rec["commit"]["message"] == "logged commit"
+
+
+def test_s3_branch_head_exporter_stock_hook(spark, tmp_path):
+    """examples/hooks/s3_branch_head_exporter.lua VERBATIM as
+    post-commit: the branch head lands at
+    <export_path>/repositories/<repo>/heads/<branch> with the commit id
+    as content."""
+    from lakefs_spark.storage.actions import ActionsService
+
+    repo = _seeded_repo(spark, tmp_path)
+    export_root = str(tmp_path / "exports")
+    svc = ActionsService(repo, export_root=export_root)
+    svc.add_action(
+        {
+            "name": "export_all_heads",
+            "on": {"post-commit": {"branches": None}},
+            "hooks": [{
+                "id": "export_branch_head", "type": "lua",
+                "properties": {
+                    "script": _stock("s3_branch_head_exporter.lua"),
+                    "args": {
+                        "aws_access_key_id": "AKIA..",
+                        "aws_secret_access_key": "...",
+                        "aws_region": "us-east-1",
+                        "export_bucket": "my-external-bucket",
+                        "export_path": "lakefs-exported-heads",
+                    },
+                },
+            }],
+        }
+    )
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("b/1", "i1", "x", "RELATIVE", 1, "e", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    c = repo.commit("main", "head moves")
+    p = os.path.join(export_root, "my-external-bucket",
+                     "lakefs-exported-heads", "repositories", repo.name,
+                     "heads", "main")
+    assert os.path.exists(p), p
+    with open(p) as f:
+        assert f.read() == c.commit_id
+
+
+def test_s3_hive_manifest_exporter_stock_hook(spark, tmp_path):
+    """examples/hooks/s3_hive_manifest_exporter.lua VERBATIM across
+    TWO commits: run 1 finds no markers → clean mode (lists the whole
+    source, writes one symlink.txt per partition dir + start/end
+    markers); run 2 finds matching markers → diff mode (diff_refs
+    between marker and head), regenerating ONLY the dirty partition's
+    symlink."""
+    from lakefs_spark.storage.actions import ActionsService
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    export_root = str(tmp_path / "exports")
+    recorder: list = []
+    svc = ActionsService(repo, export_root=export_root,
+                         export_recorder=recorder)
+    svc.add_action(
+        {
+            "name": "auto symlink",
+            "on": {"post-commit": {"branches": ["main"]}},
+            "hooks": [{
+                "id": "symlink_creator", "type": "lua",
+                "properties": {
+                    "script": _stock("s3_hive_manifest_exporter.lua"),
+                    "args": {
+                        "aws_access_key_id": "AKIA...",
+                        "aws_secret_access_key": "...",
+                        "aws_region": "us-east-1",
+                        "export_bucket": "oz-repo",
+                        "export_path": "lakefs_tables",
+                        "sources": ["tables/my-table/"],
+                    },
+                },
+            }],
+        }
+    )
+    rows = [
+        (f"tables/my-table/dt={d}/part-{i}.parquet", f"i{d}{i}",
+         f"s3://phys/data/{d}/{i}.parquet", "FULL", 10, f"e{d}{i}",
+         None, None, "t")
+        for d in ("2024-01-01", "2024-01-02") for i in range(2)
+    ]
+    repo.stage_entries("main", spark.createDataFrame(rows, ENTRY_SCHEMA))
+    c1 = repo.commit("main", "land partitions")
+    assert svc.task_results()[0]["status"] == "completed"
+
+    base = os.path.join(export_root, "oz-repo", "lakefs_tables",
+                        "repositories", repo.name, "refs", "main",
+                        "tables", "my-table")
+    # the hook joins each entry's FULL parent path under the location
+    # export root, so the source prefix appears twice — that is the
+    # stock script's real output layout, pinned as-is
+    link1 = os.path.join(base, "tables", "my-table", "dt=2024-01-01",
+                         "symlink.txt")
+    link2 = os.path.join(base, "tables", "my-table", "dt=2024-01-02",
+                         "symlink.txt")
+    for p in (link1, link2):
+        assert os.path.exists(p), p
+    with open(link1) as f:
+        assert f.read() == ("s3://phys/data/2024-01-01/0.parquet\n"
+                            "s3://phys/data/2024-01-01/1.parquet")
+    # markers carry the landed commit
+    for marker in ("_start_commit_id", "_completed_commit_id"):
+        with open(os.path.join(base, marker)) as f:
+            assert f.read() == c1.commit_id
+
+    # second commit touches ONLY dt=2024-01-02 → diff mode
+    recorder.clear()
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("tables/my-table/dt=2024-01-02/part-9.parquet", "inew",
+              "s3://phys/data/2024-01-02/9.parquet", "FULL", 10, "enew",
+              None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    c2 = repo.commit("main", "append to one partition")
+    assert svc.task_results()[0]["status"] == "completed"
+    puts = [r["key"] for r in recorder if "key" in r]
+    # dirty partition symlink + the two markers — NOT dt=2024-01-01
+    assert not any("dt=2024-01-01" in k for k in puts), puts
+    assert any(k.endswith("dt=2024-01-02/symlink.txt") for k in puts), puts
+    with open(link2) as f:
+        body = f.read()
+    assert "s3://phys/data/2024-01-02/9.parquet" in body
+    assert len(body.splitlines()) == 3
+    with open(os.path.join(base, "_completed_commit_id")) as f:
+        assert f.read() == c2.commit_id
+
+
+def _delta_repo_ns(spark, tmp_path, storage_namespace,
+                   phys="s3://phys-bucket/data"):
+    """_delta_repo, but the repo record carries a real storage
+    namespace (like any lakeFS repo) — the VERBATIM delta hooks export
+    under action.storage_namespace, no script-side override."""
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "repo"),
+                             storage_namespace=storage_namespace)
+    return _seed_delta_rows(spark, repo, phys=phys)
+
+
+def test_delta_lake_s3_export_stock_hook(spark, tmp_path):
+    """examples/hooks/delta_lake_S3_export.lua VERBATIM: exports the
+    committed _delta_log under the repo's storage namespace via the s3
+    client, printing per-table locations + metadata."""
+    from lakefs_spark.storage.actions import ActionsService
+
+    repo, _base = _delta_repo_ns(spark, tmp_path, "s3://ext-bucket/ns")
+    export_root = str(tmp_path / "exports")
+    svc = ActionsService(repo, export_root=export_root)
+    svc.add_action(
+        {
+            "name": "Delta Exporter",
+            "on": {"post-commit": {"branches": ["main*"]}},
+            "hooks": [{
+                "id": "delta_exporter", "type": "lua",
+                "properties": {
+                    "script": _stock("delta_lake_S3_export.lua"),
+                    "args": {
+                        "table_defs": ["famous"],
+                        "lakefs": {"access_key_id": "lk",
+                                   "secret_access_key": "ls"},
+                        "aws": {"access_key_id": "k",
+                                "secret_access_key": "s", "region": "r"},
+                        "region": "r",
+                    },
+                },
+            }],
+        }
+    )
+    c = repo.commit("main", "land the delta table")
+    task = svc.task_results()[0]
+    assert task["status"] == "completed", task
+    short = c.commit_id[:6]
+    log_dir = os.path.join(export_root, "ext-bucket", "ns", "_lakefs",
+                           "exported", "main", short, "famous",
+                           "_delta_log")
+    assert os.path.exists(os.path.join(log_dir,
+                                       "00000000000000000000.json"))
+    out = svc.hook_output(task["run_id"], task["hook_run_id"])
+    assert any("Delta Lake exported table \"famous\"'s location" in ln
+               for ln in out)
+
+
+def test_delta_lake_azure_export_stock_hook(spark, tmp_path):
+    """examples/hooks/delta_lake_azure_export.lua VERBATIM: same chain
+    through the azure blob client (repo namespace is an Azure https
+    URL; the exporter parses account/container from it)."""
+    from lakefs_spark.storage.actions import ActionsService
+
+    repo, _base = _delta_repo_ns(
+        spark, tmp_path,
+        "https://myacct.blob.core.windows.net/ext-container/ns",
+    )
+    export_root = str(tmp_path / "exports")
+    svc = ActionsService(repo, export_root=export_root)
+    svc.add_action(
+        {
+            "name": "Azure Delta Exporter",
+            "on": {"post-commit": {"branches": ["main*"]}},
+            "hooks": [{
+                "id": "delta_exporter", "type": "lua",
+                "properties": {
+                    "script": _stock("delta_lake_azure_export.lua"),
+                    "args": {
+                        "table_defs": ["famous"],
+                        "lakefs": {"access_key_id": "lk",
+                                   "secret_access_key": "ls"},
+                        "azure": {"storage_account": "myacct",
+                                  "access_key": "k"},
+                    },
+                },
+            }],
+        }
+    )
+    c = repo.commit("main", "land the delta table")
+    task = svc.task_results()[0]
+    assert task["status"] == "completed", task
+    short = c.commit_id[:6]
+    log_dir = os.path.join(export_root, "azure", "myacct",
+                           "ext-container", "ns", "_lakefs", "exported",
+                           "main", short, "famous", "_delta_log")
+    assert os.path.exists(os.path.join(log_dir,
+                                       "00000000000000000000.json"))
+
+
+def test_unity_table_export_stock_hook(spark, tmp_path):
+    """examples/hooks/unity_table_export.lua VERBATIM: the exhaustive
+    chain — changed_table_defs via diff_refs, Delta export under the
+    repo namespace, then Unity registration through the databricks
+    client."""
+    from lakefs_spark.storage.actions import ActionsService
+
+    repo, _base = _delta_repo_ns(spark, tmp_path, "s3://ext-bucket/ns")
+    export_root = str(tmp_path / "exports")
+    recorder: list = []
+    svc = ActionsService(repo, export_root=export_root,
+                         export_recorder=recorder)
+    svc.add_action(
+        {
+            "name": "unity_exporter",
+            "on": {"post-commit": {"branches": ["main*"]}},
+            "hooks": [{
+                "id": "unity_export", "type": "lua",
+                "properties": {
+                    "script": _stock("unity_table_export.lua"),
+                    "args": {
+                        "table_defs": ["famous"],
+                        "table_descriptors_path": "_lakefs_tables",
+                        "lakefs": {"access_key_id": "lk",
+                                   "secret_access_key": "ls"},
+                        "aws": {"access_key_id": "k",
+                                "secret_access_key": "s", "region": "r"},
+                        "databricks_host": "https://dbx.example",
+                        "databricks_token": "t",
+                        "warehouse_id": "wh-1",
+                    },
+                },
+            }],
+        }
+    )
+    c = repo.commit("main", "land the delta table")
+    task = svc.task_results()[0]
+    assert task["status"] == "completed", task
+    short = c.commit_id[:6]
+    assert os.path.exists(os.path.join(
+        export_root, "ext-bucket", "ns", "_lakefs", "exported", "main",
+        short, "famous", "_delta_log", "00000000000000000000.json"))
+    reg = [r for r in recorder
+           if r.get("service") == "databricks"
+           and r.get("op") == "register_external_table"]
+    assert len(reg) == 1 and reg[0]["table"] == "famous"
+    out = svc.hook_output(task["run_id"], task["hook_run_id"])
+    assert any("completed with status: SUCCEEDED" in ln for ln in out)
+
+
+def test_unity_table_export_azure_stock_hook(spark, tmp_path):
+    """examples/hooks/unity_table_export_azure.lua VERBATIM: the Azure
+    flavor — blob_client writes, abfss_transform_path rewrites the
+    exported location, then Unity registration."""
+    from lakefs_spark.storage.actions import ActionsService
+
+    repo, _base = _delta_repo_ns(
+        spark, tmp_path,
+        "https://myacct.blob.core.windows.net/ext-container/ns",
+        # physical addresses must be Azure https URLs: the hook runs
+        # every data-file address through abfss_transform_path
+        phys="https://myacct.blob.core.windows.net/phys/data",
+    )
+    export_root = str(tmp_path / "exports")
+    recorder: list = []
+    svc = ActionsService(repo, export_root=export_root,
+                         export_recorder=recorder)
+    svc.add_action(
+        {
+            "name": "unity_exporter_azure",
+            "on": {"post-commit": {"branches": ["main*"]}},
+            "hooks": [{
+                "id": "unity_export_azure", "type": "lua",
+                "properties": {
+                    "script": _stock("unity_table_export_azure.lua"),
+                    "args": {
+                        "table_defs": ["famous"],
+                        "table_descriptors_path": "_lakefs_tables",
+                        "lakefs": {"access_key_id": "lk",
+                                   "secret_access_key": "ls"},
+                        "azure": {"storage_account": "myacct",
+                                  "access_key": "k"},
+                        "databricks_host": "https://dbx.example",
+                        "databricks_token": "t",
+                        "warehouse_id": "wh-1",
+                    },
+                },
+            }],
+        }
+    )
+    repo.commit("main", "land the delta table")
+    task = svc.task_results()[0]
+    assert task["status"] == "completed", task
+    reg = [r for r in recorder
+           if r.get("service") == "databricks"
+           and r.get("op") == "register_external_table"]
+    assert len(reg) == 1 and reg[0]["table"] == "famous"
+    # the registered location went through abfss_transform_path
+    assert reg[0]["statement"].startswith(
+        "CREATE EXTERNAL TABLE famous LOCATION 'abfss://ext-container@"
+        "myacct.dfs.core.windows.net/"
+    ), reg[0]["statement"]

@@ -47,6 +47,18 @@ SUBJECTS = [
 ]
 
 
+def _go_suppress(py_matches):
+    """Apply Go's FindAll empty-match rule to a Python finditer stream:
+    drop an empty match whose start equals the previous match's end."""
+    out, prev_end = [], -1
+    for m in py_matches:
+        s, e = m.span()
+        if not (s == e and s == prev_end):
+            out.append(m.group(0))
+        prev_end = e
+    return out
+
+
 @pytest.mark.parametrize("pattern", AGREE_PATTERNS)
 def test_agrees_with_python_re(pattern):
     rx = re2.Re2(pattern)
@@ -57,13 +69,16 @@ def test_agrees_with_python_re(pattern):
         if m is not None:
             assert (m.start, m.end) == pm.span(), (pattern, s)
             assert m.groups() == [g for g in pm.groups()], (pattern, s)
-        # full-scan parity: whole-match lists (Go FindAllString shape).
+        # full-scan parity: whole-match lists (Go FindAllString shape),
+        # with Go's empty-match suppression applied to Python's list —
+        # Go rejects an empty match starting exactly at the previous
+        # match's end (allMatches in regexp.go), Python yields it.
         # NOTE this comparison only holds for patterns that can't match
         # empty at a position where a non-empty match also starts —
         # there Go (us) advances one char while Python retries; see
         # test_empty_match_iteration_follows_go_not_python. The table
         # above deliberately avoids such patterns (greedy-only stars).
-        assert rx.find_all(s, -1) == [x.group(0) for x in prx.finditer(s)], (
+        assert rx.find_all(s, -1) == _go_suppress(prx.finditer(s)), (
             pattern,
             s,
         )
@@ -226,3 +241,33 @@ def test_empty_match_iteration_follows_go_not_python():
     empty matches, python's is ['', '0', '', 'a', '', 'b', '']."""
     assert re2.Re2(r"\w*?").find_all("0ab", -1) == ["", "", "", ""]
     assert re2.Re2(r"a??").find_all("ba", -1) == ["", "", ""]
+
+
+def test_empty_match_after_nonempty_is_suppressed_like_go():
+    """Go's allMatches rejects an empty match that starts exactly where
+    the previous match ended: FindAllString("a*", "aa") == ["aa"], not
+    ["aa", ""]. Python's finditer yields the trailing empty match; the
+    Lua regexp module binds Go, so we follow Go."""
+    assert re2.Re2(r"a*").find_all("aa", -1) == ["aa"]
+    # ...but an empty match NOT at the previous end is kept: after
+    # "aaa" (prev end 3) the empty at 3 is dropped, the empty at 4 is
+    # a fresh position and delivered. Go: ["aaa", ""].
+    assert re2.Re2(r"a*").find_all("aaab", -1) == ["aaa", ""]
+    # all-empty runs are unaffected (each starts one past prev end)
+    assert re2.Re2(r"x*").find_all("ab", -1) == ["", "", ""]
+    # limit counts DELIVERED matches, not scanned ones: the empty at 2
+    # is suppressed and does NOT consume a slot, so the second "aa" at
+    # 3 still makes the n=2 cut.
+    assert re2.Re2(r"a*").find_all("aabaa", 2) == ["aa", "aa"]
+
+
+def test_octal_escapes_parse_like_go():
+    r"""Go RE2: \0 begins an up-to-3-digit octal escape — \012 is '\n',
+    never NUL followed by literal "12" (that silent divergence was the
+    r8 advisory)."""
+    assert re2.Re2(r"a\012b").match("a\nb")
+    assert not re2.Re2(r"a\012b").match("a\x0012b")
+    assert re2.Re2(r"\0").match("\x00")
+    assert re2.Re2(r"\07").match("\a")
+    assert re2.Re2(r"\0101").match("\x081")  # 3 digits max (\010), then literal 1
+    assert re2.Re2(r"[\012]").match("\n")  # octal inside a class too

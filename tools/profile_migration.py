@@ -64,7 +64,7 @@ def main() -> None:
             out = os.path.join(root, "export")
             t0 = time.time()
             mid, n_ranges, n_exported = S.export_to_lakefs(
-                repo_a, head, out, rows_per_range=50_000
+                repo_a, head, out
             )
             t_export = round(time.time() - t0, 2)
 
