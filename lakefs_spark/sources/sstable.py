@@ -312,18 +312,35 @@ def _iter_proto_fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
         if wire == 0:  # varint
             val, pos = read_uvarint(buf, pos)
         elif wire == 1:  # 64-bit
+            if pos + 8 > len(buf):
+                raise BadSSTable("truncated 64-bit proto field")
             val = struct.unpack("<Q", buf[pos : pos + 8])[0]
             pos += 8
         elif wire == 2:  # length-delimited
             ln, pos = read_uvarint(buf, pos)
+            if pos + ln > len(buf):
+                raise BadSSTable("truncated length-delimited proto field")
             val = buf[pos : pos + ln]
             pos += ln
         elif wire == 5:  # 32-bit
+            if pos + 4 > len(buf):
+                raise BadSSTable("truncated 32-bit proto field")
             val = struct.unpack("<I", buf[pos : pos + 4])[0]
             pos += 4
         else:
             raise BadSSTable(f"unsupported proto wire type {wire}")
         yield field, wire, val
+
+
+def _want_wire(field: int, wire: int, expected: int) -> None:
+    # a known field arriving with the wrong wire type is a malformed
+    # message — fail typed, never duck-type into a wrong decode (an
+    # int has no .decode; worse, bytes where an int is expected would
+    # decode to garbage silently)
+    if wire != expected:
+        raise BadSSTable(
+            f"proto field {field}: wire type {wire}, expected {expected}"
+        )
 
 
 def _sint64(v: int) -> int:
@@ -342,33 +359,44 @@ def decode_entry_proto(data: bytes) -> dict:
         "address_type": 0,
         "content_type": "",
     }
-    for field, _wire, val in _iter_proto_fields(data):
+    for field, wire, val in _iter_proto_fields(data):
         if field == 1:
+            _want_wire(field, wire, 2)
             out["address"] = val.decode("utf-8", "replace")
         elif field == 2:  # google.protobuf.Timestamp {1: seconds, 2: nanos}
+            _want_wire(field, wire, 2)
             secs, nanos = 0, 0
-            for f2, _w2, v2 in _iter_proto_fields(val):
+            for f2, w2, v2 in _iter_proto_fields(val):
                 if f2 == 1:
+                    _want_wire(f2, w2, 0)
                     secs = _sint64(v2)
                 elif f2 == 2:
+                    _want_wire(f2, w2, 0)
                     nanos = _sint64(v2)
             out["last_modified_s"] = secs
             out["last_modified_ns"] = nanos
         elif field == 3:
+            _want_wire(field, wire, 0)
             out["size"] = _sint64(val)
         elif field == 4:
+            _want_wire(field, wire, 2)
             out["etag"] = val.decode("utf-8", "replace")
         elif field == 5:  # map<string,string> entry {1: key, 2: value}
+            _want_wire(field, wire, 2)
             k = v = ""
-            for f2, _w2, v2 in _iter_proto_fields(val):
+            for f2, w2, v2 in _iter_proto_fields(val):
                 if f2 == 1:
+                    _want_wire(f2, w2, 2)
                     k = v2.decode("utf-8", "replace")
                 elif f2 == 2:
+                    _want_wire(f2, w2, 2)
                     v = v2.decode("utf-8", "replace")
             out["metadata"][k] = v
         elif field == 6:
+            _want_wire(field, wire, 0)
             out["address_type"] = val
         elif field == 7:
+            _want_wire(field, wire, 2)
             out["content_type"] = val.decode("utf-8", "replace")
     return out
 
@@ -376,14 +404,18 @@ def decode_entry_proto(data: bytes) -> dict:
 def decode_range_proto(data: bytes) -> dict:
     """committed.RangeData (committed.proto:6-12) → plain dict."""
     out = {"min_key": b"", "max_key": b"", "estimated_size": 0, "count": 0}
-    for field, _wire, val in _iter_proto_fields(data):
+    for field, wire, val in _iter_proto_fields(data):
         if field == 1:
+            _want_wire(field, wire, 2)
             out["min_key"] = val
         elif field == 2:
+            _want_wire(field, wire, 2)
             out["max_key"] = val
         elif field == 3:
+            _want_wire(field, wire, 0)
             out["estimated_size"] = val
         elif field == 4:
+            _want_wire(field, wire, 0)
             out["count"] = _sint64(val)
     return out
 
@@ -1155,20 +1187,29 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
 
     Dirty-range rule (mirrors the identical-range fast path of the
     reference's diff, pkg/graveler/committed/diff.go:151, run in
-    reverse): a diff key dirties the prev range whose span contains
-    it; REMOVING a range's own max_key merges it into the next range,
-    so that neighbor is dirtied too. Dirty spans are re-chunked from
-    the new snapshot; everything else is reused without reading."""
+    reverse): consecutive commits' NATIVE manifests are compared
+    descriptor-side on the driver — native ranges are content-
+    addressed and COW-reused, so a native range id present in exactly
+    one side marks its (min_key, max_key) span dirty. NOT repo.diff:
+    that diff is identity-based (lakeFS semantics) and blind to
+    payload-only updates (same identity, new etag/size/metadata),
+    which DO change the manifest and must re-export. Every export
+    chunk intersecting a dirty span is re-chunked from the new
+    snapshot; a span ending exactly on a chunk's boundary key also
+    dirties the next chunk (a removed boundary key merges the two).
+    Over-marking is harmless — chunking is a pure function of the
+    keys, so a rebuilt clean chunk reproduces its exact id."""
     import bisect
 
     from pyspark.sql import functions as F
 
     from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS, boundary_keys
+    from lakefs_spark.storage.ranges import read_manifest
 
     raggedness = raggedness or DEFAULT_RAGGEDNESS
     fs = _as_rangefs(out)
     results = []
-    prev_ref = None
+    prev_commit = None
     prev_ranges: list[dict] | None = None
     for ref in refs:
         commit_id = repo.resolve(ref).commit_id
@@ -1177,20 +1218,20 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
             rebuilt = len(ranges)
         else:
             max_keys = [r["max_key"] for r in prev_ranges]
-            diff_rows = (
-                repo.diff(prev_ref, ref).select("key", "diff_type").collect()
+            dirty_spans = _native_dirty_spans(
+                read_manifest(repo.root, repo._metarange_of(prev_commit)),
+                read_manifest(repo.root, repo._metarange_of(commit_id)),
             )
             dirty: set[int] = set()
             last = len(max_keys) - 1
-            for row in diff_rows:
-                i = min(bisect.bisect_left(max_keys, row["key"]), last)
-                dirty.add(i)
-                if (
-                    row["diff_type"] == "removed"
-                    and i < last
-                    and max_keys[i] == row["key"]
-                ):
-                    dirty.add(i + 1)  # removed boundary merges chunks
+            for lo_k, hi_k in dirty_spans:
+                i0 = min(bisect.bisect_left(max_keys, lo_k), last)
+                i1 = min(bisect.bisect_left(max_keys, hi_k), last)
+                dirty.update(range(i0, i1 + 1))
+                if i1 < last and max_keys[i1] == hi_k:
+                    # the span reaches chunk i1's boundary key — if that
+                    # key was removed, chunks i1 and i1+1 merge
+                    dirty.add(i1 + 1)
             snap = repo.snapshot(ref)
             rebuilt_descs: list[dict] = []
             for lo_i, hi_i in _merge_runs(sorted(dirty)):
@@ -1228,8 +1269,23 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
                 }
             )
         results.append((commit_id, mid))
-        prev_ref, prev_ranges = ref, ranges
+        prev_commit, prev_ranges = commit_id, ranges
     return results
+
+
+def _native_dirty_spans(prev_mf, cur_mf) -> list[tuple[str, str]]:
+    """Key spans of native manifest ranges present in exactly one of
+    two consecutive commits (pandas frames with range_id/min_key/
+    max_key). Content-addressed ids: identical id ⇒ identical
+    contents ⇒ nothing in that span changed."""
+    prev_ids = set(prev_mf["range_id"])
+    cur_ids = set(cur_mf["range_id"])
+    spans = []
+    for mf, other in ((prev_mf, cur_ids), (cur_mf, prev_ids)):
+        for rid, lo, hi in zip(mf["range_id"], mf["min_key"], mf["max_key"]):
+            if rid not in other:
+                spans.append((lo, hi))
+    return spans
 
 
 def _merge_runs(indices: list[int]):

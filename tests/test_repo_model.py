@@ -2,8 +2,10 @@
 
 test_merge_model.py cross-checks one merge against the reference's
 key-case table; this walks the whole lifecycle — interleaved staging,
-tombstones, commits, staging resets, head reverts, branching and
-3-way merges over a growing DAG —
+tombstones, commits, staging resets, head reverts, cherry-picks,
+prefix-replacing imports, branching and 3-way merges (plain and
+SQUASHED, conflicts resolved by src or dest strategy) over a growing
+DAG —
 against a pure-Python model that tracks per-branch committed
 snapshots, staged overlays and the commit graph. After every step the
 engine's visible listing must equal the model's overlay; merges must
@@ -100,45 +102,60 @@ class Model:
                 heapq.heappush(heap, (-self.generation(p), engine_of[p], p))
         return {}
 
-    def merge_outcome(self, src: str, dst: str, engine_of: dict):
-        """Reference case table (merge.go:329-371): returns
-        (merged_snapshot_with_src_strategy, conflict_keys,
-        clean_merged_or_None)."""
-        base = self.lca(
-            self.branches[src]["head"], self.branches[dst]["head"], engine_of
-        )
-        s = self.commits[self.branches[src]["head"]][0]
-        d = self.commits[self.branches[dst]["head"]][0]
+    def three_way(self, base: dict, s: dict, d: dict):
+        """Reference case table (merge.go:329-371) over explicit
+        snapshots: returns (merged_with_src_strategy,
+        merged_with_dest_strategy, conflict_keys, clean_or_None).
+        Shared by merge (base = LCA) and cherry-pick (base = the
+        picked commit's parent)."""
         keys = set(base) | set(s) | set(d)
-        merged, merged_src, conflicts = {}, {}, []
+        merged, merged_src, merged_dest, conflicts = {}, {}, {}, []
         for k in sorted(keys):
             bv, sv, dv = base.get(k), s.get(k), d.get(k)
             if sv == dv:
                 if sv is not None:
                     merged[k] = sv
                     merged_src[k] = sv
+                    merged_dest[k] = sv
                 continue
             if sv == bv:  # only dst moved
                 if dv is not None:
                     merged[k] = dv
                     merged_src[k] = dv
+                    merged_dest[k] = dv
                 continue
             if dv == bv:  # only src moved
                 if sv is not None:
                     merged[k] = sv
                     merged_src[k] = sv
+                    merged_dest[k] = sv
                 continue
             conflicts.append(k)  # both moved differently
             if sv is not None:
                 merged_src[k] = sv
-            # strategy=src with src-deleted: key gone
-        return merged_src, conflicts, (merged if not conflicts else None)
+            if dv is not None:
+                merged_dest[k] = dv
+            # a strategy picking the deleted side drops the key
+        return merged_src, merged_dest, conflicts, (
+            merged if not conflicts else None
+        )
+
+    def merge_outcome(self, src: str, dst: str, engine_of: dict):
+        base = self.lca(
+            self.branches[src]["head"], self.branches[dst]["head"], engine_of
+        )
+        s = self.commits[self.branches[src]["head"]][0]
+        d = self.commits[self.branches[dst]["head"]][0]
+        return self.three_way(base, s, d)
 
 
-# seeds chosen by offline simulation so each walk reaches clean merges,
-# conflicted merges, at least one revert, and (for 68/194/386) an
-# already-up-to-date refusal
-SEEDS = [68, 194, 386]
+# seeds re-searched by model-only simulation (the walk's control flow
+# never consults the engine) so each walk covers the full op mix:
+# stage/delete/commit/reset/revert, cherry-pick (apply + conflict +
+# no-op), prefix-replacing import, branch, clean + squashed merges,
+# conflicted merges resolved by BOTH strategies, and the
+# already-up-to-date refusal. 2370 reaches all fifteen classes.
+SEEDS = [2370, 2940, 1431]
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -161,13 +178,16 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
         }
         assert got == model.overlay(branch), f"listing mismatch on {branch}"
 
+    from lakefs_spark.storage.commit_apply import NoChangesError
+
     branches = ["main"]
     n_new_branch = 0
-    for step in range(36):
+    ops_hit = set()
+    for step in range(44):
         op = rng.random()
         b = rng.choice(branches)
         st = model.branches[b]
-        if op < 0.30:  # stage a set/change
+        if op < 0.26:  # stage a set/change
             k = (
                 rng.choice(sorted(model.overlay(b)))
                 if model.overlay(b) and rng.random() < 0.6
@@ -176,14 +196,16 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
             ident = f"s{step}"
             repo.stage_entries(b, _df(spark, {k: ident}))
             st["staged"][k] = ident
-        elif op < 0.42:  # stage a delete
+            ops_hit.add("stage")
+        elif op < 0.38:  # stage a delete
             vis = sorted(model.overlay(b))
             if not vis:
                 continue
             k = rng.choice(vis)
             repo.stage_deletes(b, [k])
             st["staged"][k] = None
-        elif op < 0.62:  # commit
+            ops_hit.add("delete")
+        elif op < 0.56:  # commit
             if not st["staged"]:
                 continue
             c = repo.commit(b, f"step {step}")
@@ -191,12 +213,14 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
             engine_of[cid] = c.commit_id
             st["head"] = cid
             st["staged"] = {}
-        elif op < 0.66:  # reset staging (discard uncommitted work)
+            ops_hit.add("commit")
+        elif op < 0.59:  # reset staging (discard uncommitted work)
             if not st["staged"]:
                 continue
             repo.reset_branch(b)
             st["staged"] = {}
-        elif op < 0.70:  # revert the head commit (non-merge heads only:
+            ops_hit.add("reset")
+        elif op < 0.63:  # revert the head commit (non-merge heads only:
             # the model's simple inverse is parent's snapshot)
             head = st["head"]
             parents = model.commits[head][1]
@@ -206,12 +230,65 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
             cid = model.new_commit(model.commits[parents[0]][0], [head])
             engine_of[cid] = rc.commit_id
             st["head"] = cid
+            ops_hit.add("revert")
+        elif op < 0.68:  # cherry-pick a commit from anywhere in the DAG
+            if st["staged"]:
+                continue  # engine refuses dirty branches
+            cands = [
+                c_
+                for c_, (_snap, ps) in model.commits.items()
+                if len(ps) == 1 and c_ != st["head"]
+            ]
+            if not cands:
+                continue
+            pick = rng.choice(cands)
+            parent_snap = model.commits[model.commits[pick][1][0]][0]
+            _src, _dest, conflicts, clean = model.three_way(
+                parent_snap, model.commits[pick][0],
+                model.commits[st["head"]][0],
+            )
+            if conflicts:
+                with pytest.raises(ConflictError):
+                    repo.cherry_pick(b, engine_of[pick])
+                ops_hit.add("cherry_conflict")
+                continue
+            if clean == model.commits[st["head"]][0]:
+                # applying the pick changes nothing: engine refuses
+                with pytest.raises(NoChangesError):
+                    repo.cherry_pick(b, engine_of[pick])
+                ops_hit.add("cherry_noop")
+                continue
+            cc = repo.cherry_pick(b, engine_of[pick])
+            cid = model.new_commit(clean, [st["head"]])
+            engine_of[cid] = cc.commit_id
+            st["head"] = cid
+            ops_hit.add("cherry_pick")
+        elif op < 0.72:  # prefix-replacing import (commits directly from
+            # the committed head; staging stays put and overlays on top)
+            newset = {
+                f"imp/{step}/{j:02d}": f"im{step}-{j}" for j in range(3)
+            }
+            ic = repo.import_entries(
+                b, _df(spark, newset), replace_prefixes=["imp/"],
+                message=f"import @{step}",
+            )
+            snap = {
+                k: v
+                for k, v in model.commits[st["head"]][0].items()
+                if not k.startswith("imp/")
+            }
+            snap.update(newset)
+            cid = model.new_commit(snap, [st["head"]])
+            engine_of[cid] = ic.commit_id
+            st["head"] = cid
+            ops_hit.add("import")
         elif op < 0.78 and n_new_branch < 5:  # branch from a head
             n_new_branch += 1
             name = f"b{n_new_branch}"
             repo.create_branch(name, b)
             model.branches[name] = {"head": st["head"], "staged": {}}
             branches.append(name)
+            ops_hit.add("branch")
         else:  # merge a sibling into b (committing stragglers first,
             # like a real client would)
             srcs = [x for x in branches if x != b]
@@ -230,23 +307,32 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
                     side_st["staged"] = {}
             if model.branches[src]["head"] == st["head"]:
                 continue
-            merged_src, conflicts, clean = model.merge_outcome(src, b, engine_of)
+            merged_src, merged_dest, conflicts, clean = model.merge_outcome(
+                src, b, engine_of
+            )
             dst_snap = model.commits[st["head"]][0]
             if clean is not None and clean == dst_snap:
                 # src fully contained in dst: the engine refuses an
                 # empty merge ("already up to date"), like git
-                from lakefs_spark.storage.commit_apply import NoChangesError
-
                 with pytest.raises(NoChangesError):
                     repo.merge(src, b, message="must be empty")
+                ops_hit.add("merge_noop")
                 continue
             if clean is not None:
-                mc = repo.merge(src, b, message=f"merge {src}->{b} @{step}")
-                cid = model.new_commit(
-                    clean, [st["head"], model.branches[src]["head"]]
+                squash = rng.random() < 0.35
+                mc = repo.merge(
+                    src, b, message=f"merge {src}->{b} @{step}",
+                    squash=squash,
                 )
+                parents = (
+                    [st["head"]]
+                    if squash
+                    else [st["head"], model.branches[src]["head"]]
+                )
+                cid = model.new_commit(clean, parents)
                 engine_of[cid] = mc.commit_id
                 st["head"] = cid
+                ops_hit.add("merge_squash" if squash else "merge")
             else:
                 with pytest.raises(ConflictError) as exc:
                     repo.merge(src, b, message="must conflict")
@@ -254,12 +340,26 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
                     r["key"] for r in exc.value.conflicts.select("key").collect()
                 )
                 assert got_conf == conflicts, f"conflict set @{step}"
-                mc = repo.merge(src, b, strategy="src", message="resolve src")
+                # resolve with a rng-chosen strategy and assert the
+                # engine's merged snapshot matches the MODEL's per-key
+                # resolution for THAT strategy (not just src)
+                strategy = rng.choice(["src", "dest"])
+                expect = merged_src if strategy == "src" else merged_dest
+                if expect == dst_snap:
+                    # dest-strategy resolution can be a no-op
+                    with pytest.raises(NoChangesError):
+                        repo.merge(src, b, strategy=strategy,
+                                   message="resolve noop")
+                    ops_hit.add("merge_conflict_noop")
+                    continue
+                mc = repo.merge(src, b, strategy=strategy,
+                                message=f"resolve {strategy}")
                 cid = model.new_commit(
-                    merged_src, [st["head"], model.branches[src]["head"]]
+                    expect, [st["head"], model.branches[src]["head"]]
                 )
                 engine_of[cid] = mc.commit_id
                 st["head"] = cid
+                ops_hit.add(f"merge_conflict_{strategy}")
         check(b)
 
     # final: every branch's full listing and every model commit's
@@ -272,3 +372,10 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
             for r in repo.snapshot(eng_cid).select("key", "identity").collect()
         }
         assert got == model.commits[cid][0], f"snapshot mismatch at {cid}"
+    # the walk must genuinely exercise the op mix (seeds are pinned so
+    # this holds deterministically; re-search seeds if the mix changes)
+    assert {"stage", "delete", "commit"} <= ops_hit, ops_hit
+    assert ops_hit & {"cherry_pick", "cherry_conflict", "cherry_noop"}, ops_hit
+    assert "import" in ops_hit, ops_hit
+    assert ops_hit & {"merge", "merge_squash"}, ops_hit
+    print(f"seed {seed} ops: {sorted(ops_hit)}")

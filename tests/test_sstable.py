@@ -600,6 +600,10 @@ def test_export_history_incremental_equals_full(spark, tmp_path):
     from lakefs_spark.storage.repo import Repository
 
     src = Repository.create(spark, str(tmp_path / "src"))
+    # fine-grained NATIVE ranges: incremental export granularity is the
+    # native range span (its content-addressed descriptor diff drives
+    # dirtiness), and 1000 keys under the 50k default would be ONE span
+    src.raggedness = 25
     _stage_rows(src, [(f"d/{i:06d}", "v1", 1) for i in range(1000)])
     c1 = src.commit("main", "c1")
     _mk_entry(src, "d/000250", "v2", size=9)
@@ -607,7 +611,19 @@ def test_export_history_incremental_equals_full(spark, tmp_path):
     src.stage_deletes("main", ["d/000700"])
     _mk_entry(src, "d/000700x", "v1")
     c3 = src.commit("main", "c3")
-    commits_src = [c1, c2, c3]
+    # PAYLOAD-ONLY change: same identity, new etag/size — invisible to
+    # the identity-based repo.diff but a real manifest change; the
+    # native-range descriptor diff must catch it (the r9 dirty rule)
+    from lakefs_spark.schema import ENTRY_SCHEMA
+    import hashlib as _hl
+    src.stage_entries("main", spark.createDataFrame(
+        [{"key": "d/000400",
+          "identity": _hl.sha256(b"d/000400@v1").hexdigest(),
+          "address": "s3://b/d/000400", "address_type": "FULL",
+          "size": 777, "etag": "e-payload-only", "last_modified": None,
+          "metadata": None, "content_type": None}], ENTRY_SCHEMA))
+    c4 = src.commit("main", "c4 payload only")
+    commits_src = [c1, c2, c3, c4]
 
     out = str(tmp_path / "inc")
     steps = []
@@ -619,7 +635,7 @@ def test_export_history_incremental_equals_full(spark, tmp_path):
     # incremental steps rebuilt only the dirty neighborhoods
     assert steps[0]["ranges_rebuilt"] == steps[0]["ranges_total"]
     for st in steps[1:]:
-        assert st["ranges_rebuilt"] <= 4, st
+        assert st["ranges_rebuilt"] <= 6, st
         assert st["ranges_reused"] > st["ranges_total"] * 0.8, st
 
     # canonical-chunking pin: full export of each commit → same mid
@@ -651,6 +667,7 @@ def test_export_history_removed_boundary_key_merges_chunks(spark, tmp_path):
     from pyspark.sql import functions as F
 
     src = Repository.create(spark, str(tmp_path / "src"))
+    src.raggedness = 20  # fine-grained native ranges (see test above)
     _stage_rows(src, [(f"d/{i:06d}", "v1", 1) for i in range(600)])
     c1 = src.commit("main", "c1")
 
@@ -698,3 +715,140 @@ def test_store_backed_rangefs_roundtrip(spark, tmp_path):
     got = sorted((r["key"], r["identity"])
                  for r in dst.snapshot(commit_b.commit_id).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 9: Pebble-format robustness corpus — the reader's failure envelope.
+# Contract: a damaged or foreign table raises BadSSTable (clean, typed),
+# or — ONLY where the damage sits in bytes the format deliberately does
+# not checksum (footer padding/version) — decodes EXACTLY the golden
+# content. Never a wrong decode, never a non-BadSSTable crash.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _golden_range_records():
+    return list(S.iter_raw_entries(_load("range.sst")))
+
+
+def _decode_or_bad(buf):
+    """Returns ('ok', records) or ('bad', msg); anything else is a
+    contract violation the test will surface as the raw exception."""
+    try:
+        return ("ok", list(S.iter_raw_entries(buf)))
+    except S.BadSSTable as e:
+        return ("bad", str(e))
+
+
+def test_truncation_sweep_always_bad():
+    """Every strict prefix fails typed: the magic lives in the last 8
+    bytes, so no truncation can masquerade as a table."""
+    buf = _load("range.sst")
+    for n in range(0, len(buf), 7):
+        kind, _ = _decode_or_bad(buf[:n])
+        assert kind == "bad", f"prefix of {n} bytes decoded"
+
+
+def test_bitflip_sweep_never_wrong():
+    """Flip one bit in EVERY byte of the fixture: each flipped table
+    either raises BadSSTable or decodes byte-identical to the golden
+    records (footer padding/version bytes are outside any checksum —
+    the format ignores them, and so honestly does the reader)."""
+    buf = bytearray(_load("range.sst"))
+    golden = _golden_range_records()
+    decoded_fine = 0
+    for i in range(len(buf)):
+        buf[i] ^= 0x40
+        kind, got = _decode_or_bad(bytes(buf))
+        if kind == "ok":
+            assert got == golden, f"flip at {i} changed the decode"
+            decoded_fine += 1
+        buf[i] ^= 0x40
+    # only the unchecksummed footer slack can survive a flip — a 2.2 KiB
+    # table must reject the overwhelming majority of single flips
+    assert decoded_fine < 60, decoded_fine
+
+
+def test_foreign_zstd_compression_rejected():
+    """A table whose data block claims zstd (compression type 4 — what
+    a non-lakeFS RocksDB writer might emit) fails typed even with a
+    VALID crc over the retyped block."""
+    buf = bytearray(_load("h.sst"))
+    # first data block starts at offset 0; find its trailer via the
+    # index: cheaper — rewrite byte [size] after re-deriving the first
+    # handle through the public reader internals
+    footer = S._read_footer(bytes(buf))
+    index = S._read_block(bytes(buf), *footer.index)
+    first = next(iter(S._iter_block_entries(index)))
+    off, pos = S.read_uvarint(first[1], 0)
+    size, _ = S.read_uvarint(first[1], pos)
+    buf[off + size] = 4  # kZSTD
+    crc = S._mask_crc(S.crc32c(bytes(buf[off : off + size + 1])))
+    import struct as _struct
+
+    buf[off + size + 1 : off + size + 5] = _struct.pack("<I", crc)
+    with pytest.raises(S.BadSSTable, match="compression type 4"):
+        list(S.iter_raw_entries(bytes(buf)))
+
+
+def test_foreign_checksum_type_rejected():
+    """A table footer claiming xxhash64 (checksum type 4, kXXH3 family)
+    fails typed before any block is trusted."""
+    buf = bytearray(_load("h.sst"))
+    buf[-S.FOOTER_LEN] = 4
+    with pytest.raises(S.BadSSTable, match="checksum type 4"):
+        list(S.iter_raw_entries(bytes(buf)))
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_garbage_bytes_fail_typed(data):
+    """Arbitrary bytes — with or without a grafted-on valid magic —
+    raise BadSSTable, never IndexError/struct.error/KeyError."""
+    kind, _ = _decode_or_bad(data)
+    assert kind == "bad"
+    kind, _ = _decode_or_bad(data + S.MAGIC)
+    assert kind == "bad"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=2200),
+    xor=st.integers(min_value=1, max_value=255),
+)
+def test_random_byte_corruption_never_wrong(pos, xor):
+    """hypothesis-driven generalization of the bit-flip sweep: any
+    single-byte XOR anywhere in the fixture either fails typed or
+    decodes exactly the golden records."""
+    buf = bytearray(_load("range.sst"))
+    pos %= len(buf)
+    buf[pos] ^= xor
+    kind, got = _decode_or_bad(bytes(buf))
+    if kind == "ok":
+        assert got == _golden_range_records()
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=st.binary(min_size=0, max_size=64))
+def test_graveler_value_split_fails_typed(value):
+    """The value codec's envelope: arbitrary value bytes either split
+    or raise BadSSTable (negative/oversized zigzag lengths included)."""
+    try:
+        ident, data = S.split_graveler_value(value)
+        assert len(ident) + len(data) <= len(value)
+    except S.BadSSTable:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(min_size=0, max_size=96))
+def test_entry_proto_decode_fails_typed(data):
+    """decode_entry_proto on arbitrary bytes: a dict or BadSSTable,
+    never an uncontrolled exception."""
+    try:
+        out = S.decode_entry_proto(data)
+        assert isinstance(out, dict)
+    except S.BadSSTable:
+        pass

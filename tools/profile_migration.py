@@ -7,7 +7,13 @@ executor-side) → ``migrate_from_lakefs`` into repo B (distributed
 binaryFile+mapInPandas parse) → verify the two snapshots are
 row-identical with an exceptAll. Prints one JSON line per point.
 
-Usage: python tools/profile_migration.py [N ...]   (default 600000 6000000)
+Usage:
+  python tools/profile_migration.py [N ...]       (default 600000 6000000)
+  python tools/profile_migration.py history N K   (N-entry repo, K commits
+      of ~1% churn each: exports the chain incrementally, replays it with
+      the range-pruned migrate_history, and prints per-step parse/rebuild
+      counts + times — the proof that replay cost tracks DELTA size, not
+      snapshot size)
 """
 
 from __future__ import annotations
@@ -111,5 +117,83 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def main_history(n: int, k: int) -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.session import get_spark
+    from lakefs_spark.sources import sstable as S
+    from lakefs_spark.storage.repo import Repository
+
+    spark = get_spark("profile-migration-history")
+    root = tempfile.mkdtemp(prefix="lakemighist_")
+    try:
+        src = Repository.create(spark, os.path.join(root, "src"))
+        src.stage_entries("main", synth_entries(spark, n))
+        commits = [src.commit("main", "base")]
+        for step in range(1, k):
+            # ~1% churn per commit: one contiguous key region rewritten
+            # rewrite one shard (~1/64 of keys, a contiguous key region)
+            shard = step % 64
+            upd = (
+                synth_entries(spark, n)
+                .where(F.col("key").startswith(f"corpus/shard={shard:02d}/"))
+                .withColumn("etag", F.concat(F.col("etag"), F.lit(f"-v{step}")))
+            )
+            src.stage_entries("main", upd)
+            commits.append(src.commit("main", f"churn {step}"))
+
+        out = os.path.join(root, "export")
+        exp_steps: list = []
+        t0 = time.time()
+        chain = S.export_history(
+            src, [c.commit_id for c in commits], out,
+            on_step=exp_steps.append,
+        )
+        t_export = round(time.time() - t0, 2)
+
+        dst = Repository.create(spark, os.path.join(root, "dst"))
+        mig_steps: list = []
+        t0 = time.time()
+        S.migrate_history(
+            dst,
+            [(os.path.join(out, mid), f"replay {i}")
+             for i, (_cid, mid) in enumerate(chain)],
+            out,
+            on_step=mig_steps.append,
+        )
+        t_migrate = round(time.time() - t0, 2)
+
+        print(
+            json.dumps(
+                {
+                    "mode": "history",
+                    "n_entries": n,
+                    "n_commits": k,
+                    "export_sec": t_export,
+                    "migrate_sec": t_migrate,
+                    "export_steps": [
+                        {"rebuilt": s_["ranges_rebuilt"],
+                         "reused": s_["ranges_reused"],
+                         "total": s_["ranges_total"]}
+                        for s_ in exp_steps
+                    ],
+                    "migrate_steps": [
+                        {"parsed": s_["ranges_parsed"],
+                         "total": s_["ranges_total"]}
+                        for s_ in mig_steps
+                    ],
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "history":
+        main_history(int(sys.argv[2]) if len(sys.argv) > 2 else 600_000,
+                     int(sys.argv[3]) if len(sys.argv) > 3 else 5)
+    else:
+        main()
