@@ -357,7 +357,10 @@ class _Parser:
             # Go RE2: \0 starts an octal escape of up to three digits
             # total (\0, \01, \012) — \012 is '\n', NOT NUL + "12".
             digits = "0"
-            while len(digits) < 3 and self._peek() in "01234567":
+            # NB: _peek() returns "" at end-of-pattern, and "" is a
+            # substring of any string — the explicit length guard is
+            # what keeps `\0` at pattern end from spinning forever
+            while len(digits) < 3 and len(self._peek()) == 1 and self._peek() in "01234567":
                 digits += self._next()
             return chr(int(digits, 8))
         if c == "x":

@@ -2412,6 +2412,14 @@ def q_lua_stock_validators() -> str:
     union all select 4, 'dataset_validator', 'pre-merge', 'completed', ''
     union all select 5, 'commit_metadata_validator', 'pre-commit', 'failed', 'veto-marker-seen'
     union all select 6, 'commit_metadata_validator', 'pre-commit', 'completed', ''
+    union all select 7, 'action_logger', 'post-commit', 'completed', 'action-json-roundtrips'
+    union all select 8, 's3_branch_head_exporter', 'post-commit', 'completed', 'head-file-is-commit-id'
+    union all select 9, 's3_hive_manifest_exporter', 'post-commit', 'completed', 'clean-mode-symlinks=2'
+    union all select 10, 's3_hive_manifest_exporter', 'post-commit', 'completed', 'diff-mode-regenerates-dirty-only'
+    union all select 11, 'delta_lake_S3_export', 'post-commit', 'completed', 'delta-log-exported'
+    union all select 12, 'delta_lake_azure_export', 'post-commit', 'completed', 'delta-log-exported'
+    union all select 13, 'unity_table_export', 'post-commit', 'completed', 'unity-registered'
+    union all select 14, 'unity_table_export_azure', 'post-commit', 'completed', 'unity-registered'
     """
 
 

@@ -926,6 +926,11 @@ class RangeFS:
         contents are only reachable through :meth:`read`."""
         return None
 
+    def names(self) -> set[str] | None:
+        """The full stored-name set in one call, or None when a single
+        listing isn't cheaper than per-name :meth:`exists` probes."""
+        return None
+
 
 class DirRangeFS(RangeFS):
     """A directory visible to driver AND executors (tmpdir under
@@ -991,6 +996,11 @@ class StoreRangeFS(RangeFS):
     def exists(self, name: str) -> bool:
         return self.store.blob_exists(self._rel(name))
 
+    def names(self) -> set[str] | None:
+        # one LIST instead of N HEADs — _resolve_names over a
+        # million-range metarange must not issue a million round trips
+        return set(self.store.list_blobs(self.prefix))
+
 
 def _as_rangefs(out) -> RangeFS:
     """Coerce a directory path to :class:`DirRangeFS`; pass a RangeFS
@@ -1000,17 +1010,25 @@ def _as_rangefs(out) -> RangeFS:
 
 def _resolve_names(ranges: list[dict], fs: RangeFS) -> list[str]:
     """Locate each referenced range in ``fs`` — bare range id first,
-    then the ``.sst``-suffixed form real lakeFS namespaces use."""
+    then the ``.sst``-suffixed form real lakeFS namespaces use. When
+    the fs can enumerate itself (store-backed), ONE listing resolves
+    every name; otherwise per-name existence probes (local paths)."""
+    listed = fs.names()
+    if listed is not None:
+        have = lambda n: n in listed  # noqa: E731
+    else:
+        have = fs.exists
     names = []
     for r in ranges:
         name = r["range_id"]
-        if not fs.exists(name) and fs.exists(name + ".sst"):
-            name += ".sst"
-        elif not fs.exists(name):
-            raise FileNotFoundError(
-                f"range {r['range_id']} (keys {r['min_key']}..{r['max_key']}) "
-                f"not found in {fs!r}"
-            )
+        if not have(name):
+            if have(name + ".sst"):
+                name += ".sst"
+            else:
+                raise FileNotFoundError(
+                    f"range {r['range_id']} (keys {r['min_key']}.."
+                    f"{r['max_key']}) not found in {fs!r}"
+                )
         names.append(name)
     return names
 
@@ -1044,21 +1062,25 @@ def _entries_pdf(bufs):
 
 def sst_entries_df_fs(spark, fs: RangeFS, names: list[str]):
     """Entries DataFrame for named ranges in ``fs``, parsed
-    EXECUTOR-side. Directory-backed fs goes through ``binaryFile``
-    (Spark streams the bytes); store-backed fs ships the (picklable)
-    fs object and names to tasks, which fetch through the store API —
-    either way the driver never holds range contents."""
+    EXECUTOR-side: the (picklable) fs object and the name list ship to
+    tasks, which fetch bytes through the seam and decode — the driver
+    never holds range contents.
+
+    Deliberately NOT ``binaryFile`` for directory-backed fs: Spark
+    packs small files into ~maxPartitionBytes partitions (a 6 MB .sst
+    costs ~10 MB effective with openCost), collapsing a 141-range
+    parse to ~11 tasks on 32 cores. Distributing NAMES instead gives
+    one task per couple of ranges and skips copying the bytes into
+    Spark rows; the RangeFS contract already guarantees executors can
+    read (shared dir or store API)."""
     from lakefs_spark.schema import ENTRY_SCHEMA
 
     if not names:
         return spark.createDataFrame([], ENTRY_SCHEMA)
-    paths = fs.spark_paths(names)
-    if paths is not None:
-        return sst_entries_df(spark, paths)
-
+    par = max(spark.sparkContext.defaultParallelism, 2)
     names_df = spark.createDataFrame(
         [(n,) for n in names], "name string"
-    ).repartition(min(len(names), 64))
+    ).repartition(min(len(names), par * 2))
 
     def _decode(batches):
         for pdf in batches:
@@ -1072,6 +1094,26 @@ def sst_entries_df_fs(spark, fs: RangeFS, names: list[str]):
 # ---------------------------------------------------------------------------
 
 _DESC_COLS = ["range_id", "min_key", "max_key", "estimated_size", "count"]
+
+# Content-defined (hash-rule) chunk sizes are geometric: the LARGEST of
+# n chunks runs ~ln(n) times the mean, and one oversized .sst serializes
+# a whole executor task on both the build and the re-import parse (the
+# reference bounds this the same way — its writer breaks at max size,
+# pkg/config/defaults.go:97 ~20 MiB). A level-1 chunk bigger than
+# FACTOR x raggedness rows is split into equal deterministic slices:
+# still a pure function of that chunk's own sorted keys, so locality
+# (edits elsewhere never move these boundaries) and canonical chunking
+# (incremental == full) both survive.
+EXPORT_MAX_ROWS_FACTOR = 3
+
+
+def _split_counts(n: int, max_rows: int) -> list[int]:
+    """Deterministic near-equal slice sizes for an oversized chunk."""
+    if n <= max_rows:
+        return [n]
+    k = -(-n // max_rows)
+    base, extra = divmod(n, k)
+    return [base + (1 if i < extra else 0) for i in range(k)]
 
 
 def _desc_schema():
@@ -1100,6 +1142,7 @@ def _write_ranges(entries_df, fs: RangeFS, boundaries: list[str], raggedness: in
     from lakefs_spark.plans.chunker import assign_chunks
 
     chunked = assign_chunks(entries_df, "key", raggedness, boundaries)
+    max_rows = raggedness * EXPORT_MAX_ROWS_FACTOR
 
     def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("key")
@@ -1113,9 +1156,13 @@ def _write_ranges(entries_df, fs: RangeFS, boundaries: list[str], raggedness: in
             )
             if not isinstance(e.get("metadata"), dict):
                 e["metadata"] = None
-        buf, rid, rd = write_range_sstable(entries)
-        fs.write(rid, buf)
-        return pd.DataFrame([rd], columns=_DESC_COLS)
+        out, start = [], 0
+        for sz in _split_counts(len(entries), max_rows):
+            buf, rid, rd = write_range_sstable(entries[start : start + sz])
+            fs.write(rid, buf)
+            out.append(rd)
+            start += sz
+        return pd.DataFrame(out, columns=_DESC_COLS)
 
     descs = chunked.groupBy("chunk_idx").applyInPandas(_build, _desc_schema()).collect()
     return [r.asDict() for r in descs]
@@ -1232,6 +1279,21 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
                     # the span reaches chunk i1's boundary key — if that
                     # key was removed, chunks i1 and i1+1 merge
                     dirty.add(i1 + 1)
+            # bounded splitting means some max_keys are FORCED slice
+            # edges, not hash boundaries; slices of one level-1 chunk
+            # re-chunk TOGETHER, so expand dirty runs across any
+            # non-hash-boundary edge in either direction
+            if dirty:
+                flags = _level1_flags(repo.spark, max_keys, raggedness)
+                frontier = sorted(dirty)
+                while frontier:
+                    j = frontier.pop()
+                    if j < last and not flags[j] and (j + 1) not in dirty:
+                        dirty.add(j + 1)
+                        frontier.append(j + 1)
+                    if j > 0 and not flags[j - 1] and (j - 1) not in dirty:
+                        dirty.add(j - 1)
+                        frontier.append(j - 1)
             snap = repo.snapshot(ref)
             rebuilt_descs: list[dict] = []
             for lo_i, hi_i in _merge_runs(sorted(dirty)):
@@ -1271,6 +1333,25 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
         results.append((commit_id, mid))
         prev_commit, prev_ranges = commit_id, ranges
     return results
+
+
+def _level1_flags(spark, keys: list[str], raggedness: int) -> list[bool]:
+    """Whether each key is a level-1 (hash-rule) chunk boundary —
+    evaluated with Spark's own xxhash64 so it matches assign_chunks
+    bit-for-bit (one tiny job over the descriptor-sized key list)."""
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.plans.chunker import boundary_flag
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "i long, key string"
+    )
+    rows = (
+        df.select("i", boundary_flag(F.col("key"), raggedness).alias("b"))
+        .orderBy("i")
+        .collect()
+    )
+    return [bool(r["b"]) for r in rows]
 
 
 def _native_dirty_spans(prev_mf, cur_mf) -> list[tuple[str, str]]:
@@ -1322,8 +1403,11 @@ def migrate_from_lakefs(
     fs = _as_rangefs(ranges_src)
     ranges = _read_metarange(metarange_sst, fs)
     entries = sst_entries_df_fs(repo.spark, fs, _resolve_names(ranges, fs))
-    repo.stage_entries(branch, entries)
-    commit = repo.commit(branch, message)
+    # import_entries, not stage+commit: committing a bulk adoption via
+    # staging materializes every row TWICE (staging parquet write, then
+    # the commit's re-read); the import path chunks and lands the
+    # stream in one pass
+    commit = repo.import_entries(branch, entries, message=message)
     return commit, len(ranges), sum(r["count"] for r in ranges)
 
 
@@ -1371,7 +1455,8 @@ def migrate_history(
             entries = sst_entries_df_fs(
                 repo.spark, fs, _resolve_names(cur_ranges, fs)
             )
-            repo.stage_entries(branch, entries)
+            commits.append(repo.import_entries(branch, entries,
+                                               message=message))
             parsed = len(cur_ranges)
             cur_e = prev_e = None
         else:
@@ -1411,7 +1496,7 @@ def migrate_history(
             repo.stage_entries(branch, changed)
             repo.stage_deletes(branch, removed)
             parsed = len(cur_only) + len(prev_only)
-        commits.append(repo.commit(branch, message, allow_empty=True))
+            commits.append(repo.commit(branch, message, allow_empty=True))
         if cur_e is not None:
             cur_e.unpersist()
             prev_e.unpersist()

@@ -852,3 +852,38 @@ def test_entry_proto_decode_fails_typed(data):
         assert isinstance(out, dict)
     except S.BadSSTable:
         pass
+
+
+def test_export_bounded_range_size_and_still_canonical(spark, tmp_path):
+    """Hash-rule chunk sizes are geometric (max ~ mean*ln(n)); one
+    oversized .sst would serialize a whole task on build AND re-import
+    parse. Exports cap any range at EXPORT_MAX_ROWS_FACTOR x raggedness
+    rows by deterministic equal slicing of the level-1 chunk — and
+    export_history stays byte-identical to a full export because dirty
+    runs expand to whole level-1 groups."""
+    from lakefs_spark.storage.repo import Repository
+
+    src = Repository.create(spark, str(tmp_path / "src"))
+    src.raggedness = 40
+    # 800 keys, raggedness 400: usually ONE oversized level-1 chunk
+    _stage_rows(src, [(f"d/{i:06d}", "v1", 1) for i in range(800)])
+    c1 = src.commit("main", "c1")
+    _mk_entry(src, "d/000400", "v2", size=5)
+    c2 = src.commit("main", "c2")
+
+    out = str(tmp_path / "exp")
+    # expected chunk ~100 rows, cap 300: the geometric tail reliably
+    # produces at least one chunk the cap has to slice at this scale
+    rag = 100
+    mid1, n1, total = S.export_to_lakefs(src, c1.commit_id, out,
+                                         raggedness=rag)
+    assert total == 800
+    descs = S.read_metarange_sstable(S.read_file(os.path.join(out, mid1)))
+    assert max(d["count"] for d in descs) <= rag * S.EXPORT_MAX_ROWS_FACTOR
+    # canonical under the cap: incremental chain == full export per commit
+    chain = S.export_history(src, [c1.commit_id, c2.commit_id],
+                             str(tmp_path / "inc"), raggedness=rag)
+    mid2_full, _, _ = S.export_to_lakefs(src, c2.commit_id, out,
+                                         raggedness=rag)
+    assert chain[0][1] == mid1
+    assert chain[1][1] == mid2_full
