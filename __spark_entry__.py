@@ -2431,6 +2431,77 @@ hooks:
     )
 
 
+_LUA_DIFF_DELIM_ROWS: dict = {}
+
+
+def q_lua_diff_delimiter(spark, sf_dir):
+    """The Lua client shim's GROUPED diff (round-9 advice closed): a
+    non-empty delimiter in ``lakefs.diff_refs`` folds diff rows into
+    common-prefix groups exactly like the reference
+    (pkg/catalog/catalog.go listDiffHelper:2014-2035 via
+    pkg/api/controller.go DiffRefs) — one ``common_prefix`` row per
+    group, ALWAYS typed ``prefix_changed``; delimiter-free keys pass
+    through as objects. The paged walk additionally pins the
+    reference's cursor seek, GetStartPos → UpperBoundForPrefix
+    (catalog.go:1983-1991): paging past leaf 'c' seeks to 'd', so leaf
+    'ca' is skipped — the reference's exact (documented) semantics,
+    reproduced rather than 'fixed'. mode=all is the one-shot listing;
+    mode=walk re-reads it one row per page through the cursor."""
+    key = _session_tag(spark)
+    rows = _LUA_DIFF_DELIM_ROWS.get(key)
+    if rows is None:
+        import tempfile
+
+        from lakefs_spark.lua.modules import run_lua_hook
+        from lakefs_spark.schema import ENTRY_SCHEMA
+        from lakefs_spark.storage.repo import Repository
+
+        repo = Repository.create(spark, tempfile.mkdtemp(prefix="lakefs_ldd_"))
+        repo.set_entry("main", {"key": "seed", "identity": "i0",
+                                "size": 1, "etag": "e"})
+        repo.commit("main", "seed")
+        repo.create_branch("dev", "main")
+        repo.stage_entries(
+            "dev",
+            spark.createDataFrame(
+                [(k, f"id-{k}", f"a/{k}", "RELATIVE", 1, "e", None, None, "t")
+                 for k in ["a/1", "a/2", "b/1", "c", "ca"]],
+                ENTRY_SCHEMA,
+            ),
+        )
+        repo.commit("dev", "adds")
+        out: list = []
+        run_lua_hook(
+            """
+            local lakefs = require("lakefs")
+            local code, body = lakefs.diff_refs("r", "main", "dev", "", "", "/", 10)
+            for _, d in ipairs(body.results) do
+              print("all|" .. d.path .. "|" .. d.path_type .. "|" .. d.type)
+            end
+            local cursor = ""
+            while true do
+              local c, b = lakefs.diff_refs("r", "main", "dev", cursor, "", "/", 1)
+              for _, d in ipairs(b.results) do
+                print("walk|" .. d.path .. "|" .. d.path_type .. "|" .. d.type)
+              end
+              if not b.pagination.has_more then break end
+              cursor = b.pagination.next_offset
+            end
+            """,
+            repo=repo,
+            output_sink=out.append,
+        )
+        rows = [
+            (i + 1, *line.split("|"))
+            for i, line in enumerate(out)
+        ]
+        _LUA_DIFF_DELIM_ROWS[key] = rows
+    return spark.createDataFrame(
+        rows,
+        "pos long, mode string, path string, path_type string, dtype string",
+    )
+
+
 _STOCK_VALIDATOR_ROWS: dict = {}
 
 
@@ -2468,7 +2539,8 @@ def q_lua_stock_validators(spark, sf_dir):
         from lakefs_spark.schema import ENTRY_SCHEMA
         from lakefs_spark.storage.actions import ActionsService
         from lakefs_spark.storage.repo import HookAbortError, Repository
-        from tests.test_lua_exporters import HOOKS_DATA, _put_file
+        from lakefs_spark.fixtures import HOOKS_DATA
+        from lakefs_spark.fixtures import put_file as _put_file
 
         def _stock(name):
             with open(os.path.join(HOOKS_DATA, name)) as f:
@@ -2615,8 +2687,8 @@ def q_lua_stock_validators(spark, sf_dir):
         # -- round 9: the remaining stock hooks, VERBATIM ------------------
         import json as _j
 
+        from lakefs_spark.fixtures import delta_repo_ns as _delta_repo_ns
         from lakefs_spark.storage.actions import read_hook_output
-        from tests.test_lua_exporters import _delta_repo_ns
 
         class _TP:
             def __init__(self, base):
@@ -2936,12 +3008,12 @@ def q_lua_exporters(spark, sf_dir):
         from lakefs_spark.schema import ENTRY_SCHEMA
         from lakefs_spark.storage.actions import ActionsService, lua_event_record
         from lakefs_spark.storage.repo import Repository
-        from tests.test_lua_exporters import (
+        from lakefs_spark.fixtures import (
             DELTA_EXPORT_SCRIPT,
             GLUE_EXPORT_SCRIPT,
             HIVE_DESCRIPTOR,
-            _delta_repo,
-            _put_file,
+            delta_repo as _delta_repo,
+            put_file as _put_file,
         )
 
         rows = []
@@ -3419,6 +3491,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webhook_deliveries": q_webhook_deliveries,
         "action_task_results": q_action_task_results,
         "lua_hook_runs": q_lua_hook_runs,
+        "lua_diff_delimiter": q_lua_diff_delimiter,
         "lua_exporters": q_lua_exporters,
         "lua_stock_validators": q_lua_stock_validators,
         "sstable_import": q_sstable_import,

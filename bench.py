@@ -169,12 +169,45 @@ def run_once(spark) -> dict[str, float]:
     return timings
 
 
+def _cpu_jiffies() -> list[int] | None:
+    """Aggregate /proc/stat cpu counters (user..guest_nice)."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except Exception:  # noqa: BLE001 — non-Linux or restricted /proc
+        return None
+
+
+def _host_cpu(before: list[int] | None, after: list[int] | None) -> dict:
+    """Host CPU mix over the benched interval, from /proc/stat deltas.
+
+    The load-bearing field is STEAL: this box is a hypervisor guest
+    and cycles the host denies it register there. Round-10 bisection
+    established that fixed pure-CPU work on this guest swings ~30%
+    wall-clock while steal reads 8-11% of total CPU under load — so a
+    bench whose steal_pct is materially non-zero ran CPU-starved, and
+    its numbers must be compared against spreads, not point medians.
+    """
+    if not before or not after:
+        return {}
+    d = [y - x for x, y in zip(before, after)]
+    tot = sum(d) or 1
+    return {
+        "user_pct": round(100 * d[0] / tot, 1),
+        "system_pct": round(100 * d[2] / tot, 1),
+        "idle_pct": round(100 * d[3] / tot, 1),
+        "iowait_pct": round(100 * d[4] / tot, 1),
+        "steal_pct": round(100 * d[7] / tot, 1) if len(d) > 7 else None,
+    }
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from lakefs_spark.session import get_spark
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     spark = get_spark("bench")
+    cpu_before = _cpu_jiffies()
     runs = [run_once(spark) for _ in range(repeats)]
 
     names = list(runs[0])
@@ -239,6 +272,7 @@ def main() -> None:
                 "prev_bench": prev_file,
                 "runs": len(runs),
                 "driver_rss_gb": rss_gb,
+                "host_cpu": _host_cpu(cpu_before, _cpu_jiffies()),
                 "sf": SF_DIR,
             }
         )

@@ -77,6 +77,7 @@ GATES: dict[str, list[str]] = {
         "expectation_gate",
         "action_task_results",
         "lua_hook_runs",
+        "lua_diff_delimiter",
         "lua_exporters",
         "lua_stock_validators",
     ],
@@ -244,6 +245,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "audio_chunks": [("media_id", "bigint"), ("chunk_idx", "bigint"), ("start_ms", "bigint"), ("end_ms", "bigint"), ("start_sample", "bigint"), ("end_sample", "bigint")],
     "line_dedup": [("doc_id", "bigint"), ("clean_text", "string"), ("n_kept", "bigint"), ("n_removed", "bigint")],
     "lua_hook_runs": [("pos", "bigint"), ("action", "string"), ("hook_id", "string"), ("hook_type", "string"), ("event", "string"), ("status", "string"), ("output", "string")],
+    "lua_diff_delimiter": [("pos", "bigint"), ("mode", "string"), ("path", "string"), ("path_type", "string"), ("dtype", "string")],
     "lua_exporters": [("pos", "bigint"), ("component", "string"), ("item", "string"), ("value", "string")],
     "lua_stock_validators": [("pos", "bigint"), ("validator", "string"), ("event", "string"), ("status", "string"), ("marker", "string")],
     "sstable_import": [("pos", "bigint"), ("source", "string"), ("key", "string"), ("identity", "string"), ("address", "string"), ("address_type", "string"), ("size", "bigint"), ("etag", "string"), ("last_modified_s", "bigint")],

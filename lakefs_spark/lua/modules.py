@@ -432,14 +432,6 @@ def make_lakefs_client(repo, content_loader=None, cleanups: list | None = None) 
                   delimiter=None, amount=None):
         # positional parity with client.go diffRefs: arg 6 is DELIMITER
         # (stock hooks pass "" for a recursive diff), arg 7 amount.
-        # Non-empty delimiters (grouped diff) fail loud, never wrong.
-        if delimiter:
-            return (
-                400,
-                py_to_lua(
-                    {"message": "diff_refs: delimiter grouping unsupported"}
-                ),
-            )
         # Paging stays inside the Spark plan: prefix/after filter +
         # limit(amount+1) BEFORE collect(), so a hook paging a huge
         # post-merge diff pulls O(amount) rows to the driver per call,
@@ -448,6 +440,8 @@ def make_lakefs_client(repo, content_loader=None, cleanups: list | None = None) 
         # cached per (left, right) so an N-page walk doesn't recompute
         # the range-granular diff N times.
         from pyspark.sql import functions as F
+
+        from lakefs_spark.functions.prefix import upper_bound_for_prefix
 
         limit = int(amount) if amount else 100
         try:
@@ -462,7 +456,48 @@ def make_lakefs_client(repo, content_loader=None, cleanups: list | None = None) 
             if prefix:
                 df = df.filter(F.col("key").startswith(prefix))
             if after:
-                df = df.filter(F.col("key") > after)
+                if delimiter:
+                    # the reference's cursor seek in delimiter mode is
+                    # SeekGE(UpperBoundForPrefix(after)) — skip the
+                    # whole group the previous page ended on
+                    # (pkg/catalog/catalog.go GetStartPos:1983-1991)
+                    ub = upper_bound_for_prefix(after)
+                    if ub is not None:
+                        df = df.filter(F.col("key") >= ub)
+                else:
+                    df = df.filter(F.col("key") > after)
+            if delimiter:
+                # grouped diff (pkg/catalog/catalog.go listDiffHelper:
+                # 2014-2035): a diff row whose key continues past the
+                # first delimiter after `prefix` folds into ONE
+                # common-prefix row, always typed prefix_changed; keys
+                # without a delimiter pass through as object rows
+                plen = len(prefix or "")
+                suffix = F.substring(F.col("key"), plen + 1, 1_000_000)
+                pos = F.instr(suffix, delimiter)
+                leaves = df.where(pos == 0).select(
+                    "key", "diff_type", F.lit(False).alias("is_common")
+                )
+                groups = (
+                    df.where(pos > 0)
+                    .select(
+                        F.concat(
+                            F.lit(prefix or ""),
+                            suffix.substr(F.lit(1), pos + len(delimiter) - 1),
+                        ).alias("key")
+                    )
+                    .distinct()
+                    .select(
+                        "key",
+                        F.lit("prefix_changed").alias("diff_type"),
+                        F.lit(True).alias("is_common"),
+                    )
+                )
+                df = leaves.unionByName(groups)
+            else:
+                df = df.select(
+                    "key", "diff_type", F.lit(False).alias("is_common")
+                )
             rows = [
                 r.asDict()
                 for r in df.orderBy("key").limit(limit + 1).collect()
@@ -473,9 +508,12 @@ def make_lakefs_client(repo, content_loader=None, cleanups: list | None = None) 
         results = [
             {
                 "path": r["key"],
-                "path_type": "object",
+                "path_type": (
+                    "common_prefix" if r["is_common"] else "object"
+                ),
                 "type": {"added": "added", "removed": "removed", "changed": "changed",
-                         "conflict": "conflict"}[r["diff_type"]],
+                         "conflict": "conflict",
+                         "prefix_changed": "prefix_changed"}[r["diff_type"]],
             }
             for r in page
         ]

@@ -2253,6 +2253,26 @@ def q_lua_hook_runs() -> str:
     """
 
 
+def q_lua_diff_delimiter() -> str:
+    # mirror of __spark_entry__.q_lua_diff_delimiter: the grouped diff
+    # over added keys a/1 a/2 b/1 c ca with delimiter '/' — groups a/
+    # and b/ fold to one prefix_changed common_prefix row each, c and
+    # ca pass through as added objects; the amount=1 cursor walk then
+    # reproduces the reference's UpperBoundForPrefix seek, which skips
+    # leaf 'ca' after the page ending at leaf 'c' (catalog.go
+    # GetStartPos:1983-1991 — reference semantics, not a bug fix)
+    return """
+    select cast(1 as bigint) as pos, 'all' as mode, 'a/' as path,
+           'common_prefix' as path_type, 'prefix_changed' as dtype
+    union all select 2, 'all', 'b/', 'common_prefix', 'prefix_changed'
+    union all select 3, 'all', 'c', 'object', 'added'
+    union all select 4, 'all', 'ca', 'object', 'added'
+    union all select 5, 'walk', 'a/', 'common_prefix', 'prefix_changed'
+    union all select 6, 'walk', 'b/', 'common_prefix', 'prefix_changed'
+    union all select 7, 'walk', 'c', 'object', 'added'
+    """
+
+
 def q_lua_exporters() -> str:
     # mirror of __spark_entry__.q_lua_exporters: the stock delta / glue /
     # unity catalogexport chains running as real type:lua, normalized to
@@ -3090,6 +3110,7 @@ def part_oracles() -> dict[str, str]:
                 "webhook_deliveries": q_webhook_deliveries(),
                 "action_task_results": q_action_task_results(),
                 "lua_hook_runs": q_lua_hook_runs(),
+                "lua_diff_delimiter": q_lua_diff_delimiter(),
                 "lua_exporters": q_lua_exporters(),
                 "lua_stock_validators": q_lua_stock_validators(),
                 "sstable_import": q_sstable_import(),

@@ -36,8 +36,11 @@ snappy or no compression, single- or two-level index):
 
 Scale: the driver parses exactly one metarange (a manifest, ~MBs);
 the per-range SSTables — the 100 TB side — parse EXECUTOR-side via
-``binaryFile`` + ``mapInPandas`` in :func:`sst_entries_df`, so a
-million-range migration distributes like any other scan.
+names-sharded ``mapInPandas`` over a :class:`RangeFS`
+(:func:`sst_entries_df_fs`), so a million-range migration distributes
+like any other scan. (NOT ``binaryFile``: Spark packs small files
+into ~maxPartitionBytes partitions, collapsing the parse parallelism
+— see :func:`sst_entries_df_fs`'s docstring.)
 """
 
 from __future__ import annotations
@@ -163,6 +166,12 @@ def _snappy_decompress(data: bytes) -> bytes:
         return bytes(pa.Codec("snappy").decompress(data, decompressed_size=n))
     except ImportError as e:  # pragma: no cover — pyarrow is baked in
         raise BadSSTable(f"snappy block but no codec available: {e}") from None
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    return pa.Codec("snappy").compress(data, asbytes=True)
 
 
 def _read_block(buf: bytes, offset: int, size: int) -> bytes:
@@ -479,11 +488,13 @@ def read_file(path: str) -> bytes:
 
 
 def sst_entries_df(spark, paths):
-    """Entries DataFrame from lakeFS range SSTables, parsed
-    EXECUTOR-side: ``binaryFile`` ships each .sst to a task and an
-    Arrow-batched ``mapInPandas`` decodes it, so a migration over N
-    ranges is an N-way parallel scan (the 100 TB path — the driver
-    never holds range contents). Output matches ENTRY_SCHEMA."""
+    """Entries DataFrame from lakeFS range SSTables at explicit PATHS,
+    parsed executor-side via ``binaryFile`` + Arrow-batched
+    ``mapInPandas``. Convenient for ad-hoc path-based reads (driver
+    gates, tests); migrations use :func:`sst_entries_df_fs` instead —
+    binaryFile's small-file partition packing collapses parallelism
+    on many-range repos (see that function's docstring). Output
+    matches ENTRY_SCHEMA."""
     import pandas as pd
 
     from lakefs_spark.schema import ENTRY_SCHEMA
@@ -514,43 +525,6 @@ def sst_entries_df(spark, paths):
     return files.select("content").mapInPandas(_decode, ENTRY_SCHEMA)
 
 
-def migrate_from_lakefs(
-    repo,
-    metarange_sst: str,
-    ranges_dir: str,
-    *,
-    branch: str = "main",
-    message: str = "import from lakeFS SSTables",
-):
-    """Import a real lakeFS commit into this engine: parse its
-    metarange manifest on the driver (one small .sst), locate each
-    referenced range SSTable under ``ranges_dir/<range_id>``, parse all
-    ranges distributed, and land the entries as one commit on
-    ``branch``. Returns (commit, ranges_read, entries_imported)."""
-    ranges = read_metarange_sstable(read_file(metarange_sst))
-    entries = sst_entries_df(repo.spark, _resolve_range_paths(ranges, ranges_dir))
-    repo.stage_entries(branch, entries)
-    commit = repo.commit(branch, message)
-    return commit, len(ranges), sum(r["count"] for r in ranges)
-
-
-def _resolve_range_paths(ranges: list[dict], ranges_dir: str) -> list[str]:
-    """Locate each referenced range SSTable under ranges_dir/<id>
-    (optionally with a .sst suffix)."""
-    paths = []
-    for r in ranges:
-        p = os.path.join(ranges_dir, r["range_id"])
-        if not os.path.exists(p) and os.path.exists(p + ".sst"):
-            p += ".sst"
-        if not os.path.exists(p):
-            raise FileNotFoundError(
-                f"range {r['range_id']} (keys {r['min_key']}..{r['max_key']}) "
-                f"not found under {ranges_dir}"
-            )
-        paths.append(p)
-    return paths
-
-
 # ---------------------------------------------------------------------------
 # writer: export THIS engine's snapshots AS lakeFS SSTables
 # ---------------------------------------------------------------------------
@@ -565,6 +539,11 @@ def _resolve_range_paths(ranges: list[dict], ranges_dir: str) -> list[str]:
 
 RESTART_INTERVAL = 16
 TARGET_BLOCK_SIZE = 4096
+# switch to a partitioned (two-level) index past this estimated
+# single-level index payload size — Pebble does the same for large
+# tables; one giant index block on a multi-million-range metarange
+# would otherwise have to be decoded whole before the first entry
+INDEX_TWO_LEVEL_THRESHOLD = 4 * 1024 * 1024
 FOOTER_VERSION = 2  # RocksDBv2, what the fixtures carry
 INTERNAL_SET_TRAILER = bytes([1, 0, 0, 0, 0, 0, 0, 0])  # seq 0, kind SET
 
@@ -699,23 +678,32 @@ def _build_block(items: list[tuple[bytes, bytes]], restart_interval: int = RESTA
 
 
 class SSTableBuilder:
-    """Minimal block-based-table writer: uncompressed blocks (a valid
-    choice the reference reads fine — its own fixtures include
-    no-compression variants), crc32c trailers, single-level index,
-    RocksDBv2 footer."""
+    """Minimal block-based-table writer: Snappy-compressed blocks by
+    default — what lakeFS itself writes (sstable.SnappyCompression,
+    pkg/graveler/sstable/writer.go:48-51) — with per-block fallback to
+    uncompressed when compression doesn't shrink (Pebble's own rule),
+    and ``compression=COMPRESSION_NONE`` as an escape hatch (also a
+    valid table the reference reads fine). crc32c trailers,
+    single-level index, RocksDBv2 footer."""
 
-    def __init__(self):
+    def __init__(self, compression: int = COMPRESSION_SNAPPY):
         self._out = bytearray()
         self._data_items: list[tuple[bytes, bytes]] = []
         self._block_bytes = 0
         self._index: list[tuple[bytes, bytes]] = []
         self._last_key = b""
+        self._compression = compression
 
     def _emit_block(self, payload: bytes) -> tuple[int, int]:
+        ctype = COMPRESSION_NONE
+        if self._compression == COMPRESSION_SNAPPY:
+            comp = _snappy_compress(payload)
+            if len(comp) < len(payload):
+                payload, ctype = comp, COMPRESSION_SNAPPY
         off = len(self._out)
         self._out += payload
-        self._out.append(COMPRESSION_NONE)
-        crc = _mask_crc(crc32c(payload + bytes([COMPRESSION_NONE])))
+        self._out.append(ctype)
+        crc = _mask_crc(crc32c(payload + bytes([ctype])))
         self._out += struct.pack("<I", crc)
         return off, len(payload)
 
@@ -745,13 +733,46 @@ class SSTableBuilder:
 
     def finish(self, properties: dict[bytes, bytes]) -> bytes:
         self._flush_data_block()
-        index_off, index_size = self._emit_block(
-            _build_block(self._index, restart_interval=1)
-        )
+        # Pebble partitions the index of large tables (two-level); a
+        # multi-million-range metarange would otherwise make one giant
+        # index block. Estimate the single-level payload size (same
+        # per-entry arithmetic as add()'s block accounting) and switch
+        # above the threshold.
+        est_index = sum(len(k) + len(h) + 6 for k, h in self._index)
+        if est_index <= INDEX_TWO_LEVEL_THRESHOLD:
+            index_type = 0
+            index_off, index_size = self._emit_block(
+                _build_block(self._index, restart_interval=1)
+            )
+        else:
+            index_type = INDEX_TYPE_TWO_LEVEL
+            top: list[tuple[bytes, bytes]] = []
+            part: list[tuple[bytes, bytes]] = []
+            part_bytes = 0
+
+            def _flush_part() -> None:
+                nonlocal part, part_bytes
+                if not part:
+                    return
+                off, size = self._emit_block(
+                    _build_block(part, restart_interval=1)
+                )
+                top.append(
+                    (part[-1][0], write_uvarint(off) + write_uvarint(size))
+                )
+                part, part_bytes = [], 0
+
+            for key, handle in self._index:
+                part.append((key, handle))
+                part_bytes += len(key) + len(handle) + 6
+                if part_bytes >= TARGET_BLOCK_SIZE:
+                    _flush_part()
+            _flush_part()
+            index_off, index_size = self._emit_block(
+                _build_block(top, restart_interval=1)
+            )
         props = dict(properties)
-        props.setdefault(
-            INDEX_TYPE_KEY, struct.pack("<I", 0)  # single-level index
-        )
+        props.setdefault(INDEX_TYPE_KEY, struct.pack("<I", index_type))
         props_off, props_size = self._emit_block(
             _build_block(sorted(props.items()), restart_interval=1)
         )
@@ -813,16 +834,17 @@ def derive_table_id(records: list[tuple[bytes, bytes]], metadata: dict[bytes, by
 def _lakefs_props(kind: bytes, records, estimated_size: int) -> dict[bytes, bytes]:
     return {
         b"type": kind,
-        b"min_key": records[0][0],
-        b"max_key": records[-1][0],
+        b"min_key": records[0][0] if records else b"",
+        b"max_key": records[-1][0] if records else b"",
         b"count": str(len(records)).encode(),
         b"estimated_size_bytes": str(estimated_size).encode(),
     }
 
 
-def write_range_sstable(entries: list[dict]) -> tuple[bytes, str, dict]:
-    """Entry rows (ENTRY_SCHEMA-shaped dicts, sorted by key) → a lakeFS
-    range SSTable. Returns (bytes, range_id, RangeData-shaped dict)."""
+def encode_entry_records(entries: list[dict]) -> list[tuple[bytes, bytes]]:
+    """Entry rows (ENTRY_SCHEMA-shaped dicts) → (key, graveler-value)
+    record pairs — the byte form whose lengths drive range splitting
+    and whose content derives the lakeFS range id."""
     import re as _re
 
     records = []
@@ -849,11 +871,19 @@ def write_range_sstable(entries: list[dict]) -> tuple[bytes, str, dict]:
         records.append(
             (e["key"].encode("utf-8"), build_graveler_value(ident, data))
         )
+    return records
+
+
+def write_range_records(
+    records: list[tuple[bytes, bytes]], *, compression: int = COMPRESSION_SNAPPY
+) -> tuple[bytes, str, dict]:
+    """Pre-encoded (key, value) records (sorted, non-empty) → a lakeFS
+    range SSTable. Returns (bytes, range_id, RangeData-shaped dict)."""
     if not records:
         raise ValueError("cannot write an empty range")
     est = sum(len(k) + len(v) for k, v in records)
     rid = derive_table_id(records, {b"type": b"ranges"})
-    builder = SSTableBuilder()
+    builder = SSTableBuilder(compression)
     for k, v in records:
         builder.add(k, v)
     buf = builder.finish(_lakefs_props(b"ranges", records, est))
@@ -867,9 +897,24 @@ def write_range_sstable(entries: list[dict]) -> tuple[bytes, str, dict]:
     return buf, rid, rd
 
 
-def write_metarange_sstable(ranges: list[dict]) -> tuple[bytes, str]:
+def write_range_sstable(
+    entries: list[dict], *, compression: int = COMPRESSION_SNAPPY
+) -> tuple[bytes, str, dict]:
+    """Entry rows (ENTRY_SCHEMA-shaped dicts, sorted by key) → a lakeFS
+    range SSTable. Returns (bytes, range_id, RangeData-shaped dict)."""
+    return write_range_records(
+        encode_entry_records(entries), compression=compression
+    )
+
+
+def write_metarange_sstable(
+    ranges: list[dict], *, compression: int = COMPRESSION_SNAPPY
+) -> tuple[bytes, str]:
     """Range descriptors (write_range_sstable's dicts, in key order) →
-    a lakeFS metarange SSTable. Returns (bytes, metarange_id)."""
+    a lakeFS metarange SSTable. Returns (bytes, metarange_id). An
+    EMPTY descriptor list is valid — a commit whose tree is empty (all
+    keys deleted) has a metarange with zero ranges in the reference
+    too, and such chains must export/round-trip."""
     records = []
     for r in ranges:
         data = encode_range_proto(r)
@@ -879,11 +924,9 @@ def write_metarange_sstable(ranges: list[dict]) -> tuple[bytes, str]:
                 build_graveler_value(r["range_id"].encode("ascii"), data),
             )
         )
-    if not records:
-        raise ValueError("cannot write an empty metarange")
     est = sum(len(k) + len(v) for k, v in records)
     mid = derive_table_id(records, {b"type": b"metaranges"})
-    builder = SSTableBuilder()
+    builder = SSTableBuilder(compression)
     for k, v in records:
         builder.add(k, v)
     buf = builder.finish(_lakefs_props(b"metaranges", records, est))
@@ -1033,6 +1076,16 @@ def _resolve_names(ranges: list[dict], fs: RangeFS) -> list[str]:
     return names
 
 
+def _entries_checked(spark, fs: RangeFS, ranges: list[dict]):
+    """Entries DataFrame for metarange descriptors, with the per-range
+    descriptor-count cross-check armed (see :func:`_entries_pdf`)."""
+    names = _resolve_names(ranges, fs)
+    return sst_entries_df_fs(
+        spark, fs, names,
+        expected_counts={n: r["count"] for n, r in zip(names, ranges)},
+    )
+
+
 def _read_metarange(metarange, fs: RangeFS) -> list[dict]:
     """Metarange descriptors from a filesystem path OR a name in fs."""
     if isinstance(metarange, str) and os.path.isfile(metarange):
@@ -1040,16 +1093,27 @@ def _read_metarange(metarange, fs: RangeFS) -> list[dict]:
     return read_metarange_sstable(fs.read(metarange))
 
 
-def _entries_pdf(bufs):
-    """Decode an iterable of range-SSTable byte strings to ONE pandas
-    frame shaped like ENTRY_SCHEMA (shared by both executor decoders)."""
+def _entries_pdf(items):
+    """Decode an iterable of ``(buf, expected_count, label)`` range-
+    SSTable items to ONE pandas frame shaped like ENTRY_SCHEMA.
+    ``expected_count`` (when not None) is the row count the metarange
+    descriptor promised for this range — cross-checked against the
+    rows actually parsed (typed BadSSTable on mismatch), so a
+    migration's ``entries_imported`` (the descriptor sum) is verified
+    per-range executor-side rather than trusted."""
     import pandas as pd
 
     from lakefs_spark.schema import ENTRY_SCHEMA
 
     out = []
-    for buf in bufs:
-        for e in read_range_sstable(bytes(buf)):
+    for buf, want, label in items:
+        entries = read_range_sstable(bytes(buf))
+        if want is not None and len(entries) != want:
+            raise BadSSTable(
+                f"range {label}: metarange descriptor promises {want} "
+                f"entries, table holds {len(entries)}"
+            )
+        for e in entries:
             ts = e.pop("last_modified_s")
             # `is not None`: epoch 0 is a PRESENT timestamp
             e["last_modified"] = (
@@ -1060,11 +1124,14 @@ def _entries_pdf(bufs):
     return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
 
-def sst_entries_df_fs(spark, fs: RangeFS, names: list[str]):
+def sst_entries_df_fs(spark, fs: RangeFS, names: list[str],
+                      expected_counts: dict[str, int] | None = None):
     """Entries DataFrame for named ranges in ``fs``, parsed
     EXECUTOR-side: the (picklable) fs object and the name list ship to
     tasks, which fetch bytes through the seam and decode — the driver
-    never holds range contents.
+    never holds range contents. ``expected_counts`` (resolved name →
+    metarange descriptor count) arms the per-range row-count
+    cross-check in :func:`_entries_pdf`.
 
     Deliberately NOT ``binaryFile`` for directory-backed fs: Spark
     packs small files into ~maxPartitionBytes partitions (a 6 MB .sst
@@ -1081,10 +1148,13 @@ def sst_entries_df_fs(spark, fs: RangeFS, names: list[str]):
     names_df = spark.createDataFrame(
         [(n,) for n in names], "name string"
     ).repartition(min(len(names), par * 2))
+    counts = expected_counts or {}
 
     def _decode(batches):
         for pdf in batches:
-            yield _entries_pdf(fs.read(n) for n in pdf["name"])
+            yield _entries_pdf(
+                (fs.read(n), counts.get(n), n) for n in pdf["name"]
+            )
 
     return names_df.mapInPandas(_decode, ENTRY_SCHEMA)
 
@@ -1097,23 +1167,60 @@ _DESC_COLS = ["range_id", "min_key", "max_key", "estimated_size", "count"]
 
 # Content-defined (hash-rule) chunk sizes are geometric: the LARGEST of
 # n chunks runs ~ln(n) times the mean, and one oversized .sst serializes
-# a whole executor task on both the build and the re-import parse (the
-# reference bounds this the same way — its writer breaks at max size,
-# pkg/config/defaults.go:97 ~20 MiB). A level-1 chunk bigger than
-# FACTOR x raggedness rows is split into equal deterministic slices:
-# still a pure function of that chunk's own sorted keys, so locality
-# (edits elsewhere never move these boundaries) and canonical chunking
-# (incremental == full) both survive.
+# a whole executor task on both the build and the re-import parse. A
+# level-1 chunk is therefore sliced deterministically on TWO budgets:
+# bytes — the reference's own bound (max_range_size_bytes = 20 MiB,
+# pkg/config/defaults.go:97; its writer breaks when the accumulated
+# size crosses it, pkg/graveler/sstable/writer.go:168-183) — and rows
+# (FACTOR x raggedness, a parse-cost bound bytes alone can't give when
+# values are tiny). Both slicings are pure functions of that chunk's
+# own sorted records, so locality (edits elsewhere never move these
+# boundaries) and canonical chunking (incremental == full) survive.
 EXPORT_MAX_ROWS_FACTOR = 3
+EXPORT_MAX_RANGE_BYTES = 20 * 1024 * 1024  # defaults.go:97
 
 
-def _split_counts(n: int, max_rows: int) -> list[int]:
-    """Deterministic near-equal slice sizes for an oversized chunk."""
-    if n <= max_rows:
-        return [n]
-    k = -(-n // max_rows)
-    base, extra = divmod(n, k)
-    return [base + (1 if i < extra else 0) for i in range(k)]
+def _byte_split(sizes: list[int], max_bytes: int) -> list[int]:
+    """Deterministic near-equal-BYTE slice row-counts: k = ceil(total /
+    max_bytes) slices, cut where the cumulative byte count crosses each
+    i*total/k threshold. Every slice lands within one record of
+    total/k <= max_bytes (an single record larger than the budget
+    cannot be split — the reference's writer has the same property,
+    it breaks only between records)."""
+    n = len(sizes)
+    total = sum(sizes)
+    k = min(max(-(-total // max_bytes), 1), n) if n else 1
+    if k <= 1:
+        return [n] if n else []
+    counts = []
+    cum = 0
+    prev_cut = 0
+    nxt = 1
+    for j in range(n):
+        cum += sizes[j]
+        if nxt < k and (
+            cum * k >= total * nxt or n - (j + 1) == k - nxt
+        ):
+            counts.append(j + 1 - prev_cut)
+            prev_cut = j + 1
+            nxt += 1
+    counts.append(n - prev_cut)
+    return counts
+
+
+def _split_counts(sizes: list[int], max_bytes: int, max_rows: int) -> list[int]:
+    """Deterministic slice row-counts for one level-1 chunk honoring
+    both budgets: equal-byte slicing first, then any slice still over
+    ``max_rows`` rows re-splits into near-equal row counts."""
+    out = []
+    for c in _byte_split(sizes, max_bytes):
+        if c <= max_rows:
+            out.append(c)
+            continue
+        k = -(-c // max_rows)
+        base, extra = divmod(c, k)
+        out.extend(base + (1 if i < extra else 0) for i in range(k))
+    return out
 
 
 def _desc_schema():
@@ -1156,9 +1263,11 @@ def _write_ranges(entries_df, fs: RangeFS, boundaries: list[str], raggedness: in
             )
             if not isinstance(e.get("metadata"), dict):
                 e["metadata"] = None
+        records = encode_entry_records(entries)
+        sizes = [len(k) + len(v) for k, v in records]
         out, start = [], 0
-        for sz in _split_counts(len(entries), max_rows):
-            buf, rid, rd = write_range_sstable(entries[start : start + sz])
+        for sz in _split_counts(sizes, EXPORT_MAX_RANGE_BYTES, max_rows):
+            buf, rid, rd = write_range_records(records[start : start + sz])
             fs.write(rid, buf)
             out.append(rd)
             start += sz
@@ -1178,8 +1287,9 @@ def _export_snapshot(repo, ref: str, fs: RangeFS, raggedness: int):
         _write_ranges(snap, fs, boundaries, raggedness),
         key=lambda r: r["max_key"],
     )
-    if not ranges:
-        raise ValueError("cannot export an empty snapshot")
+    # zero ranges is a VALID snapshot (a commit whose tree is empty —
+    # all keys deleted): it exports as an empty metarange, mirroring
+    # the reference, so such commits round-trip through export/migrate
     buf, mid = write_metarange_sstable(ranges)
     fs.write(mid, buf)
     return mid, ranges
@@ -1251,7 +1361,15 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
     from pyspark.sql import functions as F
 
     from lakefs_spark.plans.chunker import DEFAULT_RAGGEDNESS, boundary_keys
-    from lakefs_spark.storage.ranges import read_manifest
+    from lakefs_spark.storage.ranges import EMPTY_METARANGE, read_manifest
+
+    def _native_mf(commit_id):
+        import pandas as pd
+
+        mid = repo._metarange_of(commit_id)
+        if mid == EMPTY_METARANGE:  # empty tree: no native ranges
+            return pd.DataFrame(columns=["range_id", "min_key", "max_key"])
+        return read_manifest(repo.root, mid)
 
     raggedness = raggedness or DEFAULT_RAGGEDNESS
     fs = _as_rangefs(out)
@@ -1260,14 +1378,15 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
     prev_ranges: list[dict] | None = None
     for ref in refs:
         commit_id = repo.resolve(ref).commit_id
-        if prev_ranges is None:
+        if not prev_ranges:
+            # first commit, or previous snapshot was EMPTY (no ranges
+            # to diff against / reuse): export whole
             mid, ranges = _export_snapshot(repo, ref, fs, raggedness)
             rebuilt = len(ranges)
         else:
             max_keys = [r["max_key"] for r in prev_ranges]
             dirty_spans = _native_dirty_spans(
-                read_manifest(repo.root, repo._metarange_of(prev_commit)),
-                read_manifest(repo.root, repo._metarange_of(commit_id)),
+                _native_mf(prev_commit), _native_mf(commit_id)
             )
             dirty: set[int] = set()
             last = len(max_keys) - 1
@@ -1313,10 +1432,8 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
                 + rebuilt_descs,
                 key=lambda r: r["max_key"],
             )
-            if not ranges:
-                raise ValueError(
-                    f"cannot export empty snapshot at {ref!r}"
-                )
+            # zero ranges = this commit's tree is empty (everything
+            # deleted): write the empty metarange, same as a full export
             rebuilt = len(rebuilt_descs)
             buf, mid = write_metarange_sstable(ranges)
             fs.write(mid, buf)
@@ -1399,10 +1516,14 @@ def migrate_from_lakefs(
     referenced range in ``ranges_src`` (a directory path or any
     :class:`RangeFS`), parse all ranges distributed, and land the
     entries as one commit on ``branch``.
-    Returns (commit, ranges_read, entries_imported)."""
+    Returns (commit, ranges_read, entries_imported) —
+    entries_imported is the metarange descriptor sum, VERIFIED: every
+    range's parsed row count is cross-checked executor-side against
+    its descriptor (typed BadSSTable on mismatch), so a metarange
+    with inconsistent counts fails loud instead of misreporting."""
     fs = _as_rangefs(ranges_src)
     ranges = _read_metarange(metarange_sst, fs)
-    entries = sst_entries_df_fs(repo.spark, fs, _resolve_names(ranges, fs))
+    entries = _entries_checked(repo.spark, fs, ranges)
     # import_entries, not stage+commit: committing a bulk adoption via
     # staging materializes every row TWICE (staging parquet write, then
     # the commit's re-read); the import path chunks and lands the
@@ -1452,9 +1573,7 @@ def migrate_history(
     for metarange, message in metaranges:
         cur_ranges = _read_metarange(metarange, fs)
         if prev_ranges is None:
-            entries = sst_entries_df_fs(
-                repo.spark, fs, _resolve_names(cur_ranges, fs)
-            )
+            entries = _entries_checked(repo.spark, fs, cur_ranges)
             commits.append(repo.import_entries(branch, entries,
                                                message=message))
             parsed = len(cur_ranges)
@@ -1474,12 +1593,10 @@ def migrate_history(
             # a shared range, because that range would then also have
             # held it in prev, contradicting disjointness.
             cur_e = _with_entry_fp(
-                sst_entries_df_fs(repo.spark, fs, _resolve_names(cur_only, fs))
+                _entries_checked(repo.spark, fs, cur_only)
             ).persist()
             prev_e = _with_entry_fp(
-                sst_entries_df_fs(
-                    repo.spark, fs, _resolve_names(prev_only, fs)
-                )
+                _entries_checked(repo.spark, fs, prev_only)
             ).persist()
             changed = (
                 cur_e.join(

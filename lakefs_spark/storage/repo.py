@@ -424,6 +424,27 @@ class Repository:
             force=force,
         )
 
+    def set_protection_rules(self, rules: list[dict], force: bool = False) -> None:
+        """Replace the protection rule list WHOLESALE — the reference's
+        SetBranchProtectionRules (api/swagger.yml branch_protection PUT,
+        pkg/api/controller.go SetBranchProtectionRulesPreflight/Set):
+        the API replaces the whole list rather than editing entries, so
+        an empty list unprotects everything."""
+        self._check_writable("set_protection_rules", force)
+        clean = [
+            {
+                "pattern": r["pattern"],
+                "blocked": list(r.get("blocked", ("staging_write", "commit"))),
+            }
+            for r in rules
+        ]
+        self.update_setting(
+            "protected_branches",
+            lambda _cur: {"rules": clean},
+            default={"rules": []},
+            force=force,
+        )
+
     def _check_protected(self, branch: str, op: str) -> None:
         from fnmatch import fnmatch
 

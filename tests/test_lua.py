@@ -507,6 +507,59 @@ def test_lakefs_diff_refs_paginates(spark, tmp_path):
     assert out == ["diffs=6"]
 
 
+def test_lakefs_diff_refs_delimiter_groups(spark, tmp_path):
+    """diff_refs with a non-empty delimiter returns GROUPED rows like
+    the reference (pkg/catalog/catalog.go listDiffHelper:2014-2035 via
+    pkg/api/controller.go DiffRefs): one common_prefix row per group,
+    always typed prefix_changed; leaf keys pass through as objects; the
+    cursor seek skips the whole group the previous page ended on
+    (GetStartPos → UpperBoundForPrefix)."""
+    from lakefs_spark.schema import ENTRY_SCHEMA
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    rows = [
+        (k, f"id-{k}", f"a/{k}", "RELATIVE", 1, "e", None, None, "t")
+        for k in ["a/1", "a/2", "b/1", "c"]
+    ]
+    repo.stage_entries(
+        "main",
+        spark.createDataFrame(
+            [("seed", "id0", "a/seed", "RELATIVE", 1, "e", None, None, "t")],
+            ENTRY_SCHEMA,
+        ),
+    )
+    repo.commit("main", "seed")
+    repo.create_branch("dev", "main")
+    repo.stage_entries("dev", spark.createDataFrame(rows, ENTRY_SCHEMA))
+    repo.commit("dev", "adds")
+
+    out = []
+    run_lua_hook(
+        """
+        local lakefs = require("lakefs")
+        local code, body = lakefs.diff_refs("r", "main", "dev", "", "", "/", 10)
+        for _, d in ipairs(body.results) do
+          print(code .. "|" .. d.path .. "|" .. d.path_type .. "|" .. d.type)
+        end
+        -- paging: one row per page; the cursor after group "a/" must
+        -- skip a/2 and land on group "b/"
+        local c2, b2 = lakefs.diff_refs("r", "main", "dev", "", "", "/", 1)
+        local cursor = b2.pagination.next_offset
+        local c3, b3 = lakefs.diff_refs("r", "main", "dev", cursor, "", "/", 1)
+        print("page2=" .. b3.results[1].path .. "|" .. tostring(b3.pagination.has_more))
+        """,
+        repo=repo,
+        output_sink=out.append,
+    )
+    assert out == [
+        "200|a/|common_prefix|prefix_changed",
+        "200|b/|common_prefix|prefix_changed",
+        "200|c|object|added",
+        "page2=b/|true",
+    ]
+
+
 def test_empty_inline_script_falls_back_to_script_path(spark, tmp_path):
     """properties {script: '', script_path: ...} must load and run the
     real script — an empty inline chunk silently 'completing' would be

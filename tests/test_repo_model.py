@@ -29,7 +29,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakefs_spark.schema import ENTRY_SCHEMA
-from lakefs_spark.storage.repo import ConflictError, Repository
+from lakefs_spark.storage.repo import (
+    ConflictError,
+    DirtyBranchError,
+    ProtectedBranchError,
+    ReadOnlyRepositoryError,
+    Repository,
+)
 
 
 def _df(spark, ids: dict[str, str]):
@@ -150,12 +156,18 @@ class Model:
 
 
 # seeds re-searched by model-only simulation (the walk's control flow
-# never consults the engine) so each walk covers the full op mix:
-# stage/delete/commit/reset/revert, cherry-pick (apply + conflict +
-# no-op), prefix-replacing import, branch, clean + squashed merges,
-# conflicted merges resolved by BOTH strategies, and the
-# already-up-to-date refusal. 2370 reaches all fifteen classes.
-SEEDS = [2370, 2940, 1431]
+# never consults the engine) after the round-10 op-mix change: each
+# walk covers stage/delete/commit/reset/revert, cherry-pick (apply +
+# conflict + no-op), prefix-replacing import (direct AND via hidden
+# work branch, incl. the dirty-destination refusal), branch,
+# branch-protection refusals (stage/delete/commit blocked, rules
+# restored wholesale), clean + squashed merges, conflicted merges
+# resolved by BOTH strategies, the already-up-to-date refusal, the
+# net-zero-staging commit refusal (NoChangesError), and a read-only
+# restore epilogue — >=17 distinct op classes per seed (MIN_OPS), 22
+# in union across the three.
+SEEDS = [2871, 19425, 3957]
+MIN_OPS = {2871: 17, 19425: 17, 3957: 17}
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -208,6 +220,17 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
         elif op < 0.56:  # commit
             if not st["staged"]:
                 continue
+            if model.overlay(b) == model.commits[st["head"]][0]:
+                # the staged delta nets to ZERO (e.g. a staged-only key
+                # deleted again, or a key re-staged to its committed
+                # value): the engine refuses the no-op commit
+                # (manifest unchanged ⇒ NoChangesError) and leaves
+                # staging intact
+                with pytest.raises(NoChangesError):
+                    repo.commit(b, f"noop {step}")
+                ops_hit.add("commit_noop_refusal")
+                check(b)
+                continue
             c = repo.commit(b, f"step {step}")
             cid = model.new_commit(model.overlay(b), [st["head"]])
             engine_of[cid] = c.commit_id
@@ -231,7 +254,7 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
             engine_of[cid] = rc.commit_id
             st["head"] = cid
             ops_hit.add("revert")
-        elif op < 0.68:  # cherry-pick a commit from anywhere in the DAG
+        elif op < 0.66:  # cherry-pick a commit from anywhere in the DAG
             if st["staged"]:
                 continue  # engine refuses dirty branches
             cands = [
@@ -263,26 +286,81 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
             engine_of[cid] = cc.commit_id
             st["head"] = cid
             ops_hit.add("cherry_pick")
-        elif op < 0.72:  # prefix-replacing import (commits directly from
-            # the committed head; staging stays put and overlays on top)
+        elif op < 0.72:  # prefix-replacing import — direct, or via the
+            # reference's hidden-work-branch topology (rng-chosen)
             newset = {
                 f"imp/{step}/{j:02d}": f"im{step}-{j}" for j in range(3)
             }
-            ic = repo.import_entries(
-                b, _df(spark, newset), replace_prefixes=["imp/"],
-                message=f"import @{step}",
-            )
+            hidden = rng.random() < 0.5
             snap = {
                 k: v
                 for k, v in model.commits[st["head"]][0].items()
                 if not k.startswith("imp/")
             }
             snap.update(newset)
-            cid = model.new_commit(snap, [st["head"]])
-            engine_of[cid] = ic.commit_id
+            if hidden and st["staged"]:
+                # the hidden-branch import ENDS in a merge into b, and
+                # merges refuse a dirty destination (ErrDirtyBranch) —
+                # the target must be left untouched, work branch gone
+                with pytest.raises(DirtyBranchError):
+                    repo.import_via_hidden_branch(
+                        b, _df(spark, newset), replace_prefixes=["imp/"],
+                        message=f"import @{step}",
+                    )
+                assert not [
+                    n for n in repo.branches(show_hidden=True)
+                    if n.startswith("_import-")
+                ], "hidden work branch leaked"
+                ops_hit.add("import_hidden_dirty_refusal")
+                check(b)
+                continue
+            if hidden:
+                mc = repo.import_via_hidden_branch(
+                    b, _df(spark, newset), replace_prefixes=["imp/"],
+                    message=f"import @{step}",
+                )
+                # model the REAL topology (work-branch commit + merge)
+                # so generations/LCA tie-breaks stay DAG-faithful
+                cid_i = model.new_commit(snap, [st["head"]])
+                engine_of[cid_i] = mc.parents[1]
+                cid = model.new_commit(snap, [st["head"], cid_i])
+                engine_of[cid] = mc.commit_id
+                assert not [
+                    n for n in repo.branches(show_hidden=True)
+                    if n.startswith("_import-")
+                ], "hidden work branch leaked"
+                ops_hit.add("import_hidden")
+            else:
+                ic = repo.import_entries(
+                    b, _df(spark, newset), replace_prefixes=["imp/"],
+                    message=f"import @{step}",
+                )
+                cid = model.new_commit(snap, [st["head"]])
+                engine_of[cid] = ic.commit_id
+                ops_hit.add("import")
             st["head"] = cid
-            ops_hit.add("import")
-        elif op < 0.78 and n_new_branch < 5:  # branch from a head
+        elif op < 0.76:  # branch-protection refusals: protect b, every
+            # blocked op refuses and state is untouched; rules then
+            # restored WHOLESALE (the reference's replace-the-list API)
+            rules_before = repo.protection_rules()
+            repo.protect_branch(b, blocked=("staging_write", "commit",
+                                            "delete"))
+            with pytest.raises(ProtectedBranchError):
+                repo.stage_entries(b, _df(spark, {f"blocked/{step}": "x"}))
+            with pytest.raises(ProtectedBranchError):
+                repo.stage_deletes(b, ["blocked/nope"])
+            if st["staged"]:
+                with pytest.raises(ProtectedBranchError):
+                    repo.commit(b, "blocked commit")
+                ops_hit.add("protect_commit_refusal")
+            if b != "main":
+                with pytest.raises(ProtectedBranchError):
+                    repo.delete_branch(b)
+                ops_hit.add("protect_delete_refusal")
+            repo.set_protection_rules(rules_before)
+            assert repo.protection_rules() == rules_before
+            ops_hit.add("protect_refusal")
+        elif op < 0.82 and n_new_branch < 5:  # branch from a head
             n_new_branch += 1
             name = f"b{n_new_branch}"
             repo.create_branch(name, b)
@@ -298,6 +376,13 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
             for side in (src, b):
                 side_st = model.branches[side]
                 if side_st["staged"]:
+                    if (model.overlay(side)
+                            == model.commits[side_st["head"]][0]):
+                        # net-zero staging can't commit (NoChangesError)
+                        # — flush it by discarding, like a real client
+                        repo.reset_branch(side)
+                        side_st["staged"] = {}
+                        continue
                     c = repo.commit(side, f"pre-merge flush @{step}")
                     cid = model.new_commit(
                         model.overlay(side), [side_st["head"]]
@@ -372,10 +457,50 @@ def test_repo_lifecycle_random_walk(spark, tmp_path, seed):
             for r in repo.snapshot(eng_cid).select("key", "identity").collect()
         }
         assert got == model.commits[cid][0], f"snapshot mismatch at {cid}"
+    # read-only epilogue: dump the walk's final DAG and restore it into
+    # a READ-ONLY clone (the reference's dump/restore escape hatch —
+    # LoadCommits/LoadBranches run WriteOptions.Force on read-only
+    # repos). Every branch's committed listing must match the model,
+    # and every mutating entry point must refuse.
+    import os as _os
+    import shutil as _sh
+
+    dump_dir = str(tmp_path / f"dump{seed}")
+    _os.makedirs(dump_dir, exist_ok=True)
+    repo.dump_refs(dump_dir)
+    ro_root = str(tmp_path / f"ro{seed}")
+    ro = Repository.create(spark, ro_root, read_only=True)
+    for sub in ("ranges", "manifests"):
+        _sh.copytree(
+            _os.path.join(repo.root, sub), _os.path.join(ro_root, sub),
+            dirs_exist_ok=True,
+        )
+    ro.restore_refs(dump_dir, force=True)
+    for b2 in branches:
+        got = {
+            r["key"]: r["identity"]
+            for r in ro.list_entries(b2).select("key", "identity").collect()
+        }
+        assert got == model.commits[model.branches[b2]["head"]][0], (
+            f"read-only clone listing mismatch on {b2}"
+        )
+    with pytest.raises(ReadOnlyRepositoryError):
+        ro.stage_entries("main", _df(spark, {"x": "y"}))
+    with pytest.raises(ReadOnlyRepositoryError):
+        ro.commit("main", "nope")
+    with pytest.raises(ReadOnlyRepositoryError):
+        ro.merge(branches[-1], "main")
+    with pytest.raises(ReadOnlyRepositoryError):
+        ro.protect_branch("main")
+    ops_hit.add("read_only_refusal")
+
     # the walk must genuinely exercise the op mix (seeds are pinned so
     # this holds deterministically; re-search seeds if the mix changes)
     assert {"stage", "delete", "commit"} <= ops_hit, ops_hit
     assert ops_hit & {"cherry_pick", "cherry_conflict", "cherry_noop"}, ops_hit
-    assert "import" in ops_hit, ops_hit
+    assert ops_hit & {"import", "import_hidden"}, ops_hit
+    assert "protect_refusal" in ops_hit, ops_hit
+    assert "read_only_refusal" in ops_hit, ops_hit
     assert ops_hit & {"merge", "merge_squash"}, ops_hit
-    print(f"seed {seed} ops: {sorted(ops_hit)}")
+    assert len(ops_hit) >= MIN_OPS[seed], (len(ops_hit), sorted(ops_hit))
+    print(f"seed {seed} ops ({len(ops_hit)}): {sorted(ops_hit)}")

@@ -887,3 +887,236 @@ def test_export_bounded_range_size_and_still_canonical(spark, tmp_path):
                                          raggedness=rag)
     assert chain[0][1] == mid1
     assert chain[1][1] == mid2_full
+
+
+# ---------------------------------------------------------------------------
+# round 10: byte-budgeted export chunking, snappy compression, empty
+# metaranges, two-level index writer, descriptor-count cross-check
+# ---------------------------------------------------------------------------
+
+
+def _fat_rows(n, meta_kb=4):
+    """(key, ver, size) rows whose exported records are multi-KB: the
+    metadata map carries ~meta_kb KB of INCOMPRESSIBLE hex (real lakeFS
+    values can run to ~41 MB — pkg/graveler/committed/value.go:23)."""
+    import hashlib
+
+    from lakefs_spark.schema import ENTRY_SCHEMA
+
+    return [
+        {
+            "key": f"fat/{i:06d}",
+            "identity": hashlib.sha256(f"{i}".encode()).hexdigest(),
+            "address": f"s3://b/fat/{i:06d}",
+            "address_type": "FULL",
+            "size": i + 1,
+            "etag": f"e-{i}",
+            "last_modified": None,
+            "metadata": {
+                "blob": hashlib.sha256(f"m{i}".encode()).hexdigest()
+                * (meta_kb * 16)
+            },
+            "content_type": None,
+        }
+        for i in range(n)
+    ], ENTRY_SCHEMA
+
+
+def test_export_byte_budget_caps_sst_size(spark, tmp_path, monkeypatch):
+    """The reference breaks a range when the accumulated size crosses
+    max_range_size_bytes (20 MiB — defaults.go:97, writer.go:168-183);
+    rows-only slicing let a fat-metadata corpus emit one .sst far over
+    the cap, serializing a whole task. With the byte budget, every
+    exported range's logical size lands within one record of the cap —
+    and chunking stays canonical (incremental == full)."""
+    from lakefs_spark.storage.repo import Repository
+
+    src = Repository.create(spark, str(tmp_path / "src"))
+    rows, schema = _fat_rows(400, meta_kb=4)  # ~1.7 MB of records
+    src.stage_entries("main", spark.createDataFrame(rows, schema))
+    c1 = src.commit("main", "fat c1")
+
+    cap = 100_000
+    monkeypatch.setattr(S, "EXPORT_MAX_RANGE_BYTES", cap)
+    out = str(tmp_path / "exp")
+    # raggedness >> n keys: ONE level-1 chunk — the byte budget alone
+    # must do the splitting
+    mid, n_ranges, total = S.export_to_lakefs(src, c1.commit_id, out,
+                                              raggedness=10_000)
+    assert total == 400 and n_ranges > 10
+    descs = S.read_metarange_sstable(S.read_file(os.path.join(out, mid)))
+    per_rec = max(d["estimated_size"] // d["count"] for d in descs)
+    for d in descs:
+        assert d["estimated_size"] <= cap + per_rec, d
+    # every .sst parses and the union reproduces the snapshot exactly
+    keys = []
+    for d in descs:
+        keys += [e["key"] for e in S.read_range_sstable(
+            S.read_file(os.path.join(out, d["range_id"])))]
+    assert keys == sorted(keys) and len(keys) == 400
+    # canonical: a payload edit later re-exports incrementally to the
+    # SAME metarange a full export produces
+    _stage_rows(src, [("fat/000100", "v2", 9)])
+    c2 = src.commit("main", "edit")
+    chain = S.export_history(src, [c1.commit_id, c2.commit_id],
+                             str(tmp_path / "inc"), raggedness=10_000)
+    mid2_full, _, _ = S.export_to_lakefs(src, c2.commit_id, out,
+                                         raggedness=10_000)
+    assert chain[0][1] == mid and chain[1][1] == mid2_full
+
+
+def test_writer_snappy_default_shrinks_and_roundtrips():
+    """The reference writes Snappy blocks (sstable.SnappyCompression,
+    writer.go:48-51). Our builder now defaults to snappy with per-block
+    fallback-to-raw (Pebble's rule): ids are unchanged (they derive
+    from RECORDS, not file bytes), tables round-trip through our
+    reader, and compressible payloads shrink >=2x."""
+    entries = [
+        {
+            "key": f"k/{i:06d}",
+            "identity": f"{i:064x}",
+            "address": f"data/part-{i:06d}",
+            "address_type": "RELATIVE",
+            "size": i,
+            "etag": f"{i:032x}",
+            "last_modified_s": 1700000000,
+            "metadata": {"lang": "en", "split": "train"},
+            "content_type": "text/plain",
+        }
+        for i in range(4000)
+    ]
+    buf_snappy, rid_s, rd_s = S.write_range_sstable(entries)
+    buf_raw, rid_r, rd_r = S.write_range_sstable(
+        entries, compression=S.COMPRESSION_NONE
+    )
+    assert rid_s == rid_r and rd_s == rd_r
+    assert len(buf_raw) >= 2 * len(buf_snappy), (len(buf_raw), len(buf_snappy))
+    back = S.read_range_sstable(buf_snappy)
+    assert back == S.read_range_sstable(buf_raw)
+    assert len(back) == 4000 and back[0]["key"] == "k/000000"
+    # incompressible blocks fall back to raw per-block, never grow
+    import hashlib as _h
+
+    noise = [
+        {**e, "metadata": {"x": _h.sha256(e["key"].encode()).hexdigest() * 8}}
+        for e in entries[:500]
+    ]
+    bn, _, _ = S.write_range_sstable(noise)
+    bu, _, _ = S.write_range_sstable(noise, compression=S.COMPRESSION_NONE)
+    assert len(bn) <= len(bu) + 64
+
+
+def test_writer_two_level_index_roundtrip(monkeypatch):
+    """Past the index-size threshold the builder writes a PARTITIONED
+    (two-level) index — what Pebble itself does for large tables — and
+    our reader (which has always handled both, pinned by the h.*
+    golden fixtures) round-trips it. A metarange big enough to trip
+    the real 4 MiB threshold needs ~100k ranges, so the threshold is
+    lowered instead."""
+    import struct as _struct
+
+    monkeypatch.setattr(S, "INDEX_TWO_LEVEL_THRESHOLD", 2048)
+    entries = [
+        {
+            "key": f"two/{i:07d}",
+            "identity": f"{i:064x}",
+            "address": f"a/{i}",
+            "address_type": "RELATIVE",
+            "size": 1,
+            "etag": "e",
+            "last_modified_s": None,
+            "metadata": None,
+            "content_type": None,
+        }
+        for i in range(20_000)
+    ]
+    buf, rid, rd = S.write_range_sstable(entries)
+    props = S.read_properties(buf)
+    itype = _struct.unpack("<I", props[S.INDEX_TYPE_KEY][:4])[0]
+    assert itype == S.INDEX_TYPE_TWO_LEVEL
+    back = S.read_range_sstable(buf)
+    assert [e["key"] for e in back] == [e["key"] for e in entries]
+    # under the threshold the index stays single-level
+    small, _, _ = S.write_range_sstable(entries[:10])
+    sp = S.read_properties(small)
+    assert _struct.unpack("<I", sp[S.INDEX_TYPE_KEY][:4])[0] == 0
+
+
+def test_export_empty_snapshot_and_history(spark, tmp_path):
+    """A commit whose tree is EMPTY (every key deleted) is real lakeFS
+    history and must export: the metarange has zero descriptors, the
+    chain stays canonical through it, and migrate_history replays the
+    empty step as an empty tree (round-trip both directions)."""
+    from lakefs_spark.storage.repo import Repository
+
+    src = Repository.create(spark, str(tmp_path / "src"))
+    src.raggedness = 20
+    _stage_rows(src, [(f"e/{i:04d}", "v1", 1) for i in range(60)])
+    c1 = src.commit("main", "c1")
+    src.stage_deletes("main", [f"e/{i:04d}" for i in range(60)])
+    c2 = src.commit("main", "wipe")
+    _stage_rows(src, [(f"f/{i:04d}", "v1", 1) for i in range(30)])
+    c3 = src.commit("main", "regrow")
+
+    out = str(tmp_path / "exp")
+    chain = S.export_history(
+        src, [c1.commit_id, c2.commit_id, c3.commit_id], out, raggedness=20
+    )
+    # the empty commit's metarange: zero descriptors, equal to its own
+    # full export
+    mid2 = chain[1][1]
+    assert S.read_metarange_sstable(S.read_file(os.path.join(out, mid2))) == []
+    mid2_full, n2, total2 = S.export_to_lakefs(src, c2.commit_id, out,
+                                               raggedness=20)
+    assert (mid2_full, n2, total2) == (mid2, 0, 0)
+    # and c3's full export matches the incremental chain (prev empty →
+    # whole-export path)
+    mid3_full, _, _ = S.export_to_lakefs(src, c3.commit_id, out,
+                                         raggedness=20)
+    assert chain[2][1] == mid3_full
+
+    # replay the chain into a fresh repo: snapshots match step-for-step
+    dst = Repository.create(spark, str(tmp_path / "dst"))
+    commits = S.migrate_history(
+        dst, [(os.path.join(out, m), f"step {i}") for i, (_, m) in
+              enumerate(chain)], out
+    )
+    assert dst.snapshot(commits[1].commit_id).count() == 0
+    got = sorted(r["key"] for r in
+                 dst.snapshot(commits[2].commit_id).select("key").collect())
+    assert got == [f"f/{i:04d}" for i in range(30)]
+
+
+def test_migrate_rejects_descriptor_count_mismatch(spark, tmp_path):
+    """entries_imported is the metarange descriptor sum — now VERIFIED:
+    a descriptor promising more rows than its range holds fails typed
+    (BadSSTable) executor-side instead of silently misreporting
+    (round-9 advice)."""
+    from lakefs_spark.storage.repo import Repository
+
+    entries = [
+        {
+            "key": f"m/{i}",
+            "identity": f"{i:064x}",
+            "address": f"a/{i}",
+            "address_type": "RELATIVE",
+            "size": 1,
+            "etag": "e",
+            "last_modified_s": None,
+            "metadata": None,
+            "content_type": None,
+        }
+        for i in range(5)
+    ]
+    buf, rid, rd = S.write_range_sstable(entries)
+    lying = {**rd, "count": 7}
+    mbuf, mid = S.write_metarange_sstable([lying])
+    out = str(tmp_path / "exp")
+    os.makedirs(out)
+    with open(os.path.join(out, rid), "wb") as f:
+        f.write(buf)
+    with open(os.path.join(out, mid), "wb") as f:
+        f.write(mbuf)
+    dst = Repository.create(spark, str(tmp_path / "dst"))
+    with pytest.raises(Exception, match="promises 7 entries, table holds 5"):
+        S.migrate_from_lakefs(dst, os.path.join(out, mid), out)

@@ -3,9 +3,11 @@
 
 For each N: synthesize N entries → commit in repo A →
 ``export_to_lakefs`` (one range-partitioned shuffle, ranges built
-executor-side) → ``migrate_from_lakefs`` into repo B (distributed
-binaryFile+mapInPandas parse) → verify the two snapshots are
-row-identical with an exceptAll. Prints one JSON line per point.
+executor-side, Snappy blocks) → ``migrate_from_lakefs`` into repo B
+(distributed names-sharded RangeFS parse — NOT binaryFile, whose
+small-file partition packing collapses parallelism) → verify the two
+snapshots are row-identical with an exceptAll. Prints one JSON line
+per point.
 
 Usage:
   python tools/profile_migration.py [N ...]       (default 600000 6000000)
