@@ -398,6 +398,49 @@ class Catalog:
     def diff_refs(self, left_ref: str, right_ref: str) -> DataFrame:
         return self.repo.diff(left_ref, right_ref)
 
+    def diff_refs_paged(
+        self,
+        left_ref: str,
+        right_ref: str,
+        prefix: str = "",
+        after: str = "",
+        delimiter: str = "",
+        amount: int = 100,
+    ) -> dict:
+        """diffRefs with the API's pagination + delimiter-grouping
+        envelope (pkg/api/controller.go DiffRefs →
+        pkg/catalog/catalog.go listDiffHelper): grouped rows are
+        ``path_type: common_prefix`` typed ``prefix_changed``; the
+        cursor in delimiter mode seeks past the whole group the
+        previous page ended on (GetStartPos). Plan shape: the fold and
+        the limit+1 probe run INSIDE Spark, so a page over a huge diff
+        collects O(amount) rows."""
+        from lakefs_spark.operators.listing import fold_diff
+
+        folded = fold_diff(
+            self.repo.diff(left_ref, right_ref), prefix, after, delimiter
+        )
+        rows = [r.asDict() for r in folded.limit(amount + 1).collect()]
+        page, has_more = rows[:amount], len(rows) > amount
+        results = [
+            {
+                "path": r["key"],
+                "path_type": (
+                    "common_prefix" if r["is_common"] else "object"
+                ),
+                "type": r["diff_type"],
+            }
+            for r in page
+        ]
+        return {
+            "pagination": {
+                "has_more": has_more,
+                "next_offset": page[-1]["key"] if has_more and page else "",
+                "results": len(page),
+            },
+            "results": results,
+        }
+
     def diff_branch(self, branch: str) -> DataFrame:
         """Uncommitted changes of a branch (diffBranch)."""
         return self.repo.uncommitted(branch)

@@ -439,9 +439,7 @@ def make_lakefs_client(repo, content_loader=None, cleanups: list | None = None) 
         # pkg/api/controller.go DiffRefs). The diff plan itself is
         # cached per (left, right) so an N-page walk doesn't recompute
         # the range-granular diff N times.
-        from pyspark.sql import functions as F
-
-        from lakefs_spark.functions.prefix import upper_bound_for_prefix
+        from lakefs_spark.operators.listing import fold_diff
 
         limit = int(amount) if amount else 100
         try:
@@ -453,55 +451,13 @@ def make_lakefs_client(repo, content_loader=None, cleanups: list | None = None) 
                 _diff_cache.clear()
                 df = repo.diff(left, right).cache()
                 _diff_cache[cache_key] = df
-            if prefix:
-                df = df.filter(F.col("key").startswith(prefix))
-            if after:
-                if delimiter:
-                    # the reference's cursor seek in delimiter mode is
-                    # SeekGE(UpperBoundForPrefix(after)) — skip the
-                    # whole group the previous page ended on
-                    # (pkg/catalog/catalog.go GetStartPos:1983-1991)
-                    ub = upper_bound_for_prefix(after)
-                    if ub is not None:
-                        df = df.filter(F.col("key") >= ub)
-                else:
-                    df = df.filter(F.col("key") > after)
-            if delimiter:
-                # grouped diff (pkg/catalog/catalog.go listDiffHelper:
-                # 2014-2035): a diff row whose key continues past the
-                # first delimiter after `prefix` folds into ONE
-                # common-prefix row, always typed prefix_changed; keys
-                # without a delimiter pass through as object rows
-                plen = len(prefix or "")
-                suffix = F.substring(F.col("key"), plen + 1, 1_000_000)
-                pos = F.instr(suffix, delimiter)
-                leaves = df.where(pos == 0).select(
-                    "key", "diff_type", F.lit(False).alias("is_common")
-                )
-                groups = (
-                    df.where(pos > 0)
-                    .select(
-                        F.concat(
-                            F.lit(prefix or ""),
-                            suffix.substr(F.lit(1), pos + len(delimiter) - 1),
-                        ).alias("key")
-                    )
-                    .distinct()
-                    .select(
-                        "key",
-                        F.lit("prefix_changed").alias("diff_type"),
-                        F.lit(True).alias("is_common"),
-                    )
-                )
-                df = leaves.unionByName(groups)
-            else:
-                df = df.select(
-                    "key", "diff_type", F.lit(False).alias("is_common")
-                )
-            rows = [
-                r.asDict()
-                for r in df.orderBy("key").limit(limit + 1).collect()
-            ]
+            # grouped diff + cursor seek = the shared listDiffHelper
+            # fold (operators/listing.fold_diff — the same transform
+            # backing Catalog.diff_refs_paged)
+            folded = fold_diff(
+                df, prefix or "", after or "", delimiter or ""
+            )
+            rows = [r.asDict() for r in folded.limit(limit + 1).collect()]
         except Exception as e:  # noqa: BLE001
             return (400, py_to_lua({"message": str(e)}))
         page, has_more = rows[:limit], len(rows) > limit

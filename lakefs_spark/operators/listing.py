@@ -88,3 +88,66 @@ def list_entries(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def fold_diff(
+    diff: DataFrame,
+    prefix: str = "",
+    after: str = "",
+    delimiter: str = "",
+) -> DataFrame:
+    """listDiffHelper's filter + common-prefix fold
+    (pkg/catalog/catalog.go:1994-2060) as one DataFrame transform,
+    shared by the catalog's paged diff and the Lua client shim.
+
+    - prefix filter in closed-range form (pushes down);
+    - cursor seek: ``key > after``, or in delimiter mode
+      ``key >= UpperBoundForPrefix(after)`` (GetStartPos,
+      catalog.go:1983-1991 — the previous page's last item may be a
+      common prefix whose whole group must be skipped; this also
+      reproduces the reference's skipping of leaves that extend a
+      LEAF cursor, deliberate parity, not a bug fix);
+    - delimiter fold: a diff row whose key continues past the first
+      delimiter after ``prefix`` collapses into ONE common-prefix row,
+      ALWAYS typed ``prefix_changed`` (the reference never inspects
+      group members — "seeing if a common prefix is e.g. deleted is
+      O(N)", catalog.go:2026).
+
+    Returns ``(key, diff_type, is_common)`` ordered by key; the
+    limit+1 hasMore probe is the caller's job.
+    """
+    df = diff.where(prefix_predicate(F.col("key"), prefix))
+    if after:
+        if delimiter:
+            from lakefs_spark.functions.prefix import upper_bound_for_prefix
+
+            ub = upper_bound_for_prefix(after)
+            if ub is not None:
+                df = df.where(F.col("key") >= F.lit(ub))
+        else:
+            df = df.where(F.col("key") > F.lit(after))
+    if not delimiter:
+        return df.select(
+            "key", "diff_type", F.lit(False).alias("is_common")
+        ).orderBy("key")
+    suffix = F.substring(F.col("key"), len(prefix) + 1, 1_000_000)
+    pos = F.instr(suffix, delimiter)
+    leaves = df.where(pos == 0).select(
+        "key", "diff_type", F.lit(False).alias("is_common")
+    )
+    groups = (
+        df.where(pos > 0)
+        .select(
+            F.concat(
+                F.lit(prefix),
+                suffix.substr(F.lit(1), pos + len(delimiter) - 1),
+            ).alias("key")
+        )
+        .distinct()
+        .select(
+            "key",
+            F.lit("prefix_changed").alias("diff_type"),
+            F.lit(True).alias("is_common"),
+        )
+    )
+    return leaves.unionByName(groups).orderBy("key")

@@ -33,6 +33,19 @@ def get_spark(app_name: str = "lakefs_spark", shuffle_partitions: int | None = N
         # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long ns and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # JVM<->Python-worker transport over UNIX DOMAIN SOCKETS (Spark
+        # 4.1), not loopback TCP. Not a tuning whim: on this kernel the
+        # TCP loopback path was observed to collapse mid-job — the
+        # executor's advertised receive window stuck at 1024 bytes with
+        # an EMPTY Recv-Q (ss: rwnd_limited 99.9%, retransmits and
+        # reordering ON LOOPBACK), throttling an Arrow stream to ~5
+        # KB/s and stalling a 24M-row migration indefinitely. UDS
+        # bypasses TCP flow control entirely (and drops per-batch TCP
+        # overhead as a bonus). Env-overridable for A/B.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            os.environ.get("SPARK_GRAFT_UDS", "true"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -407,3 +407,54 @@ def test_update_metadata_preserves_address_type(spark, tmp_path):
     assert got["address_type"] == "FULL"
     assert got["address"] == "s3://bkt/abs/x"
     assert dict(got["metadata"]) == {"team": "data"}
+
+
+def test_diff_refs_paged_delimiter_grouping(cat, spark):
+    """diff_refs_paged mirrors the API's listDiffHelper envelope
+    (pkg/api/controller.go DiffRefs, pkg/catalog/catalog.go:1994-2060):
+    grouped rows are common_prefix/prefix_changed, leaves keep their
+    diff type, and the delimiter-mode cursor seeks past the WHOLE group
+    (UpperBoundForPrefix) — including the reference's deliberate
+    skipping of leaves that extend a leaf cursor."""
+    from lakefs_spark.schema import ENTRY_SCHEMA
+
+    cat.repo.set_entry("main", {"key": "seed", "identity": "i0",
+                                "size": 1, "etag": "e"})
+    cat.repo.commit("main", "seed")
+    cat.repo.create_branch("dev", "main")
+    cat.repo.stage_entries(
+        "dev",
+        spark.createDataFrame(
+            [(k, f"id-{k}", f"a/{k}", "RELATIVE", 1, "e", None, None, "t")
+             for k in ["a/1", "a/2", "b/1", "c", "ca"]],
+            ENTRY_SCHEMA,
+        ),
+    )
+    cat.repo.commit("dev", "adds")
+
+    body = cat.diff_refs_paged("main", "dev", delimiter="/")
+    assert [(r["path"], r["path_type"], r["type"]) for r in body["results"]] == [
+        ("a/", "common_prefix", "prefix_changed"),
+        ("b/", "common_prefix", "prefix_changed"),
+        ("c", "object", "added"),
+        ("ca", "object", "added"),
+    ]
+    assert body["pagination"]["has_more"] is False
+
+    # cursor walk at amount=1: a/ → b/ → c → END ('ca' is skipped by
+    # the UpperBoundForPrefix seek after the page ending at leaf 'c' —
+    # reference semantics, reproduced not "fixed")
+    walked, cursor = [], ""
+    while True:
+        page = cat.diff_refs_paged("main", "dev", after=cursor,
+                                   delimiter="/", amount=1)
+        walked += [r["path"] for r in page["results"]]
+        if not page["pagination"]["has_more"]:
+            break
+        cursor = page["pagination"]["next_offset"]
+    assert walked == ["a/", "b/", "c"]
+
+    # prefix narrows to one group's members as objects
+    body = cat.diff_refs_paged("main", "dev", prefix="a/", delimiter="/")
+    assert [r["path"] for r in body["results"]] == ["a/1", "a/2"]
+    assert all(r["path_type"] == "object" for r in body["results"])
