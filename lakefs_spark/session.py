@@ -28,6 +28,15 @@ def get_spark(app_name: str = "lakefs_spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batches by BYTES, not just the 10k-row default:
+        # rows with multi-MB values (metadata maps can run to ~41 MB in
+        # the reference's own bound, pkg/graveler/committed/value.go:23)
+        # would otherwise make one batch — and thus every Pandas-UDF
+        # task's working set — arbitrarily large
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
@@ -40,8 +49,10 @@ def get_spark(app_name: str = "lakefs_spark", shuffle_partitions: int | None = N
         # an EMPTY Recv-Q (ss: rwnd_limited 99.9%, retransmits and
         # reordering ON LOOPBACK), throttling an Arrow stream to ~5
         # KB/s and stalling a 24M-row migration indefinitely. UDS
-        # bypasses TCP flow control entirely (and drops per-batch TCP
-        # overhead as a bonus). Env-overridable for A/B.
+        # bypasses TCP flow control entirely; an interleaved on/off
+        # B1-B7 A/B measured NO throughput difference (means 29.4 s
+        # both arms), so this removes the wedge failure class for
+        # free. Env-overridable for A/B.
         .config(
             "spark.python.unix.domain.socket.enabled",
             os.environ.get("SPARK_GRAFT_UDS", "true"),

@@ -841,37 +841,37 @@ def _lakefs_props(kind: bytes, records, estimated_size: int) -> dict[bytes, byte
     }
 
 
-def encode_entry_records(entries: list[dict]) -> list[tuple[bytes, bytes]]:
-    """Entry rows (ENTRY_SCHEMA-shaped dicts) → (key, graveler-value)
-    record pairs — the byte form whose lengths drive range splitting
-    and whose content derives the lakeFS range id."""
+def _encode_entry_record(e: dict) -> tuple[bytes, bytes]:
+    """One entry row (ENTRY_SCHEMA-shaped dict) → a (key,
+    graveler-value) record pair — the byte form whose length drives
+    range splitting and whose content derives the lakeFS range id."""
     import re as _re
 
-    records = []
-    for e in entries:
-        # deterministic boundary: ONLY canonical lowercase even-length
-        # hex takes the hex path (bytes.fromhex alone also accepts
-        # uppercase and internal whitespace, which would mutate such
-        # identities on a round-trip); everything else is a foreign
-        # identity and exports as its utf-8 bytes — valid for lakeFS
-        # (Identity is raw bytes), though a re-IMPORT through our
-        # reader renders it as hex
-        if _re.fullmatch(r"(?:[0-9a-f]{2})+", e["identity"] or ""):
-            ident = bytes.fromhex(e["identity"])
-        else:
-            ident = e["identity"].encode("utf-8")
-        lm = e.get("last_modified_s")
-        lmv = e.get("last_modified")
-        # NaT-safe: pandas NaT is not None but NaT != NaT
-        if lm is None and lmv is not None and lmv == lmv:
-            import calendar
+    # deterministic boundary: ONLY canonical lowercase even-length
+    # hex takes the hex path (bytes.fromhex alone also accepts
+    # uppercase and internal whitespace, which would mutate such
+    # identities on a round-trip); everything else is a foreign
+    # identity and exports as its utf-8 bytes — valid for lakeFS
+    # (Identity is raw bytes), though a re-IMPORT through our
+    # reader renders it as hex
+    if _re.fullmatch(r"(?:[0-9a-f]{2})+", e["identity"] or ""):
+        ident = bytes.fromhex(e["identity"])
+    else:
+        ident = e["identity"].encode("utf-8")
+    lm = e.get("last_modified_s")
+    lmv = e.get("last_modified")
+    # NaT-safe: pandas NaT is not None but NaT != NaT
+    if lm is None and lmv is not None and lmv == lmv:
+        import calendar
 
-            lm = calendar.timegm(lmv.timetuple())
-        data = encode_entry_proto({**e, "last_modified_s": lm})
-        records.append(
-            (e["key"].encode("utf-8"), build_graveler_value(ident, data))
-        )
-    return records
+        lm = calendar.timegm(lmv.timetuple())
+    data = encode_entry_proto({**e, "last_modified_s": lm})
+    return e["key"].encode("utf-8"), build_graveler_value(ident, data)
+
+
+def encode_entry_records(entries: list[dict]) -> list[tuple[bytes, bytes]]:
+    """Entry rows → (key, graveler-value) record pairs."""
+    return [_encode_entry_record(e) for e in entries]
 
 
 def write_range_records(
@@ -1168,59 +1168,18 @@ _DESC_COLS = ["range_id", "min_key", "max_key", "estimated_size", "count"]
 # Content-defined (hash-rule) chunk sizes are geometric: the LARGEST of
 # n chunks runs ~ln(n) times the mean, and one oversized .sst serializes
 # a whole executor task on both the build and the re-import parse. A
-# level-1 chunk is therefore sliced deterministically on TWO budgets:
-# bytes — the reference's own bound (max_range_size_bytes = 20 MiB,
-# pkg/config/defaults.go:97; its writer breaks when the accumulated
-# size crosses it, pkg/graveler/sstable/writer.go:168-183) — and rows
-# (FACTOR x raggedness, a parse-cost bound bytes alone can't give when
-# values are tiny). Both slicings are pure functions of that chunk's
-# own sorted records, so locality (edits elsewhere never move these
-# boundaries) and canonical chunking (incremental == full) survive.
+# level-1 chunk is therefore split on TWO budgets by the reference's
+# own greedy accumulator (ShouldBreakAtKey,
+# pkg/graveler/sstable/writer.go:168-183): close the range AFTER the
+# record that crosses max_range_size_bytes (20 MiB,
+# pkg/config/defaults.go:97), or at the row cap (FACTOR x raggedness,
+# a parse-cost bound bytes alone can't give when values are tiny).
+# The accumulator restarts at every content-defined boundary, so the
+# split stays a pure function of that chunk's own sorted records —
+# locality (edits elsewhere never move these boundaries) and canonical
+# chunking (incremental == full) both survive.
 EXPORT_MAX_ROWS_FACTOR = 3
 EXPORT_MAX_RANGE_BYTES = 20 * 1024 * 1024  # defaults.go:97
-
-
-def _byte_split(sizes: list[int], max_bytes: int) -> list[int]:
-    """Deterministic near-equal-BYTE slice row-counts: k = ceil(total /
-    max_bytes) slices, cut where the cumulative byte count crosses each
-    i*total/k threshold. Every slice lands within one record of
-    total/k <= max_bytes (an single record larger than the budget
-    cannot be split — the reference's writer has the same property,
-    it breaks only between records)."""
-    n = len(sizes)
-    total = sum(sizes)
-    k = min(max(-(-total // max_bytes), 1), n) if n else 1
-    if k <= 1:
-        return [n] if n else []
-    counts = []
-    cum = 0
-    prev_cut = 0
-    nxt = 1
-    for j in range(n):
-        cum += sizes[j]
-        if nxt < k and (
-            cum * k >= total * nxt or n - (j + 1) == k - nxt
-        ):
-            counts.append(j + 1 - prev_cut)
-            prev_cut = j + 1
-            nxt += 1
-    counts.append(n - prev_cut)
-    return counts
-
-
-def _split_counts(sizes: list[int], max_bytes: int, max_rows: int) -> list[int]:
-    """Deterministic slice row-counts for one level-1 chunk honoring
-    both budgets: equal-byte slicing first, then any slice still over
-    ``max_rows`` rows re-splits into near-equal row counts."""
-    out = []
-    for c in _byte_split(sizes, max_bytes):
-        if c <= max_rows:
-            out.append(c)
-            continue
-        k = -(-c // max_rows)
-        base, extra = divmod(c, k)
-        out.extend(base + (1 if i < extra else 0) for i in range(k))
-    return out
 
 
 def _desc_schema():
@@ -1239,41 +1198,82 @@ def _desc_schema():
 
 def _write_ranges(entries_df, fs: RangeFS, boundaries: list[str], raggedness: int) -> list[dict]:
     """Chunk a (sub)snapshot by the content-defined boundary rule and
-    build one .sst per chunk EXECUTOR-side: ``assign_chunks`` is a
-    broadcast binary-search (no shuffle), then ONE shuffle groups each
-    chunk onto a task which builds the table, publishes it through the
-    RangeFS put-if-absent write, and returns only its descriptor row.
-    The driver sees descriptors, never range contents."""
-    import pandas as pd
+    build .sst files EXECUTOR-side with a STREAMING builder:
+    ``assign_chunks`` is a broadcast binary-search (no shuffle), ONE
+    shuffle co-locates each chunk (hash of chunk_idx) sorted by key,
+    then ``mapInPandas`` streams Arrow batches through a builder whose
+    working set is the CURRENT range (~20 MiB), never a whole chunk —
+    so a chunk with multi-MB metadata values cannot OOM a task the way
+    an applyInPandas group materialization would (the groups here are
+    geometric: the largest runs ~ln(n) times the mean). Each closed
+    range publishes through the RangeFS put-if-absent write; only
+    descriptor rows flow back, and the driver never sees contents.
 
+    In-chunk splitting is the reference's greedy accumulator
+    (ShouldBreakAtKey, writer.go:168-183): close AFTER the record that
+    crosses EXPORT_MAX_RANGE_BYTES (so a range can exceed the budget
+    by at most one record — the reference has the same property), or
+    at the row cap; ALWAYS close at a chunk boundary, which restarts
+    the accumulator and keeps the split a pure function of the chunk's
+    own records (canonical chunking: incremental == full)."""
     from lakefs_spark.plans.chunker import assign_chunks
 
     chunked = assign_chunks(entries_df, "key", raggedness, boundaries)
     max_rows = raggedness * EXPORT_MAX_ROWS_FACTOR
+    spark = entries_df.sparkSession
+    par = max(spark.sparkContext.defaultParallelism * 2, 2)
+    # chunk_idx is monotone in key, so sorting (chunk_idx, key) within
+    # a partition leaves every chunk contiguous and internally ordered
+    dist = chunked.repartition(par, "chunk_idx").sortWithinPartitions(
+        "chunk_idx", "key"
+    )
 
-    def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("key")
-        entries = pdf.drop(columns=["chunk_idx"]).to_dict("records")
-        for e in entries:
-            lm = e.get("last_modified")
-            e["last_modified_s"] = (
-                None
-                if lm is None or pd.isna(lm)
-                else int(pd.Timestamp(lm).timestamp())
-            )
-            if not isinstance(e.get("metadata"), dict):
-                e["metadata"] = None
-        records = encode_entry_records(entries)
-        sizes = [len(k) + len(v) for k, v in records]
-        out, start = [], 0
-        for sz in _split_counts(sizes, EXPORT_MAX_RANGE_BYTES, max_rows):
-            buf, rid, rd = write_range_records(records[start : start + sz])
-            fs.write(rid, buf)
-            out.append(rd)
-            start += sz
-        return pd.DataFrame(out, columns=_DESC_COLS)
+    def _build_stream(batches):
+        import pandas as pd
 
-    descs = chunked.groupBy("chunk_idx").applyInPandas(_build, _desc_schema()).collect()
+        cur_chunk = None
+        records: list[tuple[bytes, bytes]] = []
+        nbytes = 0
+        descs: list[dict] = []
+
+        def _close() -> None:
+            nonlocal records, nbytes
+            if records:
+                buf, rid, rd = write_range_records(records)
+                fs.write(rid, buf)
+                descs.append(rd)
+                records, nbytes = [], 0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            chunk_ids = pdf["chunk_idx"].tolist()
+            entries = pdf.drop(columns=["chunk_idx"]).to_dict("records")
+            for e, ci in zip(entries, chunk_ids):
+                if ci != cur_chunk:
+                    _close()
+                    cur_chunk = ci
+                lm = e.get("last_modified")
+                e["last_modified_s"] = (
+                    None
+                    if lm is None or pd.isna(lm)
+                    else int(pd.Timestamp(lm).timestamp())
+                )
+                if not isinstance(e.get("metadata"), dict):
+                    e["metadata"] = None
+                k, v = _encode_entry_record(e)
+                records.append((k, v))
+                nbytes += len(k) + len(v)
+                if len(records) >= max_rows or nbytes >= EXPORT_MAX_RANGE_BYTES:
+                    _close()
+        _close()
+        yield (
+            pd.DataFrame(descs, columns=_DESC_COLS)
+            if descs
+            else pd.DataFrame(columns=_DESC_COLS)
+        )
+
+    descs = dist.mapInPandas(_build_stream, _desc_schema()).collect()
     return [r.asDict() for r in descs]
 
 
