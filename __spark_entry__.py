@@ -304,6 +304,28 @@ def q_sampling_weights(spark, sf_dir):
     return P.sampling_weights(_docs(spark, sf_dir), "lang", alpha=0.7, budget=1000)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): per-doc sum of
+    add-one-smoothed log ratios of hashed unigram+bigram buckets,
+    target = src0 exemplars vs the whole corpus — bucket-weight table
+    broadcasts, corpus aggregates once on doc_id
+    (operators/pipeline.dsir_importance)."""
+    from lakefs_spark.operators import pipeline as P
+
+    docs = _docs(spark, sf_dir)
+    return P.dsir_importance(docs, docs.where(F.col("source") == "src0"))
+
+
+def q_dsir_top(spark, sf_dir):
+    """Deterministic DSIR importance-resampling selection: top-50 by
+    rounded log_weight, doc_id tie-break
+    (operators/pipeline.dsir_select)."""
+    from lakefs_spark.operators import pipeline as P
+
+    docs = _docs(spark, sf_dir)
+    return P.dsir_select(docs, docs.where(F.col("source") == "src0"), k=50)
+
+
 def q_sequence_packing(spark, sf_dir):
     """Greedy token-budget sequence packing (budget=512, 8 shards) via
     applyInPandas per shard; the oracle replays the same greedy walk
@@ -791,6 +813,23 @@ def _dedup_clusters_rows(spark, sf_dir):
         rows = [(r["member"], r["rep"]) for r in D.duplicate_clusters(pairs).collect()]
         _CLUSTERS_CACHE[key] = rows
     return rows
+
+
+def q_substring_spans(spark, sf_dir):
+    """Exact-substring dedup (ExactSubstr, Lee et al. 2021) — maximal
+    per-doc spans of tokens covered by any 8-token window occurring
+    2+ times anywhere in the corpus (operators/dedup.
+    duplicated_window_spans): window shuffle + gaps-and-islands fold,
+    no cartesian, no UDF."""
+    return D.duplicated_window_spans(_docs(spark, sf_dir), n=8, min_count=2)
+
+
+def q_substring_stats(spark, sf_dir):
+    """Per-doc roll-up of the exact-substring pass: span count,
+    duplicated-token count (spans are disjoint — exact, never
+    double-counted), total tokens, dup ratio; zero rows for clean
+    docs (operators/dedup.substring_dedup_stats)."""
+    return D.substring_dedup_stats(_docs(spark, sf_dir), n=8, min_count=2)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -3419,6 +3458,8 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "substring_spans": q_substring_spans,
+        "substring_stats": q_substring_stats,
         "corpus_funnel": q_corpus_funnel,
         "length_percentiles": q_length_percentiles,
         "repetition_scores": q_repetition_scores,
@@ -3426,6 +3467,8 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "pii_counts": q_pii_counts,
         "sampling_weights": q_sampling_weights,
+        "dsir_weights": q_dsir_weights,
+        "dsir_top": q_dsir_top,
         "sequence_packing": q_sequence_packing,
         "doc_chunks": q_doc_chunks,
         "passage_dedup": q_passage_dedup,

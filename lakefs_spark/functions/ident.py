@@ -35,12 +35,45 @@ _MASK64 = (1 << 64) - 1
 
 
 def fnv64a(data: bytes) -> int:
-    """Pure-python fnv-1a 64-bit (driver-side / numpy-vectorized in chunker)."""
+    """Pure-python fnv-1a 64-bit (driver-side; see fnv64a_np for batches)."""
     h = FNV64_OFFSET
     for b in data:
         h ^= b
         h = (h * FNV64_PRIME) & _MASK64
     return h
+
+
+def fnv64a_np(keys) -> "object":
+    """Vectorized fnv-1a 64 over an iterable of str/bytes → uint64 array.
+
+    Matches :func:`fnv64a` bit-for-bit (strings hashed as UTF-8, the
+    reference hashes the raw key bytes, writer.go:178-182). The fold
+    runs column-wise over a length-padded uint8 matrix: O(max_len)
+    vectorized passes per batch instead of O(total_bytes) Python-level
+    ops — the batch shape Arrow hands a pandas_udf.
+    """
+    import numpy as np
+
+    encoded = [
+        k.encode("utf-8") if isinstance(k, str) else bytes(k) for k in keys
+    ]
+    n = len(encoded)
+    out = np.full(n, FNV64_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    max_len = int(lens.max())
+    if max_len == 0:
+        return out
+    buf = np.zeros((n, max_len), dtype=np.uint8)
+    for i, b in enumerate(encoded):
+        if b:
+            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    prime = np.uint64(FNV64_PRIME)
+    for j in range(max_len):
+        live = lens > j
+        out[live] = (out[live] ^ buf[live, j].astype(np.uint64)) * prime
+    return out
 
 
 def _frame(parts: list[str]) -> str:

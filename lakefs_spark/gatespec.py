@@ -104,11 +104,15 @@ GATES: dict[str, list[str]] = {
         "ngram_jaccard",
         "dedup_clusters",
         "dedup_survivors",
+        "substring_spans",
+        "substring_stats",
     ],
     "simhash_gates": ["simhash", "simhash_near_dups"],
     "corpus_prep_gates": [
         "pii_counts",
         "sampling_weights",
+        "dsir_weights",
+        "dsir_top",
         "stratified_sample",
         "train_val_split",
         "label_centroids",
@@ -268,6 +272,10 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "cosine_pairs": [("qa", "bigint"), ("qb", "bigint"), ("sim", "double")],
     "csv_source": [("doc_id", "bigint"), ("lang", "string"), ("text", "string")],
     "dedup_clusters": [("member", "bigint"), ("rep", "bigint")],
+    "substring_spans": [("doc_id", "bigint"), ("start_tok", "bigint"), ("end_tok", "bigint"), ("span_tokens", "bigint")],
+    "dsir_weights": [("doc_id", "bigint"), ("n_feats", "bigint"), ("log_weight", "double")],
+    "dsir_top": [("rank", "bigint"), ("doc_id", "bigint"), ("log_weight", "double")],
+    "substring_stats": [("doc_id", "bigint"), ("n_spans", "bigint"), ("dup_tokens", "bigint"), ("total_tokens", "bigint"), ("dup_ratio", "double")],
     "dedup_exact": [("text_hash", "string"), ("rep_id", "bigint"), ("n_dups", "bigint")],
     "dedup_survivors": [("lang", "string"), ("n_docs", "bigint"), ("n_tokens", "bigint")],
     "delta_log_actions": [("path", "string"), ("size", "bigint")],

@@ -542,3 +542,112 @@ def token_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def duplicated_window_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans at token granularity — the
+    ExactSubstr rule of Lee et al., *Deduplicating Training Data Makes
+    Language Models Better* (2021), re-expressed relationally: every
+    length-``n`` token window whose exact text occurs ``min_count``+
+    times in the corpus (any document, any position — same-doc repeats
+    count) marks its tokens duplicated, and overlapping or touching
+    duplicated windows merge into maximal per-document spans.
+
+    Returns one row per maximal span: ``(doc_id, start_tok, end_tok,
+    span_tokens)`` with token positions 0-based, ``end_tok``
+    exclusive. A downstream cleaner can cut exactly these spans; the
+    suffix-array step of the paper is unnecessary because fixed-n
+    windows + island-merging recover the same maximal duplicated runs
+    for any duplicated substring of length >= n.
+
+    Scale shape (100 TB): window texts never leave the executors
+    un-aggregated — duplication is ONE window-function shuffle
+    partitioned by the window text (short: n tokens), and span
+    merging is the classic gaps-and-islands fold, ONE more shuffle on
+    (doc, pos). No cartesian product, no Python in the row path. At
+    extreme corpus sizes, swap the partition key for
+    ``xxhash64(wtext)`` to shuffle 8 bytes instead of text — kept
+    textual here so the semantics stay exactly oracle-checkable
+    (hash-collision-free).
+    """
+    win_expr = (
+        f"case when size(toks) >= {int(n)} then "
+        f"transform(sequence(0, size(toks) - {int(n)}), "
+        f"i -> struct(i as pos, array_join(slice(toks, i + 1, {int(n)}), ' ') as wtext)) "
+        f"else cast(array() as array<struct<pos:int,wtext:string>>) end"
+    )
+    wins = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .select("doc_id", F.explode(F.expr(win_expr)).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wtext").alias("wtext"))
+    )
+    dup = (
+        wins.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("wtext")))
+        .where(F.col("n_occ") >= min_count)
+        .select("doc_id", "pos")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn(
+        "new_run",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) <= n, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + F.lit(n)).cast("long").alias("end_tok"),
+        )
+        .select(
+            "doc_id",
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).alias("span_tokens"),
+        )
+    )
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document roll-up of :func:`duplicated_window_spans`:
+    ``(doc_id, n_spans, dup_tokens, total_tokens, dup_ratio)`` for
+    EVERY document (span-free docs report zeros) — the corpus-funnel
+    signal deciding which docs an exact-substring pass would cut and
+    by how much. Spans are disjoint maximal islands, so summing their
+    lengths is the exact duplicated-token count, never double-counted.
+    One extra broadcast-join-back onto the (doc_id, total) projection.
+    """
+    spans = duplicated_window_spans(df, text_col, id_col, n, min_count)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("total_tokens"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        "total_tokens",
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("total_tokens").cast("double"), 6
+        ).alias("dup_ratio"),
+    )

@@ -344,3 +344,144 @@ def stratified_sample(
         F.col(group_col),
         (bucket / F.lit(float(resolution)) < F.col("rate")).alias("is_kept"),
     )
+
+
+def _hashed_ngram_features(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket) rows: every unigram and adjacent bigram of the
+    whitespace token stream, hashed into ``n_buckets`` by the portable
+    md5 base hash (functions/hashfam.py) — the hashed n-gram feature
+    map of DSIR (Xie et al., *Data Selection for Language Models via
+    Importance Resampling*, NeurIPS 2023). Pure JVM: filter/split/
+    zip_with/explode + md5/conv inside whole-stage codegen.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split({text_col}, ' '), t -> t <> '')").alias("toks"),
+    )
+    feats = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat(toks, zip_with("
+                "slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                "(a, b) -> concat(a, ' ', b)))"
+            )
+        ).alias("feat"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    return feats.select("doc_id", bucket.alias("bucket"))
+
+
+def dsir_bucket_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-bucket DSIR log importance ratio: ``log_w = ln((t+1)/(T+B))
+    - ln((r+1)/(R+B))`` — add-one-smoothed hashed-unigram+bigram LMs of
+    the target exemplars vs the raw corpus (Xie et al. 2023, §2.2).
+    Returns ``(bucket, t_cnt, r_cnt, log_w)`` for every bucket seen in
+    either distribution.
+
+    Scale shape: two hash aggregations (map-side combined) down to at
+    most ``n_buckets`` rows each, one broadcast one-row totals join —
+    the weight table is KB-sized at any corpus size, the corpus is
+    never shuffled here.
+    """
+    rc = (
+        _hashed_ngram_features(corpus, text_col, id_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("r_cnt"))
+    )
+    tc = (
+        _hashed_ngram_features(target, text_col, id_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    joined = rc.join(tc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("t_cnt", F.lit(0)).cast("long").alias("t_cnt"),
+        F.coalesce("r_cnt", F.lit(0)).cast("long").alias("r_cnt"),
+    )
+    totals = joined.agg(
+        F.sum("t_cnt").alias("t_total"), F.sum("r_cnt").alias("r_total")
+    )
+    b = F.lit(float(n_buckets))
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "t_cnt",
+        "r_cnt",
+        (
+            F.log((F.col("t_cnt") + 1) / (F.col("t_total") + b))
+            - F.log((F.col("r_cnt") + 1) / (F.col("r_total") + b))
+        ).alias("log_w"),
+    )
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR importance: ``log_weight`` = sum of the bucket
+    log-ratios over the doc's hashed unigram+bigram features — the
+    importance-resampling score that upweights corpus documents whose
+    n-gram profile looks like the target exemplars. Returns every
+    corpus doc: ``(doc_id, n_feats, log_weight)`` (feature-less docs
+    score 0).
+
+    Scale shape: the bucket-weight table (≤ n_buckets rows) broadcasts;
+    the corpus side is one explode + broadcast equi-join + ONE hash
+    aggregation on doc_id. Rounded to 6 dp so the fold order of the
+    double sum can't leak engine differences.
+    """
+    w = dsir_bucket_weights(corpus, target, text_col, id_col, n_buckets)
+    feats = _hashed_ngram_features(corpus, text_col, id_col, n_buckets)
+    scored = (
+        feats.join(F.broadcast(w.select("bucket", "log_w")), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("log_w").alias("raw_w"),
+        )
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.round(F.coalesce("raw_w", F.lit(0.0)), 6).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic DSIR selection: the top-``k`` corpus documents by
+    rounded ``log_weight`` (ties broken by doc_id), i.e. importance
+    resampling with a hard budget. ``(rank, doc_id, log_weight)``;
+    plans as TakeOrdered — no full sort at scale.
+    """
+    from pyspark.sql import Window
+
+    imp = dsir_importance(corpus, target, text_col, id_col, n_buckets)
+    win = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+    return (
+        imp.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "log_weight")
+    )

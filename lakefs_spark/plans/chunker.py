@@ -18,11 +18,19 @@ the accumulation). The pure per-key rule gives bit-stable boundaries
 regardless of partitioning AND strictly better reuse locality: an
 insert/delete can only merge/split the chunk it falls in.
 
-Hash choice: Spark's built-in ``xxhash64`` (JVM-side, codegen) instead
-of a Python fnv64a UDF — boundary placement only needs a deterministic
-key hash, not byte-parity with the reference; xxhash64 keeps the whole
-chunk-assignment plan inside WholeStageCodegen. ``functions.ident.fnv64a``
-exists for tests that want the reference's exact rule.
+Hash choice is per-caller (``algo=``): the engine's INTERNAL parquet
+ranges use Spark's built-in ``xxhash64`` (JVM-side, codegen — boundary
+placement there only needs a deterministic key hash, and xxhash64 keeps
+the whole chunk-assignment plan inside WholeStageCodegen). The lakeFS
+EXPORT path uses ``algo="fnv64a"`` — the reference's exact per-key hash
+(writer.go:178-182) — because with the default min_range_size_bytes=0
+(defaults.go:96) the reference's break rule IS this pure per-key rule
+until the 20 MiB accumulator fires, so fnv64a boundaries make exported
+range record-sets (and therefore their content-address range ids)
+identical to what a live lakeFS writes for the same keys. fnv64a runs
+as an Arrow-batched pandas_udf over a numpy column-wise fold
+(functions/ident.fnv64a_np) — export-path only, never in the hot
+internal commit path.
 
 Scale note (100 TB): boundaries are 1/raggedness of keys (2e4 boundaries
 per 1e9 keys at the default 50k), so collecting them to the driver and
@@ -42,16 +50,52 @@ from pyspark.sql import functions as F
 DEFAULT_RAGGEDNESS = 50_000
 
 
-def boundary_flag(key: Column, raggedness: int = DEFAULT_RAGGEDNESS) -> Column:
-    """True iff this key ends a chunk. Pure function of the key."""
-    return F.pmod(F.xxhash64(key), F.lit(raggedness)) == 0
+def boundary_flag(
+    key: Column, raggedness: int = DEFAULT_RAGGEDNESS, algo: str = "xxhash64"
+) -> Column:
+    """True iff this key ends a chunk. Pure function of the key.
+
+    ``algo="xxhash64"``: JVM-side, whole-stage-codegen (internal ranges).
+    ``algo="fnv64a"``: the reference's hash (writer.go:178-182) via an
+    Arrow-batched pandas_udf — use for lakeFS export parity.
+    """
+    if algo == "xxhash64":
+        return F.pmod(F.xxhash64(key), F.lit(raggedness)) == 0
+    if algo == "fnv64a":
+        import pandas as pd
+
+        from lakefs_spark.functions.ident import fnv64a_np
+
+        rag = np.uint64(raggedness)
+
+        @F.pandas_udf("boolean")
+        def _fnv_boundary(keys: pd.Series) -> pd.Series:
+            h = fnv64a_np(keys.tolist())
+            return pd.Series(h % rag == 0)
+
+        return _fnv_boundary(key)
+    raise ValueError(f"unknown boundary hash algo: {algo!r}")
 
 
-def boundary_keys(df: DataFrame, key_col: str = "key", raggedness: int = DEFAULT_RAGGEDNESS) -> list[str]:
+def boundary_flags_local(keys, raggedness: int = DEFAULT_RAGGEDNESS) -> list[bool]:
+    """Driver-side fnv64a boundary flags for a small key list (matches
+    ``boundary_flag(..., algo='fnv64a')`` bit-for-bit — same fnv64a_np)."""
+    from lakefs_spark.functions.ident import fnv64a_np
+
+    h = fnv64a_np(list(keys))
+    return [bool(x) for x in (h % np.uint64(raggedness) == 0)]
+
+
+def boundary_keys(
+    df: DataFrame,
+    key_col: str = "key",
+    raggedness: int = DEFAULT_RAGGEDNESS,
+    algo: str = "xxhash64",
+) -> list[str]:
     """Sorted boundary keys of a key set (driver-side list, small)."""
     rows = (
         df.select(key_col)
-        .where(boundary_flag(F.col(key_col), raggedness))
+        .where(boundary_flag(F.col(key_col), raggedness, algo))
         .orderBy(key_col)
         .collect()
     )
@@ -63,6 +107,7 @@ def assign_chunks(
     key_col: str = "key",
     raggedness: int = DEFAULT_RAGGEDNESS,
     boundaries: list[str] | None = None,
+    algo: str = "xxhash64",
 ) -> DataFrame:
     """Add a ``chunk_idx`` column: which range each row belongs to.
 
@@ -74,7 +119,7 @@ def assign_chunks(
     monotone in key.
     """
     if boundaries is None:
-        boundaries = boundary_keys(df, key_col, raggedness)
+        boundaries = boundary_keys(df, key_col, raggedness, algo)
     if not boundaries:
         return df.withColumn("chunk_idx", F.lit(0))
     spark = df.sparkSession

@@ -857,6 +857,67 @@ def _minhash_ctes() -> str:
     )"""
 
 
+def _substring_dup_cte(n: int = 8, min_count: int = 2) -> str:
+    """Shared CTEs for the exact-substring pass: duplicated window
+    positions per doc — DuckDB list ops + window functions, a
+    different implementation family from Spark's explode/transform."""
+    return f"""
+    d as (select doc_id, string_split(text, ' ') as toks from documents),
+    w as (
+      select doc_id, i - 1 as pos,
+             array_to_string(list_slice(toks, i, i + {n - 1}), ' ') as wtext
+      from d, unnest(generate_series(1, greatest(len(toks) - {n} + 1, 0))) as t(i)
+    ),
+    dup as (
+      select doc_id, pos from (
+        select doc_id, pos, count(*) over (partition by wtext) as n_occ from w
+      ) where n_occ >= {min_count}
+    ),
+    runs as (
+      select doc_id, pos,
+             sum(case when prev is null or pos - prev > {n} then 1 else 0 end)
+               over (partition by doc_id order by pos rows unbounded preceding) as run_id
+      from (select doc_id, pos,
+                   lag(pos) over (partition by doc_id order by pos) as prev
+            from dup)
+    ),
+    spans as (
+      select doc_id,
+             cast(min(pos) as bigint) as start_tok,
+             cast(max(pos) + {n} as bigint) as end_tok,
+             cast(max(pos) + {n} - min(pos) as bigint) as span_tokens
+      from runs group by doc_id, run_id
+    )"""
+
+
+def q_substring_spans() -> str:
+    return f"""
+    with {_substring_dup_cte()}
+    select doc_id, start_tok, end_tok, span_tokens from spans
+    """
+
+
+def q_substring_stats() -> str:
+    return f"""
+    with {_substring_dup_cte()},
+    per_doc as (
+      select doc_id, cast(count(*) as bigint) as n_spans,
+             cast(sum(span_tokens) as bigint) as dup_tokens
+      from spans group by doc_id
+    ),
+    totals as (
+      select doc_id, cast(len(string_split(text, ' ')) as bigint) as total_tokens
+      from documents
+    )
+    select t.doc_id,
+           coalesce(p.n_spans, 0) as n_spans,
+           coalesce(p.dup_tokens, 0) as dup_tokens,
+           t.total_tokens,
+           round(coalesce(p.dup_tokens, 0) / cast(t.total_tokens as double), 6) as dup_ratio
+    from totals t left join per_doc p using (doc_id)
+    """
+
+
 def q_minhash_candidates() -> str:
     return f"with {_minhash_ctes()}\nselect id_a, id_b from cand"
 
@@ -2596,6 +2657,75 @@ def q_pii_counts() -> str:
     """
 
 
+def _dsir_ctes(n_buckets: int = 4096) -> str:
+    # independent restatement of the DSIR pipeline with DuckDB list
+    # ops: unigram+bigram features, portable md5 bucket, add-one
+    # smoothed log-ratio of target (source='src0') vs raw counts
+    return f"""
+    tokd as (
+      select doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') as toks
+      from documents
+    ),
+    feats as (
+      select doc_id, source, f from (
+        select doc_id, source,
+               unnest(list_concat(toks,
+                 list_transform(range(1, greatest(len(toks), 1)),
+                                i -> toks[i] || ' ' || toks[i + 1]))) as f
+        from tokd)
+    ),
+    bucketed as (
+      select doc_id, source,
+             cast(concat('0x', substr(md5(f), 1, 15)) as bigint) % {n_buckets} as bucket
+      from feats
+    ),
+    rc as (select bucket, count(*) as r_cnt from bucketed group by bucket),
+    tc as (select bucket, count(*) as t_cnt from bucketed where source = 'src0' group by bucket),
+    wtab as (
+      select coalesce(rc.bucket, tc.bucket) as bucket,
+             coalesce(t_cnt, 0) as t_cnt, coalesce(r_cnt, 0) as r_cnt
+      from rc full outer join tc on rc.bucket = tc.bucket
+    ),
+    tot as (select sum(t_cnt) as t_total, sum(r_cnt) as r_total from wtab),
+    w as (
+      select bucket,
+             ln((t_cnt + 1) / (t_total + {n_buckets}.0))
+               - ln((r_cnt + 1) / (r_total + {n_buckets}.0)) as log_w
+      from wtab cross join tot
+    ),
+    scored as (
+      select b.doc_id, cast(count(*) as bigint) as n_feats,
+             sum(w.log_w) as raw_w
+      from bucketed b join w using (bucket) group by b.doc_id
+    ),
+    weights as (
+      select d.doc_id,
+             coalesce(s.n_feats, 0) as n_feats,
+             round(coalesce(s.raw_w, 0.0), 6) as log_weight
+      from (select doc_id from documents) d left join scored s using (doc_id)
+    )"""
+
+
+def q_dsir_weights() -> str:
+    return f"""
+    with {_dsir_ctes()}
+    select doc_id, n_feats, log_weight from weights
+    """
+
+
+def q_dsir_top() -> str:
+    return f"""
+    with {_dsir_ctes()},
+    ranked as (
+      select cast(row_number() over (order by log_weight desc, doc_id) as bigint) as rank,
+             doc_id, log_weight
+      from weights
+    )
+    select rank, doc_id, log_weight from ranked where rank <= 50
+    """
+
+
 def q_sampling_weights() -> str:
     return """
     with c as (select lang, cast(count(*) as bigint) as n_docs from documents group by lang),
@@ -3099,6 +3229,8 @@ def part_oracles() -> dict[str, str]:
                 "vocab_stats": q_vocab_stats(),
                 "dedup_clusters": q_dedup_clusters(),
                 "dedup_survivors": q_dedup_survivors(),
+                "substring_spans": q_substring_spans(),
+                "substring_stats": q_substring_stats(),
                 "corpus_funnel": q_corpus_funnel(),
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),
@@ -3125,6 +3257,8 @@ def part_oracles() -> dict[str, str]:
                 "expectation_gate": q_expectation_gate(),
                 "pii_counts": q_pii_counts(),
                 "sampling_weights": q_sampling_weights(),
+                "dsir_weights": q_dsir_weights(),
+                "dsir_top": q_dsir_top(),
                 "sequence_packing": q_sequence_packing(),
                 "doc_chunks": q_doc_chunks(),
                 "passage_dedup": q_passage_dedup(),

@@ -1277,12 +1277,29 @@ def _write_ranges(entries_df, fs: RangeFS, boundaries: list[str], raggedness: in
     return [r.asDict() for r in descs]
 
 
+#: Boundary hash for EXPORTED ranges: the reference's own fnv64a
+#: (writer.go:178-182). With the default min_range_size_bytes=0
+#: (defaults.go:96) the reference's whole break rule IS this pure
+#: per-key hash until a size cap fires, so for every chunk where no
+#: cap fires — the common case: mean chunk ≈ raggedness·record_size,
+#: well under 20 MiB for typical entries — our exported record
+#: grouping, and therefore the ident-protocol range ids, are
+#: IDENTICAL to what a live lakeFS writes for the same keys (pinned
+#: by a ShouldBreakAtKey simulation in tests). Where a cap does fire
+#: both writers break near 20 MiB but not necessarily at the same
+#: record (raw-bytes accumulator here vs Pebble's size estimate
+#: there; plus our rows cap, a parse-cost bound the reference lacks),
+#: so only those oversized chunks diverge. Internal parquet ranges
+#: keep JVM-side xxhash64.
+EXPORT_BOUNDARY_ALGO = "fnv64a"
+
+
 def _export_snapshot(repo, ref: str, fs: RangeFS, raggedness: int):
     """Full export of one snapshot. Returns (metarange_id, ranges)."""
     from lakefs_spark.plans.chunker import boundary_keys
 
     snap = repo.snapshot(ref)
-    boundaries = boundary_keys(snap, "key", raggedness)
+    boundaries = boundary_keys(snap, "key", raggedness, EXPORT_BOUNDARY_ALGO)
     ranges = sorted(
         _write_ranges(snap, fs, boundaries, raggedness),
         key=lambda r: r["max_key"],
@@ -1301,12 +1318,16 @@ def export_to_lakefs(repo, ref: str, out, *, raggedness=None):
     ``out``: a shared directory path or any :class:`RangeFS`.
     Returns (metarange_id, n_ranges, n_entries).
 
-    Range boundaries are CONTENT-DEFINED: a key ends its range iff
-    ``xxhash64(key) % raggedness == 0`` (``plans/chunker.py`` — the
-    distributed-deterministic analog of the reference's
-    fnv64a-raggedness break, pkg/graveler/sstable/writer.go:168-183
-    with defaults from pkg/config/defaults.go:95-98). Boundaries are a
-    pure function of the keys, so exporting two overlapping snapshots
+    Range boundaries are CONTENT-DEFINED with the reference's OWN
+    hash: a key ends its range iff ``fnv64a(key) % raggedness == 0``
+    (pkg/graveler/sstable/writer.go:168-183; with the default
+    min_range_size_bytes=0, defaults.go:96, that IS the reference's
+    whole break rule until its 20 MiB accumulator fires — which this
+    writer mirrors too). Same keys ⇒ same record grouping ⇒ the same
+    ident-protocol range ids a live lakeFS would write, so exports
+    share ranges not just with each other but with native lakeFS
+    commits over the same keys. Boundaries are a pure function of the
+    keys, so exporting two overlapping snapshots
     re-writes ONLY the ranges whose key spans changed — every other
     range keeps its content address and the put-if-absent RangeFS
     write skips it. Chunking is also canonical: any snapshot has
@@ -1403,7 +1424,7 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
             # re-chunk TOGETHER, so expand dirty runs across any
             # non-hash-boundary edge in either direction
             if dirty:
-                flags = _level1_flags(repo.spark, max_keys, raggedness)
+                flags = _level1_flags(max_keys, raggedness)
                 frontier = sorted(dirty)
                 while frontier:
                     j = frontier.pop()
@@ -1423,7 +1444,9 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
                     region = region.where(F.col("key") > lo)
                 if hi is not None:
                     region = region.where(F.col("key") <= hi)
-                bounds = boundary_keys(region, "key", raggedness)
+                bounds = boundary_keys(
+                    region, "key", raggedness, EXPORT_BOUNDARY_ALGO
+                )
                 rebuilt_descs.extend(
                     _write_ranges(region, fs, bounds, raggedness)
                 )
@@ -1452,23 +1475,13 @@ def export_history(repo, refs: list, out, *, raggedness=None, on_step=None):
     return results
 
 
-def _level1_flags(spark, keys: list[str], raggedness: int) -> list[bool]:
+def _level1_flags(keys: list[str], raggedness: int) -> list[bool]:
     """Whether each key is a level-1 (hash-rule) chunk boundary —
-    evaluated with Spark's own xxhash64 so it matches assign_chunks
-    bit-for-bit (one tiny job over the descriptor-sized key list)."""
-    from pyspark.sql import functions as F
+    the same fnv64a_np fold that backs ``boundary_flag(algo='fnv64a')``,
+    run driver-side over the descriptor-sized key list (no Spark job)."""
+    from lakefs_spark.plans.chunker import boundary_flags_local
 
-    from lakefs_spark.plans.chunker import boundary_flag
-
-    df = spark.createDataFrame(
-        [(i, k) for i, k in enumerate(keys)], "i long, key string"
-    )
-    rows = (
-        df.select("i", boundary_flag(F.col("key"), raggedness).alias("b"))
-        .orderBy("i")
-        .collect()
-    )
-    return [bool(r["b"]) for r in rows]
+    return boundary_flags_local(keys, raggedness)
 
 
 def _native_dirty_spans(prev_mf, cur_mf) -> list[tuple[str, str]]:

@@ -297,3 +297,64 @@ def test_band_filter_decides_on_rounded_bounds(spark):
     rows = P.band_filter(docs, "n_chars", 0.05, 0.95).collect()
     for r in rows:
         assert r["in_band"] == (r["q_lo"] <= r["value"] <= r["q_hi"]), r
+
+
+def test_duplicated_window_spans_semantics(spark):
+    """ExactSubstr spans (round 10): shared runs merge into maximal
+    spans, same-doc repeats count as duplication, short/clean docs
+    produce nothing, and the stats roll-up never double-counts."""
+    from lakefs_spark.operators import dedup as D
+
+    rows = [
+        (1, "a b c d e f g h i j u1 u2"),     # shares a..j with doc 2
+        (2, "a b c d e f g h i j v1 v2"),
+        (3, "z y x w v u t s r q p o"),        # clean
+        (4, "m m m m m m m m m m m m m m m m"),  # self-repeating
+        (5, "too short"),                        # < n tokens: no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["span_tokens"])
+        for r in D.duplicated_window_spans(df, n=8).collect()
+    }
+    # windows at positions 0-2 of docs 1/2 match pairwise -> span [0,10)
+    assert spans == {(1, 0, 10, 10), (2, 0, 10, 10), (4, 0, 16, 16)}
+    stats = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["total_tokens"], r["dup_ratio"])
+        for r in D.substring_dedup_stats(df, n=8).collect()
+    }
+    assert stats[1] == (1, 10, 12, 0.833333)
+    assert stats[3] == (0, 0, 12, 0.0)
+    assert stats[4] == (1, 16, 16, 1.0)
+    assert stats[5] == (0, 0, 2, 0.0)
+
+
+def test_dsir_importance_upweights_target_like_docs(spark):
+    """DSIR (round 10): corpus docs sharing the target exemplars'
+    n-gram profile must outscore the rest; ranking is deterministic
+    (rounded weight desc, doc_id tie-break); feature-less docs score 0
+    with n_feats 0."""
+    from lakefs_spark.operators.pipeline import dsir_importance, dsir_select
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta", "t"),
+        (2, "alpha beta gamma epsilon beta gamma", "t"),
+        (3, "alpha gamma beta delta gamma", "c"),      # target-like
+        (4, "zeta eta theta iota kappa lambda", "c"),  # disjoint vocab
+        (5, "", "c"),                                   # no features
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    from pyspark.sql import functions as F
+
+    tgt = df.where(F.col("kind") == "t")
+    imp = {r["doc_id"]: r for r in dsir_importance(df, tgt, n_buckets=256).collect()}
+    assert set(imp) == {1, 2, 3, 4, 5}
+    assert imp[3]["log_weight"] > imp[4]["log_weight"]
+    assert imp[5]["n_feats"] == 0 and imp[5]["log_weight"] == 0.0
+    # unigrams + bigrams: 6 tokens -> 6 + 5 features
+    assert imp[4]["n_feats"] == 11
+    sel = dsir_select(df, tgt, k=3, n_buckets=256).collect()
+    assert [r["rank"] for r in sel] == [1, 2, 3]
+    weights = [r["log_weight"] for r in sel]
+    assert weights == sorted(weights, reverse=True)
+    assert 4 not in {r["doc_id"] for r in sel}

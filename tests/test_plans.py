@@ -552,3 +552,36 @@ def test_plans_md_not_stale():
         "PLANS.md is stale — regenerate with "
         "`python tools/gen_plans.py > PLANS.md` and commit the diff"
     )
+
+
+def test_substring_spans_no_cartesian_python_free(spark):
+    """ExactSubstr spans (round 10): duplication detection is a window
+    aggregation on the window text and span merging is gaps-and-islands
+    on (doc, pos) — no cartesian product, no self-join blowup, no
+    Python in the row path (pure explode/transform + windows)."""
+    from lakefs_spark.operators.dedup import duplicated_window_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(F.col("doc_id") < 100)
+    plan = _plan(duplicated_window_spans(docs, n=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_dsir_corpus_join_is_broadcast_hash(spark):
+    """DSIR (round 10): the corpus-side scoring join must broadcast the
+    (<= n_buckets)-row weight table as a HASH join; the only
+    nested-loop in the plan is the one-row totals broadcast (the same
+    sanctioned shape as sampling_weights'), and no Python touches the
+    row path."""
+    from lakefs_spark.operators.pipeline import dsir_importance
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tgt = docs.where(F.col("source") == "src0")
+    plan = _plan(dsir_importance(docs, tgt, n_buckets=512))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan

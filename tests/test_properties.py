@@ -158,6 +158,23 @@ def test_fnv64a_known_vectors():
     assert fnv64a(b"foobar") == 0x85944171F73967E8
 
 
+@given(st.lists(st.one_of(st.binary(max_size=80), st.text(max_size=40)), max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_fnv64a_np_matches_scalar(items):
+    """The numpy column-fold (export boundary rule) is bit-identical to
+    the scalar fold on arbitrary bytes and UTF-8 text (incl. empties)."""
+    import numpy as np
+
+    from lakefs_spark.functions.ident import fnv64a_np
+
+    got = fnv64a_np(items)
+    exp = np.array(
+        [fnv64a(x.encode("utf-8") if isinstance(x, str) else x) for x in items],
+        dtype=np.uint64,
+    )
+    assert got.dtype == np.uint64 and (got == exp).all()
+
+
 @given(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9))
 @settings(max_examples=50, deadline=None)
 def test_parse_mods_roundtrip(n1, n2):

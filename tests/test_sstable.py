@@ -635,7 +635,9 @@ def test_export_history_incremental_equals_full(spark, tmp_path):
     # incremental steps rebuilt only the dirty neighborhoods
     assert steps[0]["ranges_rebuilt"] == steps[0]["ranges_total"]
     for st in steps[1:]:
-        assert st["ranges_rebuilt"] <= 6, st
+        # a one-key edit dirties its chunk ± rows-cap-slice neighbors;
+        # bound is layout-dependent (8 under the fnv64a export rule)
+        assert st["ranges_rebuilt"] <= 8, st
         assert st["ranges_reused"] > st["ranges_total"] * 0.8, st
 
     # canonical-chunking pin: full export of each commit → same mid
@@ -673,7 +675,9 @@ def test_export_history_removed_boundary_key_merges_chunks(spark, tmp_path):
 
     # find an actual boundary key of this snapshot at raggedness=20
     from lakefs_spark.plans.chunker import boundary_keys
-    bounds = boundary_keys(src.snapshot(c1.commit_id), "key", 20)
+    bounds = boundary_keys(
+        src.snapshot(c1.commit_id), "key", 20, S.EXPORT_BOUNDARY_ALGO
+    )
     assert bounds, "need at least one boundary for this test"
     victim = bounds[len(bounds) // 2]
     src.stage_deletes("main", [victim])
@@ -1040,6 +1044,48 @@ def test_writer_two_level_index_roundtrip(monkeypatch):
     small, _, _ = S.write_range_sstable(entries[:10])
     sp = S.read_properties(small)
     assert _struct.unpack("<I", sp[S.INDEX_TYPE_KEY][:4])[0] == 0
+
+
+def test_export_boundaries_match_reference_break_rule(spark, tmp_path):
+    """Cross-system range-id parity (round 10): with the default
+    min_range_size_bytes=0 (defaults.go:96) the reference breaks a
+    range after key k iff the accumulated size crossed 20 MiB or
+    ``fnv64a(k) % raggedness == 0`` (ShouldBreakAtKey,
+    writer.go:168-183). Simulate that rule driver-side over the
+    sorted keyset — asserting no size cap fires on this dataset, so
+    the simulation IS the reference's full rule — and require the
+    export to produce EXACTLY those (min_key, max_key, count) groups:
+    the same record grouping a live lakeFS writer would emit, hence
+    (ident protocol being pinned elsewhere) the same range ids."""
+    from lakefs_spark.functions.ident import fnv64a
+    from lakefs_spark.storage.repo import Repository
+
+    rag = 30  # chosen so the largest hash chunk (62) stays under the
+    # rows cap (90) — guarded below, so the pure rule is complete
+    src = Repository.create(spark, str(tmp_path / "src"))
+    _stage_rows(src, [(f"p/{i:06d}", "v1", 1) for i in range(600)])
+    c1 = src.commit("main", "c1")
+
+    keys = [r["key"] for r in src.snapshot(c1.commit_id).select("key").orderBy("key").collect()]
+    sim_groups, cur = [], []
+    for k in keys:
+        cur.append(k)
+        if fnv64a(k.encode("utf-8")) % rag == 0:
+            sim_groups.append(cur)
+            cur = []
+    if cur:
+        sim_groups.append(cur)
+    assert len(sim_groups) > 3, "dataset must produce several hash chunks"
+    # guard: neither our rows cap nor any byte cap fires on this data,
+    # so the pure hash rule is the complete break rule on BOTH systems
+    assert max(len(g) for g in sim_groups) < rag * S.EXPORT_MAX_ROWS_FACTOR
+
+    out = str(tmp_path / "exp")
+    mid, n_ranges, total = S.export_to_lakefs(src, c1.commit_id, out, raggedness=rag)
+    descs = S.read_metarange_sstable(S.read_file(os.path.join(out, mid)))
+    got = [(d["min_key"], d["max_key"], d["count"]) for d in descs]
+    exp = [(g[0], g[-1], len(g)) for g in sim_groups]
+    assert got == exp
 
 
 def test_export_empty_snapshot_and_history(spark, tmp_path):

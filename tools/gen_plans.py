@@ -169,6 +169,23 @@ def main() -> None:
         )
     )
 
+    # 4c. exact-substring dedup: window shuffle + gaps-and-islands
+    from lakefs_spark.operators.dedup import duplicated_window_spans
+
+    ss = duplicated_window_spans(docs, n=8)
+    sections.append(
+        (
+            "Exact-substring duplicate spans (window shuffle + islands)",
+            "ExactSubstr (Lee et al. 2021) relationally: fixed-n token "
+            "windows are ONE JVM transform/explode projection, duplication "
+            "is a window count partitioned by the window text (one "
+            "exchange), and maximal spans fall out of the gaps-and-islands "
+            "fold on (doc, pos) (one more exchange) — no suffix array, no "
+            "cartesian, no Python in the row path.",
+            trim(formatted(ss)),
+        )
+    )
+
     # 5. as-of join: single shuffle merge-scan
     from lakefs_spark.operators.asof import asof_join
 
