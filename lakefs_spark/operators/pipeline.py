@@ -473,15 +473,19 @@ def dsir_select(
 ) -> DataFrame:
     """Deterministic DSIR selection: the top-``k`` corpus documents by
     rounded ``log_weight`` (ties broken by doc_id), i.e. importance
-    resampling with a hard budget. ``(rank, doc_id, log_weight)``;
-    plans as TakeOrdered — no full sort at scale.
+    resampling with a hard budget. ``(rank, doc_id, log_weight)``.
+
+    Scale shape: ``orderBy().limit(k)`` plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort); the ranking window then
+    runs over only the k surviving rows.
     """
     from pyspark.sql import Window
 
     imp = dsir_importance(corpus, target, text_col, id_col, n_buckets)
+    topk = imp.orderBy(F.col("log_weight").desc(), F.col("doc_id")).limit(k)
     win = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
-    return (
-        imp.withColumn("rank", F.row_number().over(win).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("rank", "doc_id", "log_weight")
+    return topk.select(
+        F.row_number().over(win).cast("long").alias("rank"),
+        "doc_id",
+        "log_weight",
     )

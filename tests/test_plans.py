@@ -585,3 +585,16 @@ def test_dsir_corpus_join_is_broadcast_hash(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_dsir_select_is_take_ordered_not_global_sort(spark):
+    """dsir_select must plan the top-k as TakeOrderedAndProject
+    (per-partition heaps); the rank window may only run AFTER the
+    limit, over k rows — a global-order row_number over the whole
+    corpus would single-partition the sort at scale."""
+    from lakefs_spark.operators.pipeline import dsir_select
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tgt = docs.where(F.col("source") == "src0")
+    plan = _plan(dsir_select(docs, tgt, k=50, n_buckets=512))
+    assert "TakeOrderedAndProject" in plan, plan
