@@ -358,3 +358,53 @@ def test_dsir_importance_upweights_target_like_docs(spark):
     weights = [r["log_weight"] for r in sel]
     assert weights == sorted(weights, reverse=True)
     assert 4 not in {r["doc_id"] for r in sel}
+
+
+def test_duplicated_window_spans_random_cross_check(spark):
+    """Randomized pin: the relational ExactSubstr pipeline must agree
+    with an independent pure-Python reference (dict-count windows,
+    then merge islands) on random small corpora — 3 fixed seeds."""
+    import random
+
+    from lakefs_spark.operators import dedup as D
+
+    n = 5
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40))))
+            for i in range(30)
+        ]
+        # reference: count every n-window, mark positions, merge islands
+        from collections import Counter
+
+        wins = {}
+        cnt = Counter()
+        for did, text in docs:
+            toks = text.split(" ")
+            ps = []
+            for p in range(len(toks) - n + 1):
+                w = " ".join(toks[p : p + n])
+                cnt[w] += 1
+                ps.append((p, w))
+            wins[did] = ps
+        expected = set()
+        for did, ps in wins.items():
+            dup = [p for p, w in ps if cnt[w] >= 2]
+            if not dup:
+                continue
+            start = prev = dup[0]
+            for p in dup[1:]:
+                if p - prev > n:
+                    expected.add((did, start, prev + n, prev + n - start))
+                    start = p
+                prev = p
+            expected.add((did, start, prev + n, prev + n - start))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["start_tok"], r["end_tok"], r["span_tokens"])
+            for r in D.duplicated_window_spans(df, n=n).collect()
+        }
+        assert got == expected, f"seed {seed}: {got ^ expected}"
