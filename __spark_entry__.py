@@ -229,6 +229,15 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_bpe_pair_stats(spark, sf_dir):
+    """Corpus-scale BPE merge-candidate counting (Sennrich et al.
+    2016, first training iteration): top-50 adjacent character pairs
+    by word-frequency-weighted occurrences — vocab-sized aggregation,
+    pair explode over the vocab only, TakeOrdered top-k
+    (operators/text.bpe_pair_stats)."""
+    return TX.bpe_pair_stats(_docs(spark, sf_dir), k=50)
+
+
 def q_train_val_split(spark, sf_dir):
     """Deterministic hash-based corpus split (90/10): bucket =
     portable base hash (functions/hashfam.py) of 'split|<doc_id>'
@@ -3455,6 +3464,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
+        "bpe_pair_stats": q_bpe_pair_stats,
         "vocab_stats": q_vocab_stats,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,

@@ -82,7 +82,7 @@ GATES: dict[str, list[str]] = {
         "lua_stock_validators",
     ],
     "event_windows_extra": ["sliding_event_counts", "event_time_rollup"],
-    "token_gates": ["token_counts", "bpe_token_counts", "vocab_stats", "length_percentiles", "token_fertility"],
+    "token_gates": ["token_counts", "bpe_token_counts", "bpe_pair_stats", "vocab_stats", "length_percentiles", "token_fertility"],
     "text_signals": [
         "text_quality",
         "incremental_text_stats",
@@ -275,6 +275,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "substring_spans": [("doc_id", "bigint"), ("start_tok", "bigint"), ("end_tok", "bigint"), ("span_tokens", "bigint")],
     "dsir_weights": [("doc_id", "bigint"), ("n_feats", "bigint"), ("log_weight", "double")],
     "dsir_top": [("rank", "bigint"), ("doc_id", "bigint"), ("log_weight", "double")],
+    "bpe_pair_stats": [("rank", "bigint"), ("pair", "string"), ("n_words", "bigint"), ("n_occ", "bigint")],
     "substring_stats": [("doc_id", "bigint"), ("n_spans", "bigint"), ("dup_tokens", "bigint"), ("total_tokens", "bigint"), ("dup_ratio", "double")],
     "dedup_exact": [("text_hash", "string"), ("rep_id", "bigint"), ("n_dups", "bigint")],
     "dedup_survivors": [("lang", "string"), ("n_docs", "bigint"), ("n_tokens", "bigint")],

@@ -693,3 +693,55 @@ def dedup_lines(
             F.count(F.when(~is_kept, 1)).cast("long").alias("n_removed"),
         )
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus-scale BPE merge-candidate statistics: the top-``k``
+    adjacent character pairs weighted by word frequency — the counting
+    step of the first BPE training iteration (Sennrich et al. 2016),
+    run the way tokenizer training actually does it: collapse the
+    corpus to a (word, freq) vocabulary FIRST, then count pairs over
+    the vocab.
+
+    Returns ``(rank, pair, n_words, n_occ)``: distinct words
+    containing the pair and total frequency-weighted occurrences,
+    ranked by n_occ desc (pair asc tie-break).
+
+    Scale shape (100 TB): the token explode feeds ONE map-side-combined
+    hash aggregation down to vocab size (Heaps' law: ~10^6-10^7 rows
+    regardless of corpus size); pair explosion runs over the VOCAB, not
+    the corpus — per-word pairs are a JVM transform over character
+    positions — and the final top-k is TakeOrdered. No Python, no
+    second pass over the text.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.where(F.length("word") >= 2).select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    stats = pairs.groupBy("pair").agg(
+        F.countDistinct("word").cast("long").alias("n_words"),
+        F.sum("freq").cast("long").alias("n_occ"),
+    )
+    topk = stats.orderBy(F.col("n_occ").desc(), F.col("pair")).limit(k)
+    from pyspark.sql.window import Window
+
+    win = Window.orderBy(F.col("n_occ").desc(), F.col("pair"))
+    return topk.select(
+        F.row_number().over(win).cast("long").alias("rank"),
+        "pair",
+        "n_words",
+        "n_occ",
+    )

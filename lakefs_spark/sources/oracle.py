@@ -233,6 +233,36 @@ def q_token_counts() -> str:
     return "select doc_id, cast(length(split(text, ' ')) as bigint) as n_tokens from documents"
 
 
+def q_bpe_pair_stats() -> str:
+    # independent restatement with DuckDB lateral range + substr:
+    # vocab first (word, freq), pair positions over the vocab, distinct
+    # containing words + freq-weighted occurrences, deterministic rank
+    return """
+    with words as (
+      select word, count(*) as freq from (
+        select unnest(string_split(text, ' ')) as word from documents
+      ) t where word <> '' group by word
+    ),
+    pairs as (
+      select word, freq, substr(word, i, 2) as pair
+      from words, unnest(range(1, length(word))) as t(i)
+      where length(word) >= 2
+    ),
+    stats as (
+      select pair,
+             cast(count(distinct word) as bigint) as n_words,
+             cast(sum(freq) as bigint) as n_occ
+      from pairs group by pair
+    ),
+    ranked as (
+      select cast(row_number() over (order by n_occ desc, pair) as bigint) as rank,
+             pair, n_words, n_occ
+      from stats
+    )
+    select rank, pair, n_words, n_occ from ranked where rank <= 50
+    """
+
+
 def q_vocab_stats() -> str:
     return """
     with tok as (
@@ -3226,6 +3256,7 @@ def part_oracles() -> dict[str, str]:
                 "dedup_exact": q_dedup_exact(),
                 "token_counts": q_token_counts(),
                 "bpe_token_counts": q_bpe_token_counts(),
+                "bpe_pair_stats": q_bpe_pair_stats(),
                 "vocab_stats": q_vocab_stats(),
                 "dedup_clusters": q_dedup_clusters(),
                 "dedup_survivors": q_dedup_survivors(),
