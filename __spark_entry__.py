@@ -841,6 +841,14 @@ def q_substring_stats(spark, sf_dir):
     return D.substring_dedup_stats(_docs(spark, sf_dir), n=8, min_count=2)
 
 
+def q_substring_cut(spark, sf_dir):
+    """The ExactSubstr cleaning action: duplicated spans removed and
+    docs reassembled — spans collapse to one array per doc, the cut is
+    a JVM filter/exists over (token, position) structs
+    (operators/dedup.cut_duplicated_spans)."""
+    return D.cut_duplicated_spans(_docs(spark, sf_dir), n=8, min_count=2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the MinHash candidate pairs
     (operators/dedup.duplicate_clusters): (member, rep=min id) — the
@@ -3470,6 +3478,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "substring_spans": q_substring_spans,
         "substring_stats": q_substring_stats,
+        "substring_cut": q_substring_cut,
         "corpus_funnel": q_corpus_funnel,
         "length_percentiles": q_length_percentiles,
         "repetition_scores": q_repetition_scores,

@@ -106,6 +106,7 @@ GATES: dict[str, list[str]] = {
         "dedup_survivors",
         "substring_spans",
         "substring_stats",
+        "substring_cut",
     ],
     "simhash_gates": ["simhash", "simhash_near_dups"],
     "corpus_prep_gates": [
@@ -274,6 +275,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "dedup_clusters": [("member", "bigint"), ("rep", "bigint")],
     "substring_spans": [("doc_id", "bigint"), ("start_tok", "bigint"), ("end_tok", "bigint"), ("span_tokens", "bigint")],
     "dsir_weights": [("doc_id", "bigint"), ("n_feats", "bigint"), ("log_weight", "double")],
+    "substring_cut": [("doc_id", "bigint"), ("clean_text", "string"), ("n_kept", "bigint"), ("n_removed", "bigint")],
     "dsir_top": [("rank", "bigint"), ("doc_id", "bigint"), ("log_weight", "double")],
     "bpe_pair_stats": [("rank", "bigint"), ("pair", "string"), ("n_words", "bigint"), ("n_occ", "bigint")],
     "substring_stats": [("doc_id", "bigint"), ("n_spans", "bigint"), ("dup_tokens", "bigint"), ("total_tokens", "bigint"), ("dup_ratio", "double")],

@@ -651,3 +651,46 @@ def substring_dedup_stats(
             F.coalesce("dup_tokens", F.lit(0)) / F.col("total_tokens").cast("double"), 6
         ).alias("dup_ratio"),
     )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ExactSubstr cleaning ACTION: remove every token covered by a
+    duplicated span (:func:`duplicated_window_spans`) and reassemble
+    the document — what Lee et al. 2021 actually do to the corpus once
+    spans are known. Returns every document: ``(doc_id, clean_text,
+    n_kept, n_removed)`` (span-free docs come back verbatim).
+
+    Scale shape: spans collapse to one array per affected doc (few
+    spans each — they are maximal and disjoint), join back BROADCAST-
+    or hash-joined on doc_id, and the cut itself is a JVM
+    filter/exists over (token, position) structs — no per-token join,
+    no Python. Disjointness of spans makes ``n_removed`` exact.
+    """
+    spans = duplicated_window_spans(df, text_col, id_col, n, min_count)
+    span_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("spans")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    joined = base.join(span_arr, "doc_id", "left")
+    kept = F.expr(
+        "case when spans is null then toks else "
+        "transform(filter("
+        "  transform(toks, (t, i) -> struct(t as t, i as i)),"
+        "  p -> not exists(spans, s -> p.i >= s.start_tok and p.i < s.end_tok)"
+        "), x -> x.t) end"
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -948,6 +948,38 @@ def q_substring_stats() -> str:
     """
 
 
+def q_substring_cut() -> str:
+    # relational restatement of the cut: explode (token, pos) with
+    # ordinality, left-join to the disjoint spans (no fan-out), keep
+    # unmatched, reassemble ordered — a different family from Spark's
+    # array filter/exists
+    return f"""
+    with {_substring_dup_cte()},
+    base as (select doc_id, string_split(text, ' ') as toks from documents),
+    tokpos as (
+      select b.doc_id, b.toks[i] as tok, i - 1 as pos
+      from base b, unnest(generate_series(1, len(b.toks))) as t(i)
+    ),
+    kept as (
+      select tp.doc_id, tp.tok, tp.pos
+      from tokpos tp left join spans s
+        on s.doc_id = tp.doc_id and tp.pos >= s.start_tok and tp.pos < s.end_tok
+      where s.doc_id is null
+    ),
+    reassembled as (
+      select doc_id,
+             array_to_string(list(tok order by pos), ' ') as clean_text,
+             cast(count(*) as bigint) as n_kept
+      from kept group by doc_id
+    )
+    select b.doc_id,
+           coalesce(r.clean_text, '') as clean_text,
+           coalesce(r.n_kept, 0) as n_kept,
+           cast(len(b.toks) - coalesce(r.n_kept, 0) as bigint) as n_removed
+    from base b left join reassembled r using (doc_id)
+    """
+
+
 def q_minhash_candidates() -> str:
     return f"with {_minhash_ctes()}\nselect id_a, id_b from cand"
 
@@ -3262,6 +3294,7 @@ def part_oracles() -> dict[str, str]:
                 "dedup_survivors": q_dedup_survivors(),
                 "substring_spans": q_substring_spans(),
                 "substring_stats": q_substring_stats(),
+                "substring_cut": q_substring_cut(),
                 "corpus_funnel": q_corpus_funnel(),
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),

@@ -408,3 +408,24 @@ def test_duplicated_window_spans_random_cross_check(spark):
             for r in D.duplicated_window_spans(df, n=n).collect()
         }
         assert got == expected, f"seed {seed}: {got ^ expected}"
+
+
+def test_cut_duplicated_spans_action(spark):
+    """The ExactSubstr cut: span tokens removed, clean docs verbatim,
+    fully-duplicated docs come back empty; n_kept + n_removed always
+    equals the doc's token count."""
+    from lakefs_spark.operators import dedup as D
+
+    rows = [
+        (1, "a b c d e f g h i j u1 u2"),
+        (2, "a b c d e f g h i j v1 v2"),
+        (3, "z y x w v u t s r q p o"),
+        (4, "m m m m m m m m m m m m m m m m"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.cut_duplicated_spans(df, n=8).collect()}
+    assert out[1]["clean_text"] == "u1 u2" and out[1]["n_removed"] == 10
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+    for did, text in rows:
+        assert out[did]["n_kept"] + out[did]["n_removed"] == len(text.split(" "))
