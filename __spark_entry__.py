@@ -792,6 +792,23 @@ def q_minhash_candidates(spark, sf_dir):
     return D.minhash_candidates(docs, num_hashes=32, bands=8)
 
 
+def q_incremental_dedup_pairs(spark, sf_dir):
+    """Dedup-on-commit (versioning × dedup): LSH candidates touching
+    only the docs whose backing object changed between two refs — the
+    new docs' bands probe the corpus band index, old×old pairs never
+    generated (operators/dedup.incremental_minhash_candidates)."""
+    from lakefs_spark.operators.dedup import _base_hash
+
+    d = DF_.diff(_snap(spark, sf_dir, "snap_a"), _snap(spark, sf_dir, "snap_b"))
+    touched = d.select(
+        F.pmod(_base_hash(F.col("key")), F.lit(500)).alias("doc_id")
+    ).distinct()
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return D.incremental_minhash_candidates(
+        docs, touched, num_hashes=32, bands=8
+    )
+
+
 def q_minhash_jaccard_est(spark, sf_dir):
     """Estimator calibration: MinHash-estimated vs exact n-gram Jaccard
     per LSH candidate pair (error ~ 1/sqrt(num_hashes))."""
@@ -3479,6 +3496,7 @@ def part_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "substring_stats": q_substring_stats,
         "substring_cut": q_substring_cut,
+        "incremental_dedup_pairs": q_incremental_dedup_pairs,
         "corpus_funnel": q_corpus_funnel,
         "length_percentiles": q_length_percentiles,
         "repetition_scores": q_repetition_scores,

@@ -107,6 +107,7 @@ GATES: dict[str, list[str]] = {
         "substring_spans",
         "substring_stats",
         "substring_cut",
+        "incremental_dedup_pairs",
     ],
     "simhash_gates": ["simhash", "simhash_near_dups"],
     "corpus_prep_gates": [
@@ -276,6 +277,7 @@ COLSPECS: dict[str, list[tuple[str, str]]] = {
     "substring_spans": [("doc_id", "bigint"), ("start_tok", "bigint"), ("end_tok", "bigint"), ("span_tokens", "bigint")],
     "dsir_weights": [("doc_id", "bigint"), ("n_feats", "bigint"), ("log_weight", "double")],
     "substring_cut": [("doc_id", "bigint"), ("clean_text", "string"), ("n_kept", "bigint"), ("n_removed", "bigint")],
+    "incremental_dedup_pairs": [("id_a", "bigint"), ("id_b", "bigint")],
     "dsir_top": [("rank", "bigint"), ("doc_id", "bigint"), ("log_weight", "double")],
     "bpe_pair_stats": [("rank", "bigint"), ("pair", "string"), ("n_words", "bigint"), ("n_occ", "bigint")],
     "substring_stats": [("doc_id", "bigint"), ("n_spans", "bigint"), ("dup_tokens", "bigint"), ("total_tokens", "bigint"), ("dup_ratio", "double")],

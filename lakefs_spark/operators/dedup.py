@@ -694,3 +694,43 @@ def cut_duplicated_spans(
         F.size(kept).cast("long").alias("n_kept"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def incremental_minhash_candidates(
+    df: DataFrame,
+    new_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Dedup-on-commit: LSH candidate pairs where at least one side is
+    a NEW document (``new_ids``: one column of ids) — the versioning ×
+    dedup integration. A commit's near-dups are found by probing the
+    corpus band index with only the new docs' bands; old×old pairs are
+    never generated.
+
+    Scale shape (100 TB): at gate scale bands are computed in-query,
+    but the probe side is semi-joined to ``new_ids`` FIRST, so the
+    equi-join is (new bands) × (all bands) — a 1% commit streams 1% of
+    the band volume through the shuffle. In production the right side
+    is the persisted band index of the previous snapshot (itself a
+    content-addressed table this engine versions), making the whole
+    pass O(new). Pairs canonicalize (least, greatest) + distinct, so
+    the result is exactly the all-pairs candidate set restricted to
+    pairs touching a new doc.
+    """
+    bandsdf = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
+    newb = bandsdf.join(new_ids.select(F.col(new_ids.columns[0]).alias(id_col)), id_col, "semi")
+    a = newb.select(F.col(id_col).alias("na"), "band_id", "band_hash")
+    b = bandsdf.select(F.col(id_col).alias("nb"), "band_id", "band_hash")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .where(F.col("na") != F.col("nb"))
+        .select(
+            F.least("na", "nb").alias("id_a"),
+            F.greatest("na", "nb").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -984,6 +984,26 @@ def q_minhash_candidates() -> str:
     return f"with {_minhash_ctes()}\nselect id_a, id_b from cand"
 
 
+def q_incremental_dedup_pairs() -> str:
+    # the incremental candidate set IS the all-pairs candidate set
+    # restricted to pairs touching a diff-derived doc: restate via
+    # cand + the same portable-hash touched mapping the text gate uses
+    from lakefs_spark.functions.hashfam import X_MOD
+
+    return with_views("snap_a", "snap_b") + f"""
+    , d as ({diff_sql("snap_a", "snap_b")}),
+    touched as (
+      select distinct
+             (cast(concat('0x', substr(md5(key), 1, 15)) as bigint) % {X_MOD}) % 500 as doc_id
+      from d
+    ),
+    {_minhash_ctes()}
+    select id_a, id_b from cand
+    where id_a in (select doc_id from touched)
+       or id_b in (select doc_id from touched)
+    """
+
+
 def q_dedup_clusters() -> str:
     # transitive-closure minimum per node over the undirected candidate
     # graph — an independent restatement of min-label propagation's
@@ -3295,6 +3315,7 @@ def part_oracles() -> dict[str, str]:
                 "substring_spans": q_substring_spans(),
                 "substring_stats": q_substring_stats(),
                 "substring_cut": q_substring_cut(),
+                "incremental_dedup_pairs": q_incremental_dedup_pairs(),
                 "corpus_funnel": q_corpus_funnel(),
                 "length_percentiles": q_length_percentiles(),
                 "repetition_scores": q_repetition_scores(),

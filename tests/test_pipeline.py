@@ -429,3 +429,32 @@ def test_cut_duplicated_spans_action(spark):
     assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
     for did, text in rows:
         assert out[did]["n_kept"] + out[did]["n_removed"] == len(text.split(" "))
+
+
+def test_incremental_minhash_candidates_equals_filtered_full(spark):
+    """Dedup-on-commit: the incremental candidate set must equal the
+    full all-pairs candidate set restricted to pairs touching a new
+    doc — and old×old pairs must never appear."""
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.operators import dedup as D
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where(F.col("doc_id") < 200)
+    )
+    new_ids = spark.createDataFrame([(i,) for i in range(0, 200, 7)], "doc_id long")
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in D.incremental_minhash_candidates(
+            docs, new_ids, num_hashes=32, bands=8
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidates(docs, num_hashes=32, bands=8).collect()
+    }
+    newset = set(range(0, 200, 7))
+    expected = {p for p in full if p[0] in newset or p[1] in newset}
+    assert inc == expected
+    assert all(p[0] in newset or p[1] in newset for p in inc)
