@@ -186,6 +186,38 @@ def main() -> None:
         )
     )
 
+    # 4d. DSIR importance: broadcast weight table, one doc aggregation
+    from lakefs_spark.operators.pipeline import dsir_importance
+
+    dsir = dsir_importance(docs, docs.where(F.col("source") == "src0"), n_buckets=512)
+    sections.append(
+        (
+            "DSIR importance weights (broadcast weight table)",
+            "The hashed n-gram bucket-weight table (≤ n_buckets rows, "
+            "KB-sized at any corpus size) BROADCASTS into a hash join "
+            "against the corpus feature stream; the per-doc score is ONE "
+            "hash aggregation on doc_id. The only nested-loop is the "
+            "sanctioned one-row totals broadcast.",
+            trim(formatted(dsir)),
+        )
+    )
+
+    # 4e. dedup-on-commit: new-docs semi-join BEFORE the probe join
+    from lakefs_spark.operators.dedup import incremental_minhash_candidates
+
+    new_ids = docs.select("doc_id").where(F.col("doc_id") % 10 == 0)
+    inc = incremental_minhash_candidates(docs, new_ids, num_hashes=32, bands=8)
+    sections.append(
+        (
+            "Incremental MinHash candidates (probe side pre-filtered)",
+            "The diff-derived new-doc set semi-joins the band stream "
+            "BEFORE the (band_id, band_hash) probe equi-join, so a 1% "
+            "commit shuffles 1% of the band volume; old×old pairs are "
+            "never generated and the plan has no cartesian product.",
+            trim(formatted(inc)),
+        )
+    )
+
     # 5. as-of join: single shuffle merge-scan
     from lakefs_spark.operators.asof import asof_join
 
