@@ -162,6 +162,83 @@ def merge_actions(
     )
 
 
+def _qualified_side(rows_base: DataFrame, rows_side: DataFrame, p: str, with_payload: bool) -> DataFrame:
+    """Base-anchored diff pre-qualified for the merge join — exactly
+    ``qual(diff(base, side))`` from :func:`merge_changes_from_diffs`,
+    built without shipping the base side's payload through the join
+    (guide §2.3 "project before the exchange"): a removed row's
+    payload/identity are nulled by the merge semantics anyway, and
+    every added/changed row's payload comes from the side, never the
+    base — so the base contributes only (key, identity) and the CASE
+    ladder disappears (an absent side row is already all-null).
+    ``with_payload=False`` additionally drops the side's payload (the
+    dest diff needs it only when a resolver inspects ``d_*`` columns).
+    """
+    b = rows_base.select(F.col("key"), F.col("identity").alias("b_identity"))
+    s = rows_side.select(
+        F.col("key"),
+        F.col("identity").alias(f"{p}_identity"),
+        *([F.col(c).alias(f"{p}_{c}") for c in _PAYLOAD] if with_payload else []),
+    )
+    j = b.join(s, on="key", how="full_outer")
+    side_id = F.col(f"{p}_identity")
+    changed = (
+        F.col("b_identity").isNull() | side_id.isNull() | (F.col("b_identity") != side_id)
+    )
+    return j.where(changed).select(
+        F.col("key"),
+        side_id,
+        F.lit(True).alias(f"{p}_present"),
+        *([F.col(f"{p}_{c}") for c in _PAYLOAD] if with_payload else []),
+    )
+
+
+def merge_changes_from_sides(
+    sdiff_base: DataFrame,
+    sdiff_side: DataFrame,
+    ddiff_base: DataFrame,
+    ddiff_side: DataFrame,
+    strategy: str = "none",
+    resolvers=None,
+) -> DataFrame:
+    """Merge decision stream straight from the four pruned range-row
+    streams (the storage engine's path) — semantically identical to
+    ``merge_changes_from_diffs(diff(sb, ss), diff(db, ds), ...)`` but
+    with both base sides slimmed to (key, identity) before their
+    exchanges, and the dest side's payload shipped only when a
+    resolver can read it (``d_*`` columns). The plan drops from two
+    9-column base exchanges to two 2-column ones."""
+    if strategy not in STRATEGIES:
+        raise ValueError(f"unknown merge strategy {strategy!r}")
+    sq = _qualified_side(sdiff_base, sdiff_side, "s", with_payload=True)
+    dq = _qualified_side(ddiff_base, ddiff_side, "d", with_payload=bool(resolvers))
+    return _actions_from_qualified(sq, dq, strategy, resolvers)
+
+
+def _actions_from_qualified(sq: DataFrame, dq: DataFrame, strategy: str, resolvers) -> DataFrame:
+    """CASE ladder over the full-outer join of the two qualified diff
+    streams (shared by merge_changes_from_diffs / merge_changes_from_sides)."""
+    j = sq.join(dq, on="key", how="full_outer")
+    s_id, d_id = F.col("s_identity"), F.col("d_identity")
+    s_act = F.when(s_id.isNull(), F.lit("delete")).otherwise(F.lit("set"))
+    action = (
+        F.when(F.col("s_present").isNull(), F.lit(None))  # dest-only change
+        .when(F.col("d_present").isNull(), s_act)  # source-only change
+        .when(s_id.eqNullSafe(d_id), F.lit(None))  # same result
+        .otherwise(_conflict_outcome(strategy, resolvers, s_act))
+    )
+    return (
+        j.withColumn("action", action)
+        .where(F.col("action").isNotNull())
+        .select(
+            F.col("key"),
+            F.col("action"),
+            F.col("s_identity").alias("identity"),
+            *[F.col(f"s_{c}").alias(c) for c in _PAYLOAD],
+        )
+    )
+
+
 def merge_changes_from_diffs(
     sdiff: DataFrame, ddiff: DataFrame, strategy: str = "none", resolvers=None
 ) -> DataFrame:
@@ -193,25 +270,7 @@ def merge_changes_from_diffs(
             for c in _PAYLOAD
         ],
     )
-    j = qual(sdiff, "s").join(qual(ddiff, "d"), on="key", how="full_outer")
-    s_id, d_id = F.col("s_identity"), F.col("d_identity")
-    s_act = F.when(s_id.isNull(), F.lit("delete")).otherwise(F.lit("set"))
-    action = (
-        F.when(F.col("s_present").isNull(), F.lit(None))  # dest-only change
-        .when(F.col("d_present").isNull(), s_act)  # source-only change
-        .when(s_id.eqNullSafe(d_id), F.lit(None))  # same result
-        .otherwise(_conflict_outcome(strategy, resolvers, s_act))
-    )
-    return (
-        j.withColumn("action", action)
-        .where(F.col("action").isNotNull())
-        .select(
-            F.col("key"),
-            F.col("action"),
-            F.col("s_identity").alias("identity"),
-            *[F.col(f"s_{c}").alias(c) for c in _PAYLOAD],
-        )
-    )
+    return _actions_from_qualified(qual(sdiff, "s"), qual(ddiff, "d"), strategy, resolvers)
 
 
 def merge(

@@ -74,11 +74,20 @@ def write_ranges(
     entries: DataFrame,
     root: str,
     raggedness: int = DEFAULT_RAGGEDNESS,
+    dedup: bool = False,
 ) -> pd.DataFrame:
     """Write a full snapshot's entries as content-addressed range files.
 
     Returns the manifest as a pandas DataFrame (MANIFEST_COLS), sorted
-    by min_key. Entries must have unique keys (caller overlays first).
+    by min_key. Entries must have unique keys (caller overlays first),
+    unless ``dedup=True``: then duplicate keys are resolved INSIDE the
+    chunk shuffle (same deterministic winner as
+    operators.overlay.dedup_entries) — one full-payload exchange
+    instead of a dedup-window exchange followed by the chunk exchange
+    (guide §2.4: two operations keyed compatibly share one shuffle;
+    chunk_idx is a pure function of key, so all rows of a key land in
+    one chunk partition and the per-chunk sort the write needs anyway
+    also serves the dedup).
     """
     # NO persist: the entry stream is evaluated twice (boundary-key
     # collect, then the grouped write), but the boundary pass prunes to
@@ -90,18 +99,23 @@ def write_ranges(
     # a genuinely expensive non-scan plan (commit-apply) persist their
     # own bounded change stream and call write_ranges_prechunked.
     entries = entries.select(*ENTRY_COLS)
+    # set-dedup: with dedup=True the raw stream may repeat a boundary
+    # key; the boundary rule is a pure per-key hash so duplicates
+    # collapse to the same flag and the boundary SET is unchanged
     bks = sorted(
-        r[0]
-        for r in entries.where(boundary_flag(F.col("key"), raggedness))
-        .select("key")
-        .collect()
+        {
+            r[0]
+            for r in entries.where(boundary_flag(F.col("key"), raggedness))
+            .select("key")
+            .collect()
+        }
     )
     chunked = assign_chunks(entries, "key", raggedness, boundaries=bks)
-    return write_ranges_prechunked(chunked, root, n_chunks=len(bks) + 1)
+    return write_ranges_prechunked(chunked, root, n_chunks=len(bks) + 1, dedup=dedup)
 
 
 def write_ranges_prechunked(
-    chunked: DataFrame, root: str, n_chunks: int | None = None
+    chunked: DataFrame, root: str, n_chunks: int | None = None, dedup: bool = False
 ) -> pd.DataFrame:
     """Write ranges for rows already carrying a ``chunk_idx`` column.
 
@@ -172,6 +186,26 @@ def write_ranges_prechunked(
         staged = staged.repartition(int(n_chunks), "chunk_idx")
     else:
         staged = staged.repartition("chunk_idx")
+    if dedup:
+        # duplicate-key resolution folded into this exchange: the
+        # window clusters by chunk_idx (satisfied by the repartition
+        # above — no extra Exchange) and sorts by (key, tiebreak);
+        # keeping each key's FIRST row picks exactly the row
+        # operators.overlay.dedup_entries's row_number()==1 picks.
+        # The window's sort is (chunk_idx, key, tiebreak...), a
+        # superset of the write order below, so EliminateSorts drops
+        # the second Sort — net plan cost of dedup here is the lag()
+        # pass alone.
+        from pyspark.sql import Window
+
+        from lakefs_spark.operators.overlay import _tiebreak
+
+        w = Window.partitionBy("chunk_idx").orderBy(F.col("key").asc(), *_tiebreak())
+        staged = (
+            staged.withColumn("__prev_key", F.lag("key").over(w))
+            .where(F.col("__prev_key").isNull() | (F.col("__prev_key") != F.col("key")))
+            .drop("__prev_key")
+        )
     staged = staged.sortWithinPartitions("chunk_idx", "key")
     # temp dirs live under root/tmp (never read as a table; a dot/
     # underscore prefix instead would make Spark's overwrite-mode path
@@ -203,7 +237,24 @@ def write_ranges_prechunked(
             pass
     tmp_dir = tempfile.mkdtemp(prefix="write_ranges_", dir=tmp_root)
     try:
-        staged.write.partitionBy("chunk_idx").mode("overwrite").parquet(tmp_dir)
+        # Bounded parquet row groups (default 128 MB = ONE row group per
+        # range file): a single-row-group file is unsplittable, so every
+        # downstream multi-range scan (diff sides, GC address walks, the
+        # content-address aggregation below) parallelizes only by FILE
+        # count. Range files are ≤ a few tens of MB by construction
+        # (~raggedness entries; the reference caps ranges at 20 MiB,
+        # defaults.go:97), so 4 MiB row groups keep statistics/pushdown
+        # intact while letting scans split within a file whenever file
+        # count < cores. Content addresses hash the ROW multiset, not
+        # file bytes — row-group layout does not change range ids.
+        # Env-overridable for A/B and for tuning on real clusters.
+        _rg_bytes = int(os.environ.get("SPARK_GRAFT_RANGE_ROWGROUP_BYTES", 4 * 1024 * 1024))
+        (
+            staged.write.option("parquet.block.size", _rg_bytes)
+            .partitionBy("chunk_idx")
+            .mode("overwrite")
+            .parquet(tmp_dir)
+        )
         if not any(d.startswith("chunk_idx=") for d in os.listdir(tmp_dir)):
             return pd.DataFrame(columns=MANIFEST_COLS)
         # content address = sha256 over an ORDER-INDEPENDENT multiset

@@ -1108,9 +1108,17 @@ class Repository:
         base_mid = self._metarange_of(base_cid)
         sdiff_l, sdiff_r = self._pruned_sides(base_mid, self._metarange_of(source_cid))
         ddiff_l, ddiff_r = self._pruned_sides(base_mid, self._metarange_of(dest_cid))
-        sdiff = diff_ops.diff(sdiff_l, sdiff_r)
-        ddiff = diff_ops.diff(ddiff_l, ddiff_r)
-        return merge_ops.merge_changes_from_diffs(sdiff, ddiff, strategy, resolvers)
+        # merge_changes_from_sides slims both base sides to
+        # (key, identity) before their exchanges — the base payload is
+        # provably unused by the merge ladder (removed rows' payload is
+        # nulled; every other payload comes from the side) — instead
+        # of the previous diff()-then-qualify shape whose CASE ladder
+        # defeated Catalyst's column pruning on the source diff's base
+        # side (plans/r10/b4_merge_actions_before.txt Exchange (3): 9
+        # columns incl. from_json(metadata)).
+        return merge_ops.merge_changes_from_sides(
+            sdiff_l, sdiff_r, ddiff_l, ddiff_r, strategy, resolvers
+        )
 
     def _apply_actions_commit(
         self,
@@ -1344,7 +1352,8 @@ class Repository:
 
         self._check_writable("import_entries", force)
         self._check_protected(branch, "commit")
-        ents = dedup_entries(entries.select(*ENTRY_COLS))
+        ents_raw = entries.select(*ENTRY_COLS)
+        ents = dedup_entries(ents_raw)
 
         def attempt() -> Commit:
             st = self._read_branch(branch)
@@ -1360,6 +1369,16 @@ class Repository:
             if replace_prefixes:
                 new_manifest = import_apply(
                     self.spark, self.root, base_manifest, ents, replace_prefixes, self.raggedness
+                )
+            elif base_manifest is None:
+                # first import into an empty tree: no COW to do, so the
+                # dedup window is folded into the chunk shuffle
+                # (write_ranges dedup=True) — ONE full-payload exchange
+                # for the whole import instead of two (guide §2.4);
+                # same deterministic winners, same boundary set, same
+                # range content-addresses as dedup_entries + write.
+                new_manifest = R.write_ranges(
+                    ents_raw, self.root, self.raggedness, dedup=True
                 )
             else:
                 changes = ents.select(
