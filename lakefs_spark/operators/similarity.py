@@ -56,11 +56,29 @@ def cosine_pairs(
 
     Broadcast the query side — corpus streams through unshuffled.
     """
-    q = queries.select(F.col(id_col).alias("qa"), F.col(vec_col).alias("va"))
-    c = corpus.select(F.col(id_col).alias("qb"), F.col(vec_col).alias("vb"))
+    # Norms are hoisted into the per-row projections BELOW the join
+    # (guide §1.2 per-task work): inlining cosine() in the post-join
+    # select re-evaluates BOTH norms per PAIR — O(n_q * n_c) aggregate
+    # passes over the vectors instead of O(n_q + n_c). The division
+    # consumes the identical double values in the identical order, so
+    # results are bit-equal to the inlined form.
+    q = queries.select(
+        F.col(id_col).alias("qa"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("qb"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         c.join(F.broadcast(q))
-        .select("qa", "qb", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select(
+            "qa",
+            "qb",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))).alias("sim"),
+        )
     )
 
 
@@ -137,12 +155,26 @@ def lsh_topk(
     """
     qb = lsh_buckets(queries, dim, n_planes, seed, id_col, vec_col).withColumnRenamed(id_col, "qa")
     cb = lsh_buckets(corpus, dim, n_planes, seed, id_col, vec_col).withColumnRenamed(id_col, "qb")
-    q = queries.select(F.col(id_col).alias("qa"), F.col(vec_col).alias("va")).join(qb, "qa")
-    c = corpus.select(F.col(id_col).alias("qb"), F.col(vec_col).alias("vb")).join(cb, "qb")
+    # norms hoisted below the bucket join (same bit-equal rewrite as
+    # cosine_pairs): per-candidate work is then one dot, not three
+    q = queries.select(
+        F.col(id_col).alias("qa"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    ).join(qb, "qa")
+    c = corpus.select(
+        F.col(id_col).alias("qb"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    ).join(cb, "qb")
     pairs = (
         q.join(c, on="bucket")
         .where(F.col("qa") != F.col("qb"))
-        .select("qa", "qb", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select(
+            "qa",
+            "qb",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("qa").orderBy(F.col("sim").desc(), F.col("qb").asc())
     return (
@@ -430,24 +462,44 @@ def ivf_topk(
     """
     cent_rows = _codebook_rows(corpus, n_centroids, id_col, vec_col)
     cents = _normalize_codebook(cent_rows)
-    corp = corpus.select(F.col(id_col).alias("qb"), F.col(vec_col).alias("vb"))
+    # query/corpus/centroid norms hoisted into per-row projections
+    # below the joins (bit-equal rewrite, see cosine_pairs): the coarse
+    # probe then pays one dot per (query, centroid) and the rerank one
+    # dot per candidate, instead of three aggregate passes each
+    corp = corpus.select(
+        F.col(id_col).alias("qb"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
     assign = assign_centroids(corp, "qb", "vb", cents, out="cid")
 
     centdf = queries.sparkSession.createDataFrame(
         [(cid, v) for cid, v in cent_rows], "cid long, cv array<double>"
+    ).withColumn("__nc", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("qa"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
-    q = queries.select(F.col(id_col).alias("qa"), F.col(vec_col).alias("va"))
     qsims = q.join(F.broadcast(centdf)).select(
-        "qa", "cid", "va", cosine(F.col("va"), F.col("cv")).alias("sim")
+        "qa",
+        "cid",
+        "va",
+        "__na",
+        (_dot(F.col("va"), F.col("cv")) / (F.col("__na") * F.col("__nc"))).alias("sim"),
     )
     wq = Window.partitionBy("qa").orderBy(F.col("sim").desc(), F.col("cid").asc())
     probes = (
         qsims.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("qa", "va", "cid")
+        .select("qa", "va", "__na", "cid")
     )
     cand = probes.join(assign, "cid").where(F.col("qa") != F.col("qb"))
-    sims = cand.select("qa", "qb", cosine(F.col("va"), F.col("vb")).alias("sim"))
+    sims = cand.select(
+        "qa",
+        "qb",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))).alias("sim"),
+    )
     wk = Window.partitionBy("qa").orderBy(F.col("sim").desc(), F.col("qb").asc())
     return (
         sims.withColumn("rank", F.row_number().over(wk))
