@@ -1,0 +1,143 @@
+"""Round-10 optimization equivalence pins.
+
+Each optimization this round restructured an operator's *plan* while
+claiming bit-identical results; these tests pin the claims against the
+unoptimized formulations so a future refactor cannot silently diverge:
+
+1. ``write_ranges(dedup=True)`` (dedup folded into the chunk shuffle)
+   == ``dedup_entries`` + ``write_ranges`` — same manifest (range ids,
+   min/max/count) and byte-identical range files, on an input with
+   duplicate keys whose winners exercise the tiebreak.
+2. ``merge_changes_from_sides`` (slim base sides, payload-free dest)
+   == ``merge_changes_from_diffs(diff(...), diff(...))`` — same action
+   rows across add/remove/change/conflict/delete-vs-change cases,
+   with and without a resolver reading ``d_*`` payload columns.
+3. Hoisted-norm cosine (``cosine_pairs``) == inlined ``cosine()`` —
+   bit-equal doubles, not approximately equal.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from lakefs_spark.operators import diff as D
+from lakefs_spark.operators import merge as M
+from lakefs_spark.operators.overlay import dedup_entries
+from lakefs_spark.operators.similarity import _dot, _norm, cosine
+from lakefs_spark.schema import ENTRY_COLS
+
+
+def _entries(spark, rows):
+    """rows: (key, identity, etag)."""
+    data = [
+        (k, ident, f"s3://b/{k}", "FULL", 1, etag, None, None, "text/plain")
+        for k, ident, etag in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "key string, identity string, address string, address_type string, "
+        "size long, etag string, last_modified timestamp, "
+        "metadata map<string,string>, content_type string",
+    )
+
+
+def test_write_ranges_folded_dedup_matches_window_dedup(spark, tmp_path):
+    from lakefs_spark.storage import ranges as R
+
+    # duplicate keys with distinct identities/etags so the winner is
+    # decided by the tiebreak, plus clean keys, at a raggedness small
+    # enough to produce several chunks
+    rows = []
+    for i in range(2000):
+        k = f"k{i:05d}"
+        rows.append((k, f"id{i}a", "e1"))
+        if i % 3 == 0:
+            rows.append((k, f"id{i}b", "e2"))  # duplicate key, different row
+    ents = _entries(spark, rows)
+
+    r_old = tmp_path / "old"
+    r_new = tmp_path / "new"
+    m_old = R.write_ranges(dedup_entries(ents.select(*ENTRY_COLS)), str(r_old), raggedness=200)
+    m_new = R.write_ranges(ents.select(*ENTRY_COLS), str(r_new), raggedness=200, dedup=True)
+
+    assert m_old.reset_index(drop=True).equals(m_new.reset_index(drop=True))
+    assert len(m_old) > 1  # the raggedness actually split chunks
+    for rid in m_old["range_id"]:
+        b_old = open(os.path.join(r_old, "ranges", f"{rid}.parquet"), "rb").read()
+        b_new = open(os.path.join(r_new, "ranges", f"{rid}.parquet"), "rb").read()
+        assert hashlib.sha256(b_old).hexdigest() == hashlib.sha256(b_new).hexdigest()
+
+
+def _merge_fixture(spark):
+    base = _entries(
+        spark,
+        [("a", "a0", "e"), ("b", "b0", "e"), ("c", "c0", "e"), ("d", "d0", "e"), ("e", "e0", "e")],
+    )
+    # source: changes a, deletes b, adds f, conflicts on d (vs dest), delete-vs-change on e
+    source = _entries(
+        spark,
+        [("a", "a1", "e"), ("c", "c0", "e"), ("d", "d1", "e"), ("f", "f1", "e")],
+    )
+    # dest: changes c, conflicts on d, changes e (source deleted it)
+    dest = _entries(
+        spark,
+        [("a", "a0", "e"), ("b", "b0", "e"), ("c", "c1", "e"), ("d", "d2", "e"), ("e", "e1", "e")],
+    )
+    return base, source, dest
+
+
+def _collect_actions(df):
+    return sorted(
+        (r["key"], r["action"], r["identity"], r["etag"]) for r in df.collect()
+    )
+
+
+def test_merge_changes_from_sides_matches_from_diffs(spark):
+    base, source, dest = _merge_fixture(spark)
+    for strategy in ("none", "src", "dest"):
+        via_diffs = M.merge_changes_from_diffs(
+            D.diff(base, source), D.diff(base, dest), strategy
+        )
+        via_sides = M.merge_changes_from_sides(base, source, base, dest, strategy)
+        assert _collect_actions(via_diffs) == _collect_actions(via_sides), strategy
+
+
+def test_merge_changes_from_sides_matches_with_resolver(spark):
+    # a resolver that reads d_* payload forces the dest side to carry
+    # payload — the slim path must detect that and ship it
+    base, source, dest = _merge_fixture(spark)
+
+    def prefer_src_on_d(strategy):
+        return F.when(F.col("key") == "d", F.lit("src"))
+
+    via_diffs = M.merge_changes_from_diffs(
+        D.diff(base, source), D.diff(base, dest), "none", [prefer_src_on_d]
+    )
+    via_sides = M.merge_changes_from_sides(
+        base, source, base, dest, "none", [prefer_src_on_d]
+    )
+    assert _collect_actions(via_diffs) == _collect_actions(via_sides)
+
+
+def test_hoisted_norm_cosine_is_bit_equal(spark):
+    from lakefs_spark.operators.similarity import cosine_pairs
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    hoisted = {
+        (r["qa"], r["qb"]): r["sim"] for r in cosine_pairs(vecs, vecs).collect()
+    }
+    a = vecs.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("qb"), F.col("embedding").alias("vb"))
+    inlined = {
+        (r["qa"], r["qb"]): r["sim"]
+        for r in a.join(F.broadcast(b))
+        .select("qa", "qb", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .collect()
+    }
+    assert hoisted == inlined  # exact equality, not approx
