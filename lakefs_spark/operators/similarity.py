@@ -591,6 +591,7 @@ def pq_codebooks(
     n_centroids: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows: list[tuple[int, list[float]]] | None = None,
 ) -> dict[int, list[tuple[int, list[float]]]]:
     """Per-subspace PQ codebooks (Jegou et al., "Product Quantization
     for Nearest Neighbor Search"): the dim axis is split into ``n_sub``
@@ -611,7 +612,12 @@ def pq_codebooks(
             "would silently drop the trailing dimensions from every code"
         )
     d0 = dim // n_sub
-    rows = _codebook_rows(corpus, n_centroids, id_col, vec_col)
+    # ``rows`` lets a caller that already collected the seeding sample
+    # (same corpus, same K) reuse it — _codebook_rows is a Spark job
+    # (TakeOrdered + collect), and pq_topk/ivfpq_topk were paying it
+    # twice per call for bit-identical results
+    if rows is None:
+        rows = _codebook_rows(corpus, n_centroids, id_col, vec_col)
     return {
         m: [(cid, vec[m * d0 : (m + 1) * d0]) for cid, vec in rows] for m in range(n_sub)
     }
@@ -650,6 +656,7 @@ def pq_codes(
     n_centroids: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: dict[int, list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """PQ encoding: one (id, m, code) row per vector and subspace.
 
@@ -658,7 +665,11 @@ def pq_codes(
     posexplode to long form. A 64-dim vector compresses to n_sub bytes
     of codes; at 1e9 vectors the codes table is ~4 GB vs 256 GB of
     float32 — the whole point of PQ at 100 TB."""
-    books = pq_codebooks(corpus, n_sub, dim, n_centroids, id_col, vec_col)
+    # ``books`` lets pq_topk/ivfpq_topk hand down the codebooks they
+    # already derived from the same corpus/K — skipping a second
+    # bit-identical _codebook_rows Spark job (TakeOrdered + collect)
+    if books is None:
+        books = pq_codebooks(corpus, n_sub, dim, n_centroids, id_col, vec_col)
     d0 = dim // n_sub
     per_m = F.array(
         *[
@@ -717,7 +728,9 @@ def pq_topk(
             per_sub.append(ent)
         tables[qa] = per_sub
 
-    codes = pq_codes(corpus, n_sub, dim, n_centroids, id_col, vec_col)
+    # reuse the codebooks already collected above — pq_codes would
+    # otherwise run the identical TakeOrdered sampling job a second time
+    codes = pq_codes(corpus, n_sub, dim, n_centroids, id_col, vec_col, books=books)
     wide = codes.groupBy(id_col).pivot("m", list(range(n_sub))).agg(F.first("code"))
     score_structs = []
     for qa, per_sub in tables.items():
@@ -775,7 +788,11 @@ def ivfpq_topk(
 
     cent_rows = _codebook_rows(corpus, n_centroids, id_col, vec_col)
     cents_norm = _normalize_codebook(cent_rows)
-    books = pq_codebooks(corpus, n_sub, dim, n_centroids, id_col, vec_col)
+    # the PQ codebooks slice the SAME hash-ranked sample the coarse
+    # codebook just collected — reuse it instead of re-running the job
+    books = pq_codebooks(
+        corpus, n_sub, dim, n_centroids, id_col, vec_col, rows=cent_rows
+    )
     d0 = dim // n_sub
 
     corp = corpus.select(F.col(id_col).alias("qb"), F.col(vec_col).alias("vb"))
