@@ -728,10 +728,21 @@ def pq_topk(
             per_sub.append(ent)
         tables[qa] = per_sub
 
-    # reuse the codebooks already collected above — pq_codes would
-    # otherwise run the identical TakeOrdered sampling job a second time
-    codes = pq_codes(corpus, n_sub, dim, n_centroids, id_col, vec_col, books=books)
-    wide = codes.groupBy(id_col).pivot("m", list(range(n_sub))).agg(F.first("code"))
+    # wide codes computed DIRECTLY as n_sub folded projections — the
+    # previous shape materialized pq_codes' long form (posexplode) and
+    # pivoted it back to wide, paying two Exchanges + four aggregates
+    # for a round-trip that recreates exactly this projection; the
+    # folded argmin per subspace is deterministic, so the wide rows are
+    # identical to the pivot of pq_codes (one (id, m) row per vector)
+    wide = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *[
+            _fold_l2_assignment(F.slice(F.col(vec_col), m * d0 + 1, d0), books[m])[
+                "cid"
+            ].alias(str(m))
+            for m in range(n_sub)
+        ],
+    )
     score_structs = []
     for qa, per_sub in tables.items():
         terms = None

@@ -390,6 +390,23 @@ def test_pq_codes_single_projection_no_exchange(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_pq_topk_no_pivot_roundtrip(spark):
+    """PQ/ADC search computes the wide code columns directly (n_sub
+    folded argmin projections) instead of exploding pq_codes to long
+    form and pivoting back — exactly one Exchange (the per-query
+    top-k window) and zero aggregates in the whole plan."""
+    import pyspark.sql.functions as F
+
+    from lakefs_spark.operators.similarity import pq_topk
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4)
+    plan = _plan(pq_topk(q, emb))
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" not in plan, plan
+
+
 def test_ivfpq_corpus_side_shuffles_only_for_topk(spark):
     """IVFPQ's corpus side (coarse id + codes + ADC scores) stays
     shuffle-free until the per-query top-k window — exactly one
