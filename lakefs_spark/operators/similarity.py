@@ -30,6 +30,34 @@ def _round_half_up(x: float, ndigits: int) -> float:
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
+def _sql_d(x: float) -> str:
+    """Exact SQL double literal: ``repr`` emits the shortest decimal
+    that round-trips, and Spark's parser (Double.parseDouble) is
+    correctly rounded — so the JVM-side double is bit-identical to the
+    Python one. Non-finite values take the cast('...') spelling the
+    parser accepts."""
+    import math
+
+    x = float(x)
+    if math.isinf(x):
+        return "cast('Infinity' as double)" if x > 0 else "cast('-Infinity' as double)"
+    if math.isnan(x):
+        return "cast('NaN' as double)"
+    return repr(x) + "D"
+
+
+def _lit_double_array(vals: list[float]) -> Column:
+    """array<double> literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per scalar
+    (~1 ms each); a folded codebook is thousands of scalars, so plan
+    CONSTRUCTION — pure driver time, before any job — was dominating
+    the ANN operators. One ``F.expr`` string is parsed JVM-side in
+    microseconds per element and yields bit-identical literals
+    (guide §5: keep the driver out of the hot path)."""
+    return F.expr("array(" + ",".join(_sql_d(v) for v in vals) + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -132,7 +160,7 @@ def lsh_buckets(
     planes = [_hyperplane(dim, seed, p) for p in range(n_planes)]
     bits = []
     for p in planes:
-        plane_col = F.array(*[F.lit(v) for v in p])
+        plane_col = _lit_double_array(p)
         bits.append(F.when(_dot(F.col(vec_col), plane_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
@@ -336,7 +364,7 @@ def hybrid_rerank(
             "query vector) — cannot build the dense query; rerank would "
             "silently be NULL-scored"
         )
-    q_col = F.array(*[F.lit(v) for v in qvec])
+    q_col = _lit_double_array(qvec)
     joined = cand.join(evec, cand[doc_id_col] == evec[vec_id_col]).select(
         cand[doc_id_col].alias("doc_id"), "score", vec_col
     )
@@ -371,14 +399,16 @@ def _fold_assignment(vec: Column, cents: list[tuple[int, list[float]]]) -> Colum
     """argmax_c dot(vec, c) over a unit-normalized driver-side codebook,
     folded into ONE JVM projection (no shuffle, no K-times row blowup);
     (sim desc, cid asc) tie-break. Returns a struct (cid, s)."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("long").alias("cid"),
-                F.array(*[F.lit(x) for x in v]).alias("cv"),
-            )
+    # one parsed expression instead of K*(dim+1) py4j literal calls —
+    # identical literal tree, see _lit_double_array
+    cent_arr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid',{int(cid)}L,'cv',"
+            + "array(" + ",".join(_sql_d(x) for x in v) + "))"
             for cid, v in cents
-        ]
+        )
+        + ")"
     )
     # ONE dot per centroid: higher-order lambdas are interpreted (no
     # codegen CSE), so a when(dot > acc.s, struct(dot, ...)) shape
@@ -628,15 +658,17 @@ def _fold_l2_assignment(subvec: Column, cents: list[tuple[int, list[float]]]) ->
     into ONE JVM projection; ties -> min cid. ||c||^2/2 is a
     Python-computed literal (sequential sum, the same add order the
     oracle's SQL sum uses)."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("long").alias("cid"),
-                F.array(*[F.lit(x) for x in v]).alias("cv"),
-                F.lit(sum(x * x for x in v) / 2.0).alias("h"),
-            )
+    # one parsed expression instead of K*(dim+2) py4j literal calls —
+    # identical literal tree, see _lit_double_array
+    cent_arr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid',{int(cid)}L,'cv',"
+            + "array(" + ",".join(_sql_d(x) for x in v) + "),"
+            + f"'h',{_sql_d(sum(x * x for x in v) / 2.0)})"
             for cid, v in cents
-        ]
+        )
+        + ")"
     )
     # same single-evaluation shape as _fold_assignment
     scored = F.transform(
@@ -743,21 +775,23 @@ def pq_topk(
             for m in range(n_sub)
         ],
     )
+    # the whole per-query score array is ONE parsed SQL expression —
+    # fixed-order sum of the n_sub map lookups per query, exactly the
+    # Column tree the per-query loop built, minus thousands of py4j
+    # round-trips of driver-side plan construction
     score_structs = []
     for qa, per_sub in tables.items():
-        terms = None
-        for m in range(n_sub):
-            lut = F.create_map(
-                *[F.lit(v) for cid, s in sorted(per_sub[m].items()) for v in (cid, s)]
-            )
-            term = lut[F.col(str(m))]
-            terms = term if terms is None else terms + term
-        score_structs.append(
-            F.struct(F.lit(qa).cast("long").alias("qa"), terms.alias("score"))
+        terms = " + ".join(
+            "map("
+            + ",".join(f"{int(cid)}L,{_sql_d(s)}" for cid, s in sorted(per_sub[m].items()))
+            + f")[`{m}`]"
+            for m in range(n_sub)
         )
+        score_structs.append(f"named_struct('qa',{int(qa)}L,'score',{terms})")
     scored = (
         wide.select(
-            F.col(id_col).alias("qb"), F.explode(F.array(*score_structs)).alias("qs")
+            F.col(id_col).alias("qb"),
+            F.explode(F.expr("array(" + ",".join(score_structs) + ")")).alias("qs"),
         )
         .select("qb", F.col("qs.qa").alias("qa"), F.col("qs.score").alias("score"))
         .where(F.col("qa") != F.col("qb"))
@@ -833,8 +867,12 @@ def ivfpq_topk(
                 bb += b * b
             sims.append((-(ab / (math.sqrt(aa) * math.sqrt(bb))), cid))
         probe_cids = [cid for _, cid in sorted(sims)[:nprobe]]
-        # ADC tables per subspace
-        terms = None
+        # ADC tables per subspace — the whole per-query scoring
+        # expression (probe gate + fixed-order sum of n_sub map
+        # lookups) is ONE parsed SQL string: same CASE/NULL semantics
+        # and float order as the Column-by-Column build, without its
+        # per-scalar py4j round-trips
+        term_strs = []
         for m in range(n_sub):
             qsub = qv[m * d0 : (m + 1) * d0]
             ent = {}
@@ -843,18 +881,23 @@ def ivfpq_topk(
                 for a, b in zip(qsub, cv):
                     s += a * b
                 ent[cid] = s - sum(x * x for x in cv) / 2.0
-            lut = F.create_map(
-                *[F.lit(v) for cid, s in sorted(ent.items()) for v in (cid, s)]
+            term_strs.append(
+                "map("
+                + ",".join(f"{int(cid)}L,{_sql_d(s)}" for cid, s in sorted(ent.items()))
+                + f")[code{m}]"
             )
-            term = lut[F.col(f"code{m}")]
-            terms = term if terms is None else terms + term
-        score = F.when(F.col("ccid").isin(*probe_cids), terms)
-        score_structs.append(
-            F.struct(F.lit(qa).cast("long").alias("qa"), score.alias("score"))
+        probe_list = ",".join(f"{int(c)}L" for c in probe_cids)
+        score = (
+            f"CASE WHEN ccid IN ({probe_list}) THEN "
+            + " + ".join(term_strs)
+            + " END"
         )
+        score_structs.append(f"named_struct('qa',{int(qa)}L,'score',{score})")
 
     scored = (
-        enc.select("qb", F.explode(F.array(*score_structs)).alias("qs"))
+        enc.select(
+            "qb", F.explode(F.expr("array(" + ",".join(score_structs) + ")")).alias("qs")
+        )
         .select("qb", F.col("qs.qa").alias("qa"), F.col("qs.score").alias("score"))
         .where(F.col("score").isNotNull() & (F.col("qa") != F.col("qb")))
     )
