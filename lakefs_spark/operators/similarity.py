@@ -74,6 +74,27 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _fill_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a pairwise-join STREAM side up to the
+    cluster's default parallelism when its scan yields fewer splits
+    (guide §2.6 — stragglers and idle capacity).
+
+    The O(n_q * n_c) pair evaluation above a broadcast join inherits
+    the stream side's partitioning, and a small corpus often arrives
+    as one single-row-group parquet file = ONE task doing ALL the n²
+    work while every other core idles. The exchange this adds moves
+    only the corpus rows (O(n_c)) — strictly dominated by the O(n²)
+    work it fans out. Scale-adaptive by construction: a corpus big
+    enough to matter already scans as >= defaultParallelism splits and
+    this is a NO-OP (no exchange in the plan). Row placement, not
+    values, changes — the pair set and every double are identical."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def cosine_pairs(
     queries: DataFrame,
     corpus: DataFrame,
@@ -82,7 +103,8 @@ def cosine_pairs(
 ) -> DataFrame:
     """All (query, corpus) cosine pairs: (qa, qb, sim).
 
-    Broadcast the query side — corpus streams through unshuffled.
+    Broadcast the query side — corpus streams through unshuffled when
+    its scan already fills the cluster (see ``_fill_parallelism``).
     """
     # Norms are hoisted into the per-row projections BELOW the join
     # (guide §1.2 per-task work): inlining cosine() in the post-join
@@ -95,10 +117,12 @@ def cosine_pairs(
         F.col(vec_col).alias("va"),
         _norm(F.col(vec_col)).alias("__na"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("qb"),
-        F.col(vec_col).alias("vb"),
-        _norm(F.col(vec_col)).alias("__nb"),
+    c = _fill_parallelism(
+        corpus.select(
+            F.col(id_col).alias("qb"),
+            F.col(vec_col).alias("vb"),
+            _norm(F.col(vec_col)).alias("__nb"),
+        )
     )
     return (
         c.join(F.broadcast(q))

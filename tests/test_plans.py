@@ -75,6 +75,30 @@ def test_cosine_pairs_broadcasts_query_side(spark, emb):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_cosine_pairs_fills_idle_parallelism_conditionally(spark, emb):
+    """The O(n_q*n_c) pair work above the broadcast join inherits the
+    STREAM side's partitioning, so a single-split corpus must be
+    round-robin-repartitioned up to defaultParallelism — and a corpus
+    that already fills the cluster must NOT pay an extra exchange
+    (guide §2.6; the repartition is scale-adaptive, not a local tune)."""
+    from pyspark.sql import functions as F
+
+    from lakefs_spark.operators.similarity import cosine_pairs
+
+    q = emb.where(F.col("vec_id") < 8)
+    par = spark.sparkContext.defaultParallelism
+
+    # emb is one parquet file / one row group -> single scan split
+    assert emb.rdd.getNumPartitions() < par
+    filled = _plan(cosine_pairs(q, emb))
+    assert "RoundRobinPartitioning" in filled, filled
+
+    wide = emb.repartition(par)
+    unfilled = _plan(cosine_pairs(q, wide))
+    # exactly the caller's exchange — the operator adds none of its own
+    assert unfilled.count("RoundRobinPartitioning") == 1, unfilled
+
+
 def test_lsh_topk_has_no_cartesian_product(spark, emb):
     """The LSH bucket equi-join must plan as a hash/sort-merge join on
     bucket — never a cartesian/broadcast-nested-loop over the corpus."""
