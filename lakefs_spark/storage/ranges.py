@@ -483,6 +483,7 @@ def read_snapshot(
     metarange_id: str,
     key_lower: str | None = None,
     key_upper: str | None = None,
+    min_rows: int | None = None,
 ) -> DataFrame:
     """Full snapshot scan with manifest-level range pruning.
 
@@ -490,6 +491,13 @@ def read_snapshot(
     manifest's min/max before Spark ever plans the scan — the
     partition-pruning analog of the reference's SeekGE
     (pkg/graveler/committed/manager.go:49).
+
+    ``min_rows`` is the listing-page window prune: a caller that will
+    consume at most ``min_rows`` rows in ascending key order (the
+    ``amount+1`` page probe) only needs the shortest key-ordered prefix
+    of the surviving ranges guaranteed to hold ``min_rows`` in-bounds
+    rows — every later range holds strictly greater keys (global key
+    order invariant), so page k stops scanning the whole remaining tail.
     """
     if metarange_id == EMPTY_METARANGE:
         return empty_entries(spark)
@@ -500,6 +508,18 @@ def read_snapshot(
         manifest = manifest[manifest["min_key"] < key_upper]
     if manifest.empty:
         return empty_entries(spark)
+    if min_rows is not None and len(manifest) > 1:
+        # A range straddling a bound has an unknown in-bounds count —
+        # score it 0, which only ever keeps MORE ranges than needed.
+        m = manifest.sort_values("min_key")
+        guaranteed = m["count"].astype("int64").copy()
+        if key_lower is not None:
+            guaranteed[m["min_key"] < key_lower] = 0
+        if key_upper is not None:
+            guaranteed[m["max_key"] >= key_upper] = 0
+        covered = guaranteed.cumsum() >= int(min_rows)
+        if covered.any():
+            manifest = m.iloc[: int(covered.to_numpy().argmax()) + 1]
     df = read_ranges(spark, root, manifest["range_id"].tolist())
     if key_lower is not None:
         df = df.where(F.col("key") >= F.lit(key_lower))

@@ -851,18 +851,37 @@ class Repository:
 
     # -- reads -------------------------------------------------------------
 
-    def snapshot(self, ref: str, key_lower: str | None = None, key_upper: str | None = None) -> DataFrame:
-        """Entries visible at a ref. Bare branch names include staging."""
+    def snapshot(
+        self,
+        ref: str,
+        key_lower: str | None = None,
+        key_upper: str | None = None,
+        limit_hint: int | None = None,
+    ) -> DataFrame:
+        """Entries visible at a ref. Bare branch names include staging.
+
+        ``limit_hint`` promises the caller consumes at most that many
+        rows in ascending key order; it enables the manifest-count
+        window prune ONLY when no staging overlay applies (staged
+        tombstones could push a page's cutoff past any committed-count
+        window, so an overlaid read must scan the full bounds).
+        """
         r = self.resolve(ref)
         base_mid = self._metarange_of(r.commit_id)
+        staged = None
         if r.staging:
             cmid = self._read_branch(r.branch).get("compacted_mid")
             if cmid:
                 base_mid = cmid
-        committed = R.read_snapshot(self.spark, self.store, base_mid, key_lower, key_upper)
-        if not r.staging:
-            return committed
-        staged = self._staged_raw(r.branch)
+            staged = self._staged_raw(r.branch)
+        committed = R.read_snapshot(
+            self.spark,
+            self.store,
+            base_mid,
+            key_lower,
+            key_upper,
+            min_rows=limit_hint if staged is None else None,
+        )
         if staged is None:
             return committed
         if key_lower is not None:
@@ -891,7 +910,16 @@ class Repository:
         # resume, pkg/catalog/entry_listing_iterator.go:70-74).
         if after and (lower is None or after >= lower):
             lower = after + "\x00"
-        snap = self.snapshot(ref, key_lower=lower, key_upper=upper)
+        # Flat listings consume exactly `limit` raw rows in key order, so
+        # the snapshot read can window-prune by manifest counts. With a
+        # delimiter the limit counts folded groups — one group can span
+        # arbitrarily many raw rows, so no raw-row window bound exists.
+        snap = self.snapshot(
+            ref,
+            key_lower=lower,
+            key_upper=upper,
+            limit_hint=limit if not delimiter else None,
+        )
         return _list_entries(snap, prefix=prefix, after=after, delimiter=delimiter, limit=limit)
 
     def list_page(

@@ -14,6 +14,11 @@ unoptimized formulations so a future refactor cannot silently diverge:
    with and without a resolver reading ``d_*`` payload columns.
 3. Hoisted-norm cosine (``cosine_pairs``) == inlined ``cosine()`` —
    bit-equal doubles, not approximately equal.
+4. Listing-page window prune (``read_snapshot(min_rows=...)``) — a
+   committed page walk returns exactly the unpruned listing while each
+   page scans a strict subset of the range files; a staging overlay
+   disables the prune (tombstones can push the cutoff past any
+   committed-count window).
 """
 
 from __future__ import annotations
@@ -141,3 +146,60 @@ def test_hoisted_norm_cosine_is_bit_equal(spark):
         .collect()
     }
     assert hoisted == inlined  # exact equality, not approx
+
+
+def test_listing_window_prune_is_exact_and_prunes(spark, tmp_path):
+    from lakefs_spark.storage import ranges as R
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    repo.raggedness = 40  # many small ranges
+    rows = [(f"t/{i:05d}", f"id{i}", "e") for i in range(1200)]
+    repo.import_entries("main", _entries(spark, rows), message="base")
+
+    mid = repo._metarange_of(repo.resolve("main").commit_id)
+    all_ranges = set(R.read_manifest(repo.store, mid)["range_id"])
+    assert len(all_ranges) > 5  # the raggedness actually split chunks
+
+    def scanned_ranges(df):
+        return {
+            os.path.basename(p).removesuffix(".parquet")
+            for p in df.inputFiles()
+            if "/ranges/" in p
+        }
+
+    # ranges the cursor lower bound alone keeps (pre-window-prune set)
+    man = R.read_manifest(repo.store, mid)
+    cursor_kept = set(man[man["max_key"] >= "t/00300\x00"]["range_id"])
+
+    # committed flat page mid-walk: scans a strict subset of the
+    # cursor-kept ranges (the count window cut in)
+    probe = repo.list_entries("main", prefix="t/", after="t/00300", limit=51)
+    assert scanned_ranges(probe) < cursor_kept
+
+    # the pruned page walk reproduces the unpruned listing exactly
+    truth = [r["key"] for r in repo.snapshot("main").orderBy("key").collect()]
+    walked, after = [], ""
+    while True:
+        page, more = repo.list_page("main", prefix="t/", after=after, amount=37)
+        walked.extend(r["key"] for r in page)
+        if not more:
+            break
+        assert len(page) == 37  # non-final pages must fill
+        after = page[-1]["key"]
+    assert walked == truth
+
+    # a staging overlay disables the prune and the walk stays exact
+    repo.stage_deletes("main", spark.createDataFrame(
+        [(k,) for k in truth[40:80]], "key string"
+    ))
+    probe = repo.list_entries("main", prefix="t/", after="t/00300", limit=51)
+    assert scanned_ranges(probe) == cursor_kept
+    walked, after = [], ""
+    while True:
+        page, more = repo.list_page("main", prefix="t/", after=after, amount=37)
+        walked.extend(r["key"] for r in page)
+        if not more:
+            break
+        after = page[-1]["key"]
+    assert walked == truth[:40] + truth[80:]
