@@ -164,6 +164,107 @@ def _bucketed_positions(
     return [int(r["pos"]) for r in hits]
 
 
+def probe_stream(
+    spark: SparkSession,
+    max_keys: list[str],
+    stream: DataFrame,
+    raggedness: int,
+    tomb_col: str | None = None,
+    action_col: str | None = None,
+) -> tuple[dict, set, set, set]:
+    """ONE Spark job over a (persisted) change/action stream computing
+    everything the COW apply needs from it: per-action counts (when
+    ``action_col`` is given — the merge path's conflict/no-op gate),
+    the DISTINCT touched base positions, and the stream's
+    boundary-flagged keys split by tombstone-ness.
+
+    Previously these were two to three sequential jobs (action counts,
+    touched positions, then a boundary scan over the merged overlay);
+    at small-op sizes the job COUNT, not the per-job work, dominates a
+    storage op (guide §1.2 — each job is a scheduling + driver
+    round-trip), so the three probes ride one collect as a tagged
+    union. The merged overlay's boundary-key set is recovered from
+    this probe plus a base-rows-only scan via set algebra — see
+    _apply_cow (the boundary rule is a pure per-key predicate, so it
+    commutes with the per-key overlay decision).
+
+    Returns ``(counts, touched, bk_all, bk_nontomb)`` where ``bk_all``
+    is every boundary-flagged change key and ``bk_nontomb`` the
+    non-tombstone subset.
+    """
+    bc_max = spark.sparkContext.broadcast(max_keys)
+    n_ranges = len(max_keys)
+
+    @F.pandas_udf("array<int>")
+    def _positions(keys: pd.Series, tombs: pd.Series) -> pd.Series:
+        mk = bc_max.value
+        pos = _assign_positions(keys.to_numpy(dtype=object), mk)
+        out = []
+        for k, t, p in zip(keys.to_numpy(dtype=object), tombs.to_numpy(), pos):
+            p = int(p)
+            if t and p + 1 < n_ranges and k == mk[p]:
+                out.append([p, p + 1])
+            else:
+                out.append([p])
+        return pd.Series(out)
+
+    def _tomb():
+        # fresh Column per use site (resolved per-branch of the union)
+        if tomb_col is not None:
+            return F.col(tomb_col).cast("boolean")
+        return (F.col(action_col) == "delete").cast("boolean")
+
+    parts = []
+    body = stream
+    if action_col is not None:
+        parts.append(
+            stream.groupBy(action_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit("cnt").alias("t"),
+                F.col(action_col).alias("v"),
+                F.lit(None).cast("boolean").alias("tomb"),
+                F.col("n").alias("n"),
+            )
+        )
+        body = stream.where(F.col(action_col) != "conflict")
+    parts.append(
+        body.select(F.explode(_positions(F.col("key"), _tomb())).alias("p"))
+        .distinct()
+        .select(
+            F.lit("pos").alias("t"),
+            F.col("p").cast("string").alias("v"),
+            F.lit(None).cast("boolean").alias("tomb"),
+            F.lit(None).cast("long").alias("n"),
+        )
+    )
+    parts.append(
+        body.where(boundary_flag(F.col("key"), raggedness)).select(
+            F.lit("bk").alias("t"),
+            F.col("key").alias("v"),
+            _tomb().alias("tomb"),
+            F.lit(None).cast("long").alias("n"),
+        )
+    )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    counts: dict = {}
+    touched: set[int] = set()
+    bk_all: set[str] = set()
+    bk_nontomb: set[str] = set()
+    for r in df.collect():
+        if r["t"] == "cnt":
+            counts[r["v"]] = r["n"]
+        elif r["t"] == "pos":
+            touched.add(int(r["v"]))
+        else:
+            bk_all.add(r["v"])
+            if not r["tomb"]:
+                bk_nontomb.add(r["v"])
+    return counts, touched, bk_all, bk_nontomb
+
+
 def ranges_containing_keys(
     spark: SparkSession, manifest: pd.DataFrame, keys_df: DataFrame, key_col: str = "key"
 ) -> set[str]:
@@ -229,9 +330,16 @@ def apply_changes(
     base_manifest: pd.DataFrame | None,
     changes: DataFrame,
     raggedness: int = DEFAULT_RAGGEDNESS,
+    probe: tuple[set, set, set] | None = None,
 ) -> pd.DataFrame:
     """Apply a deduped change stream (is_tombstone + entry cols, one row
-    per key) onto a base snapshot. Returns the new manifest."""
+    per key) onto a base snapshot. Returns the new manifest.
+
+    ``probe`` is an optional precomputed ``(touched, bk_all,
+    bk_nontomb)`` from :func:`probe_stream` — callers that already ran
+    a probe job over the (same) change stream (the merge path's
+    conflict/no-op gate) pass it through so the apply does not rerun
+    it."""
     if base_manifest is None or base_manifest.empty:
         # DELIBERATELY un-persisted: an empty base means the change
         # stream IS the whole snapshot (first commit / import), exactly
@@ -248,7 +356,7 @@ def apply_changes(
     # expensive upstream plan (e.g. merge diffs) runs once
     changes = changes.persist()
     try:
-        return _apply_cow(spark, root, base_manifest, changes, raggedness)
+        return _apply_cow(spark, root, base_manifest, changes, raggedness, probe)
     finally:
         changes.unpersist()
 
@@ -259,6 +367,7 @@ def _apply_cow(
     base_manifest: pd.DataFrame,
     changes: DataFrame,
     raggedness: int,
+    probe: tuple[set, set, set] | None = None,
 ) -> pd.DataFrame:
     mf = base_manifest.sort_values("min_key").reset_index(drop=True)
     max_keys = mf["max_key"].tolist()
@@ -274,39 +383,25 @@ def _apply_cow(
     # dissolves a chunk boundary (chunker's rule is pure key-hash),
     # so position i+1 is emitted too: the following range merges in
     # and must be rewritten.
-    if len(mf) > LARGE_MANIFEST_ROWS:
+    probe_bks: tuple[set, set] | None = None
+    if probe is not None:
+        touched, bk_all, bk_nontomb = probe
+        probe_bks = (bk_all, bk_nontomb)
+    elif len(mf) > LARGE_MANIFEST_ROWS:
         # 100 TB-scale manifest: √n-bucketed assignment — no O(n)
-        # broadcast (see _bucketed_positions)
+        # broadcast (see _bucketed_positions); boundary keys then come
+        # from the merged-overlay scan below (the probe's set-algebra
+        # shortcut needs the small-manifest broadcast probe)
         touched = set(
             _bucketed_positions(
                 spark, mf, changes, "key", tomb_col="is_tombstone", containment=False
             )
         )
     else:
-        bc_max = spark.sparkContext.broadcast(max_keys)
-
-        @F.pandas_udf("array<int>")
-        def _touched_positions(keys: pd.Series, tombs: pd.Series) -> pd.Series:
-            mk = bc_max.value
-            n = len(mk)
-            pos = _assign_positions(keys.to_numpy(dtype=object), mk)
-            out = []
-            for k, t, p in zip(keys.to_numpy(dtype=object), tombs.to_numpy(), pos):
-                p = int(p)
-                if t and p + 1 < n and k == mk[p]:
-                    out.append([p, p + 1])
-                else:
-                    out.append([p])
-            return pd.Series(out)
-
-        touched = {
-            int(r["p"])
-            for r in changes.select(
-                F.explode(_touched_positions("key", "is_tombstone")).alias("p")
-            )
-            .distinct()
-            .collect()
-        }
+        _, touched, bk_all, bk_nontomb = probe_stream(
+            spark, max_keys, changes, raggedness, tomb_col="is_tombstone"
+        )
+        probe_bks = (bk_all, bk_nontomb)
 
     touched_sorted = sorted(touched)
     touched_ids = mf.iloc[touched_sorted]["range_id"].tolist()
@@ -330,15 +425,27 @@ def _apply_cow(
         and (i + 1 == len(touched_sorted) or touched_sorted[i + 1] != p + 1)
     }
     # Boundary keys: the chunker's rule is a pure per-key predicate, so
-    # it commutes with the per-key overlay decision — evaluate it on
-    # the hash-filtered 1/raggedness slice of the overlay instead of
-    # persisting the full merged payload for a second data-sized pass
-    # (the previous shape here). Column pruning cuts this pass to a
-    # key-column parquet scan plus the (tiny-side) anti-join.
+    # it commutes with the per-key overlay decision. With a probe in
+    # hand the merged overlay's boundary set is pure set algebra over
+    # a base-rows-only scan: merged = (base \ change_keys) ∪ surviving
+    # changes, and bflag distributes over both sides, so
+    #   bflag(merged) = (bflag(base) \ bflag(change_keys_all))
+    #                   ∪ bflag(changes_nontombstone)
+    # — one key-column scan of the touched range files with NO
+    # anti-join and no change-stream rescan (the probe already
+    # delivered the change side). Without a probe (bucketed manifest
+    # path) fall back to the merged-overlay scan.
     bflag = boundary_flag(F.col("key"), raggedness)
-    bks = sorted(
-        {r[0] for r in merged.where(bflag).select("key").collect()} | edge_keys
-    )
+    if probe_bks is not None:
+        bk_all, bk_nontomb = probe_bks
+        base_bks = {
+            r[0] for r in base_rows.where(bflag).select("key").collect()
+        }
+        bks = sorted(((base_bks - bk_all) | bk_nontomb) | edge_keys)
+    else:
+        bks = sorted(
+            {r[0] for r in merged.where(bflag).select("key").collect()} | edge_keys
+        )
     chunked = assign_chunks(merged, "key", raggedness, boundaries=bks)
     new_rows = R.write_ranges_prechunked(chunked, root, n_chunks=len(bks) + 1)
 

@@ -54,7 +54,7 @@ from lakefs_spark.schema import ENTRY_COLS, ENTRY_SCHEMA, STAGED_SCHEMA
 
 _UNSET = object()  # sentinel: "no identity predicate" (None is a valid predicate)
 from lakefs_spark.storage import ranges as R
-from lakefs_spark.storage import commit_apply
+from lakefs_spark.storage import commit_apply, localapply
 from lakefs_spark.storage.commit_apply import NoChangesError, apply_changes
 from lakefs_spark.storage.refs import (
     Commit,
@@ -797,9 +797,11 @@ class Repository:
         base_manifest = (
             R.read_manifest(self.store, base_mid) if base_mid != R.EMPTY_METARANGE else None
         )
-        new_manifest = apply_changes(
-            self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
-        )
+        new_manifest = self._apply_staged_local(branch, base_manifest)
+        if new_manifest is None:
+            new_manifest = apply_changes(
+                self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
+            )
         mid = (
             R.write_manifest(new_manifest, self.store)
             if len(new_manifest)
@@ -947,6 +949,13 @@ class Repository:
 
     # -- diff --------------------------------------------------------------
 
+    def _manifest_or_empty(self, mid: str) -> pd.DataFrame:
+        return (
+            R.read_manifest(self.store, mid)
+            if mid != R.EMPTY_METARANGE
+            else pd.DataFrame(columns=R.MANIFEST_COLS)
+        )
+
     def _pruned_sides(self, left_mid: str, right_mid: str) -> tuple[DataFrame, DataFrame]:
         """Rows of only the ranges that differ between two manifests —
         the whole-range fast path of diff.go:151,238-247."""
@@ -1091,9 +1100,11 @@ class Repository:
                     if base_mid != R.EMPTY_METARANGE
                     else None
                 )
-                new_manifest = apply_changes(
-                    self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
-                )
+                new_manifest = self._apply_staged_local(branch, base_manifest)
+                if new_manifest is None:
+                    new_manifest = apply_changes(
+                        self.spark, self.root, base_manifest, changes.drop("seq"), self.raggedness
+                    )
             new_mid = (
                 R.write_manifest(new_manifest, self.store)
                 if len(new_manifest)
@@ -1123,6 +1134,26 @@ class Repository:
         self._fire("post-commit", branch=branch, commit=commit)
         return commit
 
+    def _apply_staged_local(self, branch: str, base_manifest) -> pd.DataFrame | None:
+        """Driver-side apply of a SMALL staged layer (localapply): the
+        size gate reads only parquet footers and the base manifest, so
+        a big commit costs two metadata probes and falls through to the
+        distributed apply (returns None). Bit-identical manifests are
+        pinned in tests/test_localapply.py."""
+        if localapply.LOCAL_APPLY_ROWS <= 0:
+            return None
+        staged = localapply.load_staged_small(
+            self._staging_dir(branch), localapply.LOCAL_APPLY_ROWS
+        )
+        if staged is None:
+            return None
+        ch = localapply.staged_to_changes(staged)
+        if localapply.rebuild_rows_estimate(base_manifest, ch) > localapply.LOCAL_APPLY_ROWS:
+            return None
+        return localapply.apply_changes_local(
+            self.store, base_manifest, ch, self.raggedness
+        )
+
     # -- merge family ------------------------------------------------------
 
     def _three_way_changes(
@@ -1132,10 +1163,29 @@ class Repository:
         dest_cid: str | None,
         strategy: str,
         resolvers=None,
-    ) -> DataFrame:
+    ) -> DataFrame | list:
         base_mid = self._metarange_of(base_cid)
-        sdiff_l, sdiff_r = self._pruned_sides(base_mid, self._metarange_of(source_cid))
-        ddiff_l, ddiff_r = self._pruned_sides(base_mid, self._metarange_of(dest_cid))
+        src_mid = self._metarange_of(source_cid)
+        dst_mid = self._metarange_of(dest_cid)
+        # small-merge fast path (localapply): when the pruned diff
+        # inputs are provably small BY MANIFEST COUNTS, compute the
+        # whole action ladder driver-side — zero Spark jobs for the
+        # 1-key merges that dominate lifecycle flows. User resolver
+        # chains are Spark Column expressions, so they always take the
+        # distributed ladder.
+        if resolvers is None and localapply.LOCAL_APPLY_ROWS > 0:
+            acts = localapply.merge_actions_small(
+                self.store,
+                self._manifest_or_empty(base_mid),
+                self._manifest_or_empty(src_mid),
+                self._manifest_or_empty(dst_mid),
+                strategy,
+                localapply.LOCAL_APPLY_ROWS,
+            )
+            if acts is not None:
+                return acts
+        sdiff_l, sdiff_r = self._pruned_sides(base_mid, src_mid)
+        ddiff_l, ddiff_r = self._pruned_sides(base_mid, dst_mid)
         # merge_changes_from_sides slims both base sides to
         # (key, identity) before their exchanges — the base payload is
         # provably unused by the merge ladder (removed rows' payload is
@@ -1160,14 +1210,68 @@ class Repository:
         allow_empty: bool = False,
         date: float | None = None,
     ) -> Commit:
+        if isinstance(actions, list):
+            # locally-computed action stream (small merge): conflict and
+            # no-op gates are plain Python, the apply is driver-side
+            # unless the touched ranges are too fat for it
+            counts_l: dict[str, int] = {}
+            for a in actions:
+                counts_l[a["action"]] = counts_l.get(a["action"], 0) + 1
+            if counts_l.get("conflict"):
+                raise ConflictError(localapply.conflicts_df(self.spark, actions))
+            if not counts_l and not allow_empty:
+                raise NoChangesError("merge produced no changes")
+            dest_mid = self._metarange_of(expected_head)
+            base_manifest = (
+                R.read_manifest(self.store, dest_mid)
+                if dest_mid != R.EMPTY_METARANGE
+                else None
+            )
+            ch = localapply.changes_of_actions(actions)
+            if localapply.rebuild_rows_estimate(base_manifest, ch) <= localapply.LOCAL_APPLY_ROWS:
+                new_manifest = localapply.apply_changes_local(
+                    self.store, base_manifest, ch, self.raggedness
+                )
+            else:
+                new_manifest = apply_changes(
+                    self.spark, self.root, base_manifest,
+                    localapply.changes_df(self.spark, ch), self.raggedness,
+                )
+            return self._finish_actions_commit(
+                branch, new_manifest, parents, message, committer, metadata,
+                expected_head, date,
+            )
         # the action stream is an expensive double-diff join evaluated by
         # the conflict check, the no-op check, and the apply — cache it
-        # and gate with ONE aggregation job instead of two isEmpty probes
+        # and gate with ONE probe job instead of two isEmpty probes.
+        # When the dest manifest is small enough to broadcast, that same
+        # job also computes the touched base positions and the
+        # change-side boundary keys the COW apply needs, so the apply
+        # skips its own probe job (guide §1.2: at small-op sizes the
+        # sequential job COUNT dominates a storage op).
         actions = actions.persist()
-        counts = {
-            r["action"]: r["n"]
-            for r in actions.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        dest_mid = self._metarange_of(expected_head)
+        base_manifest = (
+            R.read_manifest(self.store, dest_mid) if dest_mid != R.EMPTY_METARANGE else None
+        )
+        probe = None
+        if base_manifest is not None and len(base_manifest) and len(
+            base_manifest
+        ) <= commit_apply.LARGE_MANIFEST_ROWS:
+            mf = base_manifest.sort_values("min_key").reset_index(drop=True)
+            counts, touched, bk_all, bk_nontomb = commit_apply.probe_stream(
+                self.spark,
+                mf["max_key"].tolist(),
+                actions,
+                self.raggedness,
+                action_col="action",
+            )
+            probe = (touched, bk_all, bk_nontomb)
+        else:
+            counts = {
+                r["action"]: r["n"]
+                for r in actions.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
         if counts.get("conflict"):
             # materialize the conflict set from the still-cached action
             # stream (cheap) BEFORE dropping the cache: the caller WILL
@@ -1185,16 +1289,52 @@ class Repository:
         if not counts and not allow_empty:
             actions.unpersist()
             raise NoChangesError("merge produced no changes")
-        dest_mid = self._metarange_of(expected_head)
-        base_manifest = (
-            R.read_manifest(self.store, dest_mid) if dest_mid != R.EMPTY_METARANGE else None
-        )
         try:
-            new_manifest = apply_changes(
-                self.spark, self.root, base_manifest, changes, self.raggedness
-            )
+            new_manifest = None
+            if localapply.LOCAL_APPLY_ROWS > 0:
+                n_changes = sum(
+                    int(v) for a, v in counts.items() if a != "conflict"
+                )
+                rebuild = None
+                if probe is not None:
+                    # touched positions index the min_key-sorted manifest
+                    mfs = base_manifest.sort_values("min_key").reset_index(drop=True)
+                    rebuild = n_changes + int(
+                        mfs["count"].astype("int64").iloc[sorted(probe[0])].sum()
+                    )
+                elif base_manifest is None or not len(base_manifest):
+                    rebuild = n_changes  # merge onto an empty tree
+                if rebuild is not None and rebuild <= localapply.LOCAL_APPLY_ROWS:
+                    # the action stream is already materialized in the
+                    # cache; collecting <= LOCAL_APPLY_ROWS rows is the
+                    # cheap side of skipping the apply's 3 Spark jobs
+                    ch = localapply.rows_to_changes(changes.collect())
+                    new_manifest = localapply.apply_changes_local(
+                        self.store, base_manifest, ch, self.raggedness
+                    )
+            if new_manifest is None:
+                new_manifest = apply_changes(
+                    self.spark, self.root, base_manifest, changes, self.raggedness,
+                    probe=probe,
+                )
         finally:
             actions.unpersist()
+        return self._finish_actions_commit(
+            branch, new_manifest, parents, message, committer, metadata,
+            expected_head, date,
+        )
+
+    def _finish_actions_commit(
+        self,
+        branch: str,
+        new_manifest,
+        parents: list[str],
+        message: str,
+        committer: str,
+        metadata: dict[str, str] | None,
+        expected_head: str | None,
+        date: float | None,
+    ) -> Commit:
         new_mid = (
             R.write_manifest(new_manifest, self.store)
             if len(new_manifest)

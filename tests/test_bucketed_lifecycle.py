@@ -99,6 +99,11 @@ def test_bucketed_path_actually_engaged(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(commit_apply, "LARGE_MANIFEST_ROWS", 1)
     monkeypatch.setattr(commit_apply, "_bucketed_positions", spy)
+    # this test pins the DISTRIBUTED √n-bucketed switch; the driver-side
+    # small-apply would otherwise (correctly) absorb this 1-key commit
+    from lakefs_spark.storage import localapply
+
+    monkeypatch.setattr(localapply, "LOCAL_APPLY_ROWS", 0)
     repo = Repository.create(spark, str(tmp_path / "spy"))
     repo.raggedness = 50
     repo.import_entries("main", _entries(spark, 600, "b"), message="base")

@@ -203,3 +203,123 @@ def test_listing_window_prune_is_exact_and_prunes(spark, tmp_path):
             break
         after = page[-1]["key"]
     assert walked == truth[:40] + truth[80:]
+
+
+def test_fused_probe_apply_matches_merged_scan_apply(spark, tmp_path):
+    """Pin for the fused-probe COW apply (round-10 continuation): the
+    single probe job + base-rows-only boundary scan must reproduce the
+    exact manifest (range ids = content addresses) the previous shape
+    (separate touched job + merged-overlay boundary scan) produced.
+
+    The change stream deliberately exercises every term of the
+    set-algebra rewrite
+      bflag(merged) = (bflag(base) - bflag(changes_all))
+                      | bflag(changes_nontombstone)
+    — sets and tombstones on boundary-flagged keys, a tombstone exactly
+    on a range's max_key (the p+1 boundary-dissolution rule), new keys
+    past the last range (one of them boundary-flagged), and a touched
+    pattern with gaps so untouched-run edge injection engages.
+    """
+    import numpy as np
+
+    from lakefs_spark.plans.chunker import assign_chunks, boundary_flag
+    from lakefs_spark.storage import ranges as R
+    from lakefs_spark.storage.commit_apply import (
+        _assign_positions,
+        apply_changes,
+        cow_overlay,
+    )
+
+    rag = 200
+    rows = [(f"k{i:05d}", f"id{i}", "e") for i in range(3000)]
+    root = tmp_path / "repo"
+    base_mf = R.write_ranges(_entries(spark, rows), str(root), raggedness=rag)
+    assert len(base_mf) > 6
+
+    keys = [r[0] for r in rows]
+    flagged = [
+        r[0]
+        for r in spark.createDataFrame([(k,) for k in keys], "key string")
+        .where(boundary_flag(F.col("key"), rag))
+        .orderBy("key")
+        .collect()
+    ]
+    assert len(flagged) >= 4  # need boundary keys to set AND delete
+    mf_sorted = base_mf.sort_values("min_key").reset_index(drop=True)
+    max_keys = mf_sorted["max_key"].tolist()
+
+    # candidate extension keys past the last range, one boundary-flagged
+    ext = [f"z{i:05d}" for i in range(400)]
+    ext_flagged = [
+        r[0]
+        for r in spark.createDataFrame([(k,) for k in ext], "key string")
+        .where(boundary_flag(F.col("key"), rag))
+        .orderBy("key")
+        .collect()
+    ]
+    assert ext_flagged, "pick more ext candidates"
+
+    set_keys = [keys[10], flagged[0], keys[1500], ext[0], ext_flagged[0]]
+    del_keys = [keys[20], flagged[1], max_keys[2]]  # incl. a range max_key
+    changed = sorted(set(set_keys) | set(del_keys))
+
+    def change_df():
+        data = [
+            (False, k, f"nid-{k}", f"s3://b/{k}", "FULL", 2, "e9", None, None, "text/plain")
+            for k in set_keys
+        ] + [
+            (True, k, None, None, None, None, None, None, None, None)
+            for k in del_keys
+        ]
+        return spark.createDataFrame(
+            data,
+            "is_tombstone boolean, key string, identity string, address string, "
+            "address_type string, size long, etag string, last_modified timestamp, "
+            "metadata map<string,string>, content_type string",
+        )
+
+    # ---- expected manifest via the OLD formulation --------------------
+    # touched: searchsorted + the tombstone-on-max-key p+1 rule
+    tomb = {k: (k in del_keys) for k in changed}
+    pos = _assign_positions(np.array(changed, dtype=object), max_keys)
+    touched = set()
+    for k, p in zip(changed, pos):
+        p = int(p)
+        touched.add(p)
+        if tomb[k] and p + 1 < len(max_keys) and k == max_keys[p]:
+            touched.add(p + 1)
+    assert len(touched) < len(max_keys)  # gaps exist -> edges engage
+    touched_sorted = sorted(touched)
+    last = len(max_keys) - 1
+    edge_keys = {
+        max_keys[p]
+        for i, p in enumerate(touched_sorted)
+        if p != last
+        and (i + 1 == len(touched_sorted) or touched_sorted[i + 1] != p + 1)
+    }
+    base_rows = R.read_ranges(
+        spark, str(root), mf_sorted.iloc[touched_sorted]["range_id"].tolist()
+    )
+    merged = cow_overlay(base_rows, change_df())
+    bks_old = sorted(
+        {r[0] for r in merged.where(boundary_flag(F.col("key"), rag)).select("key").collect()}
+        | edge_keys
+    )
+    # the scenario really exercises the algebra: a boundary key was
+    # deleted (must drop from bks) and a boundary key added (must join)
+    assert flagged[1] not in bks_old and ext_flagged[0] in bks_old
+    chunked = assign_chunks(merged, "key", rag, boundaries=bks_old)
+    root_old = tmp_path / "old"
+    rebuilt = R.write_ranges_prechunked(chunked, str(root_old), n_chunks=len(bks_old) + 1)
+    untouched = mf_sorted[~mf_sorted.index.isin(touched)]
+    import pandas as pd
+
+    expected = (
+        pd.concat([untouched[R.MANIFEST_COLS], rebuilt], ignore_index=True)
+        .sort_values("min_key")
+        .reset_index(drop=True)
+    )
+
+    # ---- actual: the fused-probe apply ---------------------------------
+    actual = apply_changes(spark, str(root), base_mf, change_df(), rag)
+    assert actual.reset_index(drop=True).equals(expected)
