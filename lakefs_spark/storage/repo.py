@@ -54,7 +54,7 @@ from lakefs_spark.schema import ENTRY_COLS, ENTRY_SCHEMA, STAGED_SCHEMA
 
 _UNSET = object()  # sentinel: "no identity predicate" (None is a valid predicate)
 from lakefs_spark.storage import ranges as R
-from lakefs_spark.storage import commit_apply, localapply
+from lakefs_spark.storage import commit_apply, localapply, locallist
 from lakefs_spark.storage.commit_apply import NoChangesError, apply_changes
 from lakefs_spark.storage.refs import (
     Commit,
@@ -933,14 +933,56 @@ class Repository:
         amount: int = 1000,
     ) -> tuple[list, bool]:
         """One listing page + ``has_more``, via the reference's
-        ``amount+1`` probe (pkg/catalog/catalog.go:1270-1325)."""
+        ``amount+1`` probe (pkg/catalog/catalog.go:1270-1325).
+
+        Committed refs with a small pruned interval are served by the
+        driver-side page reader (locallist — one iterator, zero Spark
+        jobs, same rows; pinned in tests/test_locallist.py); staging
+        overlays and big intervals take the DataFrame path."""
+        mid = self._committed_view_mid(ref)
+        if mid is not None and locallist.LOCAL_LIST_ROWS > 0:
+            manifest = (
+                R.read_manifest(self.store, mid)
+                if mid != R.EMPTY_METARANGE
+                else pd.DataFrame(columns=R.MANIFEST_COLS)
+            )
+            rows = locallist.page_local(
+                self.store, manifest, prefix, after, delimiter, amount
+            )
+            if rows is not None:
+                return rows[:amount], len(rows) > amount
         rows = self.list_entries(
             ref, prefix=prefix, after=after, delimiter=delimiter, limit=amount + 1
         ).collect()
         return rows[:amount], len(rows) > amount
 
+    def _committed_view_mid(self, ref: str) -> str | None:
+        """The metarange that IS the ref's full visible state, or None
+        when a staging overlay applies (driver fast paths bail)."""
+        r = self.resolve(ref)
+        mid = self._metarange_of(r.commit_id)
+        if r.staging:
+            st = self._read_branch(r.branch)
+            cmid = st.get("compacted_mid")
+            if cmid:
+                mid = cmid
+            d = self._staging_dir(r.branch)
+            if os.path.isdir(d) and any(p.startswith("seq=") for p in os.listdir(d)):
+                return None
+        return mid
+
     def get(self, ref: str, key: str):
-        """Point lookup: manifest-pruned single-range read."""
+        """Point lookup: manifest-pruned single-range read (served
+        driver-side on committed refs — locallist.get_local)."""
+        mid = self._committed_view_mid(ref)
+        if mid is not None and locallist.LOCAL_LIST_ROWS > 0:
+            if mid == R.EMPTY_METARANGE:
+                return None
+            handled, row = locallist.get_local(
+                self.store, R.read_manifest(self.store, mid), key
+            )
+            if handled:
+                return row
         upper = key + "\x00"
         rows = self.snapshot(ref, key_lower=key, key_upper=upper).where(
             F.col("key") == key

@@ -187,6 +187,18 @@ def test_owner_wired_merges_do_one_apply_each(spark, tmp_path, monkeypatch):
         return real_apply(*a, **kw)
 
     monkeypatch.setattr(repo_mod, "apply_changes", counting_apply)
+    # small merges take the driver-side apply (localapply) — the lease
+    # property ("one apply per landed merge, no lost-CAS recomputes")
+    # counts those applies all the same
+    from lakefs_spark.storage import localapply as localapply_mod
+
+    real_local = localapply_mod.apply_changes_local
+
+    def counting_local(*a, **kw):
+        applies.append(1)
+        return real_local(*a, **kw)
+
+    monkeypatch.setattr(localapply_mod, "apply_changes_local", counting_local)
 
     n = 3
     repos = []
