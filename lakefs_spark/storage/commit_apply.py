@@ -171,12 +171,21 @@ def probe_stream(
     raggedness: int,
     tomb_col: str | None = None,
     action_col: str | None = None,
+    include_counts: bool = True,
 ) -> tuple[dict, set, set, set]:
     """ONE Spark job over a (persisted) change/action stream computing
     everything the COW apply needs from it: per-action counts (when
-    ``action_col`` is given — the merge path's conflict/no-op gate),
-    the DISTINCT touched base positions, and the stream's
-    boundary-flagged keys split by tombstone-ness.
+    ``action_col`` is given and ``include_counts`` — the merge path's
+    conflict/no-op gate), the DISTINCT touched base positions, and the
+    stream's boundary-flagged keys split by tombstone-ness.
+
+    Cache-fill caveat: the probe's union branches scan the stream's
+    cache CONCURRENTLY within one job, so an expensive
+    not-yet-materialized upstream (the merge double-diff) would be
+    evaluated once per racing branch. Callers with such an upstream
+    materialize the cache first (one cheap aggregation job) and pass
+    ``include_counts=False``; callers whose upstream is a cheap scan
+    (staged changes) take the fully fused form.
 
     Previously these were two to three sequential jobs (action counts,
     touched positions, then a boundary scan over the merged overlay);
@@ -217,16 +226,17 @@ def probe_stream(
     parts = []
     body = stream
     if action_col is not None:
-        parts.append(
-            stream.groupBy(action_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(
-                F.lit("cnt").alias("t"),
-                F.col(action_col).alias("v"),
-                F.lit(None).cast("boolean").alias("tomb"),
-                F.col("n").alias("n"),
+        if include_counts:
+            parts.append(
+                stream.groupBy(action_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.lit("cnt").alias("t"),
+                    F.col(action_col).alias("v"),
+                    F.lit(None).cast("boolean").alias("tomb"),
+                    F.col("n").alias("n"),
+                )
             )
-        )
         body = stream.where(F.col(action_col) != "conflict")
     parts.append(
         body.select(F.explode(_positions(F.col("key"), _tomb())).alias("p"))

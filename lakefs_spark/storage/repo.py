@@ -1296,24 +1296,15 @@ class Repository:
         base_manifest = (
             R.read_manifest(self.store, dest_mid) if dest_mid != R.EMPTY_METARANGE else None
         )
-        probe = None
-        if base_manifest is not None and len(base_manifest) and len(
-            base_manifest
-        ) <= commit_apply.LARGE_MANIFEST_ROWS:
-            mf = base_manifest.sort_values("min_key").reset_index(drop=True)
-            counts, touched, bk_all, bk_nontomb = commit_apply.probe_stream(
-                self.spark,
-                mf["max_key"].tolist(),
-                actions,
-                self.raggedness,
-                action_col="action",
-            )
-            probe = (touched, bk_all, bk_nontomb)
-        else:
-            counts = {
-                r["action"]: r["n"]
-                for r in actions.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+        # the counts aggregation runs ALONE first: it materializes the
+        # expensive double-diff into the cache exactly once (a fused
+        # multi-branch probe would race its branches on the cold cache
+        # and evaluate the diff once per branch), and it is the
+        # conflict/no-op gate — a conflicted merge never pays the probe
+        counts = {
+            r["action"]: r["n"]
+            for r in actions.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
         if counts.get("conflict"):
             # materialize the conflict set from the still-cached action
             # stream (cheap) BEFORE dropping the cache: the caller WILL
@@ -1332,6 +1323,23 @@ class Repository:
             actions.unpersist()
             raise NoChangesError("merge produced no changes")
         try:
+            # with the cache now warm, one probe job delivers the
+            # touched positions + change-side boundary keys the apply
+            # needs (replacing its own probe job)
+            probe = None
+            if base_manifest is not None and len(base_manifest) and len(
+                base_manifest
+            ) <= commit_apply.LARGE_MANIFEST_ROWS:
+                mf = base_manifest.sort_values("min_key").reset_index(drop=True)
+                _, touched, bk_all, bk_nontomb = commit_apply.probe_stream(
+                    self.spark,
+                    mf["max_key"].tolist(),
+                    actions,
+                    self.raggedness,
+                    action_col="action",
+                    include_counts=False,
+                )
+                probe = (touched, bk_all, bk_nontomb)
             new_manifest = None
             if localapply.LOCAL_APPLY_ROWS > 0:
                 n_changes = sum(
