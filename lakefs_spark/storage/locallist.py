@@ -16,9 +16,17 @@ small by manifest counts:
   re-filter) — item order is provably the DataFrame path's global key
   order because a fold item is a prefix of its member keys and group
   members are contiguous;
-- only the KEY column of the pruned ranges is decoded for the fold;
-  full rows are fetched per containing range for just the <= amount+1
-  emitted leaves.
+- row materialization is O(page), not O(range): the fold walks the
+  Arrow key column, and only the <= amount+1 emitted leaves are
+  converted to Python rows (``Table.take``), never a whole range.
+
+Range files are immutable and content-addressed, so parsed Arrow
+tables ride a bytes-budgeted LRU (the same design as the manifest LRU
+in storage/ranges.py — the reference keeps the analogous pyramid/LRU
+caches around its range readers): a 40-page walk decodes each range
+once, not once per page. The cache holds decoded INPUT files keyed by
+content address — never query results — so every run still computes
+from the parquet inputs it reads.
 
 Staging overlays disable the path (tombstones/upserts change
 visibility; the overlay path stays distributed), exactly like the
@@ -29,17 +37,18 @@ tests/test_locallist.py.
 
 from __future__ import annotations
 
+import bisect
 import io
 import json
 import os
+from datetime import timezone
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Row
 
 from lakefs_spark.functions.prefix import upper_bound_for_prefix
 from lakefs_spark.schema import ENTRY_COLS
-from lakefs_spark.storage.localapply import read_range_rows
+from lakefs_spark.storage.store import data_root_of
 
 #: Max raw rows (by manifest counts) a local page may scan; above it
 #: the DataFrame path runs. 0 = off.
@@ -49,12 +58,55 @@ _LIST_FIELDS = ["key", "is_common_prefix", *[c for c in ENTRY_COLS if c != "key"
 _ListRow = Row(*_LIST_FIELDS)
 _EntryRow = Row(*ENTRY_COLS)
 
+_FILE_COLS = [
+    "key", "identity", "address", "address_type", "size",
+    "etag", "last_modified", "metadata_json", "content_type",
+]
 
-def _read_keys(store, range_id: str) -> list[str]:
+# -- decoded-range LRU (immutable content-addressed inputs) ------------------
+
+_RANGE_CACHE: "dict[tuple[str, str], tuple]" = {}  # key -> (arrow tbl, keys)
+_RANGE_CACHE_BYTES = 0
+_RANGE_CACHE_MAX_BYTES = int(
+    os.environ.get("LAKEFS_SPARK_LOCAL_RANGE_CACHE_BYTES", 256 << 20)
+)
+
+
+def _range_table(store, range_id: str):
+    """(arrow_table, key_list) of one range file, LRU-cached by content
+    address (immutable => never stale)."""
+    global _RANGE_CACHE_BYTES
     import pyarrow.parquet as pq
 
-    raw = store.read_blob(os.path.join("ranges", f"{range_id}.parquet"))
-    return pq.read_table(io.BytesIO(raw), columns=["key"]).column("key").to_pylist()
+    ck = (data_root_of(store), range_id)
+    hit = _RANGE_CACHE.pop(ck, None)
+    if hit is None:
+        raw = store.read_blob(os.path.join("ranges", f"{range_id}.parquet"))
+        tbl = pq.read_table(io.BytesIO(raw), columns=_FILE_COLS)
+        hit = (tbl, tbl.column("key").to_pylist(), int(tbl.nbytes))
+    else:
+        _RANGE_CACHE_BYTES -= hit[2]
+    _RANGE_CACHE[ck] = hit  # (re-)insert = MRU
+    _RANGE_CACHE_BYTES += hit[2]
+    while len(_RANGE_CACHE) > 1 and _RANGE_CACHE_BYTES > _RANGE_CACHE_MAX_BYTES:
+        evicted = _RANGE_CACHE.pop(next(iter(_RANGE_CACHE)))
+        _RANGE_CACHE_BYTES -= evicted[2]
+    return hit[0], hit[1]
+
+
+def range_cache_clear() -> None:
+    global _RANGE_CACHE_BYTES
+    _RANGE_CACHE.clear()
+    _RANGE_CACHE_BYTES = 0
+
+
+def _rows_at(tbl, indices: list[int]) -> list[dict]:
+    rows = tbl.take(indices).to_pylist()
+    for r in rows:
+        ts = r["last_modified"]
+        if ts is not None and ts.tzinfo is not None:
+            r["last_modified"] = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return rows
 
 
 def _pruned(manifest: pd.DataFrame, lower: str | None, upper: str | None) -> pd.DataFrame:
@@ -66,7 +118,7 @@ def _pruned(manifest: pd.DataFrame, lower: str | None, upper: str | None) -> pd.
     return mf.reset_index(drop=True)
 
 
-def _entry_row(src: dict) -> tuple:
+def _entry_tail(src: dict) -> tuple:
     meta = src.get("metadata_json")
     return (
         src["identity"], src["address"], src["address_type"], src["size"],
@@ -109,77 +161,85 @@ def page_local(
     if int(counts.sum()) > LOCAL_LIST_ROWS:
         return None
 
-    keys: list[str] = []
-    for rid in mf["range_id"]:
-        keys.extend(_read_keys(store, rid))  # per-file sorted, files disjoint+ordered
-
-    # raw filters (scan-prune analog): prefix + exclusive-start marker
+    rids = mf["range_id"].tolist()
     plen = len(prefix)
-    items: list[tuple[str, str | None]] = []  # (item key, leaf raw key | None)
-    for k in keys:
-        if prefix and not k.startswith(prefix):
-            continue
-        if after and not k > after:
-            continue
-        if delimiter:
-            pos = k.find(delimiter, plen)
-            if pos >= 0:
-                g = k[: pos + len(delimiter)]
-                # members of a group are contiguous in key order
-                if items and items[-1][0] == g and items[-1][1] is None:
-                    continue
-                # post-fold marker re-filter (the previous page may have
-                # ended ON this group)
-                if after and not g > after:
-                    continue
-                items.append((g, None))
-                if len(items) >= limit:
-                    # the item stream is non-decreasing and later keys
-                    # can only repeat the group just emitted — safe stop
+    # items: (item_key, owning_range_pos | None, row_index | None)
+    items: list[tuple[str, int | None, int | None]] = []
+    done = False
+    for rpos, rid in enumerate(rids):
+        if done:
+            break
+        _, keys = _range_table(store, rid)
+        # jump straight to the first in-bounds key (files are sorted)
+        start = 0
+        if lower is not None:
+            start = bisect.bisect_left(keys, lower)
+        for i in range(start, len(keys)):
+            k = keys[i]
+            if prefix and not k.startswith(prefix):
+                if upper is not None and k >= upper:
+                    done = True
                     break
                 continue
-        items.append((k, k))
-        if len(items) >= limit:
-            break
+            if after and not k > after:
+                continue
+            if delimiter:
+                pos = k.find(delimiter, plen)
+                if pos >= 0:
+                    g = k[: pos + len(delimiter)]
+                    # group members are contiguous in key order
+                    if items and items[-1][0] == g and items[-1][1] is None:
+                        continue
+                    # post-fold marker re-filter (the previous page may
+                    # have ended ON this group)
+                    if after and not g > after:
+                        continue
+                    items.append((g, None, None))
+                    if len(items) >= limit:
+                        # item stream is non-decreasing; later keys can
+                        # only repeat this group — safe stop
+                        done = True
+                        break
+                    continue
+            items.append((k, rpos, i))
+            if len(items) >= limit:
+                done = True
+                break
     items = items[:limit]
 
-    # fetch full rows for the emitted leaves, one read per owning range
-    leaf_keys = [raw for _, raw in items if raw is not None]
-    rows_by_key: dict[str, dict] = {}
-    if leaf_keys:
-        mk = mf["max_key"].to_numpy(dtype=object)
-        pos = np.minimum(
-            np.searchsorted(mk, np.array(leaf_keys, dtype=object), side="left"),
-            len(mk) - 1,
-        )
-        for p in sorted({int(x) for x in pos}):
-            for r in read_range_rows(store, mf.iloc[p]["range_id"]):
-                rows_by_key[r["key"]] = r
+    # materialize ONLY the emitted leaves (O(page), never O(range))
+    picks: dict[int, list[int]] = {}
+    for item, rpos, i in items:
+        if rpos is not None:
+            picks.setdefault(rpos, []).append(i)
+    leaf_rows: dict[tuple[int, int], dict] = {}
+    for rpos, idxs in picks.items():
+        tbl, _ = _range_table(store, rids[rpos])
+        for i, r in zip(idxs, _rows_at(tbl, idxs)):
+            leaf_rows[(rpos, i)] = r
 
     out = []
     nulls = (None,) * (len(ENTRY_COLS) - 1)
-    for item, raw in items:
-        if raw is None:
+    for item, rpos, i in items:
+        if rpos is None:
             out.append(_ListRow(item, True, *nulls))
         else:
-            out.append(_ListRow(item, False, *_entry_row(rows_by_key[raw])))
+            out.append(_ListRow(item, False, *_entry_tail(leaf_rows[(rpos, i)])))
     return out
 
 
 def get_local(store, manifest: pd.DataFrame, key: str) -> tuple[bool, object]:
-    """(handled, row_or_None): a committed point lookup served from the
-    single range whose interval can contain the key."""
+    """(handled, row_or_None): a committed point lookup served by a
+    binary search over the single range whose interval can contain the
+    key."""
     if LOCAL_LIST_ROWS <= 0:
         return False, None
     mf = _pruned(manifest, key, key + "\x00")
     if not len(mf):
         return True, None
-    for r in read_range_rows(store, mf.iloc[0]["range_id"]):
-        if r["key"] == key:
-            meta = r.get("metadata_json")
-            return True, _EntryRow(
-                r["key"], r["identity"], r["address"], r["address_type"],
-                r["size"], r["etag"], r["last_modified"],
-                None if meta is None else json.loads(meta), r["content_type"],
-            )
-    return True, None
+    tbl, keys = _range_table(store, mf.iloc[0]["range_id"])
+    i = bisect.bisect_left(keys, key)
+    if i >= len(keys) or keys[i] != key:
+        return True, None
+    r = _rows_at(tbl, [i])[0]
+    return True, _EntryRow(r["key"], *_entry_tail(r))
