@@ -225,13 +225,52 @@ def _pa_schema():
     )
 
 
+#: Decoded-range LRU: parsed Arrow tables keyed by CONTENT ADDRESS
+#: (range files are immutable — the same never-stale justification as
+#: the manifest LRU in storage/ranges.py; the reference keeps the
+#: analogous tier cache around its range readers). Bytes-budgeted.
+#: Holds decoded INPUT files, never query results — every run still
+#: computes from the parquet it reads.
+_RANGE_CACHE: "dict[tuple[str, str], tuple]" = {}  # key -> (tbl, keys, nbytes)
+_RANGE_CACHE_BYTES = 0
+_RANGE_CACHE_MAX_BYTES = int(
+    os.environ.get("LAKEFS_SPARK_LOCAL_RANGE_CACHE_BYTES", 256 << 20)
+)
+
+
+def range_table(store, range_id: str):
+    """(arrow_table, key_list) of one range file, LRU-cached."""
+    global _RANGE_CACHE_BYTES
+    import pyarrow.parquet as pq
+
+    from lakefs_spark.storage.store import data_root_of
+
+    ck = (data_root_of(store), range_id)
+    hit = _RANGE_CACHE.pop(ck, None)
+    if hit is None:
+        raw = store.read_blob(os.path.join("ranges", f"{range_id}.parquet"))
+        tbl = pq.read_table(io.BytesIO(raw), columns=_ENTRY_FILE_COLS)
+        hit = (tbl, tbl.column("key").to_pylist(), int(tbl.nbytes))
+    else:
+        _RANGE_CACHE_BYTES -= hit[2]
+    _RANGE_CACHE[ck] = hit  # (re-)insert = MRU
+    _RANGE_CACHE_BYTES += hit[2]
+    while len(_RANGE_CACHE) > 1 and _RANGE_CACHE_BYTES > _RANGE_CACHE_MAX_BYTES:
+        evicted = _RANGE_CACHE.pop(next(iter(_RANGE_CACHE)))
+        _RANGE_CACHE_BYTES -= evicted[2]
+    return hit[0], hit[1]
+
+
+def range_cache_clear() -> None:
+    global _RANGE_CACHE_BYTES
+    _RANGE_CACHE.clear()
+    _RANGE_CACHE_BYTES = 0
+
+
 def read_range_rows(store, range_id: str) -> list[dict]:
     """Rows of one range file (metadata_json form), key-sorted as
     persisted."""
-    import pyarrow.parquet as pq
-
-    raw = store.read_blob(os.path.join("ranges", f"{range_id}.parquet"))
-    tbl = pq.read_table(io.BytesIO(raw), columns=_ENTRY_FILE_COLS)
+    tbl, _ = range_table(store, range_id)
     rows = tbl.to_pylist()
     for r in rows:
         ts = r["last_modified"]

@@ -63,41 +63,8 @@ _FILE_COLS = [
     "etag", "last_modified", "metadata_json", "content_type",
 ]
 
-# -- decoded-range LRU (immutable content-addressed inputs) ------------------
-
-_RANGE_CACHE: "dict[tuple[str, str], tuple]" = {}  # key -> (arrow tbl, keys)
-_RANGE_CACHE_BYTES = 0
-_RANGE_CACHE_MAX_BYTES = int(
-    os.environ.get("LAKEFS_SPARK_LOCAL_RANGE_CACHE_BYTES", 256 << 20)
-)
-
-
-def _range_table(store, range_id: str):
-    """(arrow_table, key_list) of one range file, LRU-cached by content
-    address (immutable => never stale)."""
-    global _RANGE_CACHE_BYTES
-    import pyarrow.parquet as pq
-
-    ck = (data_root_of(store), range_id)
-    hit = _RANGE_CACHE.pop(ck, None)
-    if hit is None:
-        raw = store.read_blob(os.path.join("ranges", f"{range_id}.parquet"))
-        tbl = pq.read_table(io.BytesIO(raw), columns=_FILE_COLS)
-        hit = (tbl, tbl.column("key").to_pylist(), int(tbl.nbytes))
-    else:
-        _RANGE_CACHE_BYTES -= hit[2]
-    _RANGE_CACHE[ck] = hit  # (re-)insert = MRU
-    _RANGE_CACHE_BYTES += hit[2]
-    while len(_RANGE_CACHE) > 1 and _RANGE_CACHE_BYTES > _RANGE_CACHE_MAX_BYTES:
-        evicted = _RANGE_CACHE.pop(next(iter(_RANGE_CACHE)))
-        _RANGE_CACHE_BYTES -= evicted[2]
-    return hit[0], hit[1]
-
-
-def range_cache_clear() -> None:
-    global _RANGE_CACHE_BYTES
-    _RANGE_CACHE.clear()
-    _RANGE_CACHE_BYTES = 0
+from lakefs_spark.storage.localapply import range_table as _range_table  # noqa: E402
+from lakefs_spark.storage.localapply import range_cache_clear  # noqa: F401,E402
 
 
 def _rows_at(tbl, indices: list[int]) -> list[dict]:
