@@ -1826,15 +1826,23 @@ def q_repo_log_paths(spark, sf_dir):
     changed = sa.where(~F.col("is_tombstone")).join(
         ent, on=["key", "identity"], how="left_anti"
     )
-    p_upsert = changed.agg(F.min("key")).first()[0]
-    p_untouched = (
-        ent.join(sa.select("key"), "key", "left_anti").agg(F.min("key")).first()[0]
+    # the three one-row probe derivations ride ONE job (crossJoin of
+    # one-row aggregates — same values, a third of the job round-trips)
+    probe_row = (
+        changed.agg(F.min("key").alias("p_upsert"))
+        .crossJoin(
+            ent.join(sa.select("key"), "key", "left_anti")
+            .agg(F.min("key").alias("p_untouched"))
+        )
+        .crossJoin(
+            sa.where(F.col("is_tombstone"))
+            .join(ent.select("key"), "key", "semi")
+            .agg(F.min("key").alias("p_deleted"))
+        )
+        .first()
     )
-    p_deleted = (
-        sa.where(F.col("is_tombstone"))
-        .join(ent.select("key"), "key", "semi")
-        .agg(F.min("key"))
-        .first()[0]
+    p_upsert, p_untouched, p_deleted = (
+        probe_row["p_upsert"], probe_row["p_untouched"], probe_row["p_deleted"]
     )
     rows = []
     for p in (p_upsert, p_untouched, p_deleted):
@@ -2016,11 +2024,13 @@ def q_branch_listing(spark, sf_dir):
     pats = [r["pattern"] for r in repo.protection_rules()]
     rows = []
     for name in sorted(repo.branches()):
+        # count_entries: manifest-count sum on committed views (zero
+        # Spark jobs; identical value — ranges partition the keyspace)
         rows.append(
-            (name, "branch", repo.snapshot(name).count(), any(fnmatch.fnmatch(name, p) for p in pats))
+            (name, "branch", repo.count_entries(name), any(fnmatch.fnmatch(name, p) for p in pats))
         )
     for name in sorted(repo.tags()):
-        rows.append((name, "tag", repo.snapshot(name).count(), False))
+        rows.append((name, "tag", repo.count_entries(name), False))
     return spark.createDataFrame(
         rows, "name string, kind string, n_entries long, is_protected boolean"
     )
@@ -3406,8 +3416,16 @@ def q_s3_list_pages(spark, sf_dir):
         rows.append(("delim", 0, d["Prefix"], True, resp["IsTruncated"]))
     for f in resp["Contents"]:
         rows.append(("delim", 0, f["Key"], False, resp["IsTruncated"]))
+    # Arrow path: a 150k-row local relation through the row-verifier
+    # costs seconds of pure driver time; one pandas frame ships as
+    # Arrow batches with identical rows/schema (guide §6).
+    import pandas as _pd
+
     return spark.createDataFrame(
-        rows, "mode string, page long, key string, is_common_prefix boolean, is_truncated boolean"
+        _pd.DataFrame(
+            rows, columns=["mode", "page", "key", "is_common_prefix", "is_truncated"]
+        ),
+        "mode string, page long, key string, is_common_prefix boolean, is_truncated boolean",
     )
 
 
@@ -3432,8 +3450,12 @@ def q_s3_list_v1_pages(spark, sf_dir):
         assert "NextMarker" not in resp  # ListV1: only set with delimiter
         marker = resp["Contents"][-1]["Key"]
         page += 1
+    # Arrow path — same rationale as q_s3_list_pages
+    import pandas as _pd
+
     return spark.createDataFrame(
-        rows, "mode string, page long, key string, marker string, is_truncated boolean"
+        _pd.DataFrame(rows, columns=["mode", "page", "key", "marker", "is_truncated"]),
+        "mode string, page long, key string, marker string, is_truncated boolean",
     )
 
 

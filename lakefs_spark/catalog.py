@@ -57,6 +57,33 @@ from lakefs_spark.storage.refs import Commit, merge_base
 from lakefs_spark.storage.repo import Repository
 
 
+def _s3_items(rows) -> tuple[list[dict], list[dict]]:
+    """Listing rows -> (CommonPrefixes, Contents) S3 item dicts.
+
+    One ``asDict()`` per row: Row field access BY NAME costs a
+    tuple.index() over the field list per lookup, so the previous
+    5-lookups-per-row comprehensions were ~6 name scans per emitted
+    object — on a 150k-object page walk that was the second-largest
+    driver cost after the page fold itself."""
+    dirs: list[dict] = []
+    files: list[dict] = []
+    for r in rows:
+        d = r.asDict()
+        if d["is_common_prefix"]:
+            dirs.append({"Prefix": d["key"]})
+        else:
+            files.append(
+                {
+                    "Key": d["key"],
+                    "Size": d["size"],
+                    "ETag": d["etag"],
+                    "LastModified": d["last_modified"],
+                    "StorageClass": "STANDARD",
+                }
+            )
+    return dirs, files
+
+
 class ImportStatus:
     """Tracked state of a started import (importStatus response shape —
     api/swagger.yml ImportStatus; pkg/catalog/catalog.go:2711-2773)."""
@@ -141,18 +168,7 @@ class Catalog:
         rows, has_more = self.repo.list_page(
             ref, prefix=prefix, after=from_str, delimiter=delimiter, amount=max_keys
         )
-        dirs = [{"Prefix": r["key"]} for r in rows if r["is_common_prefix"]]
-        files = [
-            {
-                "Key": r["key"],
-                "Size": r["size"],
-                "ETag": r["etag"],
-                "LastModified": r["last_modified"],
-                "StorageClass": "STANDARD",
-            }
-            for r in rows
-            if not r["is_common_prefix"]
-        ]
+        dirs, files = _s3_items(rows)
         resp = {
             "Name": self.repo.root,
             "Prefix": prefix,
@@ -191,18 +207,7 @@ class Catalog:
         rows, has_more = self.repo.list_page(
             ref, prefix=prefix, after=marker, delimiter=delimiter, amount=max_keys
         )
-        dirs = [{"Prefix": r["key"]} for r in rows if r["is_common_prefix"]]
-        files = [
-            {
-                "Key": r["key"],
-                "Size": r["size"],
-                "ETag": r["etag"],
-                "LastModified": r["last_modified"],
-                "StorageClass": "STANDARD",
-            }
-            for r in rows
-            if not r["is_common_prefix"]
-        ]
+        dirs, files = _s3_items(rows)
         resp = {
             "Name": self.repo.root,
             "Prefix": prefix,

@@ -248,8 +248,23 @@ def range_table(store, range_id: str):
     ck = (data_root_of(store), range_id)
     hit = _RANGE_CACHE.pop(ck, None)
     if hit is None:
+        import pyarrow as pa
+
         raw = store.read_blob(os.path.join("ranges", f"{range_id}.parquet"))
         tbl = pq.read_table(io.BytesIO(raw), columns=_ENTRY_FILE_COLS)
+        # normalize last_modified to NAIVE UTC once, vectorized: the
+        # persisted column is timestamp[us, UTC] and every consumer
+        # (page rows, apply rows) wants the session's naive-UTC form —
+        # one Arrow cast here replaces a per-row astimezone in each of
+        # them (the epoch micros are unchanged; dropping the tz reads
+        # them as UTC wall time, exactly astimezone(utc).replace(None)).
+        idx = tbl.schema.get_field_index("last_modified")
+        if getattr(tbl.schema.field(idx).type, "tz", None) is not None:
+            tbl = tbl.set_column(
+                idx,
+                pa.field("last_modified", pa.timestamp("us")),
+                tbl.column(idx).cast(pa.timestamp("us")),
+            )
         hit = (tbl, tbl.column("key").to_pylist(), int(tbl.nbytes))
     else:
         _RANGE_CACHE_BYTES -= hit[2]
@@ -269,14 +284,10 @@ def range_cache_clear() -> None:
 
 def read_range_rows(store, range_id: str) -> list[dict]:
     """Rows of one range file (metadata_json form), key-sorted as
-    persisted."""
+    persisted; last_modified is naive UTC (cast once at decode in
+    range_table)."""
     tbl, _ = range_table(store, range_id)
-    rows = tbl.to_pylist()
-    for r in rows:
-        ts = r["last_modified"]
-        if ts is not None and ts.tzinfo is not None:
-            r["last_modified"] = ts.astimezone(timezone.utc).replace(tzinfo=None)
-    return rows
+    return tbl.to_pylist()
 
 
 def _publish_chunk(store, rows: list[dict], range_id: str) -> None:

@@ -41,7 +41,6 @@ import bisect
 import io
 import json
 import os
-from datetime import timezone
 
 import pandas as pd
 from pyspark.sql import Row
@@ -68,12 +67,10 @@ from lakefs_spark.storage.localapply import range_cache_clear  # noqa: F401,E402
 
 
 def _rows_at(tbl, indices: list[int]) -> list[dict]:
-    rows = tbl.take(indices).to_pylist()
-    for r in rows:
-        ts = r["last_modified"]
-        if ts is not None and ts.tzinfo is not None:
-            r["last_modified"] = ts.astimezone(timezone.utc).replace(tzinfo=None)
-    return rows
+    # last_modified is already naive UTC: range_table casts the column
+    # at decode time (one vectorized Arrow cast per cached file instead
+    # of a per-row astimezone on every page).
+    return tbl.take(indices).to_pylist()
 
 
 def _pruned(manifest: pd.DataFrame, lower: str | None, upper: str | None) -> pd.DataFrame:
@@ -141,37 +138,66 @@ def page_local(
         start = 0
         if lower is not None:
             start = bisect.bisect_left(keys, lower)
-        for i in range(start, len(keys)):
+        if not delimiter and (upper is not None or not prefix):
+            # flat fast path: every key in [lower, upper) starts with
+            # ``prefix`` (that is exactly what upper_bound_for_prefix
+            # bounds) and exceeds ``after`` (lower >= after+'\x00'), so
+            # the page is a SLICE — no per-key checks. The pathological
+            # prefix with no upper bound (all chars at the max code
+            # point) keeps the scanning loop below.
+            end = (
+                bisect.bisect_left(keys, upper, start)
+                if upper is not None
+                else len(keys)
+            )
+            take = min(end - start, limit - len(items))
+            items.extend(zip(keys[start : start + take], (rpos,) * take, range(start, start + take)))
+            if len(items) >= limit or end < len(keys):
+                done = True
+            continue
+        i = start
+        n_keys = len(keys)
+        while i < n_keys:
             k = keys[i]
             if prefix and not k.startswith(prefix):
                 if upper is not None and k >= upper:
                     done = True
                     break
+                i += 1
                 continue
             if after and not k > after:
+                i += 1
                 continue
             if delimiter:
                 pos = k.find(delimiter, plen)
                 if pos >= 0:
                     g = k[: pos + len(delimiter)]
-                    # group members are contiguous in key order
-                    if items and items[-1][0] == g and items[-1][1] is None:
+                    # group members are contiguous in key order; emit
+                    # the marker once (post-fold ``after`` re-filter:
+                    # the previous page may have ended ON this group)
+                    if not (items and items[-1][0] == g and items[-1][1] is None) and (
+                        not after or g > after
+                    ):
+                        items.append((g, None, None))
+                        if len(items) >= limit:
+                            # item stream is non-decreasing; later keys
+                            # can only repeat this group — safe stop
+                            done = True
+                            break
+                    # bisect-jump past the group's remaining members
+                    # (every key in [k, upper_bound_for_prefix(g))
+                    # starts with g and folds to the same marker)
+                    gu = upper_bound_for_prefix(g)
+                    if gu is None:
+                        i += 1
                         continue
-                    # post-fold marker re-filter (the previous page may
-                    # have ended ON this group)
-                    if after and not g > after:
-                        continue
-                    items.append((g, None, None))
-                    if len(items) >= limit:
-                        # item stream is non-decreasing; later keys can
-                        # only repeat this group — safe stop
-                        done = True
-                        break
+                    i = bisect.bisect_left(keys, gu, i + 1)
                     continue
             items.append((k, rpos, i))
             if len(items) >= limit:
                 done = True
                 break
+            i += 1
     items = items[:limit]
 
     # materialize ONLY the emitted leaves (O(page), never O(range))

@@ -956,6 +956,20 @@ class Repository:
         ).collect()
         return rows[:amount], len(rows) > amount
 
+    def count_entries(self, ref: str) -> int:
+        """Row count of ``snapshot(ref)`` with zero Spark jobs on
+        committed views: ranges partition the keyspace disjointly (the
+        global key order invariant), so the manifest's count column
+        sums to exactly the snapshot's row count. A live staging
+        overlay (tombstones/upserts change visibility) falls back to
+        the DataFrame count."""
+        mid = self._committed_view_mid(ref)
+        if mid is None:
+            return self.snapshot(ref).count()
+        if mid == R.EMPTY_METARANGE:
+            return 0
+        return int(R.read_manifest(self.store, mid)["count"].astype("int64").sum())
+
     def _committed_view_mid(self, ref: str) -> str | None:
         """The metarange that IS the ref's full visible state, or None
         when a staging overlay applies (driver fast paths bail)."""
@@ -1719,7 +1733,12 @@ class Repository:
         parts: list[DataFrame] = []
         batch = max(1, int(batch))
         for start in range(0, len(commits), batch):
-            if remaining.isEmpty():
+            # the empty-check and the remainder anti-join exist only to
+            # feed the NEXT round — a first or last round skips them
+            # (for a history under one batch that is two whole jobs of
+            # the three the loop body pays; round-1 remaining is the
+            # snapshot, non-empty whenever anything is attributable)
+            if start > 0 and remaining.isEmpty():
                 break
             t = self._touched_keys_by_pos(commits, start, batch, prefix, kl, ku)
             # one aggregation per ROUND: keys tagged by log position,
@@ -1730,9 +1749,11 @@ class Repository:
                 .agg(F.min("pos").alias("pos"))
             )
             parts.append(hit.localCheckpoint())
-            # checkpoint: each round's isEmpty()/scans must not re-run
-            # the whole stacked anti-join lineage (quadratic in history)
-            remaining = remaining.join(t, "key", "left_anti").localCheckpoint()
+            if start + batch < len(commits):
+                # checkpoint: each round's isEmpty()/scans must not
+                # re-run the whole stacked anti-join lineage (quadratic
+                # in history)
+                remaining = remaining.join(t, "key", "left_anti").localCheckpoint()
         if not parts:
             return self.spark.createDataFrame(
                 [], "key string, commit_id string, message string, pos long"
@@ -1838,7 +1859,7 @@ class Repository:
         deep churn-heavy history pays #candidates/batch Spark-job
         overheads instead of one job pair per step."""
         out: list[Commit] = []
-        pending: list[tuple] = []  # (commit, cand, cov_a, cov_b)
+        pending: list[tuple] = []  # (commit, cand, cov_a, cov_b, counts)
 
         def flush() -> bool:
             """Probe every pending candidate in one job; True = limit hit."""
@@ -1846,12 +1867,16 @@ class Repository:
                 return False
             all_ids: set[str] = set()
             all_keys: set[str] = set()
-            for _c, cand, cov_a, cov_b in pending:
+            counts: dict[str, int] = {}
+            for _c, cand, cov_a, cov_b, cnts in pending:
                 all_keys.update(cand)
+                counts.update(cnts)
                 for cov in (cov_a, cov_b):
                     for rids in cov.values():
                         all_ids.update(rids)
-            ident = self._identities_by_range(all_ids, all_keys)
+            ident = self._identities_by_range(
+                all_ids, all_keys, total_rows=sum(counts[r] for r in all_ids)
+            )
 
             def side(cov: dict, p: str):
                 for rid in cov.get(p, ()):  # ranges are disjoint: <=1 hit
@@ -1860,7 +1885,7 @@ class Repository:
                         return got
                 return None
 
-            for c, cand, cov_a, cov_b in pending:
+            for c, cand, cov_a, cov_b, _cnts in pending:
                 if any(side(cov_a, p) != side(cov_b, p) for p in cand):
                     out.append(c)
                     if limit is not None and len(out) >= limit:
@@ -1899,29 +1924,59 @@ class Repository:
             else pd.DataFrame(columns=R.MANIFEST_COLS)
         )
 
-        def covering(mf: pd.DataFrame, path: str) -> list[str]:
+        def covering(mf: pd.DataFrame, path: str, counts: dict[str, int]) -> list[str]:
             hit = mf[(mf["max_key"] >= path) & (mf["min_key"] <= path)]
+            counts.update(zip(hit["range_id"], hit["count"].astype("int64")))
             return hit["range_id"].tolist()
 
         cand: list[str] = []
         cov_a: dict[str, list[str]] = {}
         cov_b: dict[str, list[str]] = {}
+        counts: dict[str, int] = {}
         for p in paths:
-            ra, rb = covering(ma, p), covering(mb, p)
+            ra, rb = covering(ma, p, counts), covering(mb, p, counts)
             if ra != rb:
                 cand.append(p)
                 cov_a[p] = ra
                 cov_b[p] = rb
         if not cand:
             return None
-        return cand, cov_a, cov_b
+        return cand, cov_a, cov_b, counts
 
-    def _identities_by_range(self, range_ids: set[str], keys: set[str]) -> dict:
+    def _identities_by_range(
+        self, range_ids: set[str], keys: set[str], total_rows: int | None = None
+    ) -> dict:
         """(range_id, key) -> identity over the given ranges, restricted
         to ``keys`` — ONE pruned scan; result is (|ranges| x |keys|)-
-        bounded metadata, never a data stream."""
+        bounded metadata, never a data stream.
+
+        When the probed ranges are provably small (``total_rows`` from
+        manifest counts, same gate as the listing fast path), the probe
+        is a driver-side binary search per key through the decoded-range
+        LRU — zero Spark jobs; the b6/log-path flows at small scale are
+        otherwise one ~0.3-0.5 s job per flush (guide §1.2: the job
+        COUNT dominates small metadata ops)."""
         if not range_ids or not keys:
             return {}
+        if (
+            total_rows is not None
+            and locallist.LOCAL_LIST_ROWS > 0
+            and total_rows <= locallist.LOCAL_LIST_ROWS
+        ):
+            import bisect
+
+            out: dict = {}
+            skeys = sorted(keys)
+            for rid in sorted(range_ids):
+                tbl, rkeys = localapply.range_table(self.store, rid)
+                ident_col = None
+                for k in skeys:
+                    i = bisect.bisect_left(rkeys, k)
+                    if i < len(rkeys) and rkeys[i] == k:
+                        if ident_col is None:
+                            ident_col = tbl.column("identity")
+                        out[(rid, k)] = ident_col[i].as_py()
+            return out
         paths = R._range_paths(self.store, sorted(range_ids))
         rows = (
             self.spark.read.schema(R.RANGE_FILE_SCHEMA).parquet(*paths)

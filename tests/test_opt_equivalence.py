@@ -323,3 +323,77 @@ def test_fused_probe_apply_matches_merged_scan_apply(spark, tmp_path):
     # ---- actual: the fused-probe apply ---------------------------------
     actual = apply_changes(spark, str(root), base_mf, change_df(), rag)
     assert actual.reset_index(drop=True).equals(expected)
+
+
+def test_identities_probe_local_matches_spark(spark, tmp_path, monkeypatch):
+    """The driver-side (decoded-range LRU) identities probe behind
+    log_with_paths returns exactly the Spark pruned-scan's mapping, and
+    log_with_paths itself returns the same commits either way."""
+    from lakefs_spark.storage import locallist
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "idrepo"))
+    repo.raggedness = 40
+    rows = [
+        (f"k/{i:04d}", f"id{i}", f"s3://{i}", "FULL", i, f"e{i}", None, None, "t")
+        for i in range(300)
+    ]
+    ents = _entries_ddl(spark, rows)
+    repo.import_entries("main", ents, message="base", date=100.0)
+    touched = ["k/0003", "k/0123", "k/0299"]
+    hits = []
+    for i, k in enumerate(touched):
+        repo.stage_entries(
+            "main", ents.where(F.col("key") == k).withColumn("identity", F.lit(f"v{i}"))
+        )
+        hits.append(repo.commit("main", f"touch {i}", date=200.0 + i))
+
+    from lakefs_spark.storage import ranges as R
+
+    mid = repo._metarange_of(repo.resolve("main").commit_id)
+    mf = R.read_manifest(repo.store, mid)
+    ids = set(mf["range_id"])
+    keys = set(touched) | {"k/0000", "nope/absent"}
+    local = repo._identities_by_range(ids, keys, total_rows=int(mf["count"].sum()))
+    dist = repo._identities_by_range(ids, keys, total_rows=None)
+    assert local == dist and local  # same mapping, non-empty
+
+    on = [c.commit_id for c in repo.log_with_paths("main", touched)]
+    monkeypatch.setattr(locallist, "LOCAL_LIST_ROWS", 0)
+    off = [c.commit_id for c in repo.log_with_paths("main", touched)]
+    assert on == off
+    assert set(c.commit_id for c in hits) <= set(on)
+
+
+def _entries_ddl(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "key string, identity string, address string, address_type string, "
+        "size long, etag string, last_modified timestamp, "
+        "metadata map<string,string>, content_type string",
+    )
+
+
+def test_count_entries_matches_snapshot_count(spark, tmp_path):
+    """Manifest-count sum == snapshot row count on committed views;
+    staging overlays (upsert + tombstone) fall back to the DataFrame
+    count and still agree."""
+    from lakefs_spark.storage.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "cntrepo"))
+    repo.raggedness = 50
+    assert repo.count_entries("main") == 0 == repo.snapshot("main").count()
+    rows = [
+        (f"c/{i:03d}", f"id{i}", f"s3://{i}", "FULL", i, f"e{i}", None, None, "t")
+        for i in range(220)
+    ]
+    ents = _entries_ddl(spark, rows)
+    repo.import_entries("main", ents, message="base")
+    assert repo.count_entries("main") == 220 == repo.snapshot("main").count()
+    # staging overlay: one new key, one tombstone
+    repo.stage_entries("main", _entries_ddl(
+        spark, [("c/new", "idn", "s3://n", "FULL", 1, "en", None, None, "t")]
+    ))
+    repo.stage_deletes("main", ["c/000"])
+    assert repo.count_entries("main") == repo.snapshot("main").count() == 220
+    assert repo.count_entries("main@") == 220  # committed view unaffected
