@@ -977,7 +977,11 @@ def q_delta_log_actions(spark, sf_dir):
     path = delta_log_export(
         _snap(spark, sf_dir, "entries"), tempfile.mkdtemp(prefix="lakefs_delta_")
     )
-    log = spark.read.json(path)
+    # explicit schema: bare read.json runs a whole-file inference JOB
+    # before the real read; the query consumes only add.path/add.size,
+    # so declare exactly that (non-add actions parse with add = null,
+    # same rows as the inferred read)
+    log = spark.read.schema("add struct<path: string, size: long>").json(path)
     return log.where(F.col("add").isNotNull()).select(
         F.col("add.path").alias("path"), F.col("add.size").cast("long").alias("size")
     )
