@@ -2007,11 +2007,24 @@ def q_pull_requests(spark, sf_dir):
     conflict-aware PR diff size (a merged PR's diff collapses to 0
     because its source head becomes the merge base)."""
     repo, prs = _gov_repo(spark, sf_dir)
+    # all PR diff sizes ride ONE tagged-union count job instead of one
+    # Spark job per PR (guide §1.2 — at small sizes the sequential job
+    # count IS the cost; same values, the per-PR counts are just
+    # grouped by tag). A merged PR's diff is empty, so absent tags
+    # count as 0.
+    tagged = None
+    for pos, pid in enumerate(prs, 1):
+        part = repo.pulls.diff(pid).select(F.lit(pos).alias("pos"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    n_diff = {
+        r["pos"]: r["n"]
+        for r in tagged.groupBy("pos").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     rows = []
     for pos, pid in enumerate(prs, 1):
         rec = repo.pulls.get(pid)
         rows.append(
-            (pos, rec["status"], rec["source"], rec["destination"], repo.pulls.diff(pid).count())
+            (pos, rec["status"], rec["source"], rec["destination"], int(n_diff.get(pos, 0)))
         )
     return spark.createDataFrame(
         rows, "pos long, status string, source string, destination string, n_diff long"

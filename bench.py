@@ -89,7 +89,20 @@ def run_once(spark) -> dict[str, float]:
 
     root = tempfile.mkdtemp(prefix="lakebench_")
     try:
-        ents = derived_entries(spark)
+        # bench data prep OUT of b1/b7's timed regions (r10 verdict:
+        # the lazy md5 derivation executed inside b1's timed region, so
+        # ~half of b1 was the bench deriving its own input, not the
+        # engine). The derivation is materialized once per pass to a
+        # temp parquet — timed separately as b1_derive_entries so the
+        # old b1 ~= b1_derive_entries + b1_import_commit remains
+        # readable — and every consumer reads the materialized input.
+        # See HARNESS_CHANGES.md (this is a measurement fix, not an
+        # engine speedup; the derivation itself is unchanged).
+        with timed("b1_derive_entries"):
+            derived_entries(spark).write.mode("overwrite").parquet(
+                f"{root}/bench_entries"
+            )
+        ents = spark.read.parquet(f"{root}/bench_entries")
 
         # B1: import + commit 600k entries
         repo = Repository.create(spark, root)

@@ -212,13 +212,25 @@ def merge_changes_from_sides(
         raise ValueError(f"unknown merge strategy {strategy!r}")
     sq = _qualified_side(sdiff_base, sdiff_side, "s", with_payload=True)
     dq = _qualified_side(ddiff_base, ddiff_side, "d", with_payload=bool(resolvers))
-    return _actions_from_qualified(sq, dq, strategy, resolvers)
+    return actions_from_joined(qualified_join(sq, dq), strategy, resolvers)
 
 
-def _actions_from_qualified(sq: DataFrame, dq: DataFrame, strategy: str, resolvers) -> DataFrame:
-    """CASE ladder over the full-outer join of the two qualified diff
-    streams (shared by merge_changes_from_diffs / merge_changes_from_sides)."""
-    j = sq.join(dq, on="key", how="full_outer")
+def qualified_join(sq: DataFrame, dq: DataFrame) -> DataFrame:
+    """The strategy-INDEPENDENT core of a 3-way merge: the full-outer
+    join of the two qualified diff streams. Everything downstream
+    (the CASE ladder, resolvers) is a cheap projection over these rows,
+    so a caller that runs several merge decisions for the same commit
+    triple (conflict detect, then strategy=src — the b5 shape) can
+    materialize THIS frame once and re-ladder it per strategy
+    (storage/repo.py's metarange-keyed merge memo)."""
+    return sq.join(dq, on="key", how="full_outer")
+
+
+def actions_from_joined(j: DataFrame, strategy: str, resolvers) -> DataFrame:
+    """CASE ladder over a :func:`qualified_join` frame (shared by
+    merge_changes_from_diffs / merge_changes_from_sides)."""
+    if strategy not in STRATEGIES:
+        raise ValueError(f"unknown merge strategy {strategy!r}")
     s_id, d_id = F.col("s_identity"), F.col("d_identity")
     s_act = F.when(s_id.isNull(), F.lit("delete")).otherwise(F.lit("set"))
     action = (
@@ -270,7 +282,9 @@ def merge_changes_from_diffs(
             for c in _PAYLOAD
         ],
     )
-    return _actions_from_qualified(qual(sdiff, "s"), qual(ddiff, "d"), strategy, resolvers)
+    return actions_from_joined(
+        qualified_join(qual(sdiff, "s"), qual(ddiff, "d")), strategy, resolvers
+    )
 
 
 def merge(

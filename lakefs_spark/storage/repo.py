@@ -143,6 +143,11 @@ class ReadOnlyRepositoryError(Exception):
 #: (pkg/graveler/graveler.go BranchUpdateMaxTries)
 BRANCH_UPDATE_MAX_TRIES = 3
 
+# bounded size of the per-Repository merge double-diff memo (entries
+# are persisted DataFrames of CHANGED keys only; evicted/cleared
+# entries are unpersisted). 0 via env disables the memo entirely.
+_MERGE_MEMO_MAX = int(os.environ.get("LAKEFS_SPARK_MERGE_DIFF_MEMO", "2"))
+
 
 class Repository:
     def __init__(self, spark: SparkSession, root: str, store: Store | None = None):
@@ -161,6 +166,18 @@ class Repository:
         #: reference). Purely a performance device — correctness stays
         #: with the pointer CAS; an expired/stolen lease never aborts.
         self.owner = None
+        #: metarange-keyed memo of the strategy-independent merge join
+        #: (operators/merge.qualified_join), persisted per entry: a
+        #: conflict-detect merge followed by a strategy=src retry of
+        #: the SAME commit triple (the b5 shape) re-ladders the already
+        #: materialized double-diff instead of recomputing it. Sound
+        #: because the key is three immutable metarange ids (the diff
+        #: of two immutable metaranges never changes); scoped to one
+        #: API sequence — cleared (and unpersisted) on every successful
+        #: branch write, never written to disk, capped at
+        #: _MERGE_MEMO_MAX entries. Kill-switch:
+        #: LAKEFS_SPARK_MERGE_DIFF_MEMO=0.
+        self._merge_join_memo: dict[tuple, DataFrame] = {}
 
     @property
     def name(self) -> str:
@@ -507,6 +524,15 @@ class Repository:
             new = {k: v for k, v in {**cur, **merged_update}.items() if k not in drop}
             try:
                 self.store.put_doc_if(self._branch_key(name), new, ver)
+                # any successful branch write ends the "one API
+                # sequence" the merge double-diff memo is scoped to —
+                # drop (and unpersist) every entry. Correctness never
+                # depends on this (keys are immutable metarange ids);
+                # it bounds executor memory held between operations.
+                if self._merge_join_memo:
+                    for df in self._merge_join_memo.values():
+                        df.unpersist()
+                    self._merge_join_memo.clear()
                 return new
             except CASConflictError:
                 continue  # concurrent non-head write; re-read and re-merge
@@ -964,7 +990,10 @@ class Repository:
         overlay (tombstones/upserts change visibility) falls back to
         the DataFrame count."""
         mid = self._committed_view_mid(ref)
-        if mid is None:
+        # honor the same kill-switch as every other driver fast path
+        # (get, list_page, _identities_by_range): LOCAL_LIST_ROWS=0
+        # must force the distributed count for equivalence/debug runs
+        if mid is None or locallist.LOCAL_LIST_ROWS <= 0:
             return self.snapshot(ref).count()
         if mid == R.EMPTY_METARANGE:
             return 0
@@ -1240,6 +1269,21 @@ class Repository:
             )
             if acts is not None:
                 return acts
+        # strategy-independent double-diff memo: a conflict-detect merge
+        # followed by a strategy=src retry of the SAME commit triple
+        # (the b5 shape) recomputed the identical two-sided diff — the
+        # expensive part of the merge — twice. The joined qualified
+        # stream depends only on the three immutable metarange ids (and
+        # on whether dest payload is shipped, i.e. resolvers), so it is
+        # memoized persisted per (base, src, dst) and the cheap
+        # strategy CASE ladder re-runs on top. Scoped to one API
+        # sequence: cleared on every successful branch write
+        # (_cas_update), bounded by _MERGE_MEMO_MAX, in-memory only.
+        memo_key = (base_mid, src_mid, dst_mid)
+        if resolvers is None and _MERGE_MEMO_MAX > 0:
+            j = self._merge_join_memo.get(memo_key)
+            if j is not None:
+                return merge_ops.actions_from_joined(j, strategy, None)
         sdiff_l, sdiff_r = self._pruned_sides(base_mid, src_mid)
         ddiff_l, ddiff_r = self._pruned_sides(base_mid, dst_mid)
         # merge_changes_from_sides slims both base sides to
@@ -1250,9 +1294,17 @@ class Repository:
         # defeated Catalyst's column pruning on the source diff's base
         # side (plans/r10/b4_merge_actions_before.txt Exchange (3): 9
         # columns incl. from_json(metadata)).
-        return merge_ops.merge_changes_from_sides(
-            sdiff_l, sdiff_r, ddiff_l, ddiff_r, strategy, resolvers
-        )
+        if resolvers is not None or _MERGE_MEMO_MAX <= 0:
+            return merge_ops.merge_changes_from_sides(
+                sdiff_l, sdiff_r, ddiff_l, ddiff_r, strategy, resolvers
+            )
+        sq = merge_ops._qualified_side(sdiff_l, sdiff_r, "s", with_payload=True)
+        dq = merge_ops._qualified_side(ddiff_l, ddiff_r, "d", with_payload=False)
+        j = merge_ops.qualified_join(sq, dq).persist()
+        while len(self._merge_join_memo) >= _MERGE_MEMO_MAX:
+            self._merge_join_memo.pop(next(iter(self._merge_join_memo))).unpersist()
+        self._merge_join_memo[memo_key] = j
+        return merge_ops.actions_from_joined(j, strategy, None)
 
     def _apply_actions_commit(
         self,

@@ -397,3 +397,59 @@ def test_count_entries_matches_snapshot_count(spark, tmp_path):
     repo.stage_deletes("main", ["c/000"])
     assert repo.count_entries("main") == repo.snapshot("main").count() == 220
     assert repo.count_entries("main@") == 220  # committed view unaffected
+
+
+def test_merge_diff_memo_matches_memo_off(spark, tmp_path, monkeypatch):
+    """The metarange-keyed merge double-diff memo (repo._merge_join_memo)
+    must be result-invisible: a conflict-detect merge followed by a
+    strategy=src merge of the same commit triple produces the identical
+    conflict count and metarange with the memo on and off; the memo is
+    held across the failed merge (that is the reuse), is actually HIT
+    (the qualified sides are built once, not twice), and is cleared by
+    the successful branch write."""
+    import lakefs_spark.storage.repo as repo_mod
+    from lakefs_spark.storage.repo import ConflictError, Repository
+
+    # force the distributed merge ladder (the memo's path): the local
+    # small-merge fast path would otherwise serve these tiny merges
+    monkeypatch.setattr(repo_mod.localapply, "LOCAL_APPLY_ROWS", 0)
+
+    side_builds = {"n": 0}
+    real_side = M._qualified_side
+
+    def counting_side(*a, **kw):
+        side_builds["n"] += 1
+        return real_side(*a, **kw)
+
+    monkeypatch.setattr(repo_mod.merge_ops, "_qualified_side", counting_side)
+
+    results = {}
+    for arm, cap in (("off", 0), ("on", 2)):
+        monkeypatch.setattr(repo_mod, "_MERGE_MEMO_MAX", cap)
+        repo = Repository.create(spark, str(tmp_path / f"memo_{arm}"))
+        repo.raggedness = 40
+        rows = [(f"k/{i:03d}", f"id{i}", f"e{i}") for i in range(300)]
+        repo.import_entries("main", _entries(spark, rows), message="base")
+        for br, salt in (("l", "L"), ("r", "R")):
+            repo.create_branch(br, "main")
+            ch = [(f"k/{i:03d}", f"id{i}{salt}", f"e{i}{salt}") for i in range(0, 300, 7)]
+            ch.append((f"k/new{salt}", f"idn{salt}", f"en{salt}"))
+            repo.stage_entries(br, _entries(spark, ch))
+            repo.commit(br, f"{br} change")
+        side_builds["n"] = 0
+        try:
+            repo.merge("l", "r")
+            raise AssertionError("expected conflicts")
+        except ConflictError as e:
+            n_conf = e.conflicts.count()
+        if cap:
+            assert repo._merge_join_memo, "memo must survive a failed merge"
+        c = repo.merge("l", "r", strategy="src")
+        assert not repo._merge_join_memo, "memo must clear on a branch write"
+        results[arm] = (n_conf, repo._metarange_of(c.commit_id), side_builds["n"])
+    # identical conflicts and identical merged metarange, memo on/off
+    assert results["on"][0] == results["off"][0] > 0
+    assert results["on"][1] == results["off"][1]
+    # memo off: both merges build both qualified sides (2 + 2);
+    # memo on: only the first merge does (2) — the second is a cache hit
+    assert results["off"][2] == 4 and results["on"][2] == 2

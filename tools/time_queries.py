@@ -30,31 +30,38 @@ def main() -> None:
 
     spark = get_spark("time_queries")
     sc = spark.sparkContext
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
 
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_PASSES", "1")))
     Q = em.queries()
-    timings: dict[str, float] = {}
-    for name, fn in Q.items():
-        if names_filter and name not in names_filter:
-            continue
-        t0 = time.time()
-        try:
-            df = fn(spark, sf)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-            with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as f:
-                f.write(plan)
-            sc.setJobDescription(f"{name} [{tag}]")
-            df.write.format("noop").mode("overwrite").save()
-            sc.setJobDescription(None)
-            timings[name] = round(time.time() - t0, 3)
-            print(f"{name}: {timings[name]}s", flush=True)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"{name}: ERROR {e!r}", flush=True)
-    print(json.dumps({"tag": tag, "sf": sf, "timings": timings}), flush=True)
+    all_timings: list[dict[str, float]] = []
+    for p in range(passes):
+        timings: dict[str, float] = {}
+        for name, fn in Q.items():
+            if names_filter and name not in names_filter:
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, sf)
+                if p == 0:
+                    plan = df._sc._jvm.PythonSQLUtils.explainString(
+                        df._jdf.queryExecution(), "formatted"
+                    )
+                    with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as f:
+                        f.write(plan)
+                sc.setJobDescription(f"{name} [{tag} p{p}]")
+                df.write.format("noop").mode("overwrite").save()
+                sc.setJobDescription(None)
+                timings[name] = round(time.time() - t0, 3)
+                print(f"p{p} {name}: {timings[name]}s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                timings[name] = -1.0
+                print(f"p{p} {name}: ERROR {e!r}", flush=True)
+        all_timings.append(timings)
+    print(json.dumps({"tag": tag, "sf": sf, "timings": all_timings[-1],
+                      "passes": all_timings}), flush=True)
 
 
 if __name__ == "__main__":
