@@ -65,6 +65,30 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+def distinct_shingle_count(text_col: str = "text", n: int = 3):
+    """Per-ROW count of the document's distinct non-empty word n-gram
+    shingles — exactly ``shingles(df).groupBy(id).count()`` for that
+    document, as a pure projection: no explode, no exchange, no join
+    back (guide §2.4 "remove shuffles outright"). Callers that only
+    need the per-doc shingle COUNT (denominators in contamination /
+    repetition signals) use this instead of re-exploding the corpus.
+
+    NB: a doc with zero shingles yields 0 here but yields NO row from
+    the exploded groupBy — callers replicating an aggregation must
+    filter ``> 0`` to keep the row set identical.
+    """
+    toks = F.split(F.col(text_col), " ")
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.size(F.array_remove(F.array_distinct(grams), ""))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -164,16 +188,25 @@ def minhash_bands(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     # ONE projection + posexplode — a bands-way union would embed the
     # whole signature-aggregation plan once per band
-    band_arr = F.array(
+    band_arr = _band_hash_array(num_hashes, bands)
+    return sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_hash")
+    ).select(F.col(id_col), F.col("band_id").cast("int").alias("band_id"), "band_hash")
+
+
+def _band_hash_array(num_hashes: int, bands: int, sig_col: str = "sig"):
+    """The per-doc array of band hashes over a ``sig`` column — md5 of
+    the comma-joined band slice, exactly as minhash_bands explodes it."""
+    rows_per_band = num_hashes // bands
+    return F.array(
         *[
             F.md5(
                 F.array_join(
                     F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
                         lambda x: x.cast("string"),
                     ),
                     ",",
@@ -182,9 +215,6 @@ def minhash_bands(
             for b in range(bands)
         ]
     )
-    return sig.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_hash")
-    ).select(F.col(id_col), F.col("band_id").cast("int").alias("band_id"), "band_hash")
 
 
 def minhash_candidates(
@@ -195,8 +225,17 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """Candidate near-dup pairs from LSH buckets: (id_a, id_b)."""
-    bandsdf = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
+    """Candidate near-dup pairs from LSH buckets: (id_a, id_b).
+
+    The band table is locally checkpointed before the self-join: a
+    self-join evaluates its input subtree once per side, so without the
+    materialization the whole shingle->signature pipeline (the
+    expensive part) runs twice per call (guide §1.2). The checkpoint is
+    executor-distributed and intra-invocation — it is the in-query
+    analog of the persisted band index a production deployment keeps
+    (see incremental_minhash_candidates' docstring).
+    """
+    bandsdf = minhash_bands(df, text_col, id_col, n, num_hashes, bands).localCheckpoint()
     a = bandsdf.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = bandsdf.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     return (
@@ -218,30 +257,52 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     ).where(F.col("tok") != "")
     # 64 bits from the md5 hex digits (4 bits per digit) — one string
     # hash per token, engine-portable (hashfam.py rationale), so the
-    # SQL oracle reconstructs identical signatures
+    # SQL oracle reconstructs identical signatures.
+    #
+    # Shape notes (round 11, guide §5 driver time + §1.2 per-task):
+    # the previous form built ~16 conv() digit Columns plus 64 sum()
+    # Columns plus a 64-arm sig chain through py4j (~1000 round trips,
+    # ~1.3 s of pure driver time per call) and ran 16 conv()s per token
+    # row. The same digits now come from TWO conv()s over 8-hex-char
+    # words (digit j is bits [4*(7-j%8) .. +3] of its word — identical
+    # integer values), the 64 ±1 sums ride ONE parsed array expression,
+    # and the sign->bit fold is one parsed projection. Bit 63 uses
+    # shiftleft(1L, 63) == -(2^63), the exact literal the old chain
+    # added. Signatures are integer arithmetic — values identical.
     assert bits <= 64, "simhash signature is at most 64 bits (16 md5 hex digits)"
+    n_digits = (bits + 3) // 4
+    n_words = (n_digits + 7) // 8
+    word_len = [min(8, n_digits - 8 * w) for w in range(n_words)]
     hx = tok.select(F.col(id_col), F.md5("tok").alias("hx"))
-    digits = hx.select(
+    words = hx.select(
         F.col(id_col),
         *[
-            F.conv(F.substring(F.col("hx"), j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
-            for j in range((bits + 3) // 4)
+            F.expr(
+                f"cast(conv(substring(hx, {8 * w + 1}, {word_len[w]}), 16, 10) as bigint)"
+            ).alias(f"__w{w}")
+            for w in range(n_words)
         ],
     )
-    # per-bit +-1 contributions, summed, then sign -> bit
-    bit_cols = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{i}")
+
+    def _bit(i: int) -> str:
+        j, k = i // 4, i % 4  # hex digit index, bit inside the digit
+        w = j // 8
+        shift = 4 * (word_len[w] - 1 - (j - 8 * w)) + k
+        return f"(shiftright(__w{w}, {shift}) & 1) = 1"
+
+    sums = words.groupBy(id_col).agg(
+        F.expr(
+            "array("
+            + ",".join(f"sum(case when {_bit(i)} then 1 else -1 end)" for i in range(bits))
+            + ")"
+        ).alias("__b")
+    )
+    sig = " + ".join(
+        f"(case when __b[{i}] > 0 then shiftleft(cast(1 as bigint), {i}) "
+        "else cast(0 as bigint) end)"
         for i in range(bits)
-    ]
-    sums = digits.groupBy(id_col).agg(*bit_cols)
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+    )
+    return sums.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def duplicate_clusters(
@@ -387,9 +448,14 @@ def simhash_near_dups(
             for i in range(bands)
         ]
     )
+    # the banded signature table feeds both sides of the candidate
+    # self-join; without materialization the upstream signature
+    # aggregation (the expensive part) is evaluated once per side
+    # (guide §1.2 — same intra-invocation checkpoint as
+    # minhash_candidates)
     b = sigs.select(
         F.col(id_col), F.col(sig_col), F.posexplode(band_arr).alias("band", "band_val")
-    )
+    ).localCheckpoint()
     x, y = b.alias("x"), b.alias("y")
     cand = (
         x.join(y, ["band", "band_val"])
@@ -428,26 +494,51 @@ def minhash_jaccard_estimate(
     candidate set — the same verify-on-candidates positioning
     ngram_jaccard_pairs documents.
     """
+    # one signature pipeline for BOTH the banding and the estimate: the
+    # signature rides through the band explode, so the candidate
+    # self-join carries (id, sig) pairs and the estimate is a pure
+    # projection over the joined row — the previous shape re-embedded
+    # the whole shingle->signature plan four times (sa, sb, and once
+    # per band-join side inside minhash_candidates). The candidate
+    # frame is locally checkpointed (intra-invocation, executor-side,
+    # same rationale as minhash_candidates) because three downstream
+    # consumers (estimate, the id semi-join, the final join base) would
+    # each re-evaluate the band self-join.
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    cand = minhash_candidates(df, text_col, id_col, n, num_hashes, bands)
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                        lambda v: v,
-                    )
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(_band_hash_array(num_hashes, bands)).alias("band_id", "band_hash"),
+    ).select(
+        F.col(id_col), F.col("sig"), F.col("band_id").cast("int").alias("band_id"), "band_hash"
+    )
+    ba = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    bb = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    # sig is a pure function of the id, so distinct over (ids, sigs)
+    # yields exactly the distinct (id_a, id_b) candidate set
+    cand = (
+        ba.join(bb, on=["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    est = cand.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda v: v,
                 )
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
-        )
+            )
+            / F.lit(float(num_hashes))
+        ).alias("est_jaccard"),
     )
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
@@ -455,7 +546,13 @@ def minhash_jaccard_estimate(
         .distinct()
     )
     sh = shingles(df, text_col, id_col, n).join(cand_ids, id_col, "semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc shingle-set size as a pure projection (identical to
+    # sh.groupBy(id).count() — see distinct_shingle_count; the inner
+    # joins below restrict it to candidate docs, all of which have
+    # >= 1 shingle by construction)
+    sizes = df.select(
+        F.col(id_col), distinct_shingle_count(text_col, n).cast("long").alias("n_sh")
+    ).where(F.col("n_sh") > 0)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -505,6 +602,11 @@ def token_overlap_pairs(
     ``pairs`` (semi-join pushdown) and shuffles on token like every
     verify-on-candidates step here.
     """
+    # the candidate-pair frame is consumed by three join sites (the id
+    # semi-join, the overlap aggregation, and the final left-join base)
+    # and its plan usually embeds the expensive LSH candidate
+    # generation — materialize it once, intra-invocation (guide §1.2)
+    pairs = pairs.localCheckpoint()
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -516,7 +618,16 @@ def token_overlap_pairs(
         .where(F.col("tok") != "")
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    # per-doc token count as a pure projection — identical to
+    # toks.groupBy(id).count() (same non-empty-token rule); docs in a
+    # candidate pair always have >= 1 token, so the > 0 filter keeps
+    # the joinable row set identical to the aggregated one
+    lens = df.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).cast(
+            "long"
+        ).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
     ta = tf.select(F.col(id_col).alias("id_a"), "tok", F.col("tf").alias("tf_a"))
     tb = tf.select(F.col(id_col).alias("id_b"), "tok", F.col("tf").alias("tf_b"))
     ov = (
@@ -721,7 +832,10 @@ def incremental_minhash_candidates(
     the result is exactly the all-pairs candidate set restricted to
     pairs touching a new doc.
     """
-    bandsdf = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
+    # the band table feeds BOTH join sides (probe + index) — checkpoint
+    # it once so the shingle->signature pipeline is not evaluated twice
+    # (the production analog is the persisted band index, see below)
+    bandsdf = minhash_bands(df, text_col, id_col, n, num_hashes, bands).localCheckpoint()
     newb = bandsdf.join(new_ids.select(F.col(new_ids.columns[0]).alias(id_col)), id_col, "semi")
     a = newb.select(F.col(id_col).alias("na"), "band_id", "band_hash")
     b = bandsdf.select(F.col(id_col).alias("nb"), "band_id", "band_hash")
