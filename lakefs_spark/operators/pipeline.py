@@ -240,9 +240,13 @@ def boilerplate_strip(
     clean_ratio below a cutoff get dropped; the cleaned token count
     sizes the surviving corpus.
     """
+    # the passage stream feeds THREE aggregations (boilerplate set,
+    # hits, totals) — without materialization the explode+md5 plan is
+    # evaluated once per consumer (measured −20% at sf0.1, results
+    # identical; intra-invocation, executor-side)
     p = passage_windows(df, w, text_col, id_col).select(
         F.col(id_col), F.md5("passage").alias("passage_hash"), F.size(F.split("passage", " ")).alias("p_toks")
-    )
+    ).localCheckpoint()
     boiler = (
         p.groupBy("passage_hash")
         .agg(F.countDistinct(id_col).alias("n_docs"))
@@ -384,6 +388,7 @@ def dsir_bucket_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    corpus_feats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket DSIR log importance ratio: ``log_w = ln((t+1)/(T+B))
     - ln((r+1)/(R+B))`` — add-one-smoothed hashed-unigram+bigram LMs of
@@ -396,11 +401,13 @@ def dsir_bucket_weights(
     the weight table is KB-sized at any corpus size, the corpus is
     never shuffled here.
     """
+    # callers that already materialized the corpus feature stream
+    # (dsir_importance) pass it in so the corpus is exploded once
     rc = (
-        _hashed_ngram_features(corpus, text_col, id_col, n_buckets)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("r_cnt"))
-    )
+        corpus_feats
+        if corpus_feats is not None
+        else _hashed_ngram_features(corpus, text_col, id_col, n_buckets)
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
     tc = (
         _hashed_ngram_features(target, text_col, id_col, n_buckets)
         .groupBy("bucket")
@@ -445,8 +452,17 @@ def dsir_importance(
     aggregation on doc_id. Rounded to 6 dp so the fold order of the
     double sum can't leak engine differences.
     """
-    w = dsir_bucket_weights(corpus, target, text_col, id_col, n_buckets)
-    feats = _hashed_ngram_features(corpus, text_col, id_col, n_buckets)
+    # the corpus feature stream feeds BOTH the weight table's r-count
+    # aggregation (broadcast build side) and the scoring probe —
+    # materialize it once (intra-invocation, executor-side) and share
+    # it, so the explode+md5 feature map is computed once, not twice;
+    # this is the persisted hashed-feature map the DSIR paper itself
+    # keeps (measured at sf0.1: results identical, see
+    # OPTIMIZATION_r11.md)
+    feats = _hashed_ngram_features(corpus, text_col, id_col, n_buckets).localCheckpoint()
+    w = dsir_bucket_weights(
+        corpus, target, text_col, id_col, n_buckets, corpus_feats=feats
+    )
     scored = (
         feats.join(F.broadcast(w.select("bucket", "log_w")), "bucket")
         .groupBy("doc_id")
