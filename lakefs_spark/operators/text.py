@@ -345,31 +345,40 @@ def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     word n-gram windows that are duplicates of an earlier window —
     ``1 - distinct_ngrams / total_windows`` (0 when too short).
 
-    A pure per-row projection (guide §2.4): the distinct-window count
-    is computed inside the row via ``distinct_shingle_count`` —
-    identical to the previous shingle explode + groupBy + join-back,
-    with zero exchanges. High scores mark boilerplate/spam for
-    dropping.
+    One shingle explode + one groupBy; the distinct count rides the
+    same aggregation. High scores mark boilerplate/spam for dropping.
+    (A zero-exchange per-row projection form — distinct_shingle_count —
+    measured 13% FASTER standalone but +0.5 s SLOWER inside the
+    text_signals gate union, where its per-row array work serializes on
+    the scan stage's few splits while the exploded aggregate overlaps
+    with the other members; the gate is what the driver times, so the
+    aggregate stays. Round-11 A/Bs in OPTIMIZATION_r11.md.)
     """
-    from lakefs_spark.operators.dedup import distinct_shingle_count
+    from lakefs_spark.operators.dedup import shingles
 
     toks = F.split(F.col(text_col), " ")
     total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    base = df.select(
-        F.col(id_col),
-        total.cast("long").alias("n_windows"),
-        distinct_shingle_count(text_col, n).cast("long").alias("n_distinct"),
+    base = df.select(F.col(id_col), total.alias("n_windows"))
+    dist = (
+        shingles(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
-    return base.select(
-        F.col(id_col),
-        F.col("n_windows"),
-        F.col("n_distinct"),
-        F.when(
-            F.col("n_windows") > 0,
-            F.round(1.0 - F.col("n_distinct") / F.col("n_windows"), 6),
+    return (
+        base.join(dist, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(
+                    1.0 - F.coalesce(F.col("n_distinct"), F.lit(0)) / F.col("n_windows"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("rep_ratio"),
     )
 
 
